@@ -1,0 +1,50 @@
+"""Shared literal constants used by BOTH the Spark operators and their
+generated DuckDB oracle SQL (registry_ops.py). Keeping a single source of
+truth here is what makes the oracle twins exact."""
+
+from __future__ import annotations
+
+HEXDIGITS = "0123456789abcdef"
+
+# doc_fingerprint_rolling (operators/text.py): polynomial rolling hash
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+FP_POWERS = [pow(FP_BASE, k, FP_MOD) for k in range(8)]
+
+# lang_id stopword profiles (operators/text.py). Overlaps between languages
+# are fine — scores are computed per-language; ties resolve by the fixed
+# precedence order below.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"],
+    "es": ["de", "la", "que", "el", "en", "los", "se", "del", "las", "por"],
+    "fr": ["le", "de", "et", "les", "des", "un", "une", "du", "dans", "est"],
+    "zh": ["的", "一", "是", "不", "了", "人", "我", "在", "有", "他"],
+}
+LANG_PRECEDENCE = ["en", "de", "es", "fr", "zh"]
+
+# ivf_topk (operators/similarity.py): K pseudo-random separating hyperplanes
+# with small integer coordinates — deterministic, identical literals on both
+# engines. plane[k][j] = ((j*31 + k*17) % 7) - 3
+N_PLANES = 4
+EMB_DIM = 64
+PLANES: list[list[int]] = [
+    [((j * 31 + k * 17) % 7) - 3 for j in range(EMB_DIM)] for k in range(N_PLANES)
+]
+
+# simhash (operators/dedup.py): 16-bit simhash built from the first 4 hex
+# chars of md5(token) — md5 is the one hash both engines share.
+SIMHASH_BITS = 16
+
+# quality score weights (operators/text.py)
+QUALITY_W_STOP = 0.4
+QUALITY_W_LEN = 0.3
+QUALITY_W_DIGIT = 0.3
+
+# BPE-ish token regex (operators/text.py): letter runs, digit runs, single
+# other non-space chars — same char-class dialect in Spark (Java regex) and
+# DuckDB (RE2).
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# sessionization gap (operators/events.py), seconds
+SESSION_GAP_SEC = 1800

@@ -1,0 +1,213 @@
+"""Deduplication operators (SURVEY.md §2.5 O2 and §2.9 X1/X2):
+latest-wins, exact content-hash, n-gram Jaccard, SimHash, MinHash-LSH,
+embedding-cosine near-dup.
+
+Design notes for 100 TB:
+- exact dedup shuffles once on the 256-bit content hash (uniform key → no
+  skew); latest-wins shuffles once on the logical key.
+- n-gram Jaccard / MinHash avoid the O(N²) cross join by joining on shared
+  shingles / LSH bands, i.e. candidate generation is an equi-join.
+- SimHash reduces every doc to a 16-bit fingerprint (configurable); banding
+  the fingerprint gives near-dup candidates with a tiny shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import SIMHASH_BITS
+from ..numeric import qround
+from .text import md5_prefix_value, tokens
+
+
+def latest_wins(df: DataFrame, keys: list[str], order_desc: list[str]) -> DataFrame:
+    """O2 — keep the newest record per logical key.
+
+    The reference sorts desc + drop_duplicates(keep='first')
+    (build_database.py:207-219); the Spark-native form is a row_number
+    window — deterministic, unlike dropDuplicates. ``order_desc`` should
+    end in a unique tiebreaker."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_desc])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """X1 — exact dedup by sha256(content); winner = lowest id (stable).
+    One shuffle on the hash. Output keeps the hash for lineage."""
+    hashed = df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+    w = Window.partitionBy("content_sha256").orderBy(F.asc(id_col))
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles of a token array — higher-order
+    functions only (transform over a sequence of slices).
+
+    Guarded for short docs: F.sequence(1, 0) would yield [1, 0] (Spark
+    infers step -1), not an empty array."""
+    count = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(count >= 1, grams).otherwise(empty))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """X2 (exact variant) — near-dup pairs by n-gram Jaccard similarity.
+
+    Candidate pairs come from an equi-join on shared shingles (inverted
+    index), NOT a cross join: |pairs| scales with real overlap. Jaccard =
+    |∩| / (|A|+|B|-|∩|). Output: doc_a < doc_b, jaccard (rounded)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            qround(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """X2 (SimHash variant) — 16-bit simhash fingerprint per document.
+
+    Bit j of the fingerprint is the sign of Σ_tokens (±1 by bit j of a
+    16-bit md5-derived token hash). Exact integer math → oracle-checkable
+    on DuckDB (same md5, same hex parsing)."""
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens()).alias("tok"))
+    v = md5_prefix_value(F.col("tok"), 4)
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(v, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup candidate pairs via SimHash banding: split the fingerprint
+    into two 8-bit bands; pairs agreeing on ≥1 band are candidates
+    (guaranteed to include all pairs with hamming distance ≤ 2 when the
+    differing bits fall in one band — standard banding bound), then filter
+    by true hamming distance. Equi-join on (band_id, band_value)."""
+    fps = simhash(docs)
+    low = (F.col("simhash") % 256).alias("band_val")
+    high = (F.col("simhash") / 256).cast("int").alias("band_val")
+    bands = (
+        fps.select("doc_id", "simhash", F.lit(0).alias("band_id"), low)
+        .unionByName(fps.select("doc_id", "simhash", F.lit(1).alias("band_id"), high))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    spark,
+    threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (MinHash-LSH variant) — pyspark.ml MinHashLSH over hashed token
+    shingle features. Seeded → deterministic row count (rows-only check:
+    LSH randomness has no SQL oracle). Output: doc_a, doc_b, jaccard_dist."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.split("text", " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(toks)
+    # MinHashLSH requires ≥1 non-zero entry; token arrays are non-empty.
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame, threshold: float = 0.95, block_col: str = "label"
+) -> DataFrame:
+    """X2 (embedding variant) — near-dup pairs by cosine ≥ threshold,
+    blocked on ``block_col`` so candidate generation is an equi-join
+    (at scale: replace label with an LSH bucket, see similarity.ivf_topk)."""
+    from .similarity import SIM_ROUND, dot, with_norm
+
+    base = with_norm(emb).select("vec_id", F.col(block_col).alias("_blk"), "_vec", "_norm")
+    a = base.alias("a")
+    b = base.alias("b")
+    from ..numeric import qround as _qr
+
+    sim = _qr(
+        dot(F.col("a._vec"), F.col("b._vec")) / (F.col("a._norm") * F.col("b._norm")),
+        SIM_ROUND,
+    )
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

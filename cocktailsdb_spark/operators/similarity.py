@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9 X3).
+
+Embeddings are ``array<float>`` (fixture table ``embeddings``); all math is
+done JVM-side with higher-order functions (``zip_with`` + ``aggregate``) in
+double precision — no Python in the hot path. Two strategies:
+
+- ``cosine_topk``    brute-force exact top-k: the correctness baseline.
+  O(Q×N) dot products; at 100 TB this is only sane for small Q (it is a
+  broadcast of Q against a full scan of N — no shuffle on N).
+- ``ivf_topk``       LSH/IVF-style bucketed approximate top-k: each vector
+  is assigned a bucket from the sign pattern of K fixed hyperplane
+  projections; a query only scans its own bucket ⇒ N/2^K of the work and
+  a bucket-key equi-join instead of a cross join. This is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import PLANES
+from ..numeric import qround
+
+SIM_ROUND = 6  # rank on qrounded similarity + vec_id tiebreak → deterministic
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns (JVM, codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("_vec", v).withColumn("_norm", F.sqrt(dot(v, v)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for each query id.
+
+    Output: (query_id, vec_id, sim, rank). ``sim`` is rounded so the rank
+    order (and the DuckDB oracle twin) is robust to FP summation order.
+    """
+    base = with_norm(emb, vec_col)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = base.select(id_col, "_vec", "_norm")
+    sim = qround(dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")), SIM_ROUND)
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
+def plane_bucket(vec: Column) -> Column:
+    """Bucket id from the sign pattern of the fixed hyperplane projections
+    (random-hyperplane LSH with deterministic integer planes)."""
+    bucket = F.lit(0)
+    for bit, plane in enumerate(PLANES):
+        proj = dot(vec, F.array(*[F.lit(float(p)) for p in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return bucket
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket instead of a cross join.
+
+    At scale the candidate side shuffles once on a 2^K-ary key (or is
+    written bucketed once and never shuffles again); queries broadcast.
+    Recall < 1.0 by design — the exact twin is ``cosine_topk``.
+    """
+    base = with_norm(emb, vec_col).withColumn("_bucket", plane_bucket(F.col("_vec")))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+        F.col("_bucket").alias("_qbucket"),
+    )
+    c = base.select(id_col, "_vec", "_norm", "_bucket")
+    sim = qround(dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")), SIM_ROUND)
+    pairs = (
+        c.join(F.broadcast(q), c["_bucket"] == q["_qbucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.9 X4):
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (split /
+higher-order array functions / regex) — no Python UDFs. The DuckDB oracle
+twins in registry_ops.py are generated from the same constants
+(cocktailsdb_spark/constants.py), so results match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..numeric import qround
+from ..constants import (
+    BPE_TOKEN_RE,
+    FP_MOD,
+    FP_POWERS,
+    HEXDIGITS,
+    LANG_PRECEDENCE,
+    LANG_STOPWORDS,
+    QUALITY_W_DIGIT,
+    QUALITY_W_LEN,
+    QUALITY_W_STOP,
+)
+
+def tokens() -> Column:
+    """Token array of the `text` column (lazy: needs an active session)."""
+    return F.split(F.col("text"), " ")
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    """# tokens (with repeats) that appear in `words` — JVM higher-order fn."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wordset, t)))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram/stopword-profile language ID heuristic.
+
+    Score = stopword hits per language; prediction = argmax with fixed
+    precedence (constants.LANG_PRECEDENCE) so ties are deterministic.
+    """
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_hits(tokens(), LANG_STOPWORDS[lg]).alias(f"score_{lg}") for lg in LANG_PRECEDENCE],
+    )
+    pred = None
+    all_scores = [F.col(f"score_{lg}") for lg in LANG_PRECEDENCE]
+    for lg in LANG_PRECEDENCE:
+        cond = F.col(f"score_{lg}") >= F.greatest(*all_scores)
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{lg}") for lg in LANG_PRECEDENCE],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score: stopword ratio, avg token length, digit-token
+    ratio — the standard cheap pre-filters of an LLM data pipeline."""
+    n_tokens = F.size(tokens())
+    n_chars = F.length("text")
+    avg_tok = (n_chars - (n_tokens - F.lit(1))) / n_tokens
+    stop_ratio = _hits(tokens(), LANG_STOPWORDS["en"]) / n_tokens
+    digit_ratio = F.size(F.filter(tokens(), lambda t: t.rlike("[0-9]"))) / n_tokens
+    quality = (
+        F.lit(QUALITY_W_STOP) * stop_ratio
+        + F.lit(QUALITY_W_LEN) * F.least(avg_tok / 10, F.lit(1.0))
+        + F.lit(QUALITY_W_DIGIT) * (F.lit(1.0) - digit_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        qround(avg_tok, 4).alias("avg_token_len"),
+        qround(stop_ratio, 4).alias("stopword_ratio"),
+        qround(digit_ratio, 4).alias("digit_ratio"),
+        qround(quality, 4).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letter runs,
+    digit runs, punctuation singletons)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def token_value(tok: Column) -> Column:
+    """Small deterministic integer value of a token — shared by the rolling
+    fingerprint on both engines (length/first-char/last-char based; every
+    piece exists identically in Spark and DuckDB)."""
+    first = F.ascii(F.substring(tok, 1, 1))
+    last = F.ascii(tok.substr(F.length(tok), F.lit(1)))
+    return F.length(tok) * 131 + first * 31 + last
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial fingerprint over the token stream:
+    fp = Σ value(tok_i) · B^(i mod 8)  (mod M), exact integer math."""
+    exploded = docs.select("doc_id", F.posexplode(tokens()).alias("pos", "tok"))
+    powers = F.array(*[F.lit(p) for p in FP_POWERS])
+    # cast to long BEFORE multiplying: value × power ≈ 1e13 overflows int32
+    # (and Spark 4's default ANSI mode would raise)
+    contrib = (
+        token_value(F.col("tok")).cast("long") * F.element_at(powers, F.col("pos") % 8 + 1)
+    ) % FP_MOD
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(contrib) % FP_MOD).alias("fingerprint"))
+    )
+
+
+def md5_prefix_value(tok: Column, n_hex: int = 4) -> Column:
+    """Integer from the first n hex chars of md5(token) — md5 is the hash
+    both engines share; hex parsing via instr so no engine-specific
+    conversion functions are involved."""
+    h = F.md5(tok)
+    v = F.lit(0)
+    for i in range(n_hex):
+        # F.position accepts Column needles (F.instr wants a Python str)
+        digit = F.position(F.substring(h, i + 1, 1), F.lit(HEXDIGITS)) - 1
+        v = v * 16 + digit
+    return v

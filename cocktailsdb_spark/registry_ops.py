@@ -1,0 +1,1044 @@
+"""All operator-level registry entries (SURVEY.md §2 + §2.9 extended ops).
+
+Each ``register(name, spark_fn, oracle_sql)`` pairs a Spark DataFrame
+program with an exact DuckDB twin. SQL twins are GENERATED from the same
+constants the Spark operators use (cocktailsdb_spark/constants.py) —
+single source of truth, exact matches.
+
+Conventions for oracle exactness:
+- aggregate doubles rounded (2–6 dp) on BOTH sides; ranks use rounded
+  values + unique-id tiebreaks;
+- counts/sums of ints CAST to BIGINT in SQL (DuckDB sums to HUGEINT);
+  list len()/row_number() CAST to INT to match Spark's IntegerType;
+- session timezone pinned UTC (session.py) so timestamps agree.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import conform
+from .numeric import dsum, qround, sql_dsum, sql_qround
+from .constants import (
+    BPE_TOKEN_RE,
+    FP_MOD,
+    FP_POWERS,
+    HEXDIGITS,
+    LANG_PRECEDENCE,
+    LANG_STOPWORDS,
+    PLANES,
+    QUALITY_W_DIGIT,
+    QUALITY_W_LEN,
+    QUALITY_W_STOP,
+    SIMHASH_BITS,
+)
+from .operators import dedup, events, multimodal, similarity, text
+from .registry import register
+from .sources.http_source import fake_transport, fetch_df
+from .sources.watermark import WatermarkStore, incremental_load
+from .streaming import stream_queries
+from .tables import load, register_views
+
+# ---------------------------------------------------------------------------
+# SQL-generation helpers (shared literals with the Spark operators)
+# ---------------------------------------------------------------------------
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential double dot product — same fold order as Spark's
+    aggregate(zip_with(...)), so results match bit-for-bit (rounded anyway)."""
+    return f"list_sum([({a}[i] * {b}[i]) for i in range(1, len({a})+1)])"
+
+
+def _sql_token_value(t: str) -> str:
+    return (
+        f"(length({t})*131 + ascii(substr({t},1,1))*31 "
+        f"+ ascii(substr({t}, length({t}), 1)))"
+    )
+
+
+def _sql_md5_prefix_value(t: str, n_hex: int = 4) -> str:
+    parts = []
+    for i in range(n_hex):
+        mult = 16 ** (n_hex - 1 - i)
+        parts.append(f"(strpos('{HEXDIGITS}', substr(md5({t}),{i+1},1))-1)*{mult}")
+    return "(" + " + ".join(parts) + ")"
+
+
+# ===========================================================================
+# §2.2 projections / filters / scalar conforming  (P1–P9 on Family A tables)
+# ===========================================================================
+
+
+def _q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-class scan + P1 projection + pushed-down filter (explain shows
+    PushedFilters + 4-column ReadSchema)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice").filter(
+        F.col("l_quantity") >= 25
+    )
+
+
+register(
+    "scan_project_filter",
+    _q_scan_project_filter,
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_quantity >= 25""",
+)
+
+
+def _q_conform_lowercase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — schema-driven lowercase of every string column."""
+    return conform.lowercase_strings(load(spark, sf_dir, "part"))
+
+
+register(
+    "conform_lowercase",
+    _q_conform_lowercase,
+    """SELECT p_partkey, lower(p_name) AS p_name, lower(p_brand) AS p_brand,
+              lower(p_type) AS p_type, p_size, p_retailprice FROM part""",
+)
+
+
+def _q_regexp_extract_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — digits out of a dirty string, cast int ('1-URGENT' → 1; the
+    reference's '34 glasses' → 34 cleaning, build_database.py:86-87)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", conform.extract_int("o_orderpriority").alias("priority_num")
+    )
+
+
+register(
+    "regexp_extract_int",
+    _q_regexp_extract_int,
+    r"""SELECT o_orderkey,
+               CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS INT) AS priority_num
+        FROM orders""",
+)
+
+
+def _q_cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 — string↔double round trip + explicit-format timestamp parse
+    (the US `MM-dd-yyyy HH:mm` format of reference source S4)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        conform.cast_timestamp(
+            F.date_format("o_orderdate", "MM-dd-yyyy HH:mm"), "MM-dd-yyyy HH:mm"
+        ).alias("parsed_ts"),
+        conform.cast_double(F.col("o_totalprice").cast("string")).alias("price_roundtrip"),
+    )
+
+
+register(
+    "cast_and_roundtrip",
+    _q_cast_roundtrip,
+    """SELECT o_orderkey,
+              strptime(strftime(o_orderdate, '%m-%d-%Y %H:%M'), '%m-%d-%Y %H:%M') AS parsed_ts,
+              CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_roundtrip
+       FROM orders""",
+)
+
+
+def _q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — deterministic 0-based surrogate key over an explicit order."""
+    n = load(spark, sf_dir, "nation")
+    return conform.add_surrogate_key(n, "nation_sk", ["n_nationkey"]).select(
+        "nation_sk", "n_name"
+    )
+
+
+register(
+    "surrogate_key_rows",
+    _q_surrogate_key,
+    """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS nation_sk,
+              n_name
+       FROM nation""",
+)
+
+
+def _q_union_source_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + O3 — per-source constant tag then schema-aligned union (the
+    reference's three-bar concat, build_database.py:113-162)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = conform.with_source_tag(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), "source_tag", "src_urgent"
+    )
+    high = conform.with_source_tag(
+        o.filter(F.col("o_orderpriority") == "2-HIGH"), "source_tag", "src_high"
+    )
+    other = conform.with_source_tag(
+        o.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        "source_tag",
+        "src_other",
+    )
+    return conform.union_by_name([urgent, high, other]).select(
+        "o_orderkey", "o_totalprice", "source_tag"
+    )
+
+
+register(
+    "union_source_tags",
+    _q_union_source_tags,
+    """SELECT o_orderkey, o_totalprice, 'src_urgent' AS source_tag FROM orders
+         WHERE o_orderpriority = '1-URGENT'
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, 'src_high' FROM orders
+         WHERE o_orderpriority = '2-HIGH'
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, 'src_other' FROM orders
+         WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')""",
+)
+
+WM = "2024-01-15 00:00:00"
+
+
+def _q_filter_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — strict-`>` high-water-mark filter (incremental-load predicate)."""
+    e = load(spark, sf_dir, "events")
+    return conform.filter_after_watermark(e, "ts", WM).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+register(
+    "filter_watermark",
+    _q_filter_watermark,
+    f"""SELECT event_id, ts, user_id, event_type FROM events
+        WHERE ts > TIMESTAMP '{WM}'""",
+)
+
+
+def _q_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — max timestamp → next high-water mark."""
+    return load(spark, sf_dir, "events").agg(F.max("ts").alias("high_water_mark"))
+
+
+register(
+    "watermark_max",
+    _q_watermark_max,
+    "SELECT max(ts) AS high_water_mark FROM events",
+)
+
+
+def _q_distinct_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — distinct keys per frame → union → distinct (the API fan-out
+    driver, build_database.py:175-181)."""
+    l = load(spark, sf_dir, "lineitem").select(F.col("l_returnflag").alias("key")).distinct()
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("key")).distinct()
+    return l.union(o).distinct()
+
+
+register(
+    "distinct_union_keys",
+    _q_distinct_union_keys,
+    """SELECT DISTINCT key FROM (
+         SELECT l_returnflag AS key FROM lineitem
+         UNION ALL SELECT o_orderstatus FROM orders)""",
+)
+
+# ===========================================================================
+# §2.4 / §2.5 aggregation, dedup, ordering
+# ===========================================================================
+
+
+def _q_dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 — latest record per user (row_number window; deterministic
+    unlike dropDuplicates)."""
+    e = load(spark, sf_dir, "events")
+    return dedup.latest_wins(e, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+register(
+    "dedup_latest_wins",
+    _q_dedup_latest_wins,
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+)
+
+
+def _q_groupby_count_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+E2 — day-grain group/count (the PoC grouping pattern)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+
+
+register(
+    "groupby_count_day",
+    _q_groupby_count_day,
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, count(*) AS n
+       FROM events GROUP BY 1, 2""",
+)
+
+
+def _q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — global sort + top-k with unique tiebreaks (deterministic)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+register(
+    "sort_topk",
+    _q_sort_topk,
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+)
+
+
+def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: row_number + running sum per supplier — both
+    windows share ONE shuffle (same partitioning/ordering)."""
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("l_quantity").cast("decimal(24,8)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+register(
+    "window_running",
+    _q_window_running,
+    """SELECT l_orderkey, l_linenumber, l_suppkey,
+              CAST(row_number() OVER w AS INT) AS rn,
+              CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) OVER (
+                  PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+)
+
+# ===========================================================================
+# §2.3 joins  (J1/J2 + semi/anti)
+# ===========================================================================
+
+
+def _q_join_left_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — left equi-join, small dim broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand"
+    )
+
+
+register(
+    "join_left_equi",
+    _q_join_left_equi,
+    """SELECT l_orderkey, l_linenumber, l_quantity, p_name, p_brand
+       FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""",
+)
+
+
+def _q_join_left_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — left join on a composite (two-column) key."""
+    o = load(spark, sf_dir, "orders")
+    all_counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_all")
+    )
+    big = (
+        o.filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(dsum(F.col("o_totalprice")).alias("big_total"))
+    )
+    return all_counts.join(
+        big, on=["o_orderstatus", "o_orderpriority"], how="left"
+    ).select("o_orderstatus", "o_orderpriority", "n_all", "big_total")
+
+
+register(
+    "join_left_composite",
+    _q_join_left_composite,
+    """WITH all_counts AS (
+         SELECT o_orderstatus, o_orderpriority, count(*) AS n_all
+         FROM orders GROUP BY 1, 2),
+       big AS (
+         SELECT o_orderstatus, o_orderpriority,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS big_total
+         FROM orders WHERE o_totalprice > 250000 GROUP BY 1, 2)
+       SELECT a.o_orderstatus, a.o_orderpriority, a.n_all, b.big_total
+       FROM all_counts a LEFT JOIN big b
+         ON a.o_orderstatus = b.o_orderstatus
+        AND a.o_orderpriority = b.o_orderpriority""",
+)
+
+
+def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — EXISTS (customers with a big order)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+register(
+    "join_semi",
+    _q_join_semi,
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+)
+
+
+def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — NOT EXISTS (customers with no big order)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+register(
+    "join_anti",
+    _q_join_anti,
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+)
+
+# ===========================================================================
+# §2.6 conditional logic / CTE / pivot / rollup
+# ===========================================================================
+
+
+def _q_case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — multi-branch CASE feeding an aggregate."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .when(F.col("o_totalprice") >= 300000, "high")
+    )
+    return o.groupBy("o_orderstatus", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+register(
+    "case_when_bucket",
+    _q_case_when_bucket,
+    """SELECT o_orderstatus,
+              CASE WHEN o_totalprice < 100000 THEN 'low'
+                   WHEN o_totalprice < 300000 THEN 'mid'
+                   WHEN o_totalprice >= 300000 THEN 'high' END AS bucket,
+              count(*) AS n
+       FROM orders GROUP BY 1, 2""",
+)
+
+CTE_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_name, r.total_spend
+FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+WHERE r.total_spend > 2500000
+"""
+
+
+def _q_cte_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — the SQL API path: same ANSI text runs on Spark (temp views) and
+    DuckDB; Catalyst produces the same plan as the DataFrame form."""
+    register_views(spark, sf_dir)
+    return spark.sql(CTE_SQL)
+
+
+register("cte_sql_api", _q_cte_sql_api, CTE_SQL)
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status × priority (explicit value list → no
+    extra distinct-values job; missing cells coalesced to 0)."""
+    o = load(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderstatus").pivot("o_orderpriority", PRIORITIES).agg(
+        F.count(F.lit(1))
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(PRIORITIES, PRIORITY_ALIASES)
+        ],
+    )
+
+
+register(
+    "pivot_priority_counts",
+    _q_pivot,
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"count(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS {a}"
+        for p, a in zip(PRIORITIES, PRIORITY_ALIASES)
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+)
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+register(
+    "rollup_revenue",
+    _q_rollup,
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+
+# ===========================================================================
+# §2.9 X1/X2 — deduplication family
+# ===========================================================================
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact dedup by sha256(text); winner = lowest doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").select(
+        "doc_id", "lang", "source", "content_sha256"
+    )
+
+
+register(
+    "exact_dedup_hash",
+    _q_exact_dedup,
+    """SELECT doc_id, lang, source, content_sha256 FROM (
+         SELECT doc_id, lang, source, sha256(text) AS content_sha256,
+                row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn = 1""",
+)
+
+NGRAM_N = 4
+JACCARD_T = 0.5
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — n-gram Jaccard near-dup pairs via inverted shingle index."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, n=NGRAM_N, threshold=JACCARD_T)
+
+
+register(
+    "ngram_jaccard_pairs",
+    _q_ngram_jaccard,
+    f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tk[i:i+{NGRAM_N-1}], ' ')
+                  for i in range(1, len(tk)-{NGRAM_N-2})])) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT doc_a, doc_b,
+                 floor((n_int / (sa.n_sh + sb.n_sh - n_int)) * 10000.0 + 0.5)
+                   / 10000.0 AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {JACCARD_T}""",
+)
+
+
+def _sql_simhash_cte() -> str:
+    """CTEs computing the 16-bit simhash per doc (shared by two oracles)."""
+    bit_sums = ", ".join(
+        f"sum((({ '(tv >> ' + str(j) + ')' } & 1)*2 - 1)) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tv AS (SELECT doc_id, {_sql_md5_prefix_value('t')} AS tv FROM tok),
+        bs AS (SELECT doc_id, {bit_sums} FROM tv GROUP BY doc_id),
+        fps AS (SELECT doc_id, CAST({fp} AS INT) AS simhash FROM bs)
+    """
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — SimHash fingerprint (md5-derived, exact integer math)."""
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+register(
+    "simhash_fingerprint",
+    _q_simhash,
+    f"WITH {_sql_simhash_cte()} SELECT doc_id, simhash FROM fps",
+)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — SimHash near-dup candidates via 8-bit banding + hamming filter."""
+    return dedup.simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=2)
+
+
+register(
+    "simhash_near_dup",
+    _q_simhash_pairs,
+    f"""WITH {_sql_simhash_cte()},
+        bands AS (
+          SELECT doc_id, simhash, 0 AS band_id, simhash % 256 AS band_val FROM fps
+          UNION ALL
+          SELECT doc_id, simhash, 1, simhash // 256 FROM fps),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 2""",
+)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHashLSH (pyspark.ml, seeded). Rows-only: LSH hash functions
+    have no SQL twin."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, spark, threshold=0.8)
+
+
+register("minhash_lsh_pairs", _q_minhash_lsh, None)  # rows-only by design
+
+# ===========================================================================
+# §2.9 X3 — similarity search over embeddings
+# ===========================================================================
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+TOPK = 3
+
+_SQL_EMB_BASE = """
+  base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  nrm AS (SELECT vec_id, label, v, sqrt({dot_vv}) AS nv FROM base)
+""".format(dot_vv=_sql_dot("v", "v"))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — exact brute-force cosine top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, QUERY_IDS, k=TOPK)
+
+
+register(
+    "embedding_topk_cosine",
+    _q_cosine_topk,
+    f"""WITH {_SQL_EMB_BASE},
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        pairs AS (
+          SELECT q.query_id, c.vec_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}""",
+)
+
+
+def _sql_bucket(v: str) -> str:
+    # explicit term-by-term dot: DuckDB cannot index an inline array literal,
+    # and the left-assoc "+" chain matches Spark's aggregate() fold order
+    terms = []
+    for bit, plane in enumerate(PLANES):
+        dot = " + ".join(f"{v}[{j+1}]*{float(p)}" for j, p in enumerate(plane))
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << bit} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — LSH/IVF-bucketed approximate top-k (the scale path: equi-join
+    on bucket, not a cross join)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, QUERY_IDS, k=TOPK)
+
+
+register(
+    "embedding_topk_ivf",
+    _q_ivf_topk,
+    f"""WITH {_SQL_EMB_BASE},
+        bk AS (SELECT vec_id, v, nv, {_sql_bucket("v")} AS bucket FROM nrm),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn, bucket AS qb FROM bk
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        pairs AS (
+          SELECT q.query_id, c.vec_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM bk c JOIN q ON c.bucket = q.qb WHERE c.vec_id <> q.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}""",
+)
+
+NEAR_DUP_T = 0.95
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 — embedding-cosine near-dup pairs, label-blocked candidates."""
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(e, threshold=NEAR_DUP_T)
+
+
+register(
+    "embedding_near_dup",
+    _q_embedding_near_dup,
+    f"""WITH {_SQL_EMB_BASE},
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {sql_qround(_sql_dot("a.v", "b.v") + " / (a.nv * b.nv)", 6)} AS sim
+          FROM nrm a JOIN nrm b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= {NEAR_DUP_T}""",
+)
+
+# ===========================================================================
+# §2.9 X4 — text analysis
+# ===========================================================================
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    score_exprs = []
+    for lg in LANG_PRECEDENCE:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
+        score_exprs.append(
+            f"CAST(len(list_filter(tk, t -> list_contains([{words}], t))) AS INT)"
+            f" AS score_{lg}"
+        )
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_PRECEDENCE) + ")"
+    pred = " ".join(
+        f"WHEN score_{lg} >= {greatest} THEN '{lg}'" for lg in LANG_PRECEDENCE
+    )
+    return f"""
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM toks)
+      SELECT doc_id, lang, {", ".join(f"score_{lg}" for lg in LANG_PRECEDENCE)},
+             CASE {pred} END AS pred_lang
+      FROM s"""
+
+
+register("lang_id_ngram", _q_lang_id, _sql_lang_id())
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load(spark, sf_dir, "documents"))
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+register(
+    "text_quality_score",
+    _q_quality,
+    f"""WITH t AS (
+          SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS INT) AS n_tokens,
+                 (n_chars - (len(tk) - 1)) / len(tk) AS avg_tok,
+                 len(list_filter(tk, t -> list_contains([{_EN_WORDS}], t)))
+                   / len(tk) AS stop_ratio,
+                 len(list_filter(tk, t -> regexp_matches(t, '[0-9]')))
+                   / len(tk) AS digit_ratio
+          FROM t)
+        SELECT doc_id, n_tokens,
+               floor(avg_tok * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+               floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+               floor(digit_ratio * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
+               floor(({QUALITY_W_STOP}*stop_ratio
+                     + {QUALITY_W_LEN}*least(avg_tok/10, 1.0)
+                     + {QUALITY_W_DIGIT}*(1.0 - digit_ratio)) * 10000.0 + 0.5)
+                 / 10000.0 AS quality
+        FROM m""",
+)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load(spark, sf_dir, "documents"))
+
+
+register(
+    "token_counts",
+    _q_token_counts,
+    f"""SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT) AS bpe_tokens
+        FROM documents""",
+)
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+_POW_CASE = (
+    "CASE (pos-1) % 8 "
+    + " ".join(f"WHEN {k} THEN {p}" for k, p in enumerate(FP_POWERS))
+    + " END"
+)
+
+register(
+    "doc_fingerprint",
+    _q_fingerprint,
+    f"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        c AS (SELECT doc_id,
+                     (CAST({_sql_token_value('t')} AS BIGINT) * ({_POW_CASE}))
+                       % {FP_MOD} AS contrib
+              FROM tok)
+        SELECT doc_id, CAST(sum(contrib) % {FP_MOD} AS BIGINT) AS fingerprint
+        FROM c GROUP BY doc_id""",
+)
+
+# ===========================================================================
+# §2.9 X5/X6 — event JSON + windows + sessionization
+# ===========================================================================
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.json_props(load(spark, sf_dir, "events"))
+
+
+register(
+    "json_extract_props",
+    _q_json_props,
+    """SELECT event_id, event_type,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+       FROM events""",
+)
+
+
+def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.tumbling_hour(load(spark, sf_dir, "events"))
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+register("window_tumbling_hour", _q_tumbling, TUMBLING_SQL)
+
+
+def _q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sliding_hour(load(spark, sf_dir, "events"))
+
+
+register(
+    "window_sliding_halfhour",
+    _q_sliding,
+    """WITH s AS (
+         SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/1800)
+                 AS BIGINT) * 1800 * 1000000) AS s1
+         FROM events),
+       b AS (SELECT s1 AS window_start FROM s
+             UNION ALL SELECT s1 - INTERVAL 30 MINUTE FROM s)
+       SELECT window_start, count(*) AS n FROM b GROUP BY 1""",
+)
+
+SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, event_id, ts, value,
+                  epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events),
+l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END
+               AS new_sess FROM l),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no FROM f)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(load(spark, sf_dir, "events"))
+
+
+register("sessionize_events", _q_sessionize, SESSIONIZE_SQL)
+
+SESSION_WINDOW_SQL = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events),
+l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END
+               AS new_sess FROM l),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no FROM f)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window — oracle is the composed lag-based definition,
+    cross-validating Spark's stateful operator against plain SQL."""
+    return events.session_window_agg(load(spark, sf_dir, "events"))
+
+
+register("session_window_native", _q_session_window, SESSION_WINDOW_SQL)
+
+# ===========================================================================
+# S5 + O1/O2 + P1/P7 — the REST-dimension pipeline (canned transport)
+# ===========================================================================
+
+
+def _q_http_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 driver-side fan-out (deterministic fake transport) → latest-wins
+    dedup on idDrink → P7 lowercase → P1 projection. The full reference
+    dimension pipeline, network-free."""
+    part = load(spark, sf_dir, "part")
+    keys = [r["p_name"] for r in part.select("p_name").distinct().orderBy("p_name").collect()]
+    raw = fetch_df(spark, keys, transport=fake_transport)
+    dd = dedup.latest_wins(raw, ["idDrink"], ["dateModified", "strDrink"])
+    return conform.lowercase_strings(dd).select(
+        "idDrink", "strDrink", "strCategory", "strIBA",
+        "strAlcoholic", "strGlass", "dateModified",
+    )
+
+
+register(
+    "http_dim_pipeline",
+    _q_http_dim,
+    """WITH keys AS (
+         SELECT DISTINCT p_name AS k FROM part WHERE length(p_name) % 7 <> 0),
+       recs AS (
+         SELECT substr(md5(k), 1, 8) AS idDrink,
+                k AS strDrink,
+                CASE length(k) % 3 WHEN 0 THEN 'cocktail' WHEN 1 THEN 'shot'
+                     ELSE 'ordinary drink' END AS strCategory,
+                CASE WHEN length(k) % 2 = 0 THEN NULL ELSE 'iba' END AS strIBA,
+                'alcoholic' AS strAlcoholic,
+                CASE ascii(substr(k, length(k), 1)) % 5
+                     WHEN 0 THEN 'highball glass' WHEN 1 THEN 'martini glass'
+                     WHEN 2 THEN 'old-fashioned glass' WHEN 3 THEN 'coupe'
+                     ELSE 'shot glass' END AS strGlass,
+                dm AS dateModified
+         FROM keys CROSS JOIN (SELECT unnest(
+              ['2021-01-01 10:00:00', '2021-01-02 10:00:00']) AS dm) u),
+       dd AS (SELECT *, row_number() OVER (
+                  PARTITION BY idDrink
+                  ORDER BY dateModified DESC, strDrink DESC) AS rn FROM recs)
+       SELECT idDrink, lower(strDrink) AS strDrink, strCategory, strIBA,
+              strAlcoholic, strGlass, dateModified
+       FROM dd WHERE rn = 1""",
+)
+
+# ===========================================================================
+# S9/S10 — incremental watermark protocol (batch)
+# ===========================================================================
+
+
+def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two watermarked runs over the same sources: run 1 loads everything,
+    run 2 loads 0 rows (idempotence). Control table + sink live in a temp
+    dir; marks advance only after the sink commits (§3.4 ordering fix)."""
+    e = load(spark, sf_dir, "events")
+    srcs = {
+        "even": e.filter(F.col("user_id") % 2 == 0),
+        "odd": e.filter(F.col("user_id") % 2 == 1),
+    }
+    work = tempfile.mkdtemp(prefix="cdbspark_wm_")
+    store = WatermarkStore(os.path.join(work, "marks"))
+    rows = []
+    for run in (1, 2):
+        loaded = incremental_load(spark, srcs, "ts", os.path.join(work, "sink"), store)
+        rows.extend((name, run, n) for name, n in sorted(loaded.items()))
+    return spark.createDataFrame(rows, "source string, run int, rows_loaded long")
+
+
+register(
+    "incremental_idempotence",
+    _q_incremental,
+    """SELECT 'even' AS source, CAST(1 AS INT) AS run,
+              (SELECT count(*) FROM events WHERE user_id % 2 = 0) AS rows_loaded
+       UNION ALL
+       SELECT 'odd', 1, (SELECT count(*) FROM events WHERE user_id % 2 = 1)
+       UNION ALL SELECT 'even', 2, 0
+       UNION ALL SELECT 'odd', 2, 0""",
+)
+
+# ===========================================================================
+# multimodal plumbing (mapInPandas over binary payloads)
+# ===========================================================================
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.media_from_documents(d))
+
+
+register(
+    "multimodal_features",
+    _q_multimodal,
+    """SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS kind,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+              CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
+              sha256(text) AS checksum
+       FROM documents""",
+)
+
+# ===========================================================================
+# Structured Streaming twins (real readStream topologies; exact oracles)
+# ===========================================================================
+
+register("streaming_tumbling_hour", stream_queries.streaming_tumbling_hour, TUMBLING_SQL)
+register(
+    "streaming_session_window",
+    stream_queries.streaming_session_window,
+    SESSION_WINDOW_SQL,
+)

@@ -1,0 +1,155 @@
+"""Structured Streaming variants of the engine's event operators
+(SURVEY.md §2.7): the streaming mappings of the reference's batch-
+incremental watermark protocol.
+
+These run a real ``readStream`` → transform → ``writeStream`` topology to
+completion over the fixture parquet (file source + memory/parquet sink),
+so the plans exercised are the ones a Kafka-backed deployment would run;
+only the source format differs. Checkpoints replace last_update.txt.
+
+Determinism: the tumbling query runs in COMPLETE mode (every window
+emitted). The session query runs in APPEND mode with a watermark, which
+only emits sessions once the watermark passes them — so the driver feeds a
+sentinel batch far in the future to flush all real sessions, then filters
+the sentinel back out. Both therefore equal their batch twins exactly and
+carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import SESSION_GAP_SEC
+from ..numeric import dsum
+from ..tables import load
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SENTINEL_USER = -1
+
+
+def _events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .load(input_dir)
+    )
+
+
+def _materialize_events(spark: SparkSession, sf_dir: str, workdir: str) -> str:
+    """File streams need a DIRECTORY source; write the (ns→µs converted)
+    events there once and stream from it."""
+    input_dir = os.path.join(workdir, "in")
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(
+        os.path.join(input_dir, "batch1.parquet")
+    )
+    return input_dir
+
+
+def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum over a parquet file stream, complete mode.
+    Result (a static DataFrame) equals the batch tumbling query exactly."""
+    name = "stream_tumbling_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_tumb_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window over a file stream in APPEND mode with a
+    30-minute watermark — the genuinely stateful streaming operator.
+
+    Batch 1 = the real events; batch 2 = one sentinel event 10 days past
+    max(ts), which advances the event-time watermark beyond every real
+    session so append mode flushes them all. Output (sentinel removed)
+    equals the batch session computation."""
+    static = load(spark, sf_dir, "events")
+    max_ts = static.agg(F.max("ts")).first()[0]
+
+    workdir = tempfile.mkdtemp(prefix="cdbspark_sess_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    name = "stream_session_" + uuid.uuid4().hex[:8]
+
+    sessions = (
+        _events_stream(spark, input_dir + "/*")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: sentinel far in the future → watermark passes every
+        # real session; no-data batches then evict/emit remaining state.
+        sentinel = spark.createDataFrame(
+            [(10**9, max_ts + __import__("datetime").timedelta(days=10), SENTINEL_USER, "sentinel", 0.0, "{}")],
+            schema=EVENTS_DDL,
+        )
+        sentinel.write.mode("overwrite").parquet(os.path.join(input_dir, "batch2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+    # materialize before the tempdir vanishes
+    result = out.cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+def streaming_incremental_append(
+    spark: SparkSession, source_dir: str, sink_dir: str, checkpoint_dir: str
+) -> None:
+    """S9/S10 streaming mapping: file-source stream appended to a parquet
+    sink with a checkpoint as the high-water-mark state. Each call processes
+    only files not yet recorded in the checkpoint (exactly the reference's
+    incremental contract, minus its advance-before-sink bug)."""
+    stream = _events_stream(spark, source_dir)
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

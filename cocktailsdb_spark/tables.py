@@ -1,0 +1,55 @@
+"""Fixture-table access (TESTDATA.md star schema).
+
+One parquet per table; scans are plain ``spark.read.parquet`` so Catalyst
+gets full pushdown/pruning. Nothing is cached here — callers decide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; one of {TABLES}")
+    # Pin UTC even when the caller (e.g. the verify driver) built the
+    # session with defaults — naive parquet timestamps must agree with the
+    # DuckDB oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects; read
+    # the raw int64 nanos and convert exactly (integer div — ns values
+    # exceed 2^53, double math would corrupt them).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,116 @@
+"""Self-check harness mimicking the driver's t2 verify: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at the
+same SF, compare row count + column names + order-insensitive values.
+
+Usage: python tools/selfcheck.py [--sf /root/testdata/sf0.01] [--only name[,name]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cocktailsdb_spark.session import get_spark  # noqa: E402
+from cocktailsdb_spark.tables import TABLES  # noqa: E402
+
+
+def _cell(x) -> str:
+    if x is None or (isinstance(x, float) and np.isnan(x)):
+        return "NULL"
+    if isinstance(x, (np.floating, float)):
+        return f"{float(x):.10g}"
+    if isinstance(x, (np.integer, int)) and not isinstance(x, bool):
+        return str(int(x))
+    if isinstance(x, (pd.Timestamp, dt.datetime, np.datetime64)):
+        ts = pd.Timestamp(x)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(x, dt.date):
+        return x.isoformat()
+    return str(x)
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only, {t_spark:.1f}s)")
+            n_rows_only += 1
+            continue
+        t0 = time.time()
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        t_duck = time.time() - t0
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
+        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+        if s_cols != o_cols:
+            problems.append(f"cols spark={s_cols} duckdb={o_cols}")
+        if not problems:
+            s_rows, o_rows = normalize(sdf), normalize(odf)
+            if s_rows != o_rows:
+                diff = [
+                    (a, b) for a, b in zip(s_rows, o_rows) if a != b
+                ][:3]
+                problems.append(f"values differ; first diffs: {diff}")
+        if problems:
+            print(f"FAIL  {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(sdf)} rows (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,85 @@
+"""Benchmark runner — driver contract (BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the no-op sink (all partitions
+computed, nothing collected to the driver) — the honest distributed cost,
+not a driver-collect artifact. A tiny warm-up query first: JVM/codegen
+startup is session cost, not per-query cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cocktailsdb_spark.session import get_spark
+from cocktailsdb_spark.tables import load
+
+BENCH_QUERIES = [
+    "poc_analysis",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_running",
+    "dedup_latest_wins",
+    "sessionize_events",
+    "window_tumbling_hour",
+    "exact_dedup_hash",
+    "simhash_fingerprint",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+    "embedding_topk_ivf",
+    "text_quality_score",
+    "doc_fingerprint",
+    "json_extract_props",
+    "multimodal_features",
+    "http_dim_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    # warm-up: JVM + parquet footer caches, not measured
+    load(spark, sf_dir, "nation").count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

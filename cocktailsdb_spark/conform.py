@@ -51,13 +51,14 @@ def extract_int(col: str | Column, target: str = "int") -> Column:
     """P4 — pull the leading integer out of a dirty string
     ('34 glasses' → 34; reference build_database.py:86-87)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"(\d+)", 1).cast(target)
+    # try_cast: a no-digit string yields NULL, not an ANSI-mode error
+    return F.regexp_extract(c, r"(\d+)", 1).try_cast(target)
 
 
 def cast_double(col: str | Column) -> Column:
     """P5 — price string → double (reference build_database.py:167)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(T.DoubleType())
+    return c.try_cast("double")
 
 
 def cast_timestamp(col: str | Column, fmt: str) -> Column:
@@ -65,7 +66,9 @@ def cast_timestamp(col: str | Column, fmt: str) -> Column:
     (reference build_database.py:111,126,141,208). Spark silently nulls on
     a wrong format — tests pin a known row per format (FIXTURES.md B3)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c, fmt)
+    # try_to_timestamp: a wrong-format value yields NULL (testable), never
+    # an ANSI error — the reference's lenient pandas behavior
+    return F.try_to_timestamp(c, F.lit(fmt))
 
 
 def lowercase_strings(df: DataFrame) -> DataFrame:

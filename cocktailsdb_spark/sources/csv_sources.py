@@ -11,8 +11,8 @@ not silent garbage).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
+from .. import conform
 from ..schemas import BAR_STOCK_RAW, SALES_RAW
 
 ISO_TS = "yyyy-MM-dd HH:mm:ss"
@@ -43,14 +43,14 @@ def read_sales_iso_csv(spark: SparkSession, path: str) -> DataFrame:
     is discarded and replaced by the canonical schema; ISO timestamps.
     Reference: build_database.py:105-112."""
     df = _read_sales(spark, path, header=True, sep=",")
-    return df.withColumn("dateOfSale", F.to_timestamp("dateOfSale", ISO_TS))
+    return df.withColumn("dateOfSale", conform.cast_timestamp("dateOfSale", ISO_TS))
 
 
 def read_sales_tsv_headerless(spark: SparkSession, path: str) -> DataFrame:
     """S3 — gzip TSV, tab separator, NO header row.
     Reference: build_database.py:120-127."""
     df = _read_sales(spark, path, header=False, sep="\t")
-    return df.withColumn("dateOfSale", F.to_timestamp("dateOfSale", ISO_TS))
+    return df.withColumn("dateOfSale", conform.cast_timestamp("dateOfSale", ISO_TS))
 
 
 def read_sales_us_dates(spark: SparkSession, path: str) -> DataFrame:
@@ -59,4 +59,4 @@ def read_sales_us_dates(spark: SparkSession, path: str) -> DataFrame:
     yields nulls (pinned by tests/test_sources.py).
     Reference: build_database.py:135-142."""
     df = _read_sales(spark, path, header=True, sep=",")
-    return df.withColumn("dateOfSale", F.to_timestamp("dateOfSale", US_TS))
+    return df.withColumn("dateOfSale", conform.cast_timestamp("dateOfSale", US_TS))

@@ -1,0 +1,122 @@
+"""End-to-end reference-parity pipeline (SURVEY.md §3.1-§3.4) on Family-B
+fixtures: full load, PoC semantics, incremental idempotence, strict-`>`
+watermark, §3.4 ordering fix."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocktailsdb_spark.plans import bar_pipeline
+from cocktailsdb_spark.sources.http_source import fake_transport
+from cocktailsdb_spark.sources.watermark import WatermarkStore
+
+
+@pytest.fixture(scope="module")
+def built(spark, bar_fixtures, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("bar_db"))
+    poc = bar_pipeline.build_database(
+        spark,
+        base,
+        bar_fixtures["bar_data"],
+        bar_fixtures["budapest"],
+        bar_fixtures["london"],
+        bar_fixtures["ny"],
+        transport=fake_transport,
+    )
+    return base, poc
+
+
+def test_full_load_counts(spark, built):
+    base, _ = built
+    sales = spark.read.parquet(os.path.join(base, "global_sales"))
+    assert sales.count() == 20 + 15 + 11  # budapest + london + ny(+pinned)
+    stock = spark.read.parquet(os.path.join(base, "bar_stock"))
+    assert stock.count() == 15
+    # P4: '34 glasses' cleaned to 34
+    assert stock.filter((stock.bar == "new york") & (stock.glassType == "highball glass")).first()["stock"] == 34
+
+
+def test_conformed_lowercase_and_types(spark, built):
+    base, _ = built
+    sales = spark.read.parquet(os.path.join(base, "global_sales"))
+    assert dict(sales.dtypes)["price"] == "double"
+    mixed = sales.filter(F.col("drink") != F.lower("drink")).count()
+    assert mixed == 0  # P7 applied
+    assert set(r["bar"] for r in sales.select("bar").distinct().collect()) == {
+        "budapest",
+        "london",
+        "new york",
+    }
+
+
+def test_poc_semantics(built):
+    _, poc = built
+    assert set(poc.columns) == {
+        "dayOfSale", "drink", "price", "bar", "strGlass", "drinkCount", "stock", "comment",
+    }
+    rows = poc.collect()
+    assert rows
+    for r in rows:
+        if r["stock"] is None:
+            assert r["comment"] is None  # null-guarded CASE (poc_tables.sql:26-29)
+        elif r["drinkCount"] < r["stock"]:
+            assert r["comment"] == "NO ISSUE"
+        else:
+            assert r["comment"] == "POTENTIAL ISSUE"
+
+
+def test_cocktails_latest_wins(spark, built):
+    base, _ = built
+    cocktails = spark.read.parquet(os.path.join(base, "cocktails"))
+    # fake transport emits 2 records per key; latest-wins keeps the newer
+    assert cocktails.filter(F.col("dateModified") != "2021-01-02 10:00:00").count() == 0
+    assert cocktails.groupBy("idDrink").count().filter("count > 1").count() == 0
+
+
+def test_incremental_rerun_loads_zero(spark, built, bar_fixtures):
+    base, _ = built
+    before = spark.read.parquet(os.path.join(base, "global_sales")).count()
+    bar_pipeline.build_database(
+        spark,
+        base,
+        bar_fixtures["bar_data"],
+        bar_fixtures["budapest"],
+        bar_fixtures["london"],
+        bar_fixtures["ny"],
+        transport=fake_transport,
+    )
+    after = spark.read.parquet(os.path.join(base, "global_sales")).count()
+    assert after == before  # strict-> watermark: unchanged inputs load 0 rows
+
+
+def test_strict_gt_watermark_new_rows_only(spark, built, bar_fixtures, tmp_path):
+    """A third run with ONE new row (plus a duplicate of the max-ts row,
+    which sits exactly AT the mark and must be excluded) loads exactly 1."""
+    base, _ = built
+    store = WatermarkStore(os.path.join(base, "last_update"))
+    marks = store.read(spark)
+    assert "budapest" in marks
+
+    newer = tmp_path / "budapest2.csv.gz"
+    max_iso = marks["budapest"].strftime("%Y-%m-%d %H:%M:%S")
+    with gzip.open(newer, "wt") as f:
+        f.write(",TS,ital,költség\n")
+        f.write(f"0,{max_iso},Mojito,3.5\n")  # AT the mark → excluded
+        f.write("1,2020-12-27 09:00:00,Negroni,6.0\n")  # after → loaded
+    before = spark.read.parquet(os.path.join(base, "global_sales")).count()
+    bar_pipeline.build_database(
+        spark,
+        base,
+        bar_fixtures["bar_data"],
+        str(newer),
+        bar_fixtures["london"],
+        bar_fixtures["ny"],
+        transport=fake_transport,
+    )
+    after = spark.read.parquet(os.path.join(base, "global_sales")).count()
+    assert after == before + 1
+    assert store.read(spark)["budapest"].strftime("%Y-%m-%d %H:%M:%S") == "2020-12-27 09:00:00"

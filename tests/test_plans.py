@@ -1,0 +1,47 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on at
+100 TB must actually appear in the plan — broadcast joins for dims, filter
+and projection pushdown into the parquet scan, no Python UDFs in JVM-only
+operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cocktailsdb_spark.operators import text
+from cocktailsdb_spark.plans import poc_analysis
+from cocktailsdb_spark.tables import load
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_poc_uses_broadcast_joins(spark, sf_dir):
+    plan = _plan(poc_analysis.poc_analysis(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the only shuffle is the aggregate, not the dim joins
+    assert plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin") <= 1
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    df = l.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") >= 25)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,25.0)" in plan
+    # ReadSchema carries only the two projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_text_ops_are_jvm_only(spark, sf_dir):
+    plan = _plan(text.quality_score(load(spark, sf_dir, "documents")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tumbling_partial_aggregation(spark, sf_dir):
+    from cocktailsdb_spark.operators import events as ev
+
+    plan = _plan(ev.tumbling_hour(load(spark, sf_dir, "events")))
+    # partial+final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan

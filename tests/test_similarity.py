@@ -1,0 +1,54 @@
+"""X3 similarity search: exact top-k correctness on a constructed corpus +
+IVF structural properties on the fixture embeddings."""
+
+from __future__ import annotations
+
+import pytest
+
+from cocktailsdb_spark.operators import similarity
+from cocktailsdb_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.5, 0.5, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(tiny):
+    out = similarity.cosine_topk(tiny, [0], k=4).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3, 4]
+    assert out[0]["sim"] > 0.99
+    assert out[-1]["sim"] == -1.0
+
+
+def test_topk_respects_k(tiny):
+    out = similarity.cosine_topk(tiny, [0, 3], k=2)
+    counts = {r["query_id"]: 0 for r in out.collect()}
+    for r in out.collect():
+        counts[r["query_id"]] += 1
+    assert counts == {0: 2, 3: 2}
+
+
+def test_ivf_results_subset_of_bucket_and_sims_match_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=3).collect()
+    approx = similarity.ivf_topk(emb, [0, 1, 2], k=3).collect()
+    exact_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    # every IVF hit's sim equals the exact computation for that pair when
+    # that pair also appears in the exact top-k (same formula, same data)
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sims:
+            assert exact_sims[key] == r["sim"]
+    # and IVF returns ≤ k rows per query
+    per_q: dict[int, int] = {}
+    for r in approx:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v <= 3 for v in per_q.values())

@@ -1,0 +1,51 @@
+"""S1-S4 reader semantics on reference-shaped inputs (FIXTURES.md B1-B4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from cocktailsdb_spark.sources import csv_sources
+
+
+def test_bar_stock_header_and_dirty_int(spark, bar_fixtures):
+    """S1: header CSV; the dirty '34 glasses' value stays a raw string at
+    the staging layer (cleaning is a conform step)."""
+    df = csv_sources.read_bar_stock(spark, bar_fixtures["bar_data"])
+    rows = df.collect()
+    assert len(rows) == 15
+    dirty = [r for r in rows if r["stock"] == "34 glasses"]
+    assert len(dirty) == 1 and dirty[0]["bar"] == "new york"
+
+
+def test_budapest_header_discarded(spark, bar_fixtures):
+    """S2: the Hungarian header row is dropped; canonical schema applies;
+    ISO timestamps parse."""
+    df = csv_sources.read_sales_iso_csv(spark, bar_fixtures["budapest"])
+    rows = df.orderBy("idx").collect()
+    assert len(rows) == 20
+    assert df.columns == ["idx", "dateOfSale", "drink", "price"]
+    assert rows[0]["dateOfSale"] == dt.datetime(2020, 12, 26, 10, 0, 0)
+    assert rows[0]["drink"] == "Sweet Sangria"
+
+
+def test_london_tsv_headerless(spark, bar_fixtures):
+    """S3: tab separator, no header — first physical row is DATA."""
+    df = csv_sources.read_sales_tsv_headerless(spark, bar_fixtures["london"])
+    assert df.count() == 15
+    assert df.filter(df.dateOfSale.isNull()).count() == 0
+
+
+def test_ny_us_date_format(spark, bar_fixtures):
+    """S4: 'MM-dd-yyyy HH:mm' parses with the explicit format; the pinned
+    row from FIXTURES.md B3 lands on the exact timestamp."""
+    df = csv_sources.read_sales_us_dates(spark, bar_fixtures["ny"])
+    pinned = df.filter(df.idx == 0).first()
+    assert pinned["dateOfSale"] == dt.datetime(2020, 12, 26, 22, 47)
+    assert pinned["drink"] == "Paradise"
+
+
+def test_wrong_format_yields_nulls(spark, bar_fixtures):
+    """P6 pitfall (SURVEY.md §7): parsing US-format data with the ISO
+    reader nulls every timestamp instead of raising."""
+    df = csv_sources.read_sales_iso_csv(spark, bar_fixtures["ny"])
+    assert df.filter(df.dateOfSale.isNotNull()).count() == 0

@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
+    "asof_join_signup",
+    "range_join_recent_clicks",
     "window_running",
     "dedup_latest_wins",
     "sessionize_events",

@@ -69,6 +69,80 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     )
 
 
+def asof_latest(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "signup",
+) -> DataFrame:
+    """As-of join: for each ``left_type`` event, the most recent
+    ``right_type`` event of the same user at or before its timestamp.
+
+    Implemented as the scalable union-then-window pattern — tag both sides,
+    union, and carry the last right-side row forward with
+    ``last(..., ignorenulls=True)`` over (user_id, ts). ONE shuffle on
+    user_id, no row-multiplying inequality join, no per-key skew beyond the
+    key's own event count; this is the plan that survives 100 TB, unlike
+    the naive equi+inequality join whose matched-pair blowup is quadratic
+    per key. Tie at equal ts: the right side sorts first (side=0) so the
+    match is inclusive; among right-side ties the larger event_id wins.
+    """
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side"),
+        F.lit(None).cast("struct<id:bigint,ts:timestamp>").alias("r"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side"),
+        F.struct(F.col("event_id").alias("id"), F.col("ts").alias("ts")).alias("r"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = right.unionByName(left).withColumn(
+        "last_r", F.last("r", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("last_r.id").alias("signup_id"),
+        F.col("last_r.ts").alias("signup_ts"),
+    )
+
+
+def range_join_count(
+    events: DataFrame,
+    anchor_type: str = "error",
+    probe_type: str = "click",
+    lookback_sec: int = 300,
+) -> DataFrame:
+    """Range join: for each ``anchor_type`` event, count ``probe_type``
+    events of the same user in the preceding ``lookback_sec`` window
+    [ts - lookback, ts). The user_id equi-key keeps this a hash join with
+    the range as a post-join filter — never a nested-loop cross product.
+    At 100 TB the refinement is bucketing both sides by (user_id,
+    time_bucket) so each range probe touches ≤2 buckets."""
+    anchors = events.filter(F.col("event_type") == anchor_type).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    probes = events.filter(F.col("event_type") == probe_type).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("a_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("a_ts") - F.expr(f"INTERVAL {lookback_sec} SECOND"))
+        & (F.col("p_ts") < F.col("a_ts"))
+    )
+    return (
+        anchors.join(probes, cond, "left")
+        .groupBy("anchor_id", F.col("a_user").alias("user_id"), F.col("a_ts").alias("ts"))
+        .agg(F.count("p_ts").alias("n_recent"))
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """X6 — Spark's native session_window operator (merging windows with
     gap timeout). Its oracle twin in registry_ops.py is the composed

@@ -1,0 +1,150 @@
+"""Relational operators beyond the reference's inventory: set operations,
+CUBE grouping sets, ranking/analytic windows, discrete quantiles, and
+moment-based statistics (variance / correlation via exact decimal sums).
+
+The reference (build_database.py / poc_tables.sql) has none of these; they
+complete the engine's SQL surface per SURVEY.md §2.5's "no intersect/except,
+no top-k, no analytic windows" gap list. Everything is a declarative
+DataFrame plan; determinism notes per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..numeric import dsum
+
+
+def years_active(orders: DataFrame, year_a: int, year_b: int, mode: str) -> DataFrame:
+    """Customer keys with orders in year_a INTERSECT/EXCEPT year_b.
+    Spark plans both as aggregate-style set ops (distinct semantics, same
+    as SQL INTERSECT/EXCEPT); one shuffle each side on o_custkey."""
+    def keys(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey").alias("custkey"))
+        )
+
+    a, b = keys(year_a), keys(year_b)
+    if mode == "intersect":
+        return a.intersect(b)
+    if mode == "except":
+        return a.subtract(b)  # EXCEPT DISTINCT semantics, same as SQL EXCEPT
+    raise ValueError(f"mode must be intersect|except, got {mode!r}")
+
+
+def cube_revenue(lineitem: DataFrame) -> DataFrame:
+    """CUBE(l_returnflag, l_linestatus): all 4 grouping sets in one pass
+    (Catalyst expands then single hash-agg). grouping() flags mark the
+    subtotal level — cast int on both engines."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+def rank_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders per customer with the full ranking-function family —
+    row_number / rank / dense_rank / ntile share ONE window (one shuffle on
+    o_custkey). Deterministic: ordering has the unique o_orderkey tiebreak."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
+def daily_revenue_delta(orders: DataFrame) -> DataFrame:
+    """lag/lead over daily revenue, windows partitioned by year so no
+    single global-ordering partition exists at scale (year-boundary deltas
+    are null by design). Revenue is an exact decimal sum, so the float
+    subtraction is deterministic."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.partitionBy(F.year("day")).orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta_prev"),
+        (F.lead("revenue").over(w) - F.col("revenue")).alias("delta_next"),
+    )
+
+
+def quantile_disc(orders: DataFrame, qs: tuple[float, ...] = (0.5, 0.9)) -> DataFrame:
+    """Discrete per-group quantiles: the element at index floor(q·(n-1))
+    of the (o_totalprice, o_orderkey)-sorted group — type-1 quantile, pure
+    element selection, zero interpolation arithmetic → exact across
+    engines (continuous percentile interpolation is FP-order-sensitive).
+    One shuffle; rank and count share the window partitioning."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.floor(F.lit(q) * (F.col("n") - 1)).cast("int") + 1,
+                F.col("o_totalprice"),
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy("o_orderpriority").agg(*aggs)
+
+
+def _moments(x: Column, y: Column | None = None) -> dict[str, Column]:
+    m = {"n": F.count(F.lit(1)).cast("double"), "sx": dsum(x), "sxx": dsum(x * x)}
+    if y is not None:
+        m.update({"sy": dsum(y), "syy": dsum(y * y), "sxy": dsum(x * y)})
+    return m
+
+
+def stats_moments(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag mean / sample variance / stddev / corr(quantity,
+    extendedprice) from exact decimal power sums. Spark's builtin
+    stddev/corr merge partial states in partition order (FP-order-
+    sensitive); computing from order-insensitive ``dsum`` moments makes
+    the result identical across partitionings AND engines."""
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = _moments(x, y)
+    g = lineitem.groupBy("l_returnflag").agg(
+        *[c.alias(k) for k, c in m.items()]
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return g.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (sx / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+def price_histogram(orders: DataFrame, width: float = 50000.0) -> DataFrame:
+    """Fixed-width histogram of o_totalprice — floor-bucket groupBy, the
+    scan-side aggregation every profiling pass needs."""
+    bucket = F.floor(F.col("o_totalprice") / width).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo", F.col("bucket") * width)
+    )

@@ -37,3 +37,6 @@ register("tpch_q5_local_supplier", _tpch.q5_local_supplier_volume, _tpch.Q5_SQL)
 # conform / source / dedup / text / similarity / event operators register
 # themselves on import:
 from . import registry_ops  # noqa: E402,F401
+
+# extended TPC-H suite + relational/window/stats operators:
+from . import registry_ext  # noqa: E402,F401

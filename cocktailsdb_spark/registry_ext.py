@@ -1,0 +1,230 @@
+"""Registry entries for the extended TPC-H plans (plans/tpch_ext.py) and
+the relational/window/statistics operators (operators/relational.py,
+operators/events.py as-of + range joins).
+
+Same contract as registry_ops.py: every entry pairs the Spark plan with an
+exact DuckDB twin; aggregates use exact decimal sums (numeric.dsum) so
+values match bit-for-bit with no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .numeric import sql_dsum as _d
+from .operators import events, relational
+from .plans import tpch_ext as X
+from .registry import register
+from .tables import load
+
+# --- TPC-H analog suite (correlated subqueries, scalar subqueries,
+#     group-having joins, disjunctive predicates, outer-join distributions) --
+
+register("tpch_q4_order_priority", X.q4_order_priority, X.Q4_SQL)
+register("tpch_q6_forecast_revenue", X.q6_forecast_revenue, X.Q6_SQL)
+register("tpch_q7_volume_shipping", X.q7_volume_shipping, X.Q7_SQL)
+register("tpch_q8_market_share", X.q8_market_share, X.Q8_SQL)
+register("tpch_q9_product_profit", X.q9_product_profit, X.Q9_SQL)
+register("tpch_q10_returned_items", X.q10_returned_items, X.Q10_SQL)
+register("tpch_q13_customer_distribution", X.q13_customer_distribution, X.Q13_SQL)
+register("tpch_q14_promo_revenue", X.q14_promo_revenue, X.Q14_SQL)
+register("tpch_q15_top_supplier", X.q15_top_supplier, X.Q15_SQL)
+register("tpch_q17_small_qty_revenue", X.q17_small_qty_revenue, X.Q17_SQL)
+register("tpch_q18_large_orders", X.q18_large_orders, X.Q18_SQL)
+register("tpch_q19_disjunctive_revenue", X.q19_disjunctive_revenue, X.Q19_SQL)
+register("tpch_q20_active_suppliers", X.q20_active_suppliers, X.Q20_SQL)
+register("tpch_q22_dormant_customers", X.q22_dormant_customers, X.Q22_SQL)
+
+# --- set operations --------------------------------------------------------
+
+
+def _q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.years_active(load(spark, sf_dir, "orders"), 1996, 1997, "intersect")
+
+
+register(
+    "set_intersect_customers",
+    _q_set_intersect,
+    """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+)
+
+
+def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.years_active(load(spark, sf_dir, "orders"), 1996, 1997, "except")
+
+
+register(
+    "set_except_customers",
+    _q_set_except,
+    """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+)
+
+# --- CUBE grouping sets -----------------------------------------------------
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.cube_revenue(load(spark, sf_dir, "lineitem"))
+
+
+register(
+    "cube_revenue",
+    _q_cube,
+    f"""SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n, {_d('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+
+# --- ranking-function family ------------------------------------------------
+
+
+def _q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.rank_orders_per_customer(load(spark, sf_dir, "orders"), k=3)
+
+
+register(
+    "rank_family_topk",
+    _q_rank_family,
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, quartile
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    CAST(row_number() OVER w AS INT) AS rn,
+                    CAST(rank() OVER w AS INT) AS rnk,
+                    CAST(dense_rank() OVER w AS INT) AS drnk,
+                    CAST(ntile(4) OVER w AS INT) AS quartile
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC))
+       WHERE rn <= 3""",
+)
+
+# --- lag/lead analytic windows ----------------------------------------------
+
+
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.daily_revenue_delta(load(spark, sf_dir, "orders"))
+
+
+register(
+    "lag_lead_daily_revenue",
+    _q_lag_lead,
+    f"""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS revenue
+          FROM orders GROUP BY 1)
+        SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+               revenue - lag(revenue) OVER w AS delta_prev,
+               lead(revenue) OVER w - revenue AS delta_next
+        FROM daily
+        WINDOW w AS (PARTITION BY year(day) ORDER BY day)""",
+)
+
+# --- discrete quantiles -----------------------------------------------------
+
+
+def _q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.quantile_disc(load(spark, sf_dir, "orders"), qs=(0.5, 0.9))
+
+
+register(
+    "quantile_disc_price",
+    _q_quantile,
+    """WITH r AS (
+         SELECT o_orderpriority, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                count(*) OVER (PARTITION BY o_orderpriority) AS n
+         FROM orders)
+       SELECT o_orderpriority,
+              max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS INT) + 1
+                       THEN o_totalprice END) AS p50,
+              max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS INT) + 1
+                       THEN o_totalprice END) AS p90
+       FROM r GROUP BY o_orderpriority""",
+)
+
+# --- moment statistics (order-insensitive variance / correlation) -----------
+
+
+def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.stats_moments(load(spark, sf_dir, "lineitem"))
+
+
+register(
+    "stats_moments",
+    _q_stats,
+    f"""WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 {_d('l_quantity')} AS sx,
+                 {_d('l_quantity * l_quantity')} AS sxx,
+                 {_d('l_extendedprice')} AS sy,
+                 {_d('l_extendedprice * l_extendedprice')} AS syy,
+                 {_d('l_quantity * l_extendedprice')} AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               sx / n AS mean_qty,
+               (sxx - sx * sx / n) / (n - 1) AS var_qty,
+               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+               (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+        FROM m""",
+)
+
+# --- histogram ---------------------------------------------------------------
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.price_histogram(load(spark, sf_dir, "orders"))
+
+
+register(
+    "price_histogram",
+    _q_histogram,
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+              count(*) AS n,
+              CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS lo
+       FROM orders GROUP BY 1""",
+)
+
+# --- as-of join / range join over events ------------------------------------
+
+
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.asof_latest(load(spark, sf_dir, "events"))
+
+
+register(
+    "asof_join_signup",
+    _q_asof,
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+              s.event_id AS signup_id, s.ts AS signup_ts
+       FROM events p
+       LEFT JOIN LATERAL (
+           SELECT event_id, ts FROM events s
+           WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+             AND s.ts <= p.ts
+           ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) s ON TRUE
+       WHERE p.event_type = 'purchase'""",
+)
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.range_join_count(load(spark, sf_dir, "events"))
+
+
+register(
+    "range_join_recent_clicks",
+    _q_range_join,
+    """SELECT a.event_id AS anchor_id, a.user_id, a.ts,
+              (SELECT count(*) FROM events p
+               WHERE p.event_type = 'click' AND p.user_id = a.user_id
+                 AND p.ts >= a.ts - INTERVAL 300 SECOND
+                 AND p.ts < a.ts) AS n_recent
+       FROM events a WHERE a.event_type = 'error'""",
+)

@@ -29,6 +29,15 @@ SUBSET = [
     "http_dim_pipeline",
     "multimodal_features",
     "incremental_idempotence",
+    "tpch_q4_order_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "cube_revenue",
+    "rank_family_topk",
+    "quantile_disc_price",
+    "stats_moments",
+    "asof_join_signup",
+    "range_join_recent_clicks",
 ]
 
 

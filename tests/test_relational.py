@@ -1,0 +1,113 @@
+"""Semantic edge-case tests for the relational/window operators and the
+as-of / range joins — boundaries the sf-fixture oracle sweep may not hit
+(equal-timestamp as-of ties, range-window endpoints, quantile index math,
+set-op distinctness)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from cocktailsdb_spark.operators import events, relational  # noqa: E402
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+
+def test_asof_inclusive_tie_and_latest_wins(spark):
+    df = _events_df(
+        spark,
+        [
+            (1, 7, TS("2024-01-01 10:00:00"), "signup"),
+            (2, 7, TS("2024-01-01 10:00:00"), "signup"),  # same ts: max id wins
+            (3, 7, TS("2024-01-01 10:00:00"), "purchase"),  # tie → inclusive
+            (4, 7, TS("2024-01-01 09:00:00"), "purchase"),  # before any signup
+            (5, 8, TS("2024-01-02 00:00:00"), "purchase"),  # user with no signup
+        ],
+    )
+    got = {
+        r["purchase_id"]: r["signup_id"]
+        for r in events.asof_latest(df).collect()
+    }
+    assert got == {3: 2, 4: None, 5: None}
+
+
+def test_range_join_boundaries(spark):
+    base = TS("2024-01-01 10:00:00")
+    df = _events_df(
+        spark,
+        [
+            (1, 1, base, "error"),
+            (2, 1, base - dt.timedelta(seconds=300), "click"),  # == lower bound: in
+            (3, 1, base - dt.timedelta(seconds=301), "click"),  # below: out
+            (4, 1, base, "click"),  # == anchor ts: out (strict <)
+            (5, 1, base - dt.timedelta(seconds=1), "click"),  # in
+            (6, 2, base - dt.timedelta(seconds=10), "click"),  # other user: out
+        ],
+    )
+    rows = events.range_join_count(df).collect()
+    assert len(rows) == 1 and rows[0]["n_recent"] == 2
+
+
+def test_set_ops_distinct_semantics(spark):
+    o = spark.createDataFrame(
+        [
+            (1, 10, TS("1996-02-01")),
+            (2, 10, TS("1996-03-01")),  # duplicate 1996 customer → one output row
+            (3, 10, TS("1997-02-01")),
+            (4, 11, TS("1996-06-01")),
+            (5, 12, TS("1997-06-01")),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    inter = relational.years_active(o, 1996, 1997, "intersect").collect()
+    assert [r["custkey"] for r in inter] == [10]
+    exc = relational.years_active(o, 1996, 1997, "except").collect()
+    assert [r["custkey"] for r in exc] == [11]
+
+
+def test_quantile_disc_picks_exact_elements(spark):
+    # 11 rows 0..1000: p50 = element at floor(.5*10)+1 = rank 6 → 500,
+    # p90 = rank floor(.9*10)+1 = 10 → 900
+    o = spark.createDataFrame(
+        [(i, "P", float(i * 100)) for i in range(11)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    row = relational.quantile_disc(o, qs=(0.5, 0.9)).collect()[0]
+    assert row["p50"] == 500.0 and row["p90"] == 900.0
+
+
+def test_stats_moments_matches_closed_form(spark, sf_dir):
+    from cocktailsdb_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    got = {r["l_returnflag"]: r for r in relational.stats_moments(li).collect()}
+    import statistics
+
+    pdf = li.select("l_returnflag", "l_quantity").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        xs = grp["l_quantity"].tolist()
+        assert abs(got[flag]["mean_qty"] - statistics.fmean(xs)) < 1e-9
+        assert abs(got[flag]["var_qty"] - statistics.variance(xs)) < 1e-6
+
+
+def test_cube_has_all_grouping_sets(spark, sf_dir):
+    from cocktailsdb_spark.tables import load
+
+    out = relational.cube_revenue(load(spark, sf_dir, "lineitem")).collect()
+    levels = {(r["g_rf"], r["g_ls"]) for r in out}
+    assert levels == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    grand = [r for r in out if (r["g_rf"], r["g_ls"]) == (1, 1)]
+    assert len(grand) == 1
+    assert grand[0]["n"] == sum(r["n"] for r in out if (r["g_rf"], r["g_ls"]) == (0, 0))

@@ -60,8 +60,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench")
-    # warm-up: JVM + parquet footer caches, not measured
-    load(spark, sf_dir, "nation").count()
+    # warm-up: JVM startup + parquet footer/file-index caches for every
+    # table — session cost, not per-query cost (first-touch scan setup
+    # otherwise lands on whichever query reads the table first)
+    from cocktailsdb_spark.tables import TABLES
+
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..constants import SIMHASH_BITS
 from ..numeric import qround
+from ..tables import spread
 from .text import md5_prefix_value, tokens
 
 
@@ -71,7 +72,7 @@ def ngram_jaccard_pairs(
     Candidate pairs come from an equi-join on shared shingles (inverted
     index), NOT a cross join: |pairs| scales with real overlap. Jaccard =
     |∩| / (|A|+|B|-|∩|). Output: doc_a < doc_b, jaccard (rounded)."""
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(), n)).alias("shingle"),
     )
@@ -97,13 +98,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """X2 — same exact output as :func:`ngram_jaccard_pairs`, using
+    prefix filtering (PPJoin family) for candidate generation — the plan
+    that survives 100 TB where the plain inverted index melts down on hot
+    shingles.
+
+    Two sets with Jaccard ≥ t must share ≥1 element within the first
+    ``|S| - ceil(t·|S|) + 1`` elements of any globally-consistent ordering
+    of each set (we sort shingles lexically). So only prefix shingles are
+    exploded into the inverted index (≈(1-t)·|S| rows instead of |S|),
+    the candidate join adds the length filter t·|B| ≤ |A| ≤ |B|/t, and
+    exact Jaccard is verified per candidate with array_intersect on the
+    full shingle arrays — no quadratic per-shingle pair aggregation.
+    """
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(shingles(tokens(), n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # prefix length: n_sh - ceil(t*n_sh) + 1
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    pref = base.select(
+        "doc_id", "n_sh", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: max(|A|,|B|)·t ≤ min(|A|,|B|) is necessary for J ≥ t
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                     F.col("n_sh").alias("n_a"))
+    fb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                     F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("jaccard", qround(inter / (F.col("n_a") + F.col("n_b") - inter), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """X2 (SimHash variant) — 16-bit simhash fingerprint per document.
 
     Bit j of the fingerprint is the sign of Σ_tokens (±1 by bit j of a
     16-bit md5-derived token hash). Exact integer math → oracle-checkable
     on DuckDB (same md5, same hex parsing)."""
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens()).alias("tok"))
+    tok = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokens()).alias("tok"))
     v = md5_prefix_value(F.col("tok"), 4)
     bit_sums = tok.groupBy("doc_id").agg(
         *[

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import spread
+
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, width int, height int, checksum string"
 )
@@ -35,7 +37,7 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
-    return docs.select(
+    return spread(docs).select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.encode("text", "utf-8").alias("payload"),

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..numeric import qround
+from ..tables import spread
 from ..constants import (
     BPE_TOKEN_RE,
     FP_MOD,
@@ -105,7 +106,7 @@ def token_value(tok: Column) -> Column:
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Rolling polynomial fingerprint over the token stream:
     fp = Σ value(tok_i) · B^(i mod 8)  (mod M), exact integer math."""
-    exploded = docs.select("doc_id", F.posexplode(tokens()).alias("pos", "tok"))
+    exploded = spread(docs).select("doc_id", F.posexplode(tokens()).alias("pos", "tok"))
     powers = F.array(*[F.lit(p) for p in FP_POWERS])
     # cast to long BEFORE multiplying: value × power ≈ 1e13 overflows int32
     # (and Spark 4's default ANSI mode would raise)

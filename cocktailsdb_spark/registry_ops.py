@@ -551,10 +551,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, n=NGRAM_N, threshold=JACCARD_T)
 
 
-register(
-    "ngram_jaccard_pairs",
-    _q_ngram_jaccard,
-    f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+NGRAM_JACCARD_SQL = f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sh AS (
           SELECT doc_id, unnest(list_distinct(
                  [array_to_string(tk[i:i+{NGRAM_N-1}], ' ')
@@ -572,8 +569,20 @@ register(
           FROM inter
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b)
-        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {JACCARD_T}""",
-)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {JACCARD_T}"""
+
+register("ngram_jaccard_pairs", _q_ngram_jaccard, NGRAM_JACCARD_SQL)
+
+
+def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — identical output via prefix-filtered candidate generation (the
+    100 TB plan); cross-validated against the same oracle as the plain
+    inverted-index form."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(d, n=NGRAM_N, threshold=JACCARD_T)
+
+
+register("ngram_jaccard_prefix", _q_ngram_jaccard_prefix, NGRAM_JACCARD_SQL)
 
 
 def _sql_simhash_cte() -> str:

@@ -45,6 +45,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned input up to the cluster's default
+    parallelism. Data-amplifying operators (shingle/token explodes,
+    per-row hashing) otherwise serialize on however few splits the scan
+    produced — a single small parquet file becomes ONE task doing 100× its
+    input volume. At real scale (thousands of input splits ≥ cores) the
+    guard makes this a no-op, so no gratuitous shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

@@ -580,3 +580,209 @@ WHERE c_acctbal > (SELECT {_d('c_acctbal')} / count(*)
                     AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
 GROUP BY c_nationkey
 """
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (lineitem as the part↔supplier link)
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each small part (p_size < 10), the supplier(s) offering the
+    lowest average unit price (extendedprice/quantity over their lines).
+    The correlated MIN becomes a window-min over the (part, supplier)
+    aggregate — one shuffle on l_partkey reused by agg and window; supplier
+    and nation broadcast. Ties keep all suppliers, like TPC-H Q2."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    per_ps = (
+        l.join(F.broadcast(p.select("p_partkey", "p_name")), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg((dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = per_ps.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_cost",
+        )
+    )
+
+
+Q2_SQL = f"""
+WITH per_ps AS (
+  SELECT l_partkey, p_name, l_suppkey,
+         {_d('l_extendedprice')} / {_d('l_quantity')} AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost FROM per_ps)
+SELECT l_partkey AS p_partkey, p_name, s_name, n_name AS nation, unit_cost
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE unit_cost = min_cost
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: group-HAVING against a scalar fraction of the total
+# ---------------------------------------------------------------------------
+
+Q11_FRACTION = 0.005
+
+
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose total line value exceeds FRACTION of the global
+    total. Both aggregates come from ONE per-supplier aggregate: the global
+    total is a re-aggregation of the small per-supplier result, broadcast
+    back — lineitem is scanned once."""
+    l = load(spark, sf_dir, "lineitem")
+    per_supp = l.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice")).alias("value")
+    )
+    total = per_supp.agg(dsum(F.col("value")).alias("grand"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(Q11_FRACTION) * F.col("grand"))
+        .select("l_suppkey", "value")
+    )
+
+
+Q11_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, {_d('l_extendedprice')} AS value
+  FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, value
+FROM per_supp
+WHERE value > {Q11_FRACTION} * (SELECT {_d('value')} FROM per_supp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-class priority counts: conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per linestatus (ship-mode analog), count high-priority vs other
+    orders among 1997 shipments — the CASE-WHEN-inside-SUM shape."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part attribute: count distinct + NOT IN
+# ---------------------------------------------------------------------------
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) via the lineitem
+    link, excluding one brand and excluding "complaint" suppliers
+    (negative balance) — the NOT IN is a left-anti broadcast join before
+    the distinct aggregation."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    l = load(spark, sf_dir, "lineitem")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — sole-problem supplier: double correlation (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+def q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY supplier with RETURN-flagged lines on a
+    multi-supplier order. TPC-H Q21's EXISTS(other supplier) + NOT
+    EXISTS(other supplier with problem) pair collapses into one per-order
+    aggregate — distinct suppliers vs distinct problem suppliers — so the
+    double correlation costs a single orderkey shuffle instead of two
+    correlated re-scans of lineitem."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_bad"
+        ),
+    )
+    culprit = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("c_orderkey"),
+            F.col("l_suppkey").alias("c_suppkey"),
+        )
+        .distinct()
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_bad") == 1))
+        .join(culprit, F.col("l_orderkey") == F.col("c_orderkey"))
+        .join(F.broadcast(s), F.col("c_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_bad
+  FROM lineitem GROUP BY l_orderkey),
+culprit AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s_name, count(*) AS numwait
+FROM per_order
+JOIN culprit USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_bad = 1
+GROUP BY s_name
+"""

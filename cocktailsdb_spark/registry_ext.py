@@ -21,19 +21,24 @@ from .tables import load
 # --- TPC-H analog suite (correlated subqueries, scalar subqueries,
 #     group-having joins, disjunctive predicates, outer-join distributions) --
 
+register("tpch_q2_min_cost_supplier", X.q2_min_cost_supplier, X.Q2_SQL)
 register("tpch_q4_order_priority", X.q4_order_priority, X.Q4_SQL)
 register("tpch_q6_forecast_revenue", X.q6_forecast_revenue, X.Q6_SQL)
 register("tpch_q7_volume_shipping", X.q7_volume_shipping, X.Q7_SQL)
 register("tpch_q8_market_share", X.q8_market_share, X.Q8_SQL)
 register("tpch_q9_product_profit", X.q9_product_profit, X.Q9_SQL)
 register("tpch_q10_returned_items", X.q10_returned_items, X.Q10_SQL)
+register("tpch_q11_important_suppliers", X.q11_important_suppliers, X.Q11_SQL)
+register("tpch_q12_priority_classes", X.q12_priority_classes, X.Q12_SQL)
 register("tpch_q13_customer_distribution", X.q13_customer_distribution, X.Q13_SQL)
 register("tpch_q14_promo_revenue", X.q14_promo_revenue, X.Q14_SQL)
 register("tpch_q15_top_supplier", X.q15_top_supplier, X.Q15_SQL)
+register("tpch_q16_supplier_diversity", X.q16_supplier_diversity, X.Q16_SQL)
 register("tpch_q17_small_qty_revenue", X.q17_small_qty_revenue, X.Q17_SQL)
 register("tpch_q18_large_orders", X.q18_large_orders, X.Q18_SQL)
 register("tpch_q19_disjunctive_revenue", X.q19_disjunctive_revenue, X.Q19_SQL)
 register("tpch_q20_active_suppliers", X.q20_active_suppliers, X.Q20_SQL)
+register("tpch_q21_sole_problem_supplier", X.q21_sole_problem_supplier, X.Q21_SQL)
 register("tpch_q22_dormant_customers", X.q22_dormant_customers, X.Q22_SQL)
 
 # --- set operations --------------------------------------------------------

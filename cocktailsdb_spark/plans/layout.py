@@ -1,0 +1,155 @@
+"""Physical-layout operators — the storage-side half of the 100 TB story
+(SURVEY.md §4 "100 TB posture", §7 Phase 5).
+
+Three demonstrations, each a registered query with an exact oracle:
+
+- ``partition_pruned_load``: the reference's watermark filter
+  (build_database.py:114-116) becomes PARTITION PRUNING once the fact
+  table is laid out by date — the scan never opens files outside the
+  watermark window.
+- ``bucketed_join_revenue``: pre-bucketing fact tables on the join key
+  makes the orders⋈lineitem join shuffle-free (co-located SMJ) — at
+  100 TB this converts the single biggest exchange into a local merge.
+- ``salted_groupby``: two-phase aggregation over a salted key for skewed
+  group-bys — partial aggregate on (key, salt), final on key. Decimal
+  sums re-aggregate exactly, so the result is identical to the direct
+  group-by.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..numeric import dsum
+from ..tables import load
+
+WM = "2024-01-15 00:00:00"
+
+
+def partition_pruned_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lay events out partitioned by event date, then run the incremental
+    watermark filter as a pruning predicate: ``event_date >= date(WM)``
+    eliminates whole directories at planning time (explain shows the
+    pruned InMemoryFileIndex), ``ts > WM`` trims the boundary date's rows.
+    Output equals the plain strict-`>` filter on the unpartitioned table."""
+    work = tempfile.mkdtemp(prefix="cdbspark_part_")
+    path = os.path.join(work, "events_by_day")
+    (
+        load(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("event_date") >= F.to_date(F.lit(WM))) & (F.col("ts") > WM))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+PARTITION_PRUNED_SQL = f"""
+SELECT event_id, ts, user_id, event_type FROM events
+WHERE ts > TIMESTAMP '{WM}'
+"""
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket lineitem AND orders into 8 buckets on the order key, then
+    join bucketed-table-to-bucketed-table: matching bucket counts let
+    Spark plan a co-located sort-merge join with NO shuffle exchange on
+    either side (asserted in tests/test_layout.py). This is the layout
+    that turns the dominant fact⋈fact exchange into local merges at scale.
+
+    Broadcast is disabled for this plan only — locally the tables are tiny
+    and AQE would otherwise broadcast, hiding the property under test."""
+    db_dir = tempfile.mkdtemp(prefix="cdbspark_bucket_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{db_dir}'")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable("bucketdemo.lineitem_b")
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable("bucketdemo.orders_b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = spark.table("bucketdemo.lineitem_b")
+        o = spark.table("bucketdemo.orders_b")
+        result = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+        # materialize under the no-broadcast conf; the cached result is
+        # what the caller consumes
+        result = result.cache()
+        result.count()
+        return result
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str):
+    """The unaggregated bucketed join, for plan assertions (no Exchange)."""
+    l = spark.table("bucketdemo.lineitem_b")
+    o = spark.table("bucketdemo.orders_b")
+    return l.join(o, l.l_orderkey == o.o_orderkey)
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+N_SALTS = 16
+
+
+def salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: l_returnflag has 3 values, so a direct
+    group-by funnels the whole fact table through ≤3 reducers. Salting
+    spreads each hot key over N_SALTS partial groups (deterministic salt =
+    orderkey % N, not rand() — reruns/retries must agree), then the final
+    aggregate combines N tiny rows per key. Decimal partial sums combine
+    exactly, so the output is bit-identical to the direct group-by."""
+    l = load(spark, sf_dir, "lineitem")
+    salted = l.withColumn("_salt", (F.col("l_orderkey") % N_SALTS).cast("int"))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("_qty"),
+        F.count("*").alias("_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_qty").cast("double").alias("sum_qty"),
+        F.sum("_n").alias("n"),
+    )
+
+
+SALTED_GROUPBY_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -219,6 +219,38 @@ register(
 )
 
 
+# --- physical layout: partition pruning / bucketed join / salting -----------
+
+from .plans import layout as _layout  # noqa: E402
+
+register(
+    "partition_pruned_load",
+    _layout.partition_pruned_load,
+    _layout.PARTITION_PRUNED_SQL,
+)
+register(
+    "bucketed_join_revenue",
+    _layout.bucketed_join_revenue,
+    _layout.BUCKETED_JOIN_SQL,
+)
+register("salted_groupby", _layout.salted_groupby, _layout.SALTED_GROUPBY_SQL)
+
+# --- streaming: exact dedup + arbitrary-state operator -----------------------
+
+from .streaming import stream_queries as _sq  # noqa: E402
+
+register(
+    "streaming_dedup_keys",
+    _sq.streaming_dedup_keys,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+register(
+    "streaming_stateful_counts",
+    _sq.streaming_stateful_user_counts,
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.range_join_count(load(spark, sf_dir, "events"))
 

@@ -50,7 +50,9 @@ def _materialize_events(spark: SparkSession, sf_dir: str, workdir: str) -> str:
     """File streams need a DIRECTORY source; write the (ns→µs converted)
     events there once and stream from it."""
     input_dir = os.path.join(workdir, "in")
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(
+    # one part file → deterministic micro-batch boundaries (update-mode
+    # sinks would otherwise record per-batch intermediate state)
+    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(
         os.path.join(input_dir, "batch1.parquet")
     )
     return input_dir
@@ -131,6 +133,75 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
     # materialize before the tempdir vanishes
     result = out.cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on (user_id, event_type)
+    over the file stream — state keeps one entry per key; append mode
+    emits each key's first arrival. Projected to the key columns the
+    output is the deterministic distinct-key set (arrival order decides
+    which row wins, so non-key columns are not part of the contract)."""
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_dedup_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running event counter whose state (the count so far)
+    persists across micro-batches; each batch emits the updated totals for
+    the users it touched. With the whole fixture in one batch the emitted
+    totals equal the batch group-by — the oracle. This is the
+    arbitrary-state API (GroupState + Arrow batches) that covers operators
+    session_window/dropDuplicates cannot express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = "stream_state_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_state_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+
+    def count_events(key, pdf_iter, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = stream.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(name).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return result

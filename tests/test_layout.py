@@ -1,0 +1,56 @@
+"""Physical-layout assertions: bucketing must remove the join shuffle,
+date-partitioning must prune the scan, salting must re-aggregate exactly."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from cocktailsdb_spark.plans import layout  # noqa: E402
+from cocktailsdb_spark.tables import load  # noqa: E402
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    layout.bucketed_join_revenue(spark, sf_dir)  # creates the bucketed tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = layout.bucketed_join_plan(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join should be shuffle-free:\n{plan}"
+
+
+def test_partition_pruned_scan_reads_fewer_files(spark, sf_dir):
+    df = layout.partition_pruned_load(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the partition filter must be recognized as such (not a data filter)
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    # and the result equals the plain filter on the source table
+    expected = (
+        load(spark, sf_dir, "events").filter(F.col("ts") > layout.WM).count()
+    )
+    assert df.count() == expected
+
+
+def test_salted_groupby_equals_direct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["sum_qty"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["sum_qty"], r["n"])
+        for r in layout.salted_groupby(spark, sf_dir).collect()
+    }
+    assert salted == direct

@@ -38,6 +38,9 @@ SUBSET = [
     "stats_moments",
     "asof_join_signup",
     "range_join_recent_clicks",
+    "salted_groupby",
+    "streaming_dedup_keys",
+    "streaming_stateful_counts",
 ]
 
 

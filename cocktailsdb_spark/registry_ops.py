@@ -585,6 +585,30 @@ def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("ngram_jaccard_prefix", _q_ngram_jaccard_prefix, NGRAM_JACCARD_SQL)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — connected components over the near-dup pair graph (iterative
+    min-label propagation); oracle = DuckDB recursive CTE reachability."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(d, n=NGRAM_N, threshold=JACCARD_T)
+
+
+register(
+    "dedup_clusters",
+    _q_dedup_clusters,
+    f"""WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL})),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS nid FROM edges),
+        reach(node, lab) AS (
+          SELECT nid, nid FROM nodes
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM reach GROUP BY node""",
+)
+
+
 def _sql_simhash_cte() -> str:
     """CTEs computing the 16-bit simhash per doc (shared by two oracles)."""
     bit_sums = ", ".join(
@@ -666,10 +690,7 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, QUERY_IDS, k=TOPK)
 
 
-register(
-    "embedding_topk_cosine",
-    _q_cosine_topk,
-    f"""WITH {_SQL_EMB_BASE},
+COSINE_TOPK_SQL = f"""WITH {_SQL_EMB_BASE},
         q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
               WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
         pairs AS (
@@ -679,8 +700,19 @@ register(
         r AS (SELECT *, CAST(row_number() OVER (
                  PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
               FROM pairs)
-        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}""",
-)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+register("embedding_topk_cosine", _q_cosine_topk, COSINE_TOPK_SQL)
+
+
+def _q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 via @pandas_udf — Arrow-batched dot with the same fold order as
+    the JVM variant, cross-validated against the identical oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_pandas(e, QUERY_IDS, k=TOPK)
+
+
+register("embedding_topk_pandas", _q_cosine_topk_pandas, COSINE_TOPK_SQL)
 
 
 def _sql_bucket(v: str) -> str:
@@ -1050,4 +1082,51 @@ register(
     "streaming_session_window",
     stream_queries.streaming_session_window,
     SESSION_WINDOW_SQL,
+)
+
+
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pipeline: language-ID
+    agreement filter → exact dedup (keep lowest id per content hash) →
+    near-dup removal (drop the larger id of each Jaccard pair) → per-lang
+    corpus stats. Composes X1/X2/X4 into the pipeline a 100 TB corpus
+    build actually runs; every stage is the registered operator above."""
+    d = load(spark, sf_dir, "documents")
+    lang_ok = text.lang_id(d).filter(F.col("pred_lang") == F.col("lang")).select("doc_id")
+    winners = dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
+    losers = (
+        dedup.ngram_jaccard_pairs_prefix(d, n=NGRAM_N, threshold=JACCARD_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        d.join(lang_ok, "doc_id", "left_semi")
+        .join(winners, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+register(
+    "corpus_clean_stats",
+    _q_corpus_clean,
+    f"""WITH lang_ok AS (
+          SELECT doc_id FROM ({_sql_lang_id()}) WHERE pred_lang = lang),
+        winners AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        losers AS (SELECT DISTINCT doc_b AS doc_id FROM ({NGRAM_JACCARD_SQL})),
+        kept AS (
+          SELECT d.lang, len(string_split(d.text, ' ')) AS toks
+          FROM documents d
+          JOIN lang_ok USING (doc_id)
+          JOIN winners USING (doc_id)
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM losers))
+        SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
+        FROM kept GROUP BY lang""",
 )

@@ -235,6 +235,28 @@ register(
 )
 register("salted_groupby", _layout.salted_groupby, _layout.SALTED_GROUPBY_SQL)
 
+# --- source/sink formats: JSON-lines + ORC roundtrips ------------------------
+
+from .sources import formats as _formats  # noqa: E402
+
+register("json_lines_roundtrip", _formats.json_roundtrip, _formats.JSON_ROUNDTRIP_SQL)
+register("orc_roundtrip", _formats.orc_roundtrip, _formats.ORC_ROUNDTRIP_SQL)
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type (rsd 1%), next to
+    the exact count. Rows-only check: DuckDB's approx_distinct is a
+    different sketch, so the approx value has no SQL twin; the ≤5% error
+    bound is asserted in tests/test_formats.py."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+register("approx_distinct_users", _q_approx_distinct, None)  # rows-only: sketch
+
 # --- streaming: exact dedup + arbitrary-state operator -----------------------
 
 from .streaming import stream_queries as _sq  # noqa: E402

@@ -1,0 +1,54 @@
+"""Source/sink format roundtrips, compaction, and sketch error bounds."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from cocktailsdb_spark.registry import QUERIES  # noqa: E402
+from cocktailsdb_spark.sources import formats  # noqa: E402
+from cocktailsdb_spark.tables import load  # noqa: E402
+
+
+def test_json_roundtrip_preserves_timestamps(spark, sf_dir):
+    out = formats.json_roundtrip(spark, sf_dir)
+    src = load(spark, sf_dir, "events").filter(F.col("event_type") != "view")
+    assert out.count() == src.count()
+    # µs-precision timestamps survive the ISO-8601 string roundtrip
+    assert out.agg(F.max("ts")).first()[0] == src.agg(F.max("ts")).first()[0]
+
+
+def test_orc_roundtrip_matches_parquet_source(spark, sf_dir):
+    out = formats.orc_roundtrip(spark, sf_dir)
+    expected = (
+        load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).count()
+    )
+    assert out.count() == expected
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="cdbspark_compact_")
+    path = os.path.join(work, "frag")
+    # simulate a micro-batch sink: 24 tiny files
+    load(spark, sf_dir, "events").repartition(24).write.mode("overwrite").parquet(path)
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before == 24
+    n_target = formats.compact_small_files(spark, path, target_file_mb=128)
+    compacted = path + "_compacted"
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(compacted))
+    assert n_after == n_target == 1  # tiny fixture → single file
+    assert spark.read.parquet(compacted).count() == load(spark, sf_dir, "events").count()
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.05, f"{r['event_type']}: {err:.3f}"

@@ -197,6 +197,65 @@ register(
        FROM orders GROUP BY 1""",
 )
 
+# --- unpivot (inverse of pivot) + typed JSON map extraction ------------------
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide per-status priority counts back to long form —
+    the inverse of pivot_priority_counts, via the native unpivot operator
+    (Spark plans an Expand, one pass, no join)."""
+    from .registry_ops import PRIORITIES, PRIORITY_ALIASES, _q_pivot
+
+    wide = _q_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=PRIORITY_ALIASES,
+        variableColumnName="priority",
+        valueColumnName="n",
+    ).filter(F.col("n") > 0)
+
+
+def _unpivot_sql() -> str:
+    from .registry_ops import PRIORITIES, PRIORITY_ALIASES
+
+    arms = " UNION ALL ".join(
+        f"""SELECT o_orderstatus, '{a}' AS priority, count(*) AS n
+            FROM orders WHERE o_orderpriority = '{p}' GROUP BY o_orderstatus"""
+        for p, a in zip(PRIORITIES, PRIORITY_ALIASES)
+    )
+    return f"SELECT * FROM ({arms}) WHERE n > 0"
+
+
+register("unpivot_priority_counts", _q_unpivot, _unpivot_sql())
+
+
+def _q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 typed variant: parse the whole props JSON into map<string,int>
+    with from_json (vs get_json_object per key), then aggregate over the
+    extracted value — one parse per row regardless of key count."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.withColumn("k_val", m.getItem("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k_val").alias("n_with_k"),
+            F.sum("k_val").alias("sum_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
+register(
+    "json_map_aggregate",
+    _q_json_map,
+    """SELECT event_type,
+              count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+              max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       FROM events GROUP BY event_type""",
+)
+
 # --- as-of join / range join over events ------------------------------------
 
 

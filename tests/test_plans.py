@@ -39,6 +39,37 @@ def test_text_ops_are_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q6_pushes_full_predicate_to_scan(spark, sf_dir):
+    from cocktailsdb_spark.plans import tpch_ext
+
+    plan = _plan(tpch_ext.q6_forecast_revenue(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    assert "Join" not in plan  # pure scan-filter-aggregate
+
+
+def test_q3_topk_avoids_global_sort(spark, sf_dir):
+    from cocktailsdb_spark.plans import tpch
+
+    plan = _plan(tpch.q3_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # limit+order fused, no full sort
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    from cocktailsdb_spark.operators import events as ev
+
+    import re
+
+    plan = _plan(ev.asof_latest(load(spark, sf_dir, "events")))
+    # union + window: exactly one exchange node (user_id), no join operator
+    exchanges = [
+        ln for ln in plan.splitlines() if re.match(r"\(\d+\) \w*Exchange", ln.strip())
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "Join" not in plan
+
+
 def test_tumbling_partial_aggregation(spark, sf_dir):
     from cocktailsdb_spark.operators import events as ev
 

@@ -294,6 +294,77 @@ register(
 )
 register("salted_groupby", _layout.salted_groupby, _layout.SALTED_GROUPBY_SQL)
 
+# --- slowly-changing dimensions: SCD2 history + MERGE upsert -----------------
+
+from .operators import scd as _scd  # noqa: E402
+from .sources.http_source import fake_transport, fetch_df  # noqa: E402
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over the two-version dimension records of the REST source:
+    each idDrink gets version 1 (closed range) and version 2 (current)."""
+    part = load(spark, sf_dir, "part")
+    keys = [r["p_name"] for r in part.select("p_name").distinct().orderBy("p_name").collect()]
+    raw = fetch_df(spark, keys, transport=fake_transport)
+    return _scd.scd2_history(raw, "idDrink", "dateModified", "strDrink").select(
+        "idDrink", "strDrink", "version", "valid_from", "valid_to", "is_current"
+    )
+
+
+def _scd2_sql() -> str:
+    from .registry_ops import HTTP_RECS_CTE
+
+    return f"""WITH {HTTP_RECS_CTE},
+        v AS (
+          SELECT idDrink, strDrink, dateModified,
+                 CAST(row_number() OVER w AS INT) AS version,
+                 dateModified AS valid_from,
+                 lead(dateModified) OVER w AS valid_to
+          FROM recs
+          WINDOW w AS (PARTITION BY idDrink ORDER BY dateModified ASC, strDrink ASC))
+        SELECT idDrink, strDrink, version, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM v"""
+
+
+register("scd2_dim_history", _q_scd2, _scd2_sql())
+
+
+def _q_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert on the part dim: every 10th part gets a 10% price
+    update (matched → update), and a shifted-key copy of every 97th part
+    is inserted (unmatched → insert); everything else passes through."""
+    p = load(spark, sf_dir, "part")
+    price_updates = p.filter(F.col("p_partkey") % 10 == 0).withColumn(
+        "p_retailprice", F.col("p_retailprice") * 1.1
+    )
+    inserts = p.filter(F.col("p_partkey") % 97 == 0).withColumn(
+        "p_partkey", F.col("p_partkey") + 1000000
+    )
+    updates = price_updates.unionByName(inserts)
+    return _scd.merge_upsert(p, updates, "p_partkey")
+
+
+register(
+    "merge_upsert_dim",
+    _q_merge,
+    """WITH updates AS (
+         SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                p_retailprice * 1.1 AS p_retailprice
+         FROM part WHERE p_partkey % 10 = 0
+         UNION ALL
+         SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, p_retailprice
+         FROM part WHERE p_partkey % 97 = 0)
+       SELECT coalesce(c.p_partkey, u.p_partkey) AS p_partkey,
+              CASE WHEN u.p_partkey IS NOT NULL THEN u.p_name ELSE c.p_name END AS p_name,
+              CASE WHEN u.p_partkey IS NOT NULL THEN u.p_brand ELSE c.p_brand END AS p_brand,
+              CASE WHEN u.p_partkey IS NOT NULL THEN u.p_type ELSE c.p_type END AS p_type,
+              CASE WHEN u.p_partkey IS NOT NULL THEN u.p_size ELSE c.p_size END AS p_size,
+              CASE WHEN u.p_partkey IS NOT NULL THEN u.p_retailprice
+                   ELSE c.p_retailprice END AS p_retailprice
+       FROM part c FULL OUTER JOIN updates u ON c.p_partkey = u.p_partkey""",
+)
+
 # --- source/sink formats: JSON-lines + ORC roundtrips ------------------------
 
 from .sources import formats as _formats  # noqa: E402

@@ -989,10 +989,7 @@ def _q_http_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "http_dim_pipeline",
-    _q_http_dim,
-    """WITH keys AS (
+HTTP_RECS_CTE = """keys AS (
          SELECT DISTINCT p_name AS k FROM part WHERE length(p_name) % 7 <> 0),
        recs AS (
          SELECT substr(md5(k), 1, 8) AS idDrink,
@@ -1007,7 +1004,12 @@ register(
                      ELSE 'shot glass' END AS strGlass,
                 dm AS dateModified
          FROM keys CROSS JOIN (SELECT unnest(
-              ['2021-01-01 10:00:00', '2021-01-02 10:00:00']) AS dm) u),
+              ['2021-01-01 10:00:00', '2021-01-02 10:00:00']) AS dm) u)"""
+
+register(
+    "http_dim_pipeline",
+    _q_http_dim,
+    f"""WITH {HTTP_RECS_CTE},
        dd AS (SELECT *, row_number() OVER (
                   PARTITION BY idDrink
                   ORDER BY dateModified DESC, strDrink DESC) AS rn FROM recs)

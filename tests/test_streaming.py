@@ -3,7 +3,11 @@ streaming mapping of S9/S10) — each run processes only unseen files."""
 
 from __future__ import annotations
 
+import datetime as dt
 import os
+import uuid
+
+from pyspark.sql import functions as F
 
 from cocktailsdb_spark.streaming import stream_queries
 from cocktailsdb_spark.tables import load
@@ -31,3 +35,46 @@ def test_incremental_append_processes_each_file_once(spark, sf_dir, tmp_path):
     # third run with nothing new appends nothing (idempotence)
     stream_queries.streaming_incremental_append(spark, src + "/*", sink, ckpt)
     assert spark.read.parquet(sink).count() == n2
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark semantics = the reference's strict-`>` filter
+    (SURVEY.md §2.7): once the watermark passed an hour window, a late row
+    for that window is DROPPED, not re-aggregated."""
+    src = str(tmp_path / "wm_src")
+    name = "wm_" + uuid.uuid4().hex[:8]
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(os.path.join(src, fname))
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    write_batch("b1.parquet", [(1, t0, 1, "click", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.format("parquet").schema(ddl).option("maxFilesPerTrigger", "1")
+        .load(src + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past the 10:00 window...
+        write_batch("b2.parquet", [(2, t0 + dt.timedelta(hours=5), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # ...then a LATE row for the closed 10:00 window arrives
+        write_batch("b3.parquet", [(3, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+    # the 10:00 window was emitted with ONLY the on-time row; the late row
+    # never re-opens it (dropped, exactly like the reference's strict >)
+    assert out.get(t0) == 1

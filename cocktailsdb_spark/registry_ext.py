@@ -294,6 +294,36 @@ register(
 )
 register("salted_groupby", _layout.salted_groupby, _layout.SALTED_GROUPBY_SQL)
 
+# --- argmax aggregation (max_by with deterministic struct tiebreak) ----------
+
+
+def _q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer, the orderkey + date of their priciest order via
+    max_by over a (price, orderkey) struct — the argmax pattern as ONE
+    aggregate (no self-join, no window over the full table). The struct's
+    unique second field makes ties deterministic."""
+    o = load(spark, sf_dir, "orders")
+    tiebreak = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", tiebreak).alias("best_orderkey"),
+        F.max_by("o_orderdate", tiebreak).alias("best_orderdate"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+register(
+    "argmax_order_per_customer",
+    _q_argmax,
+    """SELECT o_custkey, o_orderkey AS best_orderkey,
+              o_orderdate AS best_orderdate, best_price
+       FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                    max(o_totalprice) OVER (PARTITION BY o_custkey) AS best_price,
+                    row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             FROM orders)
+       WHERE rn = 1""",
+)
+
 # --- slowly-changing dimensions: SCD2 history + MERGE upsert -----------------
 
 from .operators import scd as _scd  # noqa: E402

@@ -125,6 +125,26 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
+def range_sorted_write(spark: SparkSession, sf_dir: str) -> str:
+    """Range-partition lineitem by l_shipdate and sort within partitions —
+    the sort-based data-skipping layout: every parquet file covers a
+    disjoint, narrow shipdate range, so each file's row-group min/max
+    statistics let a date predicate skip whole files without directory
+    partitioning's small-file explosion. tests/test_layout.py reads the
+    footers back (pyarrow) and asserts the ranges are disjoint. Returns
+    the written path."""
+    work = tempfile.mkdtemp(prefix="cdbspark_range_")
+    path = os.path.join(work, "lineitem_by_shipdate")
+    (
+        load(spark, sf_dir, "lineitem")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
 N_SALTS = 16
 
 

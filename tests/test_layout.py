@@ -38,6 +38,34 @@ def test_partition_pruned_scan_reads_fewer_files(spark, sf_dir):
     assert df.count() == expected
 
 
+def test_range_sorted_layout_has_disjoint_file_ranges(spark, sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = layout.range_sorted_write(spark, sf_dir)
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        cols = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        stats = [
+            md.row_group(g).column(cols["l_shipdate"]).statistics
+            for g in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) >= 2
+    # files cover disjoint shipdate ranges → a date predicate can skip
+    # whole files on footer statistics alone
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # and the layout preserves every row
+    total = pq.read_table(path, columns=["l_orderkey"]).num_rows
+    assert total == load(spark, sf_dir, "lineitem").count()
+
+
 def test_salted_groupby_equals_direct(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     direct = {

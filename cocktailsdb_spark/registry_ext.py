@@ -86,6 +86,27 @@ register(
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
 
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, {_d('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical grouping form cube
+    and rollup can't express ((flag-only), (status-only), no combined or
+    grand-total set). Same ANSI text runs on Spark (temp views) and
+    DuckDB."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+register("grouping_sets_mix", _q_grouping_sets, GROUPING_SETS_SQL)
+
 # --- ranking-function family ------------------------------------------------
 
 

@@ -38,7 +38,6 @@ def test_pandas_and_jvm_cosine_agree(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     jvm = similarity.cosine_topk(e, [0, 1, 2], k=3).collect()
     arrow = similarity.cosine_topk_pandas(e, [0, 1, 2], k=3).collect()
-    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(map(tuple, jvm), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, arrow), key=lambda t: (t[0], t[3])
     )

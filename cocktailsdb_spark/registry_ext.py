@@ -452,6 +452,14 @@ register(
     _sq.streaming_stateful_user_counts,
     "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
 )
+register(
+    "streaming_static_join",
+    _sq.streaming_static_join,
+    """SELECT c_mktsegment, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment""",
+)
 
 
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:

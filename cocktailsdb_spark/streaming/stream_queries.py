@@ -207,6 +207,32 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return result
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dim (broadcast per micro-batch — the streaming analog of the
+    reference's cocktails-dim enrichment), aggregated per market segment.
+    Complete mode; equals the batch join exactly."""
+    name = "stream_sj_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_sj_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+    )
+    q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
 def streaming_incremental_append(
     spark: SparkSession, source_dir: str, sink_dir: str, checkpoint_dir: str
 ) -> None:

@@ -32,9 +32,17 @@ PLANES: list[list[int]] = [
     [((j * 31 + k * 17) % 7) - 3 for j in range(EMB_DIM)] for k in range(N_PLANES)
 ]
 
-# simhash (operators/dedup.py): 16-bit simhash built from the first 4 hex
-# chars of md5(token) — md5 is the one hash both engines share.
-SIMHASH_BITS = 16
+# simhash (operators/dedup.py): 64-bit simhash built from the first 16 hex
+# chars of md5(token) — md5 is the one hash both engines share. The
+# fingerprint is carried as SIMHASH_BANDS × 16-bit band ints (band 0 = most
+# significant) + a packed hex string: 4 banded ints sidestep int64 sign
+# issues AND are exactly the LSH join keys. 4 bands of 16 bits give full
+# candidate recall for hamming distance ≤ 3 (pigeonhole: ≤3 flipped bits
+# leave ≥1 band untouched) — covers max_hamming=2 with margin, fixing the
+# 16-bit/2-band under-dimensioning flagged in round 1.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_BITS = SIMHASH_BANDS * SIMHASH_BAND_BITS
 
 # quality score weights (operators/text.py)
 QUALITY_W_STOP = 0.4

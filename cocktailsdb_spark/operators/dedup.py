@@ -7,8 +7,9 @@ Design notes for 100 TB:
   skew); latest-wins shuffles once on the logical key.
 - n-gram Jaccard / MinHash avoid the O(N²) cross join by joining on shared
   shingles / LSH bands, i.e. candidate generation is an equi-join.
-- SimHash reduces every doc to a 16-bit fingerprint (configurable); banding
-  the fingerprint gives near-dup candidates with a tiny shuffle key.
+- SimHash reduces every doc to a 64-bit fingerprint (4 × 16-bit bands);
+  banding the fingerprint gives near-dup candidates with a tiny shuffle key
+  and full recall for hamming ≤ bands-1.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..constants import SIMHASH_BITS
+from ..constants import SIMHASH_BAND_BITS, SIMHASH_BANDS
 from ..numeric import qround
 from ..tables import spread
 from .text import md5_prefix_value, tokens
@@ -151,44 +152,75 @@ def ngram_jaccard_pairs_prefix(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """X2 (SimHash variant) — 16-bit simhash fingerprint per document.
+    """X2 (SimHash variant) — 64-bit simhash fingerprint per document,
+    carried as SIMHASH_BANDS × 16-bit ints (``band0`` = most significant)
+    plus the packed lowercase hex string ``simhash``.
 
-    Bit j of the fingerprint is the sign of Σ_tokens (±1 by bit j of a
-    16-bit md5-derived token hash). Exact integer math → oracle-checkable
-    on DuckDB (same md5, same hex parsing)."""
+    Bit j of band b is the sign of Σ_tokens (±1 by bit j of hex chars
+    [4b+1..4b+4] of md5(token)). Banded ints avoid int64 sign issues at 64
+    bits and double as the LSH join keys. Exact integer math →
+    oracle-checkable on DuckDB (same md5, same hex parsing)."""
     tok = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokens()).alias("tok"))
-    v = md5_prefix_value(F.col("tok"), 4)
+    # one md5-derived 16-bit value per band, computed once per token
+    tok = tok.select(
+        "doc_id",
+        *[
+            md5_prefix_value(F.col("tok"), SIMHASH_BAND_BITS // 4, offset=4 * b).alias(f"v{b}")
+            for b in range(SIMHASH_BANDS)
+        ],
+    )
     bit_sums = tok.groupBy("doc_id").agg(
         *[
-            F.sum(F.shiftright(v, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
+            F.sum(F.shiftright(F.col(f"v{b}"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}_{j}")
+            for b in range(SIMHASH_BANDS)
+            for j in range(SIMHASH_BAND_BITS)
         ]
     )
-    fp = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return bit_sums.select("doc_id", fp.alias("simhash"))
+    band_cols = []
+    for b in range(SIMHASH_BANDS):
+        fp = None
+        for j in range(SIMHASH_BAND_BITS):
+            bit = F.when(F.col(f"s{b}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            fp = bit if fp is None else fp + bit
+        band_cols.append(fp.cast("int").alias(f"band{b}"))
+    out = bit_sums.select("doc_id", *band_cols)
+    return out.withColumn(
+        "simhash",
+        F.concat(
+            *[
+                F.lpad(F.lower(F.hex(F.col(f"band{b}"))), 4, "0")
+                for b in range(SIMHASH_BANDS)
+            ]
+        ),
+    )
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-dup candidate pairs via SimHash banding: split the fingerprint
-    into two 8-bit bands; pairs agreeing on ≥1 band are candidates
-    (guaranteed to include all pairs with hamming distance ≤ 2 when the
-    differing bits fall in one band — standard banding bound), then filter
-    by true hamming distance. Equi-join on (band_id, band_value)."""
+    """Near-dup candidate pairs via SimHash banding: the 64-bit fingerprint
+    is split into SIMHASH_BANDS (4) bands of 16 bits; pairs agreeing on ≥1
+    band are candidates, then filtered by true hamming distance. 4 bands
+    guarantee full recall for hamming ≤ 3 (pigeonhole) — strictly wider
+    than the default max_hamming=2. Candidate generation is an equi-join on
+    (band_id, band_value); 16-bit bands keep bucket collision rates sane at
+    billions of docs (65k values per band × 4 bands)."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"banding with {SIMHASH_BANDS} bands only guarantees recall for "
+            f"hamming <= {SIMHASH_BANDS - 1}, got max_hamming={max_hamming}"
+        )
     fps = simhash(docs)
-    low = (F.col("simhash") % 256).alias("band_val")
-    high = (F.col("simhash") / 256).cast("int").alias("band_val")
-    bands = (
-        fps.select("doc_id", "simhash", F.lit(0).alias("band_id"), low)
-        .unionByName(fps.select("doc_id", "simhash", F.lit(1).alias("band_id"), high))
-    )
+    bcols = [f"band{b}" for b in range(SIMHASH_BANDS)]
+    bands = None
+    for b in range(SIMHASH_BANDS):
+        sel = fps.select(
+            "doc_id", *bcols, F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_val")
+        )
+        bands = sel if bands is None else bands.unionByName(sel)
     a = bands.alias("a")
-    b = bands.alias("b")
+    b_ = bands.alias("b")
     cand = (
         a.join(
-            b,
+            b_,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -196,12 +228,15 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            *[F.col(f"a.band{b}").alias(f"a{b}") for b in range(SIMHASH_BANDS)],
+            *[F.col(f"b.band{b}").alias(f"b{b}") for b in range(SIMHASH_BANDS)],
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    hamming = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        for b in range(SIMHASH_BANDS)
+    ).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

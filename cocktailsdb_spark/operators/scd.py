@@ -36,9 +36,21 @@ def scd2_history(
 def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE semantics over plain DataFrames: update matched keys, insert
     new ones, keep unmatched current rows. Full-outer join on the key,
-    update side wins per column. Column sets must match."""
+    update side wins per column. Column sets must match.
+
+    ``updates`` is deduplicated to one row per key first (deterministic:
+    the row greatest under (col1 DESC, col2 DESC, ...) wins) — duplicate
+    update keys would otherwise fan out through the full-outer join and
+    silently duplicate output rows. MERGE INTO engines raise on this;
+    picking a deterministic winner keeps the operator total."""
     cols = [c for c in current.columns if c != key]
     assert set(updates.columns) == set(current.columns), "schema mismatch"
+    w = Window.partitionBy(key).orderBy(*[F.desc_nulls_last(c) for c in cols])
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     u = updates.select(
         F.col(key).alias("_u_key"), *[F.col(c).alias(f"_u_{c}") for c in cols]
     )

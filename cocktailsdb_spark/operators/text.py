@@ -119,14 +119,14 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def md5_prefix_value(tok: Column, n_hex: int = 4) -> Column:
-    """Integer from the first n hex chars of md5(token) — md5 is the hash
-    both engines share; hex parsing via instr so no engine-specific
-    conversion functions are involved."""
+def md5_prefix_value(tok: Column, n_hex: int = 4, offset: int = 0) -> Column:
+    """Integer from n hex chars of md5(token) starting at ``offset`` — md5
+    is the hash both engines share; hex parsing via instr so no
+    engine-specific conversion functions are involved."""
     h = F.md5(tok)
     v = F.lit(0)
     for i in range(n_hex):
         # F.position accepts Column needles (F.instr wants a Python str)
-        digit = F.position(F.substring(h, i + 1, 1), F.lit(HEXDIGITS)) - 1
+        digit = F.position(F.substring(h, offset + i + 1, 1), F.lit(HEXDIGITS)) - 1
         v = v * 16 + digit
     return v

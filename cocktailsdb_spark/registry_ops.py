@@ -34,7 +34,8 @@ from .constants import (
     QUALITY_W_DIGIT,
     QUALITY_W_LEN,
     QUALITY_W_STOP,
-    SIMHASH_BITS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
 )
 from .operators import dedup, events, multimodal, similarity, text
 from .registry import register
@@ -61,11 +62,13 @@ def _sql_token_value(t: str) -> str:
     )
 
 
-def _sql_md5_prefix_value(t: str, n_hex: int = 4) -> str:
+def _sql_md5_prefix_value(t: str, n_hex: int = 4, offset: int = 0) -> str:
     parts = []
     for i in range(n_hex):
         mult = 16 ** (n_hex - 1 - i)
-        parts.append(f"(strpos('{HEXDIGITS}', substr(md5({t}),{i+1},1))-1)*{mult}")
+        parts.append(
+            f"(strpos('{HEXDIGITS}', substr(md5({t}),{offset + i + 1},1))-1)*{mult}"
+        )
     return "(" + " + ".join(parts) + ")"
 
 
@@ -610,19 +613,35 @@ register(
 
 
 def _sql_simhash_cte() -> str:
-    """CTEs computing the 16-bit simhash per doc (shared by two oracles)."""
+    """CTEs computing the 64-bit simhash (4 × 16-bit bands + packed hex
+    string) per doc — mirrors operators/dedup.py::simhash exactly."""
+    tv_cols = ", ".join(
+        f"{_sql_md5_prefix_value('t', SIMHASH_BAND_BITS // 4, offset=4 * b)} AS v{b}"
+        for b in range(SIMHASH_BANDS)
+    )
     bit_sums = ", ".join(
-        f"sum((({ '(tv >> ' + str(j) + ')' } & 1)*2 - 1)) AS s{j}"
-        for j in range(SIMHASH_BITS)
+        f"sum((((v{b} >> {j}) & 1)*2 - 1)) AS s{b}_{j}"
+        for b in range(SIMHASH_BANDS)
+        for j in range(SIMHASH_BAND_BITS)
     )
-    fp = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    band_exprs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{b}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BAND_BITS)
+        )
+        + f" AS INT) AS band{b}"
+        for b in range(SIMHASH_BANDS)
     )
+    hex_fmt = "%04x" * SIMHASH_BANDS
+    hex_args = ", ".join(f"band{b}" for b in range(SIMHASH_BANDS))
     return f"""
         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        tv AS (SELECT doc_id, {_sql_md5_prefix_value('t')} AS tv FROM tok),
+        tv AS (SELECT doc_id, {tv_cols} FROM tok),
         bs AS (SELECT doc_id, {bit_sums} FROM tv GROUP BY doc_id),
-        fps AS (SELECT doc_id, CAST({fp} AS INT) AS simhash FROM bs)
+        bnd AS (SELECT doc_id, {band_exprs} FROM bs),
+        fps AS (SELECT doc_id, {hex_args},
+                       printf('{hex_fmt}', {hex_args}) AS simhash FROM bnd)
     """
 
 
@@ -634,31 +653,44 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "simhash_fingerprint",
     _q_simhash,
-    f"WITH {_sql_simhash_cte()} SELECT doc_id, simhash FROM fps",
+    f"WITH {_sql_simhash_cte()}"
+    + " SELECT doc_id, "
+    + ", ".join(f"band{b}" for b in range(SIMHASH_BANDS))
+    + ", simhash FROM fps",
 )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — SimHash near-dup candidates via 8-bit banding + hamming filter."""
+    """X2 — SimHash near-dup candidates via 4×16-bit banding (full recall
+    for hamming ≤ 3) + exact hamming filter."""
     return dedup.simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=2)
 
+
+_SIMHASH_BAND_UNION = "\n          UNION ALL\n".join(
+    f"          SELECT doc_id, "
+    + ", ".join(f"band{b}" for b in range(SIMHASH_BANDS))
+    + f", {bid} AS band_id, band{bid} AS band_val FROM fps"
+    for bid in range(SIMHASH_BANDS)
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"bit_count(xor(a{b}, b{b}))" for b in range(SIMHASH_BANDS)
+)
 
 register(
     "simhash_near_dup",
     _q_simhash_pairs,
     f"""WITH {_sql_simhash_cte()},
         bands AS (
-          SELECT doc_id, simhash, 0 AS band_id, simhash % 256 AS band_val FROM fps
-          UNION ALL
-          SELECT doc_id, simhash, 1, simhash // 256 FROM fps),
+{_SIMHASH_BAND_UNION}),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS sa, b.simhash AS sb
+                 {", ".join(f"a.band{b} AS a{b}" for b in range(SIMHASH_BANDS))},
+                 {", ".join(f"b.band{b} AS b{b}" for b in range(SIMHASH_BANDS))}
           FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(sa, sb)) <= 2""",
+        SELECT doc_a, doc_b, CAST({_SIMHASH_HAMMING} AS INT) AS hamming
+        FROM cand WHERE {_SIMHASH_HAMMING} <= 2""",
 )
 
 

@@ -76,12 +76,20 @@ FROM orders WHERE o_totalprice > 300000
 def compact_small_files(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> int:
-    """Small-files compaction: rewrite a parquet directory into
+    """Small-files compaction IN PLACE: rewrite a parquet directory into
     size-targeted files (total bytes / target). The streaming/incremental
     sinks append one file per micro-batch — at scale the resulting
     million-file directories destroy scan planning; periodic compaction is
-    part of the sink contract. Returns the new file count."""
+    part of the sink contract.
+
+    The compacted copy is staged to a sibling directory, verified
+    (row-count parity), then swapped into ``path`` via two renames —
+    readers of ``path`` keep seeing a complete directory, and the original
+    survives until the swap commits. Returns the new file count."""
+    import shutil
+
     df = spark.read.parquet(path)
+    n_rows_before = df.count()
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -89,8 +97,14 @@ def compact_small_files(
         if f.endswith(".parquet")
     )
     n_files = max(1, total // (target_file_mb * 1024 * 1024))
-    tmp = path.rstrip("/") + "_compacted"
+    base = path.rstrip("/")
+    tmp = base + "_compacting"
+    old = base + "_precompact"
     df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.count()
+    if spark.read.parquet(tmp).count() != n_rows_before:  # paranoia gate
+        shutil.rmtree(tmp)
+        raise RuntimeError(f"compaction row-count mismatch for {path}")
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
     return int(n_files)

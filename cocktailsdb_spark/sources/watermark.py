@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,11 +30,19 @@ class WatermarkStore:
         self.path = path
 
     def read(self, spark: SparkSession) -> dict[str, dt.datetime]:
-        """S9 — marks as a small driver-side dict (the table is O(#sources))."""
+        """S9 — marks as a small driver-side dict (the table is O(#sources)).
+
+        ONLY the missing-path (first run) case maps to {}; a corrupt or
+        unreadable control table re-raises. Swallowing it would silently
+        reset every high-water mark and make the next incremental run
+        re-ingest full history into the append sink (duplicate rows)."""
         try:
             rows = spark.read.schema(WATERMARKS).parquet(self.path).collect()
-        except Exception:
-            return {}
+        except AnalysisException as e:
+            cond = getattr(e, "getCondition", e.getErrorClass)() or ""
+            if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e):
+                return {}  # first run: no control table yet
+            raise
         return {r["source"]: r["high_water_mark"] for r in rows}
 
     def write(self, spark: SparkSession, marks: dict[str, dt.datetime]) -> None:

@@ -40,10 +40,12 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
     assert n_before == 24
     n_target = formats.compact_small_files(spark, path, target_file_mb=128)
-    compacted = path + "_compacted"
-    n_after = sum(f.endswith(".parquet") for f in os.listdir(compacted))
+    # compaction swaps in place: SAME path now holds the compacted files
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
     assert n_after == n_target == 1  # tiny fixture → single file
-    assert spark.read.parquet(compacted).count() == load(spark, sf_dir, "events").count()
+    assert spark.read.parquet(path).count() == load(spark, sf_dir, "events").count()
+    assert not os.path.exists(path + "_precompact")  # staging dirs cleaned up
+    assert not os.path.exists(path + "_compacting")
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):

@@ -45,3 +45,17 @@ def test_merge_update_row_wins_including_nulls(spark):
     assert out[1]["name"] is None and out[1]["price"] == 11.0  # whole row wins
     assert out[2]["name"] == "keep" and out[2]["price"] == 20.0
     assert out[3]["name"] == "new"
+
+
+def test_merge_duplicate_update_keys_collapse_deterministically(spark):
+    current = spark.createDataFrame([(1, "old", 10.0)], "id long, name string, price double")
+    updates = spark.createDataFrame(
+        [(1, "dup_a", 11.0), (1, "dup_b", 12.0), (2, "n", 1.0), (2, "n", 2.0)],
+        "id long, name string, price double",
+    )
+    out = {r["id"]: r for r in scd.merge_upsert(current, updates, "id").collect()}
+    # duplicate update keys collapse to ONE row (no full-outer fan-out)
+    assert len(out) == 2
+    # deterministic winner: greatest under (name DESC, price DESC)
+    assert out[1]["name"] == "dup_b" and out[1]["price"] == 12.0
+    assert out[2]["price"] == 2.0

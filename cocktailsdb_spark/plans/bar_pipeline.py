@@ -7,14 +7,19 @@ documented §3.4 fixes: explicit schemas/parameters (no inferred col_names,
 no cross-function locals), watermark advance AFTER the sink, latest-wins
 dedup keyed on idDrink.
 
-Storage: parquet directories under a base path ("tables" global_sales /
-bar_stock / cocktails / poc_analysis) — the saveAsTable analog without
-needing a metastore. At scale global_sales would be partitioned by
-to_date(dateOfSale) so the watermark filter partition-prunes.
+Storage: real catalog tables (``saveAsTable``) in a per-base database whose
+LOCATION is the base path, so the physical layout stays plain parquet
+directories (global_sales / bar_stock / cocktails / poc_analysis) readable
+without the catalog too. S6 sink_append = append-mode saveAsTable;
+S8 sink_ctas = overwrite-mode saveAsTable of the PoC result (the direct
+analog of poc_tables.sql:3's CREATE TABLE AS). At scale global_sales would
+be partitioned by to_date(dateOfSale) so the watermark filter
+partition-prunes.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +32,62 @@ from ..sources.http_source import Transport, fetch_df, http_transport
 from ..sources.watermark import DEFAULT_MARK, WatermarkStore
 
 SOURCE_BARS = ("budapest", "london", "new york")
+
+
+def bar_db_name(base_dir: str) -> str:
+    """Catalog database for one pipeline instance — name derived from the
+    base path so concurrent instances (tests, parity runs) never collide
+    in the shared session catalog."""
+    return "bar_" + hashlib.md5(base_dir.encode("utf-8")).hexdigest()[:8]
+
+
+def _ensure_bar_db(spark: SparkSession, base_dir: str) -> str:
+    db = bar_db_name(base_dir)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{base_dir}'")
+    return db
+
+
+def _attach_table(spark: SparkSession, db: str, name: str, base_dir: str) -> bool:
+    """Re-attach a table directory written by an earlier process to this
+    session's catalog (metadata-only). True iff the table is now queryable."""
+    full = f"{db}.{name}"
+    if spark.catalog.tableExists(full):
+        return True
+    loc = os.path.join(base_dir, name)
+    if not os.path.isdir(loc):
+        return False
+    ddl = ", ".join(f"{n} {t}" for n, t in spark.read.parquet(loc).dtypes)
+    spark.sql(f"CREATE TABLE {full} ({ddl}) USING parquet LOCATION '{loc}'")
+    return True
+
+
+def _write_table(
+    spark: SparkSession,
+    df: DataFrame,
+    db: str,
+    name: str,
+    base_dir: str,
+    append: bool,
+) -> None:
+    """Sink one table with S6 (append) / S8 (overwrite-CTAS) semantics,
+    robust to a FRESH process re-running over an existing base_dir (the
+    incremental-load scenario): data directories left by an earlier
+    process are re-attached to the catalog (append history) or replaced
+    (overwrite deriveds) instead of tripping LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    full = f"{db}.{name}"
+    loc = os.path.join(base_dir, name)
+    if not spark.catalog.tableExists(full) and os.path.isdir(loc):
+        if append:
+            _attach_table(spark, db, name, base_dir)  # keep the history
+        else:
+            shutil.rmtree(loc)  # derived table: overwrite rebuilds it
+    if spark.catalog.tableExists(full):
+        cols = spark.table(full).columns  # insertInto matches by position
+        df.select(*cols).write.insertInto(full, overwrite=not append)
+    else:
+        df.write.saveAsTable(full)
 
 
 def process_bar_data(spark: SparkSession, path: str) -> DataFrame:
@@ -134,6 +195,34 @@ def poc_analysis_bar(
     return spark.sql(POC_SQL)
 
 
+def _merge_cocktails_dim(
+    spark: SparkSession, db: str, base_dir: str, fresh: DataFrame
+) -> DataFrame:
+    """Dimension maintenance: an incremental run only fetches API records
+    for drinks in the NEW sales slice, so the dim must be merged with the
+    stored table, not overwritten from the slice (which would wipe it on a
+    0-row run). The reference appends blindly (build_database.py:252,
+    accumulating duplicate idDrinks across runs); the engine's fix is a
+    latest-wins merge on idDrink — same records, no duplicates. The merged
+    dim is staged to a sibling parquet dir first so the overwrite never
+    reads the table it is replacing (the caller cleans the staging dir
+    after the sink commits)."""
+    full = f"{db}.cocktails"
+    loc = os.path.join(base_dir, "cocktails")
+    if spark.catalog.tableExists(full):
+        existing = spark.table(full)
+    elif os.path.isdir(loc):
+        existing = spark.read.parquet(loc)  # written by an earlier process
+    else:
+        return fresh
+    merged = latest_wins(
+        existing.unionByName(fresh), ["idDrink"], ["dateModified", "strDrink"]
+    )
+    staged = os.path.join(base_dir, "_cocktails_staged")
+    merged.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
 def build_database(
     spark: SparkSession,
     base_dir: str,
@@ -146,26 +235,46 @@ def build_database(
     """The whole main() (build_database.py:227-253) + PoC CTAS.
 
     Write order (§3.4 fix): sinks commit, THEN watermarks advance.
-    Returns the materialized poc_analysis DataFrame."""
-    store = WatermarkStore(os.path.join(base_dir, "last_update"))
+    All four tables are catalog tables (S6 append / S8 CTAS-overwrite
+    semantics); returns the materialized poc_analysis table.
 
-    stock = process_bar_data(spark, bar_data_path)
+    No-new-data runs short-circuit: when no source advanced its watermark
+    (strict-`>` filter admitted zero rows everywhere) and all four tables
+    already exist, the stored poc_analysis is returned without rewriting
+    anything — the incremental protocol's whole point."""
+    store = WatermarkStore(os.path.join(base_dir, "last_update"))
+    db = _ensure_bar_db(spark, base_dir)
+
+    marks_before = store.read(spark)
     sales, new_marks = process_sales_data(
         spark, budapest_path, london_path, ny_path, store
     )
+    if marks_before and new_marks == marks_before and all(
+        _attach_table(spark, db, t, base_dir)
+        for t in ("global_sales", "bar_stock", "cocktails", "poc_analysis")
+    ):
+        return spark.table(f"{db}.poc_analysis")
+
+    stock = process_bar_data(spark, bar_data_path)
     cocktails = query_cocktail_data(spark, sales, transport)
 
-    sales.write.mode("append").parquet(os.path.join(base_dir, "global_sales"))
-    stock.write.mode("overwrite").parquet(os.path.join(base_dir, "bar_stock"))
-    cocktails.write.mode("overwrite").parquet(os.path.join(base_dir, "cocktails"))
+    _write_table(spark, sales, db, "global_sales", base_dir, append=True)  # S6
+    _write_table(spark, stock, db, "bar_stock", base_dir, append=False)
+    cocktails = _merge_cocktails_dim(spark, db, base_dir, cocktails)
+    _write_table(spark, cocktails, db, "cocktails", base_dir, append=False)
+    staged = os.path.join(base_dir, "_cocktails_staged")
+    if os.path.isdir(staged):
+        import shutil
+
+        shutil.rmtree(staged)
     store.write(spark, new_marks)  # only after the sinks committed
 
-    all_sales = spark.read.parquet(os.path.join(base_dir, "global_sales"))
     poc = poc_analysis_bar(
         spark,
-        all_sales,
-        spark.read.parquet(os.path.join(base_dir, "bar_stock")),
-        spark.read.parquet(os.path.join(base_dir, "cocktails")),
+        spark.table(f"{db}.global_sales"),
+        spark.table(f"{db}.bar_stock"),
+        spark.table(f"{db}.cocktails"),
     )
-    poc.write.mode("overwrite").parquet(os.path.join(base_dir, "poc_analysis"))
-    return spark.read.parquet(os.path.join(base_dir, "poc_analysis"))
+    # S8 sink_ctas: CREATE TABLE AS with overwrite semantics
+    _write_table(spark, poc, db, "poc_analysis", base_dir, append=False)
+    return spark.table(f"{db}.poc_analysis")

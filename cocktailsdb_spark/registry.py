@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans import poc_analysis as _poc
+from .plans import reference_parity as _refpar
 from .plans import tpch as _tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -30,6 +31,9 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 # --- flagship + analytical plans (SURVEY.md §3.2, §2.3-§2.6) ---------------
 register("poc_analysis", _poc.poc_analysis, _poc.ORACLE_SQL)
+register(
+    "reference_parity_poc", _refpar.reference_parity_poc, _refpar.REFERENCE_POC_SQL
+)
 register("tpch_q1_pricing", _tpch.q1_pricing_summary, _tpch.Q1_SQL)
 register("tpch_q3_shipping_priority", _tpch.q3_shipping_priority, _tpch.Q3_SQL)
 register("tpch_q5_local_supplier", _tpch.q5_local_supplier_volume, _tpch.Q5_SQL)

@@ -39,7 +39,7 @@ from .constants import (
 )
 from .operators import dedup, events, multimodal, similarity, text
 from .registry import register
-from .sources.http_source import fake_transport, fetch_df
+from .sources.http_source import fake_transport, fetch_df, fetch_distributed
 from .sources.watermark import WatermarkStore, incremental_load
 from .streaming import stream_queries
 from .tables import load, register_views
@@ -1050,6 +1050,34 @@ register(
        FROM dd WHERE rn = 1""",
 )
 
+
+def _q_http_dim_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 scale path — the SAME dimension pipeline through
+    ``fetch_distributed`` (mapInPandas): the key set stays a DataFrame, each
+    partition performs its own fetches, nothing funnels through the driver.
+    Shares http_dim_pipeline's oracle — identical output by construction."""
+    part = load(spark, sf_dir, "part")
+    keys = part.select(F.col("p_name").alias("key")).distinct().repartition(8)
+    raw = fetch_distributed(keys, transport=fake_transport)
+    dd = dedup.latest_wins(raw, ["idDrink"], ["dateModified", "strDrink"])
+    return conform.lowercase_strings(dd).select(
+        "idDrink", "strDrink", "strCategory", "strIBA",
+        "strAlcoholic", "strGlass", "dateModified",
+    )
+
+
+register(
+    "http_dim_distributed",
+    _q_http_dim_distributed,
+    f"""WITH {HTTP_RECS_CTE},
+       dd AS (SELECT *, row_number() OVER (
+                  PARTITION BY idDrink
+                  ORDER BY dateModified DESC, strDrink DESC) AS rn FROM recs)
+       SELECT idDrink, lower(strDrink) AS strDrink, strCategory, strIBA,
+              strAlcoholic, strGlass, dateModified
+       FROM dd WHERE rn = 1""",
+)
+
 # ===========================================================================
 # S9/S10 — incremental watermark protocol (batch)
 # ===========================================================================
@@ -1090,20 +1118,43 @@ register(
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec multimodal pipeline: synthesize PNG/WAV/GIF payloads
+    (bytes real decoders accept), then decode + feature-extract via
+    mapInPandas. The oracle PREDICTS every feature from doc_id using the
+    generation formulas — the decode must invert the encode to match."""
     d = load(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.media_from_documents(d))
+    return multimodal.extract_features(multimodal.synth_media(d))
 
+
+_MM_MEAN_LUMA = sql_qround(
+    "list_avg(list_transform(range(0, (doc_id * 7) % 48 + 16), "
+    "y -> CAST((y + doc_id) % 256 AS DOUBLE)))",
+    4,
+)
+_MM_THUMB_MEAN = sql_qround(
+    "list_avg(list_transform(range(0, 8), "
+    "y -> CAST(((y * ((doc_id * 7) % 48 + 16)) // 8 + doc_id) % 256 AS DOUBLE)))",
+    4,
+)
 
 register(
     "multimodal_features",
     _q_multimodal,
-    """SELECT doc_id AS media_id,
+    f"""SELECT doc_id AS media_id,
               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                    ELSE 'video' END AS kind,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
-              CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
-              sha256(text) AS checksum
+              CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 64 + 16 AS INT)
+                   WHEN 2 THEN CAST(doc_id % 32 + 8 AS INT) END AS width,
+              CASE doc_id % 3 WHEN 0 THEN CAST((doc_id * 7) % 48 + 16 AS INT)
+                   WHEN 2 THEN CAST((doc_id * 5) % 32 + 8 AS INT) END AS height,
+              CASE doc_id % 3 WHEN 0 THEN CAST(1 AS INT)
+                   WHEN 2 THEN CAST(doc_id % 7 + 1 AS INT) END AS n_frames,
+              CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+              CASE WHEN doc_id % 3 = 1
+                   THEN CAST(((doc_id % 50 + 1) * 80 * 1000) // 8000 AS INT)
+              END AS duration_ms,
+              CASE WHEN doc_id % 3 = 0 THEN {_MM_MEAN_LUMA} END AS mean_luma,
+              CASE WHEN doc_id % 3 = 0 THEN {_MM_THUMB_MEAN} END AS thumb_mean
        FROM documents""",
 )
 

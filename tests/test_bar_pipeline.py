@@ -69,6 +69,18 @@ def test_poc_semantics(built):
             assert r["comment"] == "POTENTIAL ISSUE"
 
 
+def test_poc_ctas_registered_in_catalog(spark, built):
+    """S8 — poc_analysis is a real catalog table (CTAS + overwrite), and
+    the returned DataFrame IS that table."""
+    base, poc = built
+    db = bar_pipeline.bar_db_name(base)
+    for t in ("global_sales", "bar_stock", "cocktails", "poc_analysis"):
+        assert spark.catalog.tableExists(f"{db}.{t}"), t
+    tbl = spark.table(f"{db}.poc_analysis")
+    assert sorted(tbl.columns) == sorted(poc.columns)
+    assert tbl.count() == poc.count()
+
+
 def test_cocktails_latest_wins(spark, built):
     base, _ = built
     cocktails = spark.read.parquet(os.path.join(base, "cocktails"))
@@ -106,7 +118,7 @@ def test_strict_gt_watermark_new_rows_only(spark, built, bar_fixtures, tmp_path)
     with gzip.open(newer, "wt") as f:
         f.write(",TS,ital,költség\n")
         f.write(f"0,{max_iso},Mojito,3.5\n")  # AT the mark → excluded
-        f.write("1,2020-12-27 09:00:00,Negroni,6.0\n")  # after → loaded
+        f.write("1,2020-12-27 09:00:00,Spritz,6.0\n")  # after → loaded
     before = spark.read.parquet(os.path.join(base, "global_sales")).count()
     bar_pipeline.build_database(
         spark,
@@ -120,3 +132,10 @@ def test_strict_gt_watermark_new_rows_only(spark, built, bar_fixtures, tmp_path)
     after = spark.read.parquet(os.path.join(base, "global_sales")).count()
     assert after == before + 1
     assert store.read(spark)["budapest"].strftime("%Y-%m-%d %H:%M:%S") == "2020-12-27 09:00:00"
+    # dim maintenance: the incremental slice only contained 'spritz', but
+    # the cocktails dim keeps earlier drinks (latest-wins MERGE, not a
+    # wipe-and-replace from the slice)
+    cocktails = spark.read.parquet(os.path.join(base, "cocktails"))
+    kept = {r["strDrink"] for r in cocktails.select("strDrink").collect()}
+    assert "mojito" in kept and "spritz" in kept
+    assert cocktails.groupBy("idDrink").count().filter("count > 1").count() == 0

@@ -52,13 +52,22 @@ BENCH_QUERIES = [
     "json_extract_props",
     "multimodal_features",
     "http_dim_pipeline",
+    # round-2 additions
+    "sessionize_skew_chunked",
+    "topk_per_group_limit",
+    "chunk_documents",
+    "pack_sequences",
+    "decontaminate_ngrams",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # optional subset, e.g. the TPC-H headliners for the sf1 scaling run
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    bench_queries = only.split(",") if only else BENCH_QUERIES
 
     import __spark_entry__ as entrymod
 
@@ -73,7 +82,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = queries[name]
         # best of 2: the VM's noisy-neighbor variance swings single runs
         # 3x; the min is the honest compute cost of the plan

@@ -1,0 +1,130 @@
+"""Training-corpus preparation operators (north_star §X4 extension): the
+ops an LLM data pipeline runs between "cleaned documents" and "training
+batches" — chunking, vocabulary build, sequence packing, deterministic
+stratified sampling, and benchmark decontamination.
+
+All five are pure JVM-side DataFrame programs (split / higher-order array
+functions / windows — no Python in the hot path) with exact DuckDB twins
+in registry_ops.py. Scale notes per op; none shuffles more than once
+except the decontamination candidate join (inverted-index equi-join, the
+same shape as the near-dup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tables import spread
+from .dedup import shingles
+from .text import md5_prefix_value, tokens
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+PACK_BUDGET = 2048
+SAMPLE_RATES = {"en": 1.0, "de": 0.75, "es": 0.5, "fr": 0.5, "zh": 0.25}
+DECON_NGRAM = 8
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunking (context-window prep): chunk c
+    starts at token c·stride and carries ≤ ``size`` tokens; every token
+    belongs to ≥1 chunk. posexplode over a JVM-computed start sequence —
+    the explode multiplies rows ~n/stride ×, which is why ``spread``
+    pre-partitions the scan."""
+    tk = tokens()
+    n = F.size(tk)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return (
+        spread(docs)
+        .select("doc_id", "lang", "text", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(tokens(), F.col("start"), size)).alias("chunk_text"),
+            F.size(F.slice(tokens(), F.col("start"), size)).alias("n_tokens"),
+        )
+    )
+
+
+def vocab_top_terms(docs: DataFrame, top_n: int = 1000, min_count: int = 2) -> DataFrame:
+    """Vocabulary build: term frequencies over the whole corpus, top-N by
+    count with lexical tiebreak. Map-side partial counts make the shuffle
+    carry one row per (partition, distinct term), not per token."""
+    return (
+        spread(docs)
+        .select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-then-cut sequence packing (GPT-style pretraining batches):
+    documents are laid end-to-end in doc_id order; each doc's global token
+    offset is the exclusive prefix sum, and its training bin is
+    offset // budget. One window over a single global ordering — at 100 TB
+    the ordering column becomes (shard_id, doc_id) so each shard packs
+    independently; the per-shard plan is this one."""
+    n_tok = F.size(tokens())
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("start_offset"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / budget).cast("bigint").alias("bin_id"),
+        (F.col("start_offset") % budget).alias("offset_in_bin"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling (corpus mixing): keep a
+    doc iff uniform(md5(doc_id)) < rate(lang). Hash sampling (not rand())
+    so reruns/retries agree row-for-row on any cluster — the property that
+    makes sampled pipelines idempotent. Rows keep no state; scales as a
+    pure filter."""
+    rates = SAMPLE_RATES if rates is None else rates
+    u = md5_prefix_value(F.col("doc_id").cast("string"), 4) / F.lit(float(16**4))
+    rate = None
+    for lang, r in rates.items():
+        rate = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if rate is None
+            else rate.when(F.col("lang") == lang, F.lit(r))
+        )
+    return docs.filter(u < rate.otherwise(F.lit(0.0))).select("doc_id", "lang", "source")
+
+
+def decontaminate(
+    docs: DataFrame, n: int = DECON_NGRAM, bench_mod: int = 25
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥1 ``n``-gram
+    with the benchmark set (here: doc_id % bench_mod == 0 stands in for the
+    eval suite). Candidate generation is an inverted-index equi-join on the
+    shingle — identical shape to the near-dup family, no cross join; the
+    benchmark side is tiny, so at scale it broadcast-joins. Output: each
+    contaminated doc with how many benchmark docs it collides with."""
+    sh = spread(docs).select(
+        "doc_id", F.explode(shingles(tokens(), n)).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_id").alias("n_bench_hits"))
+    )

@@ -69,6 +69,77 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     )
 
 
+def sessionize_chunked(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    chunk_sec: int = 86400,
+) -> DataFrame:
+    """Skew-resistant sessionization, output-identical to :func:`sessionize`.
+
+    A plain user_id window serializes each user's whole history through
+    ONE task — a hot user owning 20% of a 100 TB stream becomes a 20 TB
+    straggler (and AQE skew handling does not apply to window exchanges,
+    only joins). Two-phase fix:
+
+    1. Sessionize within ``(user_id, time-chunk)`` — the hot user's
+       timeline is spread over #chunks parallel tasks. Chunking by time is
+       the only valid \"salt\" for an order-dependent scan: rows that could
+       belong to one session are either in the same chunk or in adjacent
+       ones, never scattered.
+    2. Re-apply the SAME gap rule over the per-chunk session *intervals*
+       (ordered by start per user, merge when ``start - prev_end <= gap``)
+       — exact because local sessions are disjoint and the only possible
+       under-split is at chunk boundaries, where the inter-session gap
+       equals the inter-event gap. Phase-2 data is smaller by the
+       events-per-session ratio, so its per-user window is no longer a
+       straggler at any realistic skew.
+
+    Partial sums stay DECIMAL through phase 2 (exact re-aggregation), so
+    sum_value is bit-identical to the single-window form.
+    """
+    from ..numeric import DEC
+
+    ts_sec = F.col("ts").cast("double")
+    chunk = F.floor(ts_sec / chunk_sec)
+    w1 = Window.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    prev = F.lag(ts_sec).over(w1)
+    new_sess = F.when(prev.isNull() | ((ts_sec - prev) > gap_sec), 1).otherwise(0)
+    local = (
+        events.withColumn("_chunk", chunk)
+        .withColumn(
+            "_sess",
+            F.sum(new_sess).over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "_chunk", "_sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("_val"),  # stay decimal
+        )
+    )
+    # phase 2: gap rule over the interval list (tiny vs the event stream)
+    w2 = Window.partitionBy("user_id").orderBy("session_start")
+    prev_end = F.lag(F.col("session_end").cast("double")).over(w2)
+    start_sec = F.col("session_start").cast("double")
+    new_merged = F.when(
+        prev_end.isNull() | ((start_sec - prev_end) > gap_sec), 1
+    ).otherwise(0)
+    return (
+        local.withColumn(
+            "session_no",
+            F.sum(new_merged).over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("_val").cast("double").alias("sum_value"),
+        )
+    )
+
+
 def asof_latest(
     events: DataFrame,
     left_type: str = "purchase",

@@ -37,7 +37,7 @@ from .constants import (
     SIMHASH_BAND_BITS,
     SIMHASH_BANDS,
 )
-from .operators import dedup, events, multimodal, similarity, text
+from .operators import corpus, dedup, events, multimodal, similarity, text
 from .registry import register
 from .sources.http_source import fake_transport, fetch_df, fetch_distributed
 from .sources.watermark import WatermarkStore, incremental_load
@@ -994,6 +994,16 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def _q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — the skew-resistant two-phase sessionize (chunked window +
+    interval merge); output-identical to sessionize_events, checked
+    against the same lag-based SQL oracle. Skew evidence: tests/test_skew.py."""
+    return events.sessionize_chunked(load(spark, sf_dir, "events"))
+
+
+register("sessionize_skew_chunked", _q_sessionize_chunked, SESSIONIZE_SQL)
+
+
 def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window — oracle is the composed lag-based definition,
     cross-validating Spark's stateful operator against plain SQL."""
@@ -1167,6 +1177,163 @@ register(
     "streaming_session_window",
     stream_queries.streaming_session_window,
     SESSION_WINDOW_SQL,
+)
+register(
+    "streaming_interval_join",
+    stream_queries.streaming_interval_join,
+    stream_queries.STREAM_INTERVAL_JOIN_SQL,
+)
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: row_number + rank filter. The
+    filter on rn is pushed INTO the window as a WindowGroupLimit (asserted
+    in tests/test_plans.py) — each partition keeps a 3-element heap during
+    the sort instead of ranking every row; at 100 TB that's the difference
+    between a top-k scan and a full per-key sort."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+register(
+    "topk_per_group_limit",
+    _q_topk_per_group,
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+
+
+def _q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of order totals
+    per status — the mergeable-sketch path for quantiles at 100 TB (exact
+    quantiles need a full sort; the sketch is one aggregate). Rows-only:
+    sketch internals differ per engine; the ≤1% rank-error bound against
+    the exact quantiles is pytest-asserted (tests/test_relational.py)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.count("*").alias("n"),
+    ).select(
+        "o_orderstatus",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p95"),
+        F.col("pcts")[2].alias("p99"),
+        "n",
+    )
+
+
+register("approx_percentile_price", _q_approx_percentile, None)  # rows-only: sketch
+
+
+# ===========================================================================
+# training-corpus preparation (operators/corpus.py)
+# ===========================================================================
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+register(
+    "chunk_documents",
+    _q_chunk_documents,
+    f"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        s AS (SELECT doc_id, lang, tk,
+                     unnest(range(1, greatest(len(tk), 1) + 1, {corpus.CHUNK_STRIDE}))
+                       AS start
+              FROM t)
+        SELECT doc_id, lang,
+               CAST((start - 1) // {corpus.CHUNK_STRIDE} AS INT) AS chunk_id,
+               array_to_string(tk[start : start + {corpus.CHUNK_SIZE - 1}], ' ')
+                 AS chunk_text,
+               CAST(len(tk[start : start + {corpus.CHUNK_SIZE - 1}]) AS INT)
+                 AS n_tokens
+        FROM s""",
+)
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.vocab_top_terms(load(spark, sf_dir, "documents"))
+
+
+register(
+    "vocab_top_terms",
+    _q_vocab,
+    """SELECT term, count(*) AS n
+       FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       GROUP BY term HAVING count(*) >= 2
+       ORDER BY n DESC, term LIMIT 1000""",
+)
+
+
+def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_sequences(load(spark, sf_dir, "documents"))
+
+
+register(
+    "pack_sequences",
+    _q_pack,
+    f"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+        o AS (SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start_offset
+              FROM t)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(start_offset // {corpus.PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST(start_offset % {corpus.PACK_BUDGET} AS BIGINT) AS offset_in_bin
+        FROM o""",
+)
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.stratified_sample(load(spark, sf_dir, "documents"))
+
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {r}" for lg, r in corpus.SAMPLE_RATES.items())
+    + " ELSE 0.0 END"
+)
+
+register(
+    "stratified_sample",
+    _q_stratified,
+    f"""SELECT doc_id, lang, source FROM documents
+        WHERE ({_sql_md5_prefix_value("CAST(doc_id AS VARCHAR)")} / 65536.0)
+              < {_RATE_CASE}""",
+)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.decontaminate(load(spark, sf_dir, "documents"))
+
+
+register(
+    "decontaminate_ngrams",
+    _q_decontaminate,
+    f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tk[i:i+{corpus.DECON_NGRAM - 1}], ' ')
+                  for i in range(1, len(tk) - {corpus.DECON_NGRAM - 2})])) AS shingle
+               FROM toks),
+        bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 25 = 0),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 25 <> 0)
+        SELECT doc_id, count(DISTINCT bench_id) AS n_bench_hits
+        FROM train JOIN bench USING (shingle) GROUP BY doc_id""",
 )
 
 

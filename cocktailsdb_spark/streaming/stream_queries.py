@@ -233,6 +233,77 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with event-time interval bounds: clicks
+    joined to the same user's purchases within [click_ts, click_ts+30min].
+
+    Both sides are real file streams with watermarks; the time-range
+    predicate is what lets Spark bound the join state (each side's rows
+    are dropped once the opposite watermark passes their interval) — the
+    canonical funnel/attribution topology. Inner stream-stream joins emit
+    matches as they arrive, so the complete output equals the batch
+    interval join exactly (the DuckDB oracle)."""
+    name = "stream_ij_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_ij_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    # each shuffle partition owns FOUR state stores (two sides × key/value
+    # watermark state); at local fixture scale 8 partitions cuts the fixed
+    # store setup 4× — on a real cluster this knob is sized to the stream's
+    # key cardinality, not the CPU count
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    base = _events_stream(spark, input_dir + "/*")
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, input_dir + "/*")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        "click_ts", "purchase_ts",
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def streaming_incremental_append(
     spark: SparkSession, source_dir: str, sink_dir: str, checkpoint_dir: str
 ) -> None:

@@ -1,0 +1,70 @@
+"""Corpus-prep operator semantics pinned on constructed fixtures (the
+DuckDB oracles check them end-to-end on the documents table; these tests
+pin the edge cases oracles share with the Spark side)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocktailsdb_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(100)), "en", "s"),   # 100 tokens
+        (1, "a b c", "de", "s"),                                  # < chunk size
+        (25, " ".join(f"t{i}" for i in range(10)), "en", "s"),    # bench doc
+        (26, " ".join(f"t{i}" for i in range(10)), "fr", "s"),    # contaminated
+        (27, "x y z w q r s u v w2", "zh", "s"),                  # clean
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_chunking_covers_all_tokens_with_overlap(tiny_docs):
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in corpus.chunk_documents(tiny_docs, size=64, stride=48).collect()
+    }
+    # 100 tokens, stride 48 → starts at 0/48/96 → 3 chunks of 64/52/4
+    assert [chunks[(0, i)]["n_tokens"] for i in range(3)] == [64, 52, 4]
+    assert chunks[(0, 1)]["chunk_text"].split(" ")[0] == "t48"  # overlap
+    # short doc → exactly one whole-doc chunk
+    assert chunks[(1, 0)]["n_tokens"] == 3 and chunks[(1, 0)]["chunk_text"] == "a b c"
+    assert (1, 1) not in chunks
+
+
+def test_packing_offsets_are_exclusive_prefix_sums(tiny_docs):
+    out = {r["doc_id"]: r for r in corpus.pack_sequences(tiny_docs, budget=50).collect()}
+    assert out[0]["start_offset"] == 0 and out[0]["bin_id"] == 0
+    assert out[1]["start_offset"] == 100 and out[1]["bin_id"] == 2
+    assert out[25]["start_offset"] == 103 and out[25]["offset_in_bin"] == 3
+    assert out[26]["start_offset"] == 113
+    assert out[27]["start_offset"] == 123
+
+
+def test_stratified_sample_deterministic_and_rate_ordered(spark):
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w").alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+        F.lit("s").alias("source"),
+    )
+    a = {r["doc_id"] for r in corpus.stratified_sample(docs).collect()}
+    b = {r["doc_id"] for r in corpus.stratified_sample(docs).collect()}
+    assert a == b  # hash sampling: identical across runs
+    n_en = sum(1 for d in a if d % 2 == 0)
+    n_zh = sum(1 for d in a if d % 2 == 1)
+    assert n_en == 1000  # rate 1.0 keeps everything
+    assert 150 <= n_zh <= 350  # rate 0.25 of 1000, hash-uniform
+
+
+def test_decontamination_flags_shared_ngrams_only(tiny_docs):
+    out = {r["doc_id"]: r["n_bench_hits"] for r in corpus.decontaminate(tiny_docs).collect()}
+    # benchmark set = doc_id % 25 == 0 → docs 0 and 25. Train doc 26
+    # duplicates 25's text AND shares its 8-grams with 0 (t0..t9 is a
+    # prefix of 0's t0..t99 — substring contamination) → 2 distinct bench
+    # hits. 1 (too short for an 8-gram) and 27 (disjoint tokens) are clean.
+    assert out == {26: 2}

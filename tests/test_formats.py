@@ -54,3 +54,21 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert err <= 0.05, f"{r['event_type']}: {err:.3f}"
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """GK-sketch percentiles: each reported value must sit within ±1% RANK
+    of the requested quantile (the sketch's accuracy contract at 10k)."""
+    approx = {r["o_orderstatus"]: r for r in QUERIES["approx_percentile_price"](spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders")
+    for status, r in approx.items():
+        prices = sorted(
+            x["o_totalprice"]
+            for x in orders.filter(F.col("o_orderstatus") == status).collect()
+        )
+        n = len(prices)
+        assert r["n"] == n
+        for q, val in ((0.5, r["p50"]), (0.95, r["p95"]), (0.99, r["p99"])):
+            lo = prices[max(0, int((q - 0.01) * n) - 1)]
+            hi = prices[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= val <= hi, f"{status} q={q}: {val} not in [{lo}, {hi}]"

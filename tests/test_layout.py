@@ -66,6 +66,41 @@ def test_range_sorted_layout_has_disjoint_file_ranges(spark, sf_dir):
     assert total == load(spark, sf_dir, "lineitem").count()
 
 
+def test_zorder_layout_skips_on_both_columns(spark, sf_dir):
+    """Z-ordering must give footer-stats skipping on BOTH interleaved
+    columns — the property a single-column sort cannot provide."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = layout.zorder_write(spark, sf_dir)
+    files = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        cols = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        rng = {}
+        for c in ("l_partkey", "l_suppkey"):
+            stats = [
+                md.row_group(g).column(cols[c]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            rng[c] = (min(s.min for s in stats), max(s.max for s in stats))
+        files.append(rng)
+    assert len(files) >= 8
+    li = load(spark, sf_dir, "lineitem")
+    maxes = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    # a quarter-domain band predicate on EACH column must prune files on
+    # min/max footer stats alone
+    for col, mx in (("l_partkey", maxes[0]), ("l_suppkey", maxes[1])):
+        lo, hi = mx // 4, mx // 2  # (25%, 50%] band
+        hit = sum(1 for f in files if f[col][0] <= hi and f[col][1] >= lo)
+        assert hit <= len(files) * 0.7, f"{col}: {hit}/{len(files)} files hit"
+    # and the layout preserves every row
+    assert spark.read.parquet(path).count() == li.count()
+
+
 def test_salted_groupby_equals_direct(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     direct = {

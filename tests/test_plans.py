@@ -70,6 +70,15 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    from cocktailsdb_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["topk_per_group_limit"](spark, sf_dir))
+    # rn <= 3 must be pushed into the window operator: each partition keeps
+    # a bounded heap instead of ranking every row (full per-key sort)
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_tumbling_partial_aggregation(spark, sf_dir):
     from cocktailsdb_spark.operators import events as ev
 

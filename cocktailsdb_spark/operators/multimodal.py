@@ -152,18 +152,19 @@ def resize_nearest(rows: list[bytes], out_w: int, out_h: int) -> list[bytes]:
 
 
 def encode_wav(doc_id: int) -> bytes:
-    """Mono 16-bit PCM at AUDIO_RATE; sample i = ((i*13 + doc_id) % 1000) - 500."""
+    """Mono 16-bit PCM at AUDIO_RATE; sample i = ((i*13 + doc_id) % 1000) - 500.
+    Samples vectorized through numpy — per-sample struct.pack was the
+    encode hot spot at bench scale."""
+    import numpy as np
+
     n = _audio_n_samples(doc_id)
+    samples = ((np.arange(n, dtype=np.int64) * 13 + doc_id) % 1000 - 500).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
         wv.setnchannels(1)
         wv.setsampwidth(2)
         wv.setframerate(AUDIO_RATE)
-        wv.writeframes(
-            b"".join(
-                struct.pack("<h", ((i * 13 + doc_id) % 1000) - 500) for i in range(n)
-            )
-        )
+        wv.writeframes(samples.tobytes())
     return buf.getvalue()
 
 
@@ -181,10 +182,16 @@ def decode_wav(payload: bytes) -> dict:
 # --- GIF89a: container writer + frame walker ------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def _gif_lzw_blocks(n_pixels: int) -> bytes:
     """LZW-code ``n_pixels`` zero pixels with min code size 2: emit a clear
     code before every literal so the code width stays 3 bits — a valid,
-    trivially-decodable stream (the classic uncompressed-GIF trick)."""
+    trivially-decodable stream (the classic uncompressed-GIF trick).
+    Cached per pixel count: frame dimensions repeat heavily across a
+    corpus, and the bit-packing loop dominated encode cost otherwise."""
     bits: list[int] = []
     clear, end = 4, 5
     for code in [clear] + [c for _ in range(n_pixels) for c in (0, clear)][:-1] + [end]:

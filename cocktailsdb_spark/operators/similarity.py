@@ -135,6 +135,63 @@ def cosine_topk_pandas(
     )
 
 
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode the
+    vectors and take the decimal-exact mean per (label, pos). One shuffle
+    on (label, pos) — a key space of #labels × dim, so partial aggregation
+    collapses each partition to at most that many rows regardless of N.
+    Row-per-dimension output (not an array) keeps the oracle comparison
+    format-stable."""
+    from ..numeric import DEC
+
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        qround(
+            F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*"), SIM_ROUND
+        ).alias("c")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One k-means assignment step: each vector goes to its nearest
+    centroid (squared L2, label-asc tiebreak on the rounded distance).
+    Centroids come from :func:`label_centroids` (re-assembled into arrays
+    sorted by dimension); the assignment is a broadcast of the tiny
+    centroid set against a full scan of N — no shuffle on N, which is what
+    makes Lloyd's iteration tractable at 100 TB (the reduce half is
+    label_centroids' bounded-key aggregate)."""
+    cents = label_centroids(emb, vec_col=vec_col)
+    cvecs = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    ).select(F.col("label").alias("centroid_label"), "cvec")
+    base = emb.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+    d2 = qround(
+        F.aggregate(
+            F.zip_with(F.col("_v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        SIM_ROUND,
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "centroid_label")
+    return (
+        base.crossJoin(F.broadcast(cvecs))
+        .select(id_col, "centroid_label", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def plane_bucket(vec: Column) -> Column:
     """Bucket id from the sign pattern of the fixed hyperplane projections
     (random-hyperplane LSH with deterministic integer planes)."""

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from .. import conform
 from ..operators.dedup import latest_wins
+from ..runlog import RunLog
 from ..sources import csv_sources
 from ..sources.http_source import Transport, fetch_df, http_transport
 from ..sources.watermark import DEFAULT_MARK, WatermarkStore
@@ -244,37 +245,49 @@ def build_database(
     anything — the incremental protocol's whole point."""
     store = WatermarkStore(os.path.join(base_dir, "last_update"))
     db = _ensure_bar_db(spark, base_dir)
+    runlog = RunLog(os.path.join(base_dir, "run_history"))
 
-    marks_before = store.read(spark)
-    sales, new_marks = process_sales_data(
-        spark, budapest_path, london_path, ny_path, store
-    )
+    with runlog.stage("sales_data"):
+        marks_before = store.read(spark)
+        sales, new_marks = process_sales_data(
+            spark, budapest_path, london_path, ny_path, store
+        )
     if marks_before and new_marks == marks_before and all(
         _attach_table(spark, db, t, base_dir)
         for t in ("global_sales", "bar_stock", "cocktails", "poc_analysis")
     ):
-        return spark.table(f"{db}.poc_analysis")
+        with runlog.stage("short_circuit", "no source advanced its watermark"):
+            result = spark.table(f"{db}.poc_analysis")
+        runlog.flush(spark)
+        return result
 
-    stock = process_bar_data(spark, bar_data_path)
-    cocktails = query_cocktail_data(spark, sales, transport)
+    with runlog.stage("bar_data"):
+        stock = process_bar_data(spark, bar_data_path)
+    with runlog.stage("cocktail_dim"):
+        cocktails = query_cocktail_data(spark, sales, transport)
 
-    _write_table(spark, sales, db, "global_sales", base_dir, append=True)  # S6
-    _write_table(spark, stock, db, "bar_stock", base_dir, append=False)
-    cocktails = _merge_cocktails_dim(spark, db, base_dir, cocktails)
-    _write_table(spark, cocktails, db, "cocktails", base_dir, append=False)
-    staged = os.path.join(base_dir, "_cocktails_staged")
-    if os.path.isdir(staged):
-        import shutil
+    try:
+        with runlog.stage("sinks"):
+            _write_table(spark, sales, db, "global_sales", base_dir, append=True)  # S6
+            _write_table(spark, stock, db, "bar_stock", base_dir, append=False)
+            cocktails = _merge_cocktails_dim(spark, db, base_dir, cocktails)
+            _write_table(spark, cocktails, db, "cocktails", base_dir, append=False)
+            staged = os.path.join(base_dir, "_cocktails_staged")
+            if os.path.isdir(staged):
+                import shutil
 
-        shutil.rmtree(staged)
-    store.write(spark, new_marks)  # only after the sinks committed
+                shutil.rmtree(staged)
+            store.write(spark, new_marks)  # only after the sinks committed
 
-    poc = poc_analysis_bar(
-        spark,
-        spark.table(f"{db}.global_sales"),
-        spark.table(f"{db}.bar_stock"),
-        spark.table(f"{db}.cocktails"),
-    )
-    # S8 sink_ctas: CREATE TABLE AS with overwrite semantics
-    _write_table(spark, poc, db, "poc_analysis", base_dir, append=False)
+        with runlog.stage("poc_ctas"):
+            poc = poc_analysis_bar(
+                spark,
+                spark.table(f"{db}.global_sales"),
+                spark.table(f"{db}.bar_stock"),
+                spark.table(f"{db}.cocktails"),
+            )
+            # S8 sink_ctas: CREATE TABLE AS with overwrite semantics
+            _write_table(spark, poc, db, "poc_analysis", base_dir, append=False)
+    finally:
+        runlog.flush(spark)  # a failed run still records what happened
     return spark.table(f"{db}.poc_analysis")

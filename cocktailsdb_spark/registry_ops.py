@@ -781,6 +781,58 @@ register(
         SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}""",
 )
 
+_SQL_CENTROID_CTE = """
+  cbase AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  cex AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+          FROM cbase),
+  cd AS (SELECT label, CAST(pos AS INT) AS pos,
+                {c_expr} AS c
+         FROM cex GROUP BY label, pos)
+""".format(
+    c_expr=sql_qround(
+        "CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6
+    )
+)
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — per-label centroid (decimal-exact mean per dimension)."""
+    return similarity.label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+register(
+    "label_centroids",
+    _q_label_centroids,
+    f"WITH {_SQL_CENTROID_CTE} SELECT label, pos, c FROM cd",
+)
+
+
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — one k-means (Lloyd) assignment step: nearest centroid by
+    squared L2, broadcast centroids vs full scan (no shuffle on N)."""
+    return similarity.kmeans_assign(load(spark, sf_dir, "embeddings"))
+
+
+_SQL_D2 = sql_qround(
+    "list_sum([(b.v[i] - cv.cvec[i]) * (b.v[i] - cv.cvec[i])"
+    " for i in range(1, len(b.v) + 1)])",
+    6,
+)
+
+register(
+    "kmeans_assign_centroid",
+    _q_kmeans_assign,
+    f"""WITH {_SQL_CENTROID_CTE},
+        cv AS (SELECT label AS centroid_label, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY label),
+        pairs AS (SELECT b.vec_id, cv.centroid_label, {_SQL_D2} AS d2
+                  FROM cbase b CROSS JOIN cv),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, centroid_label) AS rn
+              FROM pairs)
+        SELECT vec_id, centroid_label, d2 FROM r WHERE rn = 1""",
+)
+
 NEAR_DUP_T = 0.95
 
 

@@ -69,6 +69,31 @@ def test_poc_semantics(built):
             assert r["comment"] == "POTENTIAL ISSUE"
 
 
+def test_run_history_records_stages(spark, built):
+    """Run logging (reference build_database.py:9-25 / logs/drinks_db.log):
+    every pipeline stage lands in the run_history control table with ok
+    status and a consistent run_id."""
+    from cocktailsdb_spark.runlog import RunLog
+
+    base, _ = built
+    hist = RunLog.history(spark, os.path.join(base, "run_history"))
+    rows = hist.collect()
+    assert rows
+    runs = {}
+    for r in rows:
+        runs.setdefault(r["run_id"], []).append(r)
+    full_runs = [
+        sorted(v, key=lambda r: r["seq"])
+        for v in runs.values()
+        if len(v) >= 5  # a full (non-short-circuit) build
+    ]
+    assert full_runs
+    stages = [r["stage"] for r in full_runs[0]]
+    assert stages == ["sales_data", "bar_data", "cocktail_dim", "sinks", "poc_ctas"]
+    assert all(r["status"] == "ok" for r in full_runs[0])
+    assert all(r["finished_at"] >= r["started_at"] for r in full_runs[0])
+
+
 def test_poc_ctas_registered_in_catalog(spark, built):
     """S8 — poc_analysis is a real catalog table (CTAS + overwrite), and
     the returned DataFrame IS that table."""

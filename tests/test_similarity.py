@@ -52,3 +52,22 @@ def test_ivf_results_subset_of_bucket_and_sims_match_exact(spark, sf_dir):
     for r in approx:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v <= 3 for v in per_q.values())
+
+
+def test_kmeans_assign_recovers_separated_clusters(spark):
+    rows = [(i, [10.0 + (i % 3) * 0.1] * 4, 1) for i in range(3)] + [
+        (i + 10, [-10.0 - (i % 3) * 0.1] * 4, 2) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r["centroid_label"] for r in similarity.kmeans_assign(df).collect()}
+    assert all(out[i] == 1 for i in range(3))
+    assert all(out[i + 10] == 2 for i in range(3))
+
+
+def test_label_centroids_exact_mean(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0], 7), (1, [3.0, 5.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["pos"]): r["c"] for r in similarity.label_centroids(df).collect()}
+    assert out == {(7, 0): 2.0, (7, 1): 4.0}

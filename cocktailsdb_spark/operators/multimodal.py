@@ -169,13 +169,19 @@ def encode_wav(doc_id: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> dict:
+    """Header fields + a DATA-chunk statistic: mean sample amplitude proves
+    the decoder reads the actual PCM frames, not just the RIFF header."""
+    import numpy as np
+
     with wave.open(io.BytesIO(payload), "rb") as wv:
         rate = wv.getframerate()
         n = wv.getnframes()
+        samples = np.frombuffer(wv.readframes(n), dtype="<i2").astype(np.int64)
         return {
             "sample_rate": rate,
             "n_channels": wv.getnchannels(),
             "duration_ms": n * 1000 // rate,
+            "mean_amp": float(samples.sum()) / max(n, 1),
         }
 
 
@@ -257,7 +263,8 @@ MEDIA_SCHEMA = "media_id long, kind string, payload binary"
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, width int, height int, n_frames int, "
-    "sample_rate int, duration_ms int, mean_luma double, thumb_mean double"
+    "sample_rate int, duration_ms int, mean_amp double, "
+    "mean_luma double, thumb_mean double"
 )
 
 THUMB = 8  # thumbnail edge for the resize feature
@@ -302,7 +309,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in (
                 "media_id", "kind", "width", "height", "n_frames",
-                "sample_rate", "duration_ms", "mean_luma", "thumb_mean",
+                "sample_rate", "duration_ms", "mean_amp", "mean_luma", "thumb_mean",
             )}
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload)
@@ -319,9 +326,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                     )
                     row["n_frames"] = 1
                 elif payload[:4] == b"RIFF":
-                    row.update(
-                        {k: v for k, v in decode_wav(payload).items() if k != "n_channels"}
-                    )
+                    d = decode_wav(payload)
+                    row["sample_rate"] = d["sample_rate"]
+                    row["duration_ms"] = d["duration_ms"]
+                    row["mean_amp"] = _qround4(d["mean_amp"])
                 elif payload[:3] == b"GIF":
                     row.update(decode_gif(payload))
                 else:

@@ -1198,6 +1198,12 @@ _MM_THUMB_MEAN = sql_qround(
     "y -> CAST(((y * ((doc_id * 7) % 48 + 16)) // 8 + doc_id) % 256 AS DOUBLE)))",
     4,
 )
+_MM_MEAN_AMP = sql_qround(
+    "list_sum([(i * 13 + doc_id) % 1000 - 500"
+    " for i in range(0, (doc_id % 50 + 1) * 80)])"
+    " / CAST((doc_id % 50 + 1) * 80 AS DOUBLE)",
+    4,
+)
 
 register(
     "multimodal_features",
@@ -1215,6 +1221,7 @@ register(
               CASE WHEN doc_id % 3 = 1
                    THEN CAST(((doc_id % 50 + 1) * 80 * 1000) // 8000 AS INT)
               END AS duration_ms,
+              CASE WHEN doc_id % 3 = 1 THEN {_MM_MEAN_AMP} END AS mean_amp,
               CASE WHEN doc_id % 3 = 0 THEN {_MM_MEAN_LUMA} END AS mean_luma,
               CASE WHEN doc_id % 3 = 0 THEN {_MM_THUMB_MEAN} END AS thumb_mean
        FROM documents""",
@@ -1234,6 +1241,16 @@ register(
     "streaming_interval_join",
     stream_queries.streaming_interval_join,
     stream_queries.STREAM_INTERVAL_JOIN_SQL,
+)
+register(
+    "streaming_dedup_within_watermark",
+    stream_queries.streaming_dedup_within_watermark,
+    stream_queries.DEDUP_WITHIN_WM_SQL,
+)
+register(
+    "streaming_foreach_merge",
+    stream_queries.streaming_foreach_merge,
+    stream_queries.FOREACH_MERGE_SQL,
 )
 
 

@@ -37,6 +37,24 @@ EVENTS_DDL = (
 SENTINEL_USER = -1
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _low_shuffle(spark: SparkSession, n: int = 8):
+    """Stateful streaming operators allocate state stores PER shuffle
+    partition per operator side; at local fixture scale the fixed store
+    setup dominates wall-clock. Run the query at a small partition count
+    and restore the session's setting after. On a real cluster this knob
+    is sized to key cardinality / state volume, not CPU count."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     return (
         spark.readStream.format("parquet")
@@ -73,11 +91,12 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
     )
-    q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _low_shuffle(spark):
+        q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     result = spark.table(name).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
@@ -111,14 +130,15 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
+    with _low_shuffle(spark):
+      q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", os.path.join(workdir, "ckpt"))
         .start()
-    )
-    try:
+      )
+      try:
         q.processAllAvailable()
         # batch 2: sentinel far in the future → watermark passes every
         # real session; no-data batches then evict/emit remaining state.
@@ -128,7 +148,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sentinel.write.mode("overwrite").parquet(os.path.join(input_dir, "batch2.parquet"))
         q.processAllAvailable()
-    finally:
+      finally:
         q.stop()
     out = spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
     # materialize before the tempdir vanishes
@@ -152,15 +172,49 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _low_shuffle(spark):
+        q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     result = spark.table(name).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on (user_id, event_type): the
+    BOUNDED-STATE form of streaming dedup — key state is evicted once the
+    event-time watermark passes it, so state size tracks the watermark
+    horizon instead of growing with every key ever seen (the difference
+    between a dedup stream that runs for years and one that OOMs).
+    With the fixture in one batch every duplicate falls inside the
+    watermark, so the output is exactly the distinct key set (the oracle)."""
+    name = "stream_ddww_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_ddww_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    with _low_shuffle(spark):
+        q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+DEDUP_WITHIN_WM_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
 def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,11 +250,12 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = stream.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _low_shuffle(spark):
+        q = stream.writeStream.outputMode("update").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     result = spark.table(name).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
@@ -222,11 +277,12 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value"))
     )
-    q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _low_shuffle(spark):
+        q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     result = spark.table(name).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
@@ -246,12 +302,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_ij_" + uuid.uuid4().hex[:8]
     workdir = tempfile.mkdtemp(prefix="cdbspark_ij_")
     input_dir = _materialize_events(spark, sf_dir, workdir)
-    # each shuffle partition owns FOUR state stores (two sides × key/value
-    # watermark state); at local fixture scale 8 partitions cuts the fixed
-    # store setup 4× — on a real cluster this knob is sized to the stream's
-    # key cardinality, not the CPU count
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     base = _events_stream(spark, input_dir + "/*")
     clicks = (
         base.filter(F.col("event_type") == "click")
@@ -282,12 +332,12 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id", "purchase_id", F.col("c_user").alias("user_id"),
         "click_ts", "purchase_ts",
     )
-    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    with _low_shuffle(spark):
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     result = spark.table(name).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
@@ -301,6 +351,78 @@ FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+def streaming_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink: each micro-batch latest-wins-merges into a
+    versioned state table — the pattern for maintaining a dimension from a
+    stream when the sink must be transactional per batch (foreachBatch is
+    where MERGE INTO lives in real deployments; here the merge is the
+    engine's own latest_wins over plain parquet versions).
+
+    The input is deliberately split into TWO files (odd/even users) so the
+    state genuinely evolves across batches. Because latest-wins is
+    commutative/associative over the union of batches, the final state
+    equals the batch dedup_latest_wins over all events — the exact oracle —
+    regardless of micro-batch order."""
+    from ..operators.dedup import latest_wins
+
+    workdir = tempfile.mkdtemp(prefix="cdbspark_fbm_")
+    input_dir = os.path.join(workdir, "in")
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(input_dir, "batch_a.parquet")
+    )
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(input_dir, "batch_b.parquet")
+    )
+
+    state_holder: list[str | None] = [None]
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        batch_latest = latest_wins(
+            bdf.select("user_id", "event_id", "ts", "event_type", "value"),
+            ["user_id"],
+            ["ts", "event_id"],
+        )
+        if state_holder[0] is not None:
+            merged = latest_wins(
+                spark.read.parquet(state_holder[0]).unionByName(batch_latest),
+                ["user_id"],
+                ["ts", "event_id"],
+            )
+        else:
+            merged = batch_latest
+        out = os.path.join(workdir, f"state_{epoch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        state_holder[0] = out
+
+    with _low_shuffle(spark):
+        q = (
+            _events_stream(spark, input_dir + "/*")
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    final = spark.read.parquet(state_holder[0])
+    # state files live in the tempdir: materialize the (dim-sized) result
+    # on the driver before cleanup so no recompute can touch deleted paths
+    result = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+FOREACH_MERGE_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
 """
 
 

@@ -45,11 +45,15 @@ def test_png_crc_checked():
         M.decode_png(bytes(png))
 
 
-def test_wav_header_fields():
+def test_wav_header_and_sample_fields():
     d = M.decode_wav(M.encode_wav(10))
     assert d["sample_rate"] == M.AUDIO_RATE
     assert d["n_channels"] == 1
-    assert d["duration_ms"] == M._audio_n_samples(10) * 1000 // M.AUDIO_RATE
+    n = M._audio_n_samples(10)
+    assert d["duration_ms"] == n * 1000 // M.AUDIO_RATE
+    # mean amplitude computed from the actual PCM frames
+    exp = sum((i * 13 + 10) % 1000 - 500 for i in range(n)) / n
+    assert abs(d["mean_amp"] - exp) < 1e-9
 
 
 def test_gif_frame_walker():
@@ -79,7 +83,10 @@ def test_features_decode_inverts_encode(spark, sf_dir):
             assert r["sample_rate"] is None
         elif media_id % 3 == 1:
             assert r["kind"] == "audio" and r["sample_rate"] == M.AUDIO_RATE
-            assert r["duration_ms"] == M._audio_n_samples(media_id) * 1000 // M.AUDIO_RATE
+            n = M._audio_n_samples(media_id)
+            assert r["duration_ms"] == n * 1000 // M.AUDIO_RATE
+            exp_amp = sum((i * 13 + media_id) % 1000 - 500 for i in range(n)) / n
+            assert abs(r["mean_amp"] - exp_amp) < 1e-4
             assert r["width"] is None and r["mean_luma"] is None
         else:
             w, h = M._video_dims(media_id)

@@ -79,6 +79,16 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    from cocktailsdb_spark.operators import corpus
+
+    plan = _plan(corpus.decontaminate(load(spark, sf_dir, "documents")))
+    # the (tiny) benchmark shingle set broadcasts; the training side never
+    # shuffles for the join
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan  # JVM-only end to end
+
+
 def test_tumbling_partial_aggregation(spark, sf_dir):
     from cocktailsdb_spark.operators import events as ev
 

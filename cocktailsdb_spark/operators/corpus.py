@@ -107,6 +107,40 @@ def stratified_sample(
     return docs.filter(u < rate.otherwise(F.lit(0.0))).select("doc_id", "lang", "source")
 
 
+UPSAMPLE_WEIGHTS = {"en": 1.0, "de": 1.5, "es": 2.0, "fr": 2.5, "zh": 3.0}
+
+
+def weighted_resample(
+    docs: DataFrame, weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic weighted replication (the UPSAMPLING half of corpus
+    mixing; :func:`stratified_sample` is the downsampling half): a doc with
+    weight w appears floor(w) times, plus one more iff
+    uniform(md5(doc_id)) < frac(w) — so expected copies = w exactly, with
+    no rand() (reruns/retries agree row-for-row). explode(sequence) emits
+    the copies with a copy_no for downstream shard assignment; rows with
+    zero copies drop out. Pure narrow transform — scales as a map."""
+    weights = UPSAMPLE_WEIGHTS if weights is None else weights
+    u = md5_prefix_value(F.col("doc_id").cast("string"), 4) / F.lit(float(16**4))
+    wt = None
+    for lang, w in weights.items():
+        wt = (
+            F.when(F.col("lang") == lang, F.lit(w))
+            if wt is None
+            else wt.when(F.col("lang") == lang, F.lit(w))
+        )
+    wt = wt.otherwise(F.lit(0.0))
+    n_copies = (
+        F.floor(wt) + F.when(u < wt - F.floor(wt), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id", "lang", F.explode(copies).alias("copy_no")
+    )
+
+
 def decontaminate(
     docs: DataFrame, n: int = DECON_NGRAM, bench_mod: int = 25
 ) -> DataFrame:

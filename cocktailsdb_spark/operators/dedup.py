@@ -114,11 +114,18 @@ def ngram_jaccard_pairs_prefix(
     the candidate join adds the length filter t·|B| ≤ |A| ≤ |B|/t, and
     exact Jaccard is verified per candidate with array_intersect on the
     full shingle arrays — no quadratic per-shingle pair aggregation.
+
+    The sorted-shingle base feeds THREE plan branches (prefix index +
+    both verify sides); ``localCheckpoint`` materializes it once instead
+    of re-tokenizing/sorting per branch (2–4× at sf0.1). At cluster scale
+    the same cut point is a persisted/checkpointed table (or a cached
+    dataset) — recomputing the shingle sort of 100 TB three times is the
+    thing to avoid.
     """
     base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(shingles(tokens(), n)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    ).withColumn("n_sh", F.size("sh")).localCheckpoint()
     # prefix length: n_sh - ceil(t*n_sh) + 1
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     pref = base.select(

@@ -1387,6 +1387,32 @@ register(
 )
 
 
+def _q_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.weighted_resample(load(spark, sf_dir, "documents"))
+
+
+_WT_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {w}" for lg, w in corpus.UPSAMPLE_WEIGHTS.items())
+    + " ELSE 0.0 END"
+)
+
+register(
+    "weighted_resample",
+    _q_weighted_resample,
+    f"""WITH w AS (
+          SELECT doc_id, lang, {_WT_CASE} AS wt,
+                 ({_sql_md5_prefix_value("CAST(doc_id AS VARCHAR)")} / 65536.0) AS u
+          FROM documents),
+        n AS (SELECT doc_id, lang,
+                     CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END
+                          AS INT) AS n_copies
+              FROM w)
+        SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_no
+        FROM n WHERE n_copies >= 1""",
+)
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate(load(spark, sf_dir, "documents"))
 

@@ -68,3 +68,37 @@ def test_decontamination_flags_shared_ngrams_only(tiny_docs):
     # prefix of 0's t0..t99 — substring contamination) → 2 distinct bench
     # hits. 1 (too short for an 8-gram) and 27 (disjoint tokens) are clean.
     assert out == {26: 2}
+
+
+def test_weighted_resample_copy_counts(spark):
+    docs = spark.range(1000).selectExpr(
+        "id AS doc_id", "'w' AS text",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zh' END AS lang", "'s' AS source"
+    )
+    out = corpus.weighted_resample(docs).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["copy_no"])
+    en = [n for d, n in per_doc.items() if d % 2 == 0]
+    zh = [n for d, n in per_doc.items() if d % 2 == 1]
+    assert set(en) == {1}  # weight 1.0 → exactly one copy each
+    assert set(zh) == {3}  # weight 3.0 (integral) → exactly three copies
+    assert len(en) == 500 and len(zh) == 500
+    # determinism: identical on rerun
+    again = corpus.weighted_resample(docs).collect()
+    assert sorted((r["doc_id"], r["copy_no"]) for r in out) == sorted(
+        (r["doc_id"], r["copy_no"]) for r in again
+    )
+
+
+def test_weighted_resample_fractional_expected_rate(spark):
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id", "'w' AS text", "'fr' AS lang", "'s' AS source"  # weight 2.5
+    )
+    out = corpus.weighted_resample(docs).collect()
+    copies = {}
+    for r in out:
+        copies[r["doc_id"]] = max(copies.get(r["doc_id"], 0), r["copy_no"])
+    assert set(copies.values()) <= {2, 3}
+    n3 = sum(1 for v in copies.values() if v == 3)
+    assert 800 <= n3 <= 1200  # ~50% get the extra copy, hash-uniform

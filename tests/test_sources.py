@@ -49,3 +49,52 @@ def test_wrong_format_yields_nulls(spark, bar_fixtures):
     reader nulls every timestamp instead of raising."""
     df = csv_sources.read_sales_iso_csv(spark, bar_fixtures["ny"])
     assert df.filter(df.dateOfSale.isNotNull()).count() == 0
+
+
+def test_csv_permissive_and_dropmalformed_modes(spark, tmp_path):
+    """Malformed-row policy: PERMISSIVE keeps bad rows with nulls + the
+    raw line in the corrupt-record column; DROPMALFORMED silently drops
+    them — both are part of the ingestion contract for dirty feeds."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,ts,drink,price\n"
+        "0,2020-12-30 15:15:53,Mojito,4.0\n"
+        "not_an_int,xxxx,BadRow,abc\n"
+        "2,2020-12-31 18:02:26,Negroni,6.0\n"
+    )
+    schema = "id bigint, ts timestamp, drink string, price double, _bad string"
+    perm = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(str(p))
+    )
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and bad[0]["id"] is None and "BadRow" in bad[0]["_bad"]
+
+    dropped = (
+        spark.read.schema("id bigint, ts timestamp, drink string, price double")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {r["drink"] for r in dropped.collect()} == {"Mojito", "Negroni"}
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution: a sink that gained a column mid-stream reads back
+    as one unified schema with mergeSchema (old rows null-filled)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        base + "/v=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/v=2")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got[1] is None and got[2] == 9.5

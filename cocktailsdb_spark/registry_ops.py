@@ -305,9 +305,16 @@ register(
 
 def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: row_number + running sum per supplier — both
-    windows share ONE shuffle (same partitioning/ordering)."""
+    windows share ONE shuffle (same partitioning/ordering).
+
+    l_quantity joins the ordering as the last tiebreak: (orderkey,
+    linenumber) is a PK on clean TPC-H data, but real feeds carry
+    duplicate keys (the sf0.1 fixture itself has one), and a running sum
+    over a tied ordering is engine-ambiguous exactly at the tie."""
     l = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return l.select(
         "l_orderkey",
         "l_linenumber",
@@ -327,11 +334,11 @@ register(
               CAST(row_number() OVER w AS INT) AS rn,
               CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) OVER (
                   PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
        FROM lineitem
        WINDOW w AS (PARTITION BY l_suppkey
-                    ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)""",
 )
 
 # ===========================================================================

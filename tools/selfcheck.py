@@ -55,10 +55,15 @@ def main() -> int:
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
+    import os as _os
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        # driver fixtures are single parquet FILES; Spark-written fixtures
+        # (e.g. tools/make_sf1.py) are DIRECTORIES of part files
+        path = f"{args.sf}/{t}.parquet"
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

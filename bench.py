@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     "pack_sequences",
     "decontaminate_ngrams",
+    "repetition_stats",
+    "tfidf_top_terms",
 ]
 
 

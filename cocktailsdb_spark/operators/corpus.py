@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..numeric import qround
 from ..tables import spread
 from .dedup import shingles
 from .text import md5_prefix_value, tokens
@@ -138,6 +139,52 @@ def weighted_resample(
     ).otherwise(F.array().cast("array<int>"))
     return docs.select(
         "doc_id", "lang", F.explode(copies).alias("copy_no")
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """TF-IDF keyword extraction: top-k terms per document by
+    tf · (ln((N+1)/(df+1)) + 1), smoothed sklearn-style.
+
+    One explode feeds BOTH frequencies: tf = count per (doc, term), and
+    df = count of docs per term derived from the tf aggregate itself (a
+    second aggregation over already-reduced rows — no second scan of the
+    corpus). N arrives as a broadcast scalar cross join. df is
+    vocabulary-sized, so at 100 TB the tf⋈df join broadcasts the df side.
+    Ranking follows the repo's oracle convention: order by the ROUNDED
+    score (qround 4dp on both engines) with the term as unique tiebreak,
+    so cross-engine libm drift in ln() cannot reorder rows."""
+    tf = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            qround(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 4
+            ).alias("tfidf"),
+        )
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "df", "tfidf", F.row_number().over(pick).alias("rank")
+        )
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
 
 

@@ -1,0 +1,156 @@
+"""Document-quality FILTER operators (north_star §X4 extension): the
+pre-training hygiene passes an LLM data pipeline runs before anything
+touches the model — Gopher-style repetition statistics, PII redaction,
+and the deterministic train/valid/test hash split.
+
+All three are pure JVM-side DataFrame programs (regex / higher-order
+array functions / windows — no Python in the hot path) with exact DuckDB
+twins in registry_ops.py generated from the same constants below.
+
+Scale notes:
+- repetition_stats: two shuffles, both keyed by doc_id (gram count, then
+  per-doc window) — uniform keys, no skew risk beyond a single giant doc.
+- pii_redact: pure narrow map (regexp_replace chain), scales as a scan.
+- hash_split: pure narrow map; hash-based (not rand()) so reruns and
+  task retries agree row-for-row on any cluster — the property that makes
+  the split reproducible across the fleet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..numeric import qround
+from ..tables import spread
+from .text import md5_prefix_value, tokens
+
+REP_NGRAM = 2
+
+# Java regex and DuckDB's RE2 agree on these (no backreferences, no
+# lookaround — RE2 has neither).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+PII_IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+SPLIT_TRAIN = 0.8
+SPLIT_VALID = 0.9  # [0.8, 0.9) → valid, rest → test
+
+
+def grams_with_repeats(tk: Column, n: int = REP_NGRAM) -> Column:
+    """All n-gram (word) shingles of a token array WITH repeats —
+    :func:`dedup.shingles` deduplicates, which is right for Jaccard but
+    wrong for repetition measurement. Same short-doc guard."""
+    count = F.size(tk) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, n: int = REP_NGRAM) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_gram_frac`` — fraction of n-grams that are repeats of an
+      earlier n-gram in the same doc (1 - distinct/total); the "fraction
+      of duplicate n-grams" family of Rae et al. 2021 (Gopher, table A1).
+    - ``top_gram`` / ``top_gram_char_frac`` — the most frequent n-gram
+      (count-desc, lexical tiebreak) and the fraction of the document's
+      characters its occurrences cover; the "fraction of characters in
+      the most common n-gram" signal.
+
+    Shape: explode → count per (doc, gram) → one per-doc window. Docs too
+    short to have any n-gram drop out (no grams on either engine)."""
+    g = spread(docs).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(grams_with_repeats(tokens(), n)).alias("gram"),
+    )
+    per_gram = g.groupBy("doc_id", "n_chars", "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        per_gram.select(
+            "doc_id",
+            "n_chars",
+            "gram",
+            "cnt",
+            F.sum("cnt").over(w).alias("n_grams"),
+            F.count("*").over(w).alias("distinct_grams"),
+            F.row_number().over(pick).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("distinct_grams").cast("int").alias("distinct_grams"),
+            qround(1.0 - F.col("distinct_grams") / F.col("n_grams"), 4).alias(
+                "dup_gram_frac"
+            ),
+            F.col("gram").alias("top_gram"),
+            qround(F.col("cnt") * F.length("gram") / F.col("n_chars"), 4).alias(
+                "top_gram_char_frac"
+            ),
+        )
+    )
+
+
+def inject_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically salt the fixture corpus with synthetic PII so the
+    redaction path is exercised (the shared test tables carry none).
+    Production callers skip this and hand :func:`pii_redact` raw text."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" user"), did.cast("string"), F.lit("@mail.example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(did % 4 == 0, F.lit(" 555-867-5309")).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0, F.concat(F.lit(" 10.0.0."), (did % 256).cast("string"))
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII scrub: replace emails / US-style phone numbers / IPv4 addresses
+    with typed placeholder tags, and count what was removed (the counts
+    feed the pipeline's audit log). Chain order matters: emails first
+    (their domains contain dots an IP pattern could nibble at)."""
+    t = F.col("text")
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ip.cast("int").alias("n_ips"),
+    )
+
+
+def hash_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/valid/test assignment: u = uniform(md5(doc_id)),
+    split by fixed thresholds. Content-hash (not rand(), not
+    monotonically_increasing_id) so the assignment is stable under
+    repartitioning, retries, and re-runs — and so a doc keeps its split
+    when the corpus is re-ingested."""
+    u = md5_prefix_value(F.col("doc_id").cast("string"), 4) / F.lit(float(16**4))
+    split = (
+        F.when(u < SPLIT_TRAIN, F.lit("train"))
+        .when(u < SPLIT_VALID, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "lang", qround(u, 6).alias("u"), split.alias("split")
+    )

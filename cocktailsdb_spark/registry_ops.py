@@ -37,7 +37,7 @@ from .constants import (
     SIMHASH_BAND_BITS,
     SIMHASH_BANDS,
 )
-from .operators import corpus, dedup, events, multimodal, similarity, text
+from .operators import corpus, dedup, events, filters, multimodal, similarity, text
 from .registry import register
 from .sources.http_source import fake_transport, fetch_df, fetch_distributed
 from .sources.watermark import WatermarkStore, incremental_load
@@ -1483,4 +1483,125 @@ register(
           WHERE d.doc_id NOT IN (SELECT doc_id FROM losers))
         SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
         FROM kept GROUP BY lang""",
+)
+
+
+# ===========================================================================
+# §2.9 X4 extension — document-quality filters (Gopher repetition, PII
+# redaction, hash split) and TF-IDF keyword extraction
+# ===========================================================================
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+register(
+    "repetition_stats",
+    _q_repetition_stats,
+    f"""WITH toks AS (
+          SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS tk
+          FROM documents),
+        g AS (SELECT doc_id, n_chars,
+                     unnest([array_to_string(tk[i:i+{filters.REP_NGRAM - 1}], ' ')
+                             for i in range(1, len(tk) - {filters.REP_NGRAM - 2})]) AS gram
+              FROM toks),
+        pg AS (SELECT doc_id, n_chars, gram, count(*) AS cnt
+               FROM g GROUP BY doc_id, n_chars, gram),
+        st AS (SELECT doc_id, n_chars, gram, cnt,
+                      sum(cnt) OVER (PARTITION BY doc_id) AS n_grams,
+                      count(*) OVER (PARTITION BY doc_id) AS distinct_grams,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, gram ASC) AS rn
+               FROM pg)
+        SELECT doc_id,
+               CAST(n_grams AS INT) AS n_grams,
+               CAST(distinct_grams AS INT) AS distinct_grams,
+               {sql_qround("1.0 - distinct_grams / n_grams", 4)} AS dup_gram_frac,
+               gram AS top_gram,
+               {sql_qround("cnt * length(gram) / n_chars", 4)} AS top_gram_char_frac
+        FROM st WHERE rn = 1""",
+)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture corpus carries no PII, so the entry salts it deterministically
+    first (inject_pii); the redaction operator itself is production-shaped."""
+    return filters.pii_redact(filters.inject_pii(load(spark, sf_dir, "documents")))
+
+
+_SQL_PII_SALTED = """
+    SELECT doc_id,
+           concat(text,
+             CASE WHEN doc_id % 3 = 0
+                  THEN concat(' user', CAST(doc_id AS VARCHAR), '@mail.example.com')
+                  ELSE '' END,
+             CASE WHEN doc_id % 4 = 0 THEN ' 555-867-5309' ELSE '' END,
+             CASE WHEN doc_id % 5 = 0
+                  THEN concat(' 10.0.0.', CAST(doc_id % 256 AS VARCHAR))
+                  ELSE '' END) AS text
+    FROM documents"""
+
+register(
+    "pii_redact",
+    _q_pii_redact,
+    f"""WITH salted AS ({_SQL_PII_SALTED})
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{filters.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{filters.PII_PHONE_RE}', '<PHONE>', 'g'),
+                 '{filters.PII_IP_RE}', '<IP>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{filters.PII_EMAIL_RE}')) AS INT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{filters.PII_PHONE_RE}')) AS INT)
+                 AS n_phones,
+               CAST(len(regexp_extract_all(text, '{filters.PII_IP_RE}')) AS INT)
+                 AS n_ips
+        FROM salted""",
+)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.hash_split(load(spark, sf_dir, "documents"))
+
+
+register(
+    "hash_split",
+    _q_hash_split,
+    f"""WITH h AS (
+          SELECT doc_id, lang,
+                 ({_sql_md5_prefix_value("CAST(doc_id AS VARCHAR)")} / 65536.0) AS uu
+          FROM documents)
+        SELECT doc_id, lang,
+               {sql_qround("uu", 6)} AS u,
+               CASE WHEN uu < {filters.SPLIT_TRAIN} THEN 'train'
+                    WHEN uu < {filters.SPLIT_VALID} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM h""",
+)
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.tfidf_top_terms(load(spark, sf_dir, "documents"))
+
+
+register(
+    "tfidf_top_terms",
+    _q_tfidf,
+    f"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        s AS (SELECT doc_id, term,
+                     CAST(tfc.tf AS INT) AS tf,
+                     CAST(dfc.df AS INT) AS df,
+                     {sql_qround("tfc.tf * (ln((n_docs + 1) / (dfc.df + 1)) + 1)", 4)}
+                       AS tfidf
+              FROM tfc JOIN dfc USING (term) CROSS JOIN nd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term ASC) AS rn
+              FROM s)
+        SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+        FROM r WHERE rn <= {corpus.TFIDF_TOP_K}""",
 )

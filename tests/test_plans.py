@@ -39,6 +39,19 @@ def test_text_ops_are_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_filter_ops_are_jvm_only_and_narrow(spark, sf_dir):
+    from cocktailsdb_spark.operators import filters
+
+    docs = load(spark, sf_dir, "documents")
+    for op in (filters.pii_redact, filters.hash_split):
+        plan = _plan(op(docs))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # pure narrow maps: no shuffle anywhere in the plan
+        assert "Exchange" not in plan, op.__name__
+    plan = _plan(filters.repetition_stats(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q6_pushes_full_predicate_to_scan(spark, sf_dir):
     from cocktailsdb_spark.plans import tpch_ext
 

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "decontaminate_ngrams",
     "repetition_stats",
     "tfidf_top_terms",
+    "bm25_rank_query",
+    "inverted_index_terms",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Retrieval operators over the ``documents`` table (north_star §X4
+extension): BM25 ranking and inverted-index construction — the two
+primitives a corpus-scale search/dedup stack needs beyond embeddings.
+
+Both are pure JVM-side DataFrame programs with exact DuckDB twins in
+registry_ops.py.
+
+Cross-engine determinism notes (the part that makes the oracles exact):
+- BM25 sums per-term contributions per doc. Double addition is not
+  associative, and the two engines aggregate in different orders — so each
+  contribution is quantized to 6 dp and summed as an exact integer
+  (floor(c·1e6 + 0.5) summed as BIGINT, divided back once). Same trick as
+  ``numeric.dsum``.
+- avgdl is computed as exact-integer sum ÷ count (one IEEE division),
+  never avg() — DuckDB's avg over ints may use a float accumulator.
+
+Scale notes:
+- bm25_rank filters the token explode to the query's terms BEFORE any
+  shuffle — the aggregate sees |query| terms × matching docs, not the
+  corpus. Scores shuffle once on doc_id; the final top-k is a
+  TakeOrdered, not a global sort.
+- inverted_index caps posting lists at ``max_postings`` entries (the
+  unbounded collect_list is the classic hot-term OOM at corpus scale);
+  full per-term counts are still exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tables import spread
+from .text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "query", "window")
+BM25_TOP_K = 10
+
+INDEX_MAX_POSTINGS = 20
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25: rank documents against a bag-of-words query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    """
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    dl = docs.select("doc_id", F.size(tokens()).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens()).alias("term"))
+        .filter(F.array_contains(qt, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    # quantize each contribution, sum exactly in integer space (see module
+    # docstring) — the cross-term sum is then engine-order-independent
+    q = F.floor(contrib * 1e6 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.sum(q) / 1e6).alias("score"), F.count("*").alias("n_terms_hit"))
+    )
+    # top-k FIRST via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heap + merge, no global sort); a bare global row_number window would
+    # funnel every scored doc into one partition (no WindowGroupLimit
+    # rewrite exists for an empty partition spec). The rank window then
+    # only ever sees k rows.
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    pick = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        "score",
+        F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+        F.row_number().over(pick).cast("int").alias("rank"),
+    )
+
+
+def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> DataFrame:
+    """Term → posting-list index: exact per-term doc/occurrence counts plus
+    the first ``max_postings`` postings as a deterministic
+    ``doc:pos,doc:pos,...`` string (1-based positions, (doc_id, pos)
+    order). The cap bounds per-term state; counts stay exact."""
+    tok = spread(docs).select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    counts = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_postings"),
+    )
+    rn = Window.partitionBy("term").orderBy("doc_id", "pos")
+    capped = (
+        tok.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "pos"))),
+                    lambda s: F.concat_ws(
+                        ":", s.doc_id.cast("string"), s.pos.cast("string")
+                    ),
+                ),
+            ).alias("postings")
+        )
+    )
+    return counts.join(capped, "term").select(
+        "term",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_postings").cast("int").alias("n_postings"),
+        "postings",
+    )

@@ -37,7 +37,7 @@ from .constants import (
     SIMHASH_BAND_BITS,
     SIMHASH_BANDS,
 )
-from .operators import corpus, dedup, events, filters, multimodal, similarity, text
+from .operators import corpus, dedup, events, filters, multimodal, retrieval, similarity, text
 from .registry import register
 from .sources.http_source import fake_transport, fetch_df, fetch_distributed
 from .sources.watermark import WatermarkStore, incremental_load
@@ -1604,4 +1604,80 @@ register(
               FROM s)
         SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
         FROM r WHERE rn <= {corpus.TFIDF_TOP_K}""",
+)
+
+
+# ===========================================================================
+# §2.9 X4 extension — retrieval: BM25 ranking + inverted index
+# ===========================================================================
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.bm25_rank(load(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in retrieval.BM25_QUERY)
+_BM25_CONTRIB = (
+    f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    f" * ((tf * {retrieval.BM25_K1 + 1.0}) /"
+    f" (tf + {retrieval.BM25_K1} *"
+    f" ({1.0 - retrieval.BM25_B} + {retrieval.BM25_B} * dl / avgdl)))"
+)
+
+register(
+    "bm25_rank_query",
+    _q_bm25,
+    f"""WITH dl AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({_BM25_TERMS}) GROUP BY doc_id, term),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        c AS (SELECT tf.doc_id,
+                     CAST(floor(({_BM25_CONTRIB}) * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM tf JOIN dfc USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+        s AS (SELECT doc_id, sum(q) / 1000000.0 AS score,
+                     CAST(count(*) AS INT) AS n_terms_hit
+              FROM c GROUP BY doc_id),
+        r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+              FROM s)
+        SELECT doc_id, score, n_terms_hit, CAST(rn AS INT) AS rank
+        FROM r WHERE rn <= {retrieval.BM25_TOP_K}""",
+)
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.inverted_index(load(spark, sf_dir, "documents"))
+
+
+register(
+    "inverted_index_terms",
+    _q_inverted_index,
+    f"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        counts AS (SELECT term,
+                          CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+                          CAST(count(*) AS INT) AS n_postings
+                   FROM tok GROUP BY term),
+        ranked AS (SELECT term, doc_id, pos,
+                          row_number() OVER (PARTITION BY term
+                                             ORDER BY doc_id, pos) AS rn
+                   FROM tok),
+        capped AS (SELECT term,
+                          string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                                     CAST(pos AS VARCHAR), ','
+                                     ORDER BY doc_id, pos) AS postings
+                   FROM ranked WHERE rn <= {retrieval.INDEX_MAX_POSTINGS}
+                   GROUP BY term)
+        SELECT term, n_docs, n_postings, postings
+        FROM counts JOIN capped USING (term)""",
 )

@@ -52,6 +52,16 @@ def test_filter_ops_are_jvm_only_and_narrow(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bm25_topk_uses_distributed_heap(spark, sf_dir):
+    from cocktailsdb_spark.operators import retrieval
+
+    plan = _plan(retrieval.bm25_rank(load(spark, sf_dir, "documents")))
+    # global top-k must be TakeOrderedAndProject (bounded per-partition
+    # heap), never a full sort or an unbounded single-partition window
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q6_pushes_full_predicate_to_scan(spark, sf_dir):
     from cocktailsdb_spark.plans import tpch_ext
 

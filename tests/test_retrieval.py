@@ -1,0 +1,69 @@
+"""Semantic pins for the retrieval operators (operators/retrieval.py):
+hand-computed BM25 on a tiny corpus and posting-list construction,
+independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+from cocktailsdb_spark.operators import retrieval
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _bm25_score(pairs, dl, avgdl, n_docs, k1=1.2, b=0.75):
+    """pairs: list of (tf, df) per matched query term for one doc."""
+    total = 0
+    for tf, df in pairs:
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        c = idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        total += math.floor(c * 1e6 + 0.5)
+    return total / 1e6
+
+
+def test_bm25_hand_computed(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "en", "data data query x"),  # both query terms, tf 2 + 1
+            (2, "en", "data x y z"),  # one term
+            (3, "en", "u v w z"),  # no match: absent from output
+        ],
+    )
+    out = retrieval.bm25_rank(d, query_terms=("data", "query"), top_k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    avgdl = 4.0
+    exp1 = _bm25_score([(2, 2), (1, 1)], dl=4, avgdl=avgdl, n_docs=3)
+    exp2 = _bm25_score([(1, 2)], dl=4, avgdl=avgdl, n_docs=3)
+    assert rows[1].score == exp1
+    assert rows[2].score == exp2
+    assert rows[1].rank == 1 and rows[1].n_terms_hit == 2
+    assert rows[2].rank == 2 and rows[2].n_terms_hit == 1
+
+
+def test_bm25_top_k_cuts(spark):
+    d = _docs(spark, [(i, "en", "data x") for i in range(20)])
+    out = retrieval.bm25_rank(d, query_terms=("data",), top_k=5).collect()
+    assert len(out) == 5
+    # identical scores → doc_id ascending tiebreak
+    assert [r.doc_id for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_inverted_index_postings(spark):
+    d = _docs(spark, [(1, "en", "a b a"), (2, "en", "b a")])
+    out = {r.term: r for r in retrieval.inverted_index(d).collect()}
+    assert (out["a"].n_docs, out["a"].n_postings) == (2, 3)
+    assert out["a"].postings == "1:1,1:3,2:2"
+    assert (out["b"].n_docs, out["b"].n_postings) == (2, 2)
+    assert out["b"].postings == "1:2,2:1"
+
+
+def test_inverted_index_cap_bounds_postings_not_counts(spark):
+    d = _docs(spark, [(i, "en", "hot hot hot") for i in range(10)])
+    [r] = retrieval.inverted_index(d, max_postings=4).collect()
+    assert r.n_postings == 30  # exact count survives the cap
+    assert r.postings.count(",") == 3  # list itself is capped at 4 entries
+    assert r.postings == "0:1,0:2,0:3,1:1"

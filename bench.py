@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "bm25_rank_query",
     "inverted_index_terms",
+    "mixture_weights",
+    "bigram_lm_counts",
 ]
 
 

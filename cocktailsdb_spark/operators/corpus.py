@@ -188,6 +188,77 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+MIXTURE_TARGETS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def mixture_weights(
+    docs: DataFrame, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Corpus-mixing weight computation: measure the ACTUAL per-language
+    token share, then derive the replication weight that moves the corpus
+    to a TARGET mixture (weight = target_share / actual_share). The output
+    feeds :func:`weighted_resample` — measure → weigh → resample is the
+    standard domain-mixing loop of a pretraining pipeline.
+
+    Token counts aggregate as exact BIGINTs (one map-side-combined
+    shuffle on the handful of mixture keys); the corpus total arrives as
+    a broadcast scalar, never a global window. Shares/weights are single
+    same-order IEEE expressions on both engines (cast-to-double before
+    any arithmetic) + qround, so the oracle is value-exact. Languages
+    missing from ``targets`` get weight 0 (excluded from the mix)."""
+    targets = MIXTURE_TARGETS if targets is None else targets
+    per = (
+        spread(docs)
+        .select("lang", F.size(tokens()).alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    tgt = None
+    for lang, t in targets.items():
+        tgt = (
+            F.when(F.col("lang") == lang, F.lit(float(t)))
+            if tgt is None
+            else tgt.when(F.col("lang") == lang, F.lit(float(t)))
+        )
+    tgt = tgt.otherwise(F.lit(0.0))
+    totd = F.col("total").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        qround(F.col("n_tokens").cast("double") / totd, 6).alias("share"),
+        tgt.alias("target_share"),
+        qround(tgt * totd / F.col("n_tokens").cast("double"), 4).alias("weight"),
+    )
+
+
+BIGRAM_TOP_N = 50
+
+
+def bigram_counts(docs: DataFrame, top_n: int = BIGRAM_TOP_N) -> DataFrame:
+    """Count-based LM statistics: corpus-wide bigram frequencies, top-N by
+    count with lexical tiebreak. Adjacent-pair construction is a JVM
+    higher-order transform over the token array (no self-join, no Python);
+    the groupBy combines map-side so the shuffle carries one row per
+    (partition, distinct bigram); the global top-N is a TakeOrdered
+    bounded heap, not a full sort."""
+    tk = tokens()
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    return (
+        spread(docs)
+        .filter(F.size(tk) >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(top_n)
+    )
+
+
 def decontaminate(
     docs: DataFrame, n: int = DECON_NGRAM, bench_mod: int = 25
 ) -> DataFrame:

@@ -1681,3 +1681,60 @@ register(
         SELECT term, n_docs, n_postings, postings
         FROM counts JOIN capped USING (term)""",
 )
+
+
+# ===========================================================================
+# §2.9 corpus extension — mixture weights + bigram LM counts
+# ===========================================================================
+
+
+def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.mixture_weights(load(spark, sf_dir, "documents"))
+
+
+_MIX_TGT_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {float(t)!r}" for lang, t in corpus.MIXTURE_TARGETS.items()
+    )
+    + " ELSE 0.0 END"
+)
+
+register(
+    "mixture_weights",
+    _q_mixture_weights,
+    f"""WITH tok AS (
+          SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n) AS BIGINT) AS n_tokens
+                FROM tok GROUP BY lang),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+        SELECT lang, n_docs, n_tokens,
+               {sql_qround("CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS share,
+               {_MIX_TGT_CASE} AS target_share,
+               {sql_qround(f"({_MIX_TGT_CASE}) * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS weight
+        FROM per CROSS JOIN tot""",
+)
+
+
+def _q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.bigram_counts(load(spark, sf_dir, "documents"))
+
+
+register(
+    "bigram_lm_counts",
+    _q_bigram_counts,
+    f"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        bg AS (SELECT t1.term || ' ' || t2.term AS bigram
+               FROM tok t1 JOIN tok t2
+                 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram),
+        r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rn
+              FROM c)
+        SELECT bigram, n FROM r WHERE rn <= {corpus.BIGRAM_TOP_N}""",
+)

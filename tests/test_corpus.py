@@ -102,3 +102,66 @@ def test_weighted_resample_fractional_expected_rate(spark):
     assert set(copies.values()) <= {2, 3}
     n3 = sum(1 for v in copies.values() if v == 3)
     assert 800 <= n3 <= 1200  # ~50% get the extra copy, hash-uniform
+
+
+def test_mixture_weights_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s"),   # 4 tokens
+            (2, "a b", "en", "s"),       # 2 tokens
+            (3, "x y z w", "zh", "s"),   # 4 tokens
+            (4, "k", "ko", "s"),         # 1 token, lang absent from targets
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.lang: r for r in corpus.mixture_weights(docs).collect()}
+    assert out["en"].n_docs == 2 and out["en"].n_tokens == 6
+    assert out["zh"].n_tokens == 4 and out["ko"].n_tokens == 1
+    # total = 11 tokens; share = n/11 rounded 6dp
+    assert out["en"].share == round(6 / 11, 6) or abs(out["en"].share - 6 / 11) < 1e-6
+    # weight moves the corpus to the target: target_share * total / n_tokens
+    assert out["en"].target_share == 0.40
+    assert abs(out["en"].weight - 0.40 * 11 / 6) < 1e-4
+    assert abs(out["zh"].weight - 0.15 * 11 / 4) < 1e-4
+    # lang missing from the target mixture → excluded (weight 0)
+    assert out["ko"].target_share == 0.0 and out["ko"].weight == 0.0
+
+
+def test_mixture_weights_compose_with_resample(spark):
+    # the measured weight, fed to weighted_resample, actually yields the
+    # target mixture in expectation: integral-weight case checked exactly
+    docs = spark.createDataFrame(
+        [(i, "t t t t", "en" if i < 30 else "zh", "s") for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    w = {
+        r.lang: r.weight
+        for r in corpus.mixture_weights(
+            docs, targets={"en": 0.5, "zh": 0.5}
+        ).collect()
+    }
+    # en: 120 of 160 tokens → weight 0.5*160/120 = 2/3; zh: 0.5*160/40 = 2.0
+    assert abs(w["en"] - 2 / 3) < 1e-4 and w["zh"] == 2.0
+    out = corpus.weighted_resample(docs, weights=w).collect()
+    zh_copies = [r.copy_no for r in out if r.doc_id >= 30]
+    assert max(zh_copies) == 2 and len(zh_copies) == 20  # every zh doc ×2
+
+
+def test_bigram_counts_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "s"), (2, "a b c", "en", "s"), (3, "x", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = [(r.bigram, r.n) for r in corpus.bigram_counts(docs).collect()]
+    # doc1: (a b), (b a), (a b); doc2: (a b), (b c); doc3: too short
+    assert out == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_bigram_counts_top_n_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "z q z q k j", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = [(r.bigram, r.n) for r in corpus.bigram_counts(docs, top_n=3).collect()]
+    # counts: "z q"×2, then "j"? no — pairs: z q, q z, z q, q k, k j
+    assert out == [("z q", 2), ("k j", 1), ("q k", 1)]  # lexical tiebreak at n=1

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "inverted_index_terms",
     "mixture_weights",
     "bigram_lm_counts",
+    "funnel_conversion",
+    "cohort_retention",
+    "rolling_zscore_revenue",
 ]
 
 

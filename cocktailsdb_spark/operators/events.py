@@ -229,3 +229,78 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Strict-sequence funnel conversion: n_users who reached step k, where
+    step k counts only if its event happens STRICTLY AFTER the user's
+    step-(k−1) time (earliest-qualifying-event semantics at every step).
+
+    ONE shuffle on user_id builds the per-user sorted event list; each
+    step time is then a narrow higher-order filter/min over that array —
+    no per-step re-join against the fact table (the naive form is k
+    shuffles). Per-user state is bounded by that user's funnel-event
+    count, the same bound sessionization carries. The final per-step
+    counts reduce a 1-row-per-user frame, so the stack() unpivot at the
+    end is driver-free and tiny."""
+    ev = (
+        events.filter(F.col("event_type").isin(*steps))
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+    )
+    prev = None
+    step_cols = []
+    for k, step in enumerate(steps):
+        if prev is None:
+            hits = F.filter(F.col("evs"), lambda e: e.event_type == step)
+        else:
+            p = prev
+            hits = F.filter(
+                F.col("evs"), lambda e: (e.event_type == step) & (e.ts > p)
+            )
+        t = F.array_min(F.transform(hits, lambda e: e.ts))
+        ev = ev.withColumn(f"_t{k}", t)
+        prev = F.col(f"_t{k}")
+        step_cols.append(f"_t{k}")
+    sums = ev.agg(
+        *[
+            F.sum(F.col(c).isNotNull().cast("long")).alias(f"n{k}")
+            for k, c in enumerate(step_cols)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{s}', {k + 1}, n{k}" for k, s in enumerate(steps)
+    )
+    return sums.select(
+        F.expr(f"stack({len(steps)}, {stack_args}) AS (step, step_index, n_users)")
+    ).select("step", F.col("step_index").cast("int").alias("step_index"), "n_users")
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day; for
+    each (cohort_day, day_offset) the count of cohort members active that
+    day. Active-day distinct() collapses the fact table BEFORE the cohort
+    join (both keyed on user_id — AQE coalesces into one exchange reuse),
+    and the final aggregate is on the tiny (cohort × offset) grid."""
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+        )
+    )

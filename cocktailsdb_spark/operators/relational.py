@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..numeric import dsum
+from ..numeric import DEC, dsum, qround
 
 
 def years_active(orders: DataFrame, year_a: int, year_b: int, mode: str) -> DataFrame:
@@ -147,4 +147,44 @@ def price_histogram(orders: DataFrame, width: float = 50000.0) -> DataFrame:
         orders.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
         .withColumn("lo", F.col("bucket") * width)
+    )
+
+
+ZSCORE_LOOKBACK = 7
+
+
+def rolling_zscore(orders: DataFrame, lookback: int = ZSCORE_LOOKBACK) -> DataFrame:
+    """Trailing-window anomaly score: each day's revenue vs the mean/stddev
+    of the previous ``lookback`` days (the day itself excluded — a true
+    leave-one-out baseline). Windows partition by year exactly like
+    :func:`daily_revenue_delta` — no global single-partition ordering at
+    scale; the first days of a year have a short (or empty) baseline and
+    null z by design.
+
+    Determinism: daily revenue and both frame sums aggregate as exact
+    decimals (``dsum``/DECIMAL(24,8)); mean/variance/z are then single
+    same-order IEEE expressions + qround, so the DuckDB twin is
+    value-exact. Sample variance via (n·Σx² − (Σx)²)/(n·(n−1)); z only
+    where n ≥ 2 and variance > 0."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = (
+        Window.partitionBy(F.year("day"))
+        .orderBy("day")
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count("revenue").over(w).cast("double")
+    s1 = F.sum(F.col("revenue").cast(DEC)).over(w).cast("double")
+    s2 = F.sum((F.col("revenue") * F.col("revenue")).cast(DEC)).over(w).cast("double")
+    var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+    z = F.when(
+        (n >= 2.0) & (var > 0.0),
+        qround((F.col("revenue") - s1 / n) / F.sqrt(var), 4),
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.count("revenue").over(w).cast("int").alias("n_prior"),
+        z.alias("zscore"),
     )

@@ -476,3 +476,87 @@ register(
                  AND p.ts < a.ts) AS n_recent
        FROM events a WHERE a.event_type = 'error'""",
 )
+
+
+# --- event analytics: funnel / cohort retention / rolling z-score -----------
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.funnel_steps(load(spark, sf_dir, "events"))
+
+
+def _funnel_sql(steps: tuple[str, ...]) -> str:
+    ctes, prev = [], None
+    for k, s in enumerate(steps):
+        if prev is None:
+            ctes.append(
+                f"t{k} AS (SELECT user_id, min(ts) AS t FROM events"
+                f" WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"t{k} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+                f" JOIN {prev} ON e.user_id = {prev}.user_id"
+                f" WHERE e.event_type = '{s}' AND e.ts > {prev}.t"
+                f" GROUP BY e.user_id)"
+            )
+        prev = f"t{k}"
+    selects = [
+        f"SELECT '{s}' AS step, {k + 1} AS step_index,"
+        f" CAST((SELECT count(*) FROM t{k}) AS BIGINT) AS n_users"
+        for k, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n ".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+register("funnel_conversion", _q_funnel, _funnel_sql(events.FUNNEL_STEPS))
+
+
+def _q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.cohort_retention(load(spark, sf_dir, "events"))
+
+
+register(
+    "cohort_retention",
+    _q_cohort,
+    """WITH first AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(day - cohort_day AS INT) AS day_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN first USING (user_id)
+        GROUP BY 1, 2""",
+)
+
+
+def _q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.rolling_zscore(load(spark, sf_dir, "orders"))
+
+
+_Z_VAR = "((n * s2 - s1 * s1) / (n * (n - 1.0)))"
+_Z_EXPR = f"(revenue - s1 / n) / sqrt({_Z_VAR})"
+
+register(
+    "rolling_zscore_revenue",
+    _q_rolling_zscore,
+    f"""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS revenue
+          FROM orders GROUP BY 1),
+        s AS (SELECT day, revenue,
+                     CAST(count(revenue) OVER w AS DOUBLE) AS n,
+                     CAST(sum(CAST(revenue AS DECIMAL(24,8))) OVER w AS DOUBLE) AS s1,
+                     CAST(sum(CAST(revenue * revenue AS DECIMAL(24,8))) OVER w AS DOUBLE) AS s2
+              FROM daily
+              WINDOW w AS (PARTITION BY year(day) ORDER BY day
+                           ROWS BETWEEN {relational.ZSCORE_LOOKBACK} PRECEDING
+                           AND 1 PRECEDING))
+        SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+               CAST(n AS INT) AS n_prior,
+               CASE WHEN n >= 2.0 AND {_Z_VAR} > 0.0
+                    THEN floor(({_Z_EXPR}) * 10000.0 + 0.5) / 10000.0
+               END AS zscore
+        FROM s""",
+)

@@ -1,0 +1,104 @@
+"""Semantic pins for the event-analytics operators (funnel / cohort
+retention / rolling z-score), hand-computed and independent of the
+DuckDB oracles."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from cocktailsdb_spark.operators import events as EV
+from cocktailsdb_spark.operators import relational as R
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_strict_sequencing(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    e = _events(
+        spark,
+        [
+            # user 1: full funnel in order
+            (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "purchase"),
+            # user 2: click BEFORE view → stops at view
+            (4, t(5), 2, "click"), (5, t(6), 2, "view"),
+            # user 3: click at the SAME instant as view → strict >, not counted
+            (6, t(7), 3, "view"), (7, t(7), 3, "click"),
+            # user 4: purchase only → no view, counted nowhere
+            (8, t(9), 4, "purchase"),
+            # user 5: view, then purchase before click → stops at click=absent
+            (9, t(10), 5, "view"), (10, t(11), 5, "purchase"),
+        ],
+    )
+    out = {r.step: r for r in EV.funnel_steps(e).collect()}
+    assert out["view"].n_users == 4  # users 1, 2, 3, 5
+    assert out["click"].n_users == 1  # user 1 only
+    assert out["purchase"].n_users == 1
+    assert [out[s].step_index for s in ("view", "click", "purchase")] == [1, 2, 3]
+
+
+def test_funnel_earliest_qualifying_event(spark):
+    # the SECOND view is the one that lets the click qualify only if we
+    # anchor on the EARLIEST view; verify we do (min per step, not max)
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    e = _events(
+        spark,
+        [(1, t(1), 1, "view"), (2, t(5), 1, "view"), (3, t(3), 1, "click")],
+    )
+    out = {r.step: r.n_users for r in EV.funnel_steps(e).collect()}
+    assert out == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    d = lambda day, h: datetime(2024, 1, day, h)
+    e = _events(
+        spark,
+        [
+            (1, d(1, 9), 1, "view"), (2, d(1, 17), 1, "click"),  # same day ×2
+            (3, d(3, 9), 1, "view"),  # offset 2
+            (4, d(2, 9), 2, "view"), (5, d(3, 9), 2, "view"),  # cohort Jan 2
+        ],
+    )
+    out = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in EV.cohort_retention(e).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
+
+
+def test_rolling_zscore_hand_computed(spark):
+    rows = [
+        (i, datetime(2024, 1, 1 + i).date(), 100.0 + 10.0 * i) for i in range(4)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r.day: r for r in R.rolling_zscore(orders).collect()}
+    assert out["2024-01-01"].zscore is None and out["2024-01-01"].n_prior == 0
+    assert out["2024-01-02"].zscore is None and out["2024-01-02"].n_prior == 1
+    # day 3: prior = [100, 110] → mean 105, sample std ≈ 7.0711, z ≈ 2.1213
+    s = math.sqrt(((2 * (100**2 + 110**2)) - 210**2) / 2)
+    exp = math.floor((120 - 105) / s * 1e4 + 0.5) / 1e4
+    assert out["2024-01-03"].n_prior == 2 and out["2024-01-03"].zscore == exp
+    assert out["2024-01-04"].n_prior == 3
+
+
+def test_rolling_zscore_resets_at_year_boundary(spark):
+    rows = [(1, datetime(2023, 12, 30).date(), 50.0),
+            (2, datetime(2023, 12, 31).date(), 60.0),
+            (3, datetime(2024, 1, 1).date(), 70.0)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r.day: r for r in R.rolling_zscore(orders).collect()}
+    # new year partition: no trailing baseline crosses the boundary
+    assert out["2024-01-01"].n_prior == 0 and out["2024-01-01"].zscore is None

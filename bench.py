@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "cohort_retention",
     "rolling_zscore_revenue",
+    "snapshot_diff_cdc",
+    "profile_table_quality",
 ]
 
 

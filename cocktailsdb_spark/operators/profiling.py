@@ -1,0 +1,105 @@
+"""Data-observability operators: CDC snapshot diff and per-column table
+profiling (the deequ/"expectations" primitives a managed pipeline runs
+on every load; the reference's analog is its ad-hoc ``PRAGMA``-style
+inspection of the freshly built SQLite tables).
+
+Both are pure JVM-side DataFrame programs with exact DuckDB twins in
+registry_ext.py.
+
+Scale notes:
+- snapshot_diff is ONE full-outer join on the snapshot key — the same
+  shuffle shape as MERGE (operators/scd.py); change detection is a
+  per-row null-safe column compare (no row hashing, so no cross-engine
+  hash dependency and no false equality).
+- profile_table is one aggregate pass over the table. The exact
+  distinct counts make Spark plan an Expand (one replicated pass per
+  distinct column); at 100 TB swap ``exact=False`` to HLL
+  (approx_count_distinct) and the Expand disappears — both paths are
+  the same operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare: list[str]
+) -> DataFrame:
+    """Row-level CDC between two snapshots of a keyed table: emits one row
+    per changed key with change_type ∈ {insert, delete, update}
+    (unchanged keys are dropped). Updates are detected with null-safe
+    per-column comparison (<=> / IS NOT DISTINCT FROM), never a row
+    hash."""
+    o = old.select(key, *compare)
+    n = new.select(key, *compare)
+    j = o.alias("o").join(n.alias("n"), F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    same: Column | None = None
+    for c in compare:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+PROFILE_NUM = ("c_custkey", "c_nationkey", "c_acctbal")
+PROFILE_STR = ("c_name", "c_mktsegment")
+
+
+def profile_table(
+    df: DataFrame,
+    num_cols: tuple[str, ...] = PROFILE_NUM,
+    str_cols: tuple[str, ...] = PROFILE_STR,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column quality profile in ONE aggregate pass: row count, null
+    count, distinct count (exact by default; ``exact=False`` switches to
+    the mergeable HLL sketch for corpus scale), numeric min/max as
+    doubles, string min/max lexicographically. Output: one row per
+    profiled column."""
+    nd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs: list[Column] = [F.count("*").alias("_n_rows")]
+    for c in num_cols + str_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(nd(c).alias(f"_nd_{c}"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+    for c in str_cols:
+        aggs.append(F.min(F.col(c)).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    parts = []
+    for c in num_cols:
+        parts.append(
+            f"'{c}', _n_rows, _nulls_{c}, _nd_{c}, _min_{c}, _max_{c}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        parts.append(
+            f"'{c}', _n_rows, _nulls_{c}, _nd_{c}, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), _min_{c}, _max_{c}"
+        )
+    k = len(parts)
+    return wide.select(
+        F.expr(
+            f"stack({k}, {', '.join(parts)}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, "
+            "min_num, max_num, min_str, max_str)"
+        )
+    )

@@ -560,3 +560,76 @@ register(
                END AS zscore
         FROM s""",
 )
+
+
+# --- data observability: CDC snapshot diff + column profiling ---------------
+
+from .operators import profiling as _prof  # noqa: E402
+
+_DIFF_COMPARE = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two snapshots derived deterministically from customer: new inserts
+    the %7==0 keys, deletes the %5==0 keys, bumps acctbal on %3==0."""
+    c = load(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 7 != 0)
+    new = c.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return _prof.snapshot_diff(old, new, "c_custkey", _DIFF_COMPARE)
+
+
+_DIFF_SAME = " AND ".join(
+    f"o.{c} IS NOT DISTINCT FROM n.{c}" for c in _DIFF_COMPARE
+)
+
+register(
+    "snapshot_diff_cdc",
+    _q_snapshot_diff,
+    f"""WITH old AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+        new AS (SELECT c_custkey, c_name, c_nationkey,
+                       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                            ELSE c_acctbal END AS c_acctbal,
+                       c_mktsegment
+                FROM customer WHERE c_custkey % 5 <> 0),
+        d AS (SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                     CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                          WHEN n.c_custkey IS NULL THEN 'delete'
+                          WHEN NOT ({_DIFF_SAME}) THEN 'update'
+                     END AS change_type
+              FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey)
+        SELECT c_custkey, change_type FROM d WHERE change_type IS NOT NULL""",
+)
+
+
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prof.profile_table(load(spark, sf_dir, "customer"))
+
+
+def _profile_sql() -> str:
+    sels = []
+    for c in _prof.PROFILE_NUM:
+        sels.append(
+            f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            f" FROM customer"
+        )
+    for c in _prof.PROFILE_STR:
+        sels.append(
+            f"SELECT '{c}', CAST(count(*) AS BIGINT),"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+            f" CAST(count(DISTINCT {c}) AS BIGINT),"
+            f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            f" min({c}), max({c}) FROM customer"
+        )
+    return "\nUNION ALL ".join(sels)
+
+
+register("profile_table_quality", _q_profile_table, _profile_sql())

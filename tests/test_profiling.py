@@ -1,0 +1,59 @@
+"""Semantic pins for the observability operators (snapshot_diff CDC,
+profile_table), hand-computed and independent of the DuckDB oracles."""
+
+from __future__ import annotations
+
+from cocktailsdb_spark.operators import profiling as P
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, x double")
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = _snap(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)])
+    new = _snap(spark, [(2, "b", 2.0), (3, "C", 3.0), (4, None, 4.0), (5, "e", 5.0)])
+    out = {r.k: r.change_type for r in
+           P.snapshot_diff(old, new, "k", ["v", "x"]).collect()}
+    # 1 dropped → delete; 2 identical → absent; 3 value change → update;
+    # 4 null-safe equal (None == None) → absent; 5 appears → insert
+    assert out == {1: "delete", 3: "update", 5: "insert"}
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    old = _snap(spark, [(1, "a", 1.0), (2, None, 2.0)])
+    new = _snap(spark, [(1, None, 1.0), (2, "b", 2.0)])
+    out = {r.k: r.change_type for r in
+           P.snapshot_diff(old, new, "k", ["v", "x"]).collect()}
+    # value↔null in either direction must read as update, not equality
+    assert out == {1: "update", 2: "update"}
+
+
+def test_profile_table_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", None), (2, None, 30.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    ).selectExpr("c_custkey", "c_name", "CAST(1 AS INT) AS c_nationkey",
+                 "c_acctbal", "'M' AS c_mktsegment")
+    out = {r.column_name: r for r in P.profile_table(df).collect()}
+    assert out["c_custkey"].n_rows == 3
+    assert out["c_custkey"].n_distinct == 2
+    assert (out["c_custkey"].min_num, out["c_custkey"].max_num) == (1.0, 2.0)
+    assert out["c_acctbal"].n_nulls == 1
+    assert (out["c_acctbal"].min_num, out["c_acctbal"].max_num) == (10.0, 30.0)
+    assert out["c_name"].n_nulls == 1 and out["c_name"].n_distinct == 2
+    assert (out["c_name"].min_str, out["c_name"].max_str) == ("x", "y")
+    assert out["c_name"].min_num is None  # string rows carry no numeric stats
+
+
+def test_profile_table_hll_variant_matches_exact_on_small_input(spark):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)],
+        "c_custkey long, c_name string, c_acctbal double",
+    ).selectExpr("c_custkey", "c_name", "CAST(1 AS INT) AS c_nationkey",
+                 "c_acctbal", "'M' AS c_mktsegment")
+    exact = {r.column_name: r.n_distinct for r in P.profile_table(df).collect()}
+    approx = {r.column_name: r.n_distinct
+              for r in P.profile_table(df, exact=False).collect()}
+    for c, n in exact.items():
+        assert abs(approx[c] - n) <= max(3, int(0.10 * n))  # HLL default rsd ~5%, 2σ

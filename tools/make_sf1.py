@@ -23,7 +23,7 @@ from cocktailsdb_spark.session import get_spark
 from cocktailsdb_spark.tables import TABLES, load
 
 REPLICAS = 10
-FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey", "documents": "doc_id"}
 
 
 def main() -> None:

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "rolling_zscore_revenue",
     "snapshot_diff_cdc",
     "profile_table_quality",
+    "fuzzy_match_names",
 ]
 
 

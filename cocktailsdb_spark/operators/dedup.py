@@ -361,3 +361,42 @@ def embedding_near_dup(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, col: str = "p_name", max_dist: int = 3
+) -> DataFrame:
+    """Record linkage / entity resolution: fuzzy-match pairs of DISTINCT
+    values of ``col`` with edit distance ≤ ``max_dist`` (unit-cost
+    Levenshtein — identical semantics on both engines, so the oracle is
+    value-exact).
+
+    Candidate generation is heuristic BLOCKING, never a cross join: an
+    equi-join on the first character plus the necessary length-band
+    filter |len(a) − len(b)| ≤ max_dist. Pairs whose very first character
+    differs are missed by design — candidate-recall blocking, the same
+    contract as the simhash banding notes. At billions of keys the block
+    key becomes a composite (2-char prefix, length band) or q-gram set;
+    the join shape — equi-join on the block key, verify inside the
+    block — is unchanged."""
+    names = df.select(F.col(col).alias("name")).distinct()
+    keyed = names.select(
+        "name",
+        F.substring("name", 1, 1).alias("blk"),
+        F.length("name").alias("len"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

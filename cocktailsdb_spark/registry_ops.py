@@ -1738,3 +1738,27 @@ register(
               FROM c)
         SELECT bigram, n FROM r WHERE rn <= {corpus.BIGRAM_TOP_N}""",
 )
+
+
+# ===========================================================================
+# §2.9 X2 extension — record linkage (edit-distance fuzzy matching)
+# ===========================================================================
+
+
+def _q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs(load(spark, sf_dir, "part"))
+
+
+register(
+    "fuzzy_match_names",
+    _q_fuzzy_names,
+    """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        keyed AS (SELECT name, substr(name, 1, 1) AS blk,
+                         CAST(len(name) AS INT) AS l
+                  FROM names)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        FROM keyed a JOIN keyed b
+          ON a.blk = b.blk AND a.name < b.name AND abs(a.l - b.l) <= 3
+        WHERE levenshtein(a.name, b.name) <= 3""",
+)

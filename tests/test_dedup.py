@@ -130,3 +130,22 @@ def test_embedding_near_dup(spark):
     )
     out = dedup.embedding_near_dup(df, threshold=0.95).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in out} == {(0, 1)}
+
+
+def test_edit_distance_pairs_blocking_and_verify(spark):
+    from cocktailsdb_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [("red bolt",), ("red belt",), ("red b",), ("ted bolt",), ("blue cap",)],
+        "p_name string",
+    )
+    out = {(r.name_a, r.name_b): r.dist
+           for r in edit_distance_pairs(df, max_dist=2).collect()}
+    # same first-letter block, dist 1 → matched
+    assert out[("red belt", "red bolt")] == 1
+    # "red b" is 3 edits from "red bolt" → filtered by the verify step
+    assert ("red b", "red bolt") not in out
+    # "ted bolt" is 1 edit from "red bolt" but a DIFFERENT block: missed
+    # by design (documented candidate-recall blocking)
+    assert not any("ted bolt" in k for k in out)
+    assert all(a < b for a, b in out)  # canonical pair ordering

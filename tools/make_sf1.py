@@ -42,7 +42,22 @@ def main() -> None:
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
         df = load(spark, args.src, t)
-        if t in FACTS:
+        if t == "events":
+            # disjoint event_ids AND user_ids per replica: a clean 10×
+            # user population (same per-user behavior), not 10 duplicate
+            # event streams on the same users
+            user_stride = df.agg(F.max("user_id")).first()[0] + 1
+            rep = spark.range(REPLICAS).select(
+                (F.col("id") * stride).alias("_off"),
+                (F.col("id") * user_stride).alias("_uoff"),
+            )
+            df = (
+                df.crossJoin(F.broadcast(rep))
+                .withColumn("event_id", F.col("event_id") + F.col("_off"))
+                .withColumn("user_id", F.col("user_id") + F.col("_uoff"))
+                .drop("_off", "_uoff")
+            )
+        elif t in FACTS:
             key = FACTS[t]
             rep = spark.range(REPLICAS).select(
                 (F.col("id") * stride).alias("_off")

@@ -70,3 +70,69 @@ def test_latest_wins_exactly_one_row_per_key_and_max_order(spark, rows):
         if k not in expect or (a, uid) > expect[k]:
             expect[k] = (a, uid)
     assert {r["k"]: (r["a"], r["uid"]) for r in out} == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=8), min_size=1, max_size=10
+    )
+)
+def test_bigram_counts_match_python_model(spark, docs):
+    from collections import Counter
+
+    from cocktailsdb_spark.operators import corpus
+
+    rows = [(i, " ".join(toks), "en", "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = [(r.bigram, r.n) for r in corpus.bigram_counts(df, top_n=100).collect()]
+    model = Counter()
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            model[f"{a} {b}"] += 1
+    expected = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),                    # user
+            st.integers(0, 50),                   # second offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_funnel_matches_python_model(spark, evs):
+    from datetime import datetime, timedelta
+
+    from cocktailsdb_spark.operators import events as EV
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=s), u, t) for i, (u, s, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.step: r.n_users for r in EV.funnel_steps(df).collect()}
+    steps = ("view", "click", "purchase")
+    counts = dict.fromkeys(steps, 0)
+    by_user = {}
+    for u, s, t in evs:
+        by_user.setdefault(u, []).append((s, t))
+    for seq in by_user.values():
+        seq.sort()
+        prev = None
+        for k, step in enumerate(steps):
+            cand = [s for s, t in seq if t == step and (prev is None or s > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[step] += 1
+    assert got == counts

@@ -16,6 +16,15 @@ def _plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _count_nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their "(N) <name>" detail headers — the
+    formatted plan prints every node twice (tree + detail section), so a
+    raw substring count double-counts."""
+    return sum(
+        1 for ln in plan.splitlines() if ln.strip().split(") ")[-1] == name
+    )
+
+
 def test_poc_uses_broadcast_joins(spark, sf_dir):
     plan = _plan(poc_analysis.poc_analysis(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
@@ -118,3 +127,52 @@ def test_tumbling_partial_aggregation(spark, sf_dir):
     plan = _plan(ev.tumbling_hour(load(spark, sf_dir, "events")))
     # partial+final hash aggregate around one exchange
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_funnel_single_shuffle_no_python(spark, sf_dir):
+    from cocktailsdb_spark.operators import events as EV
+
+    plan = _plan(EV.funnel_steps(load(spark, sf_dir, "events")))
+    # ONE exchange builds the per-user event arrays; the only other one
+    # feeds the final single-row count reduce (formatted plans print each
+    # node twice — once in the tree, once as a "(N) Exchange" detail
+    # header — so count the headers)
+    assert _count_nodes(plan, "Exchange") <= 2  # user shuffle + final 1-row agg
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_is_one_join_no_python(spark, sf_dir):
+    from cocktailsdb_spark.registry import QUERIES
+
+    df = QUERIES["snapshot_diff_cdc"](spark, str(sf_dir))
+    plan = _plan(df)
+    n_joins = sum(
+        _count_nodes(plan, j)
+        for j in ("SortMergeJoin FullOuter", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_table_is_single_pass_scan(spark, sf_dir):
+    from cocktailsdb_spark.operators import profiling as P
+
+    plan = _plan(P.profile_table(load(spark, sf_dir, "customer")))
+    # one aggregate over one scan (the exact-distinct Expand replicates
+    # rows in-flight, it does not rescan); HLL variant drops the Expand
+    n_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    )
+    assert n_scans == 1
+    assert "Expand" in plan
+    plan_hll = _plan(P.profile_table(load(spark, sf_dir, "customer"), exact=False))
+    assert "Expand" not in plan_hll
+
+
+def test_fuzzy_match_blocked_join_no_cartesian(spark, sf_dir):
+    from cocktailsdb_spark.operators.dedup import edit_distance_pairs
+
+    plan = _plan(edit_distance_pairs(load(spark, sf_dir, "part")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "snapshot_diff_cdc",
     "profile_table_quality",
     "fuzzy_match_names",
+    "pagerank_top_nodes",
 ]
 
 

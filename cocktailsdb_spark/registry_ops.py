@@ -1762,3 +1762,76 @@ register(
           ON a.blk = b.blk AND a.name < b.name AND abs(a.l - b.l) <= 3
         WHERE levenshtein(a.name, b.name) <= 3""",
 )
+
+
+# ===========================================================================
+# §2.9 extension — iterative graph computation (PageRank)
+# ===========================================================================
+
+from .operators import graph as _graph  # noqa: E402
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer↔supplier bipartite graph from lineitem⋈orders, symmetrized
+    (every node appears as a src → no dangling mass)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return _graph.pagerank(edges)
+
+
+def _pagerank_sql() -> str:
+    S = _graph.PR_SCALE
+    d = "CAST(0.85 AS DOUBLE)"
+    ctes = [
+        """pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                            's' || CAST(l_suppkey AS VARCHAR) AS s
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "edges AS (SELECT c AS src, s AS dst FROM pairs"
+        " UNION ALL SELECT s AS src, c AS dst FROM pairs)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, _graph.PR_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (SELECT e.dst,
+                 CAST(sum(CAST(floor((r.r / d.outdeg) * {S} + 0.5) AS BIGINT))
+                      AS BIGINT) AS qs
+               FROM edges e JOIN deg d ON e.src = d.src
+                            JOIN r{i - 1} r ON e.src = r.node
+               GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (SELECT n.node,
+                 CAST(floor(((CAST(1.0 AS DOUBLE) - {d}) / nn.n
+                             + {d} * (COALESCE(c.qs, 0) / {S}))
+                            * {S} + 0.5) AS BIGINT) / {S} AS r
+               FROM nodes n CROSS JOIN nn
+               LEFT JOIN c{i} c ON n.node = c.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+        SELECT node, r AS rank_score FROM (
+          SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rn
+          FROM r{_graph.PR_ITERS})
+        WHERE rn <= {_graph.PR_TOP_K}"""
+    )
+
+
+register("pagerank_top_nodes", _q_pagerank, _pagerank_sql())

@@ -1,0 +1,54 @@
+"""Semantic pin for operators/graph.py: PageRank vs a plain-Python power
+iteration with the identical quantization, on a small directed graph."""
+
+from __future__ import annotations
+
+import math
+
+from cocktailsdb_spark.operators import graph as G
+
+
+def _model(edges, iters=G.PR_ITERS, damping=G.PR_DAMPING):
+    S = G.PR_SCALE
+    nodes = sorted({s for s, _ in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    base = 1.0 - damping
+    for _ in range(iters):
+        qs = dict.fromkeys(nodes, 0)
+        for s, t in edges:
+            qs[t] += math.floor((r[s] / outdeg[s]) * S + 0.5)
+        r = {
+            v: math.floor((base / n + damping * (qs[v] / S)) * S + 0.5) / S
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    # star + chain: a is pointed at by everyone, symmetrized back-edges
+    raw = [("b", "a"), ("c", "a"), ("d", "a"), ("d", "c")]
+    edges = raw + [(t, s) for s, t in raw]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_score for r in G.pagerank(df).collect()}
+    model = _model(edges)
+    assert got == model
+    # hub ranks strictly highest; every rank positive; total mass ~1
+    assert max(model, key=model.get) == "a"
+    assert all(v > 0 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_top_k_ordering(spark):
+    raw = [(f"n{i}", "hub") for i in range(6)]
+    edges = raw + [(t, s) for s, t in raw]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = G.pagerank(df, top_k=3).collect()
+    assert len(out) == 3
+    assert out[0].node == "hub"
+    assert out[1].rank_score <= out[0].rank_score
+    # equal-rank spokes tie-break lexically
+    assert [r.node for r in out[1:]] == ["n0", "n1"]

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "profile_table_quality",
     "fuzzy_match_names",
     "pagerank_top_nodes",
+    "incremental_agg_merge",
 ]
 
 

@@ -633,3 +633,19 @@ def _profile_sql() -> str:
 
 
 register("profile_table_quality", _q_profile_table, _profile_sql())
+
+
+def _q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.incremental_agg_merge(load(spark, sf_dir, "orders"))
+
+
+register(
+    "incremental_agg_merge",
+    _q_incr_agg,
+    # the oracle is the FULL recompute — a green hash proves the partial
+    # merge path is exactly equivalent to rescanning history
+    f"""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               {_d('o_totalprice')} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1""",
+)

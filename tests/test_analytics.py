@@ -102,3 +102,32 @@ def test_rolling_zscore_resets_at_year_boundary(spark):
     out = {r.day: r for r in R.rolling_zscore(orders).collect()}
     # new year partition: no trailing baseline crosses the boundary
     assert out["2024-01-01"].n_prior == 0 and out["2024-01-01"].zscore is None
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(1996 + (i % 2), 6, 1 + i % 3).date(), 100.25 * (i + 1))
+        for i in range(30)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    merged = {
+        (r.day): (r.revenue, r.n_orders)
+        for r in R.incremental_agg_merge(orders, cutoff="1997-01-01").collect()
+    }
+    full = {}
+    for _, d, p in rows:
+        day = d.strftime("%Y-%m-%d")
+        rev, n = full.get(day, (0.0, 0))
+        full[day] = (rev + p, n + 1)
+    assert set(merged) == set(full)
+    for day, (rev, n) in full.items():
+        assert merged[day][1] == n
+        assert abs(merged[day][0] - rev) < 1e-6
+    # the batch side is non-empty (cutoff actually splits the data)
+    assert any(day >= "1997-01-01" for day in full) and any(
+        day < "1997-01-01" for day in full
+    )

@@ -649,3 +649,35 @@ register(
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY 1""",
 )
+
+
+def _q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: percent_rank / cume_dist per customer.
+    Both are pure rank arithmetic (rank−1)/(n−1) and peers/n — a single
+    integer division per row, same operand order both engines, no qround
+    needed. One shuffle on o_custkey (shared window)."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.filter(F.col("o_custkey") % 100 == 0)  # pre-window: prune the scan
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+register(
+    "window_distribution_family",
+    _q_window_distribution,
+    """SELECT o_custkey, o_orderkey,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume
+       FROM orders
+       WHERE o_custkey % 100 = 0
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
+)

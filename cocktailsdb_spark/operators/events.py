@@ -270,7 +270,11 @@ def funnel_steps(
         step_cols.append(f"_t{k}")
     sums = ev.agg(
         *[
-            F.sum(F.col(c).isNotNull().cast("long")).alias(f"n{k}")
+            # coalesce: sum over an EMPTY frame (no user did step 0) is
+            # null, but the funnel count is 0 — matches SQL count(*)
+            F.coalesce(
+                F.sum(F.col(c).isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n{k}")
             for k, c in enumerate(step_cols)
         ]
     )

@@ -30,26 +30,47 @@ PR_SCALE = int(1e12)
 PR_TOP_K = 20
 
 
+PR_CHECKPOINT_EVERY = 2
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
     iters: int = PR_ITERS,
     top_k: int = PR_TOP_K,
+    checkpoint_every: int = PR_CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (``src``,
     ``dst``; every node must appear as a src — symmetrize beforehand if
     the graph is undirected, which also removes dangling nodes).
-    Returns the top_k nodes by final rank (rank-desc, node tiebreak)."""
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    Returns the top_k nodes by final rank (rank-desc, node tiebreak).
+
+    ``checkpoint_every`` controls how often the rank frame is
+    materialized: iterations form one DAG (no branch reuses an
+    intermediate rank), so skipping checkpoints never recomputes work —
+    it only deepens the plan. Every k-th iteration truncates lineage so
+    optimizer time stays bounded at high iteration counts; per-iteration
+    (k=1) is only needed when iters is large or memory-pressure demands
+    eager release."""
+    edges = edges.select("src", "dst").distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # out-degree is joined into the edge list ONCE, outside the loop —
+    # the iterations then never shuffle the (big) edge side again
+    edges_w = edges.join(outdeg, "src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n_nodes = nodes.count()  # scalar: node-count frame only, never edges
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     base = 1.0 - damping
-    for _ in range(iters):
+    for it in range(1, iters + 1):
+        # ranks/contrib are node-sized — broadcast both sides so each
+        # iteration's only exchange is the map-side-combined partial-sum
+        # shuffle of the contribution aggregate. (At node counts beyond
+        # broadcast reach, drop the hints: the joins fall back to the
+        # classic shuffle-per-iteration PageRank shape.)
         contrib = (
-            edges.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_w.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
             .select(
                 "dst",
                 F.floor(
@@ -60,7 +81,9 @@ def pagerank(
             .agg(F.sum("q").alias("qs"))
         )
         ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            nodes.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "node")), "node", "left"
+            )
             .select(
                 "node",
                 F.floor(
@@ -73,8 +96,9 @@ def pagerank(
                 ).cast("long").alias("qr"),
             )
             .select("node", (F.col("qr") / PR_SCALE).alias("r"))
-            .localCheckpoint()
         )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iters:
+            ranks = ranks.localCheckpoint()
     return (
         ranks.orderBy(F.desc("r"), F.asc("node"))
         .limit(top_k)

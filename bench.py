@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "fuzzy_match_names",
     "pagerank_top_nodes",
     "incremental_agg_merge",
+    "unigram_logprob_score",
 ]
 
 

@@ -280,3 +280,40 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.countDistinct("bench_id").alias("n_bench_hits"))
     )
+
+
+LM_SMOOTH = 0.5
+
+
+def unigram_logprob_score(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet-style LM filter): train
+    a smoothed unigram LM on the corpus itself, then score each document
+    by its mean token log-probability — low scores flag gibberish /
+    boilerplate / wrong-language text.
+
+    p(t) = (count(t) + smooth) / (total + smooth·|V|), score(d) =
+    Σ ln p(t_i) / |d|. ONE explode feeds both the LM counts and the
+    per-doc sums; the vocabulary aggregate is broadcast back (vocab ≪
+    corpus — same shape as tfidf). Per-token ln p is quantized to 6 dp
+    and summed in integer space, so the cross-engine mean is exact; the
+    final mean divides once and qrounds 4 dp."""
+    tok = spread(docs).select("doc_id", F.explode(tokens()).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    p = (F.col("cnt") + F.lit(smooth)) / (
+        F.col("total") + F.lit(smooth) * F.col("vocab")
+    )
+    q = F.floor(F.log(p) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        tok.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.sum(q).alias("qs"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            qround(F.col("qs") / 1e6 / F.col("n_tokens"), 4).alias("mean_logprob"),
+        )
+    )

@@ -1835,3 +1835,35 @@ def _pagerank_sql() -> str:
 
 
 register("pagerank_top_nodes", _q_pagerank, _pagerank_sql())
+
+
+# ===========================================================================
+# §2.9 corpus extension — unigram LM quality scoring
+# ===========================================================================
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.unigram_logprob_score(load(spark, sf_dir, "documents"))
+
+
+register(
+    "unigram_logprob_score",
+    _q_unigram_logprob,
+    f"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                   FROM tok GROUP BY term),
+        totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                          CAST(count(*) AS BIGINT) AS vocab
+                   FROM counts),
+        q AS (SELECT t.doc_id,
+                     CAST(floor(ln((c.cnt + {corpus.LM_SMOOTH}) /
+                                   (s.total + {corpus.LM_SMOOTH} * s.vocab))
+                                * 1000000.0 + 0.5) AS BIGINT) AS ql
+              FROM tok t JOIN counts c USING (term) CROSS JOIN totals s)
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               {sql_qround("sum(ql) / 1000000.0 / count(*)", 4)} AS mean_logprob
+        FROM q GROUP BY doc_id""",
+)

@@ -165,3 +165,26 @@ def test_bigram_counts_top_n_tiebreak(spark):
     out = [(r.bigram, r.n) for r in corpus.bigram_counts(docs, top_n=3).collect()]
     # counts: "z q"×2, then "j"? no — pairs: z q, q z, z q, q k, k j
     assert out == [("z q", 2), ("k j", 1), ("q k", 1)]  # lexical tiebreak at n=1
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en", "s"), (2, "a c", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in corpus.unigram_logprob_score(docs).collect()}
+    # counts: a=3, b=1, c=1; total=5, vocab=3, smooth=0.5 → denom 6.5
+    def p(c):
+        return (c + 0.5) / 6.5
+
+    def q(c):
+        return math.floor(math.log(p(c)) * 1e6 + 0.5)
+
+    exp1 = math.floor(((q(3) + q(3) + q(1)) / 1e6 / 3) * 1e4 + 0.5) / 1e4
+    exp2 = math.floor(((q(3) + q(1)) / 1e6 / 2) * 1e4 + 0.5) / 1e4
+    assert out[1].n_tokens == 3 and out[1].mean_logprob == exp1
+    assert out[2].n_tokens == 2 and out[2].mean_logprob == exp2
+    # the doc with rarer tokens scores lower (perplexity-proxy ordering)
+    assert out[2].mean_logprob < out[1].mean_logprob

@@ -95,6 +95,19 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
+    # pre-spawn the Python worker pool: the first Arrow/pandas stage of the
+    # run otherwise pays worker fork + Arrow init inside whichever query
+    # touches mapInPandas first (measured as a multi-second first-touch
+    # spike on multimodal_features). One trivial mapInPandas across every
+    # core makes that session cost, like the JVM warm-up above.
+    def _ident(batches):
+        yield from batches
+
+    ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(ncpus * 4).repartition(ncpus).mapInPandas(
+        _ident, "id long"
+    ).write.mode("overwrite").format("noop").save()
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in bench_queries:

@@ -30,7 +30,7 @@ PR_SCALE = int(1e12)
 PR_TOP_K = 20
 
 
-PR_CHECKPOINT_EVERY = 2
+PR_CHECKPOINT_EVERY = 0
 
 
 def pagerank(
@@ -48,10 +48,11 @@ def pagerank(
     ``checkpoint_every`` controls how often the rank frame is
     materialized: iterations form one DAG (no branch reuses an
     intermediate rank), so skipping checkpoints never recomputes work —
-    it only deepens the plan. Every k-th iteration truncates lineage so
-    optimizer time stays bounded at high iteration counts; per-iteration
-    (k=1) is only needed when iters is large or memory-pressure demands
-    eager release."""
+    it only deepens the plan. At the default 5 iterations the whole loop
+    runs as ONE action (0 = never checkpoint), which removes the eager
+    materialization jobs that dominated wall-clock at bench scale;
+    set k≥1 only when iters is large enough that optimizer time or
+    memory pressure demands periodic lineage truncation."""
     edges = edges.select("src", "dst").distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # out-degree is joined into the edge list ONCE, outside the loop —
@@ -62,35 +63,34 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     base = 1.0 - damping
     for it in range(1, iters + 1):
-        # ranks/contrib are node-sized — broadcast both sides so each
-        # iteration's only exchange is the map-side-combined partial-sum
-        # shuffle of the contribution aggregate. (At node counts beyond
-        # broadcast reach, drop the hints: the joins fall back to the
-        # classic shuffle-per-iteration PageRank shape.)
-        contrib = (
-            edges_w.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
-            )
-            .select(
-                "dst",
-                F.floor(
-                    (F.col("r") / F.col("outdeg")) * PR_SCALE + F.lit(0.5)
-                ).cast("long").alias("q"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("q").alias("qs"))
+        # ranks are node-sized — broadcast into the (big) edge side so
+        # each iteration's only exchange is the map-side-combined
+        # partial-sum shuffle of the contribution aggregate. Nodes with
+        # no in-edges are handled by unioning a zero-contribution row
+        # per node INTO that same aggregate (sum(q)+0 ≡ the left-join +
+        # coalesce(qs,0) form, one operator cheaper: no second join, no
+        # second broadcast). At node counts beyond broadcast reach, drop
+        # the hint: the join falls back to the classic
+        # shuffle-per-iteration PageRank shape.
+        contrib_in = edges_w.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+        ).select(
+            "dst",
+            F.floor(
+                (F.col("r") / F.col("outdeg")) * PR_SCALE + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+        zero = nodes.select(
+            F.col("node").alias("dst"), F.lit(0).cast("long").alias("q")
         )
         ranks = (
-            nodes.join(
-                F.broadcast(contrib.withColumnRenamed("dst", "node")), "node", "left"
-            )
+            contrib_in.unionByName(zero)
+            .groupBy("dst")
+            .agg(F.sum("q").alias("qs"))
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 F.floor(
-                    (
-                        base / n_nodes
-                        + damping * (F.coalesce(F.col("qs"), F.lit(0)) / PR_SCALE)
-                    )
+                    (base / n_nodes + damping * (F.col("qs") / PR_SCALE))
                     * PR_SCALE
                     + F.lit(0.5)
                 ).cast("long").alias("qr"),

@@ -270,6 +270,20 @@ FEATURE_SCHEMA = (
 THUMB = 8  # thumbnail edge for the resize feature
 
 
+# Every media parameter is an affine function of doc_id modulo a small
+# constant (see the _image/_audio/_video param functions), so the payload
+# bytes repeat exactly with these periods: the memoized encode turns a
+# 50k-doc synthesis into ≤ period distinct codec runs per worker. The
+# periods are the lcm of each format's parameter moduli.
+PNG_PERIOD = 768  # lcm(64 width, 48 height·7, 256 row value)
+WAV_PERIOD = 1000  # lcm(50 sample count, 1000 sample value)
+GIF_PERIOD = 224  # lcm(32 width, 32 height·5, 7 frames)
+
+_encode_png_cached = lru_cache(maxsize=PNG_PERIOD)(encode_png)
+_encode_wav_cached = lru_cache(maxsize=WAV_PERIOD)(encode_wav)
+_encode_gif_cached = lru_cache(maxsize=GIF_PERIOD)(encode_gif)
+
+
 def synth_media(docs: DataFrame) -> DataFrame:
     """Synthesize a REAL media table from ``documents``: each doc becomes a
     PNG / WAV / GIF payload (kind cycles by doc_id % 3) with contents fully
@@ -277,13 +291,19 @@ def synth_media(docs: DataFrame) -> DataFrame:
     / parquet binary scans, with bytes actual decoders accept."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        encoders = {0: ("image", encode_png), 1: ("audio", encode_wav), 2: ("video", encode_gif)}
+        encoders = {
+            0: ("image", _encode_png_cached, PNG_PERIOD),
+            1: ("audio", _encode_wav_cached, WAV_PERIOD),
+            2: ("video", _encode_gif_cached, GIF_PERIOD),
+        }
         for pdf in batches:
             kinds, payloads = [], []
             for doc_id in pdf["doc_id"]:
-                kind, enc = encoders[int(doc_id) % 3]
+                kind, enc, period = encoders[int(doc_id) % 3]
                 kinds.append(kind)
-                payloads.append(enc(int(doc_id)))
+                # doc_id % period yields byte-identical payloads (all
+                # parameter moduli divide the period)
+                payloads.append(enc(int(doc_id) % period))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
             )

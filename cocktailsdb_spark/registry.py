@@ -44,3 +44,110 @@ from . import registry_ops  # noqa: E402,F401
 
 # extended TPC-H suite + relational/window/stats operators:
 from . import registry_ext  # noqa: E402,F401
+
+# --- driver-sweep rotation --------------------------------------------------
+# The correctness driver checks ~50 entries in registration order per round.
+# Registration order follows module structure, so without rotation the same
+# long-green core gets re-checked every round while newer families never get
+# a driver row. This list puts the entries with no driver-green row yet (and
+# this round's new additions) first; everything else keeps registration order
+# behind them. Rotate per round as families accumulate driver-green rows.
+_DRIVER_PRIORITY: list[str] = [
+    # round-3 additions (newest = highest risk)
+    "streaming_interval_join_outer",
+    "ivf_recall_at_k",
+    # judge-named never-checked entries (VERDICT r2 §next-round #1)
+    "pagerank_top_nodes",
+    "bm25_rank_query",
+    "funnel_conversion",
+    "snapshot_diff_cdc",
+    "streaming_interval_join",
+    "streaming_foreach_merge",
+    "incremental_agg_merge",
+    "fuzzy_match_names",
+    # rest of the streaming family
+    "streaming_dedup_within_watermark",
+    "streaming_dedup_keys",
+    "streaming_stateful_counts",
+    "streaming_static_join",
+    # TPC-H Q2-Q22 (Q1/Q3/Q5 are driver-green from r1/r2)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_suppliers",
+    "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_active_suppliers",
+    "tpch_q21_sole_problem_supplier",
+    "tpch_q22_dormant_customers",
+    # retrieval / corpus family
+    "inverted_index_terms",
+    "chunk_documents",
+    "vocab_top_terms",
+    "pack_sequences",
+    "stratified_sample",
+    "weighted_resample",
+    "decontaminate_ngrams",
+    "corpus_clean_stats",
+    "tfidf_top_terms",
+    "mixture_weights",
+    "bigram_lm_counts",
+    "unigram_logprob_score",
+    # analytics family
+    "cohort_retention",
+    "rolling_zscore_revenue",
+    "profile_table_quality",
+    # remaining never-checked singletons (overflow past the ~50 cap is
+    # harmless; they head next round's rotation)
+    "http_dim_distributed",
+    "topk_per_group_limit",
+    "approx_percentile_price",
+    "repetition_stats",
+    "pii_redact",
+    "hash_split",
+    "set_intersect_customers",
+    "set_except_customers",
+    "cube_revenue",
+    "grouping_sets_mix",
+    "rank_family_topk",
+    "lag_lead_daily_revenue",
+    "quantile_disc_price",
+    "stats_moments",
+    "price_histogram",
+    "unpivot_priority_counts",
+    "json_map_aggregate",
+    "asof_join_signup",
+    "partition_pruned_load",
+    "bucketed_join_revenue",
+    "salted_groupby",
+    "argmax_order_per_customer",
+    "scd2_dim_history",
+    "merge_upsert_dim",
+    "json_lines_roundtrip",
+    "orc_roundtrip",
+    "approx_distinct_users",
+    "range_join_recent_clicks",
+    "window_distribution_family",
+]
+
+
+def _apply_driver_priority() -> None:
+    ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = {n: mapping[n] for n in ordered if n in mapping}
+        mapping.clear()
+        mapping.update(snapshot)
+
+
+_apply_driver_priority()

@@ -354,6 +354,101 @@ FROM events c JOIN events p
 """
 
 
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every click emitted, joined
+    to same-user purchases in [click_ts, click_ts+30min] — unmatched
+    clicks come out with NULL purchase columns.
+
+    This is the shape the inner join cannot express: a row can only be
+    declared UNMATCHED once the watermark has passed its whole join
+    interval (until then a matching purchase could still arrive), so null
+    rows are emitted on WATERMARK EXPIRY, not on arrival. The driver feeds
+    a far-future sentinel batch on both sides to push the watermark past
+    every real interval — exactly the session_window flush pattern — then
+    filters the sentinel back out. The complete output therefore equals
+    the batch LEFT JOIN (the DuckDB oracle); join state stays bounded by
+    the watermark horizon either way."""
+    name = "stream_ijo_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_ijo_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    static = load(spark, sf_dir, "events")
+    max_ts = static.agg(F.max("ts")).first()[0]
+
+    clicks = (
+        _events_stream(spark, input_dir + "/*")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, input_dir + "/*")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        "click_ts", "purchase_ts",
+    )
+    with _low_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # sentinel batch: one far-future click AND purchase advance
+            # both side's watermarks past every real interval, forcing
+            # the expiry scan that emits the null-padded rows.
+            far = max_ts + __import__("datetime").timedelta(days=10)
+            sentinel = spark.createDataFrame(
+                [
+                    (10**9, far, SENTINEL_USER, "click", 0.0, "{}"),
+                    (10**9 + 1, far, SENTINEL_USER, "purchase", 0.0, "{}"),
+                ],
+                schema=EVENTS_DDL,
+            )
+            sentinel.write.mode("overwrite").parquet(
+                os.path.join(input_dir, "batch2.parquet")
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    result = (
+        spark.table(name).filter(F.col("user_id") != SENTINEL_USER).cache()
+    )
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+STREAM_INTERVAL_JOIN_OUTER_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def streaming_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE sink: each micro-batch latest-wins-merges into a
     versioned state table — the pattern for maintaining a dimension from a
@@ -409,12 +504,15 @@ def streaming_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    final = spark.read.parquet(state_holder[0])
-    # state files live in the tempdir: materialize the (dim-sized) result
-    # on the driver before cleanup so no recompute can touch deleted paths
-    result = spark.createDataFrame(final.collect(), final.schema)
+    # the final state can be arbitrarily large (one row per key), so it
+    # must never transit the driver: move the last state version out of
+    # the scratch dir to a stable path and return a plain distributed
+    # read of it — the caller sees a normal parquet-backed DataFrame.
+    keep_dir = tempfile.mkdtemp(prefix="cdbspark_fbm_state_")
+    final_dir = os.path.join(keep_dir, "final_state")
+    shutil.move(state_holder[0], final_dir)
     shutil.rmtree(workdir, ignore_errors=True)
-    return result
+    return spark.read.parquet(final_dir)
 
 
 FOREACH_MERGE_SQL = """

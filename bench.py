@@ -93,7 +93,10 @@ def main() -> None:
     from cocktailsdb_spark.tables import TABLES
 
     for t in TABLES:
-        load(spark, sf_dir, t).count()
+        try:
+            load(spark, sf_dir, t).count()
+        except Exception as exc:  # noqa: BLE001 — warm-up must not kill the run
+            print(f"bench: warm-up {t} failed: {exc}", file=sys.stderr)
 
     # pre-spawn the Python worker pool: the first Arrow/pandas stage of the
     # run otherwise pays worker fork + Arrow init inside whichever query
@@ -110,30 +113,36 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in bench_queries:
-        fn = queries[name]
-        # best of 2: the VM's noisy-neighbor variance swings single runs
-        # 3x; the min is the honest compute cost of the plan
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # one broken query must never cost the whole run its numbers:
+        # isolate every query, record the error, keep benchmarking
+        try:
+            fn = queries[name]
+            # best of 2: the VM's noisy-neighbor variance swings single
+            # runs 3x; the min is the honest compute cost of the plan
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

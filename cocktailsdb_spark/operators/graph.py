@@ -41,8 +41,10 @@ def pagerank(
     checkpoint_every: int = PR_CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (``src``,
-    ``dst``; every node must appear as a src — symmetrize beforehand if
-    the graph is undirected, which also removes dangling nodes).
+    ``dst``). The node set is src ∪ dst, so sink nodes (in-edges only)
+    receive rank rows like any other node; nodes with no out-edges simply
+    contribute nothing (standard dangling-mass simplification). Symmetrize
+    beforehand for undirected graphs.
     Returns the top_k nodes by final rank (rank-desc, node tiebreak).
 
     ``checkpoint_every`` controls how often the rank frame is
@@ -58,7 +60,17 @@ def pagerank(
     # out-degree is joined into the edge list ONCE, outside the loop —
     # the iterations then never shuffle the (big) edge side again
     edges_w = edges.join(outdeg, "src").localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # node universe = src ∪ dst, so the implementation is self-consistent
+    # for any input (the union-into-aggregate below emits a row per dst;
+    # a src-only node set would silently grow the output for graphs with
+    # sink nodes while n_nodes counted fewer — a divergence from the
+    # oracle twin for non-symmetrized inputs)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     n_nodes = nodes.count()  # scalar: node-count frame only, never edges
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     base = 1.0 - damping

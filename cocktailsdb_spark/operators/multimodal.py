@@ -279,9 +279,13 @@ PNG_PERIOD = 768  # lcm(64 width, 48 height·7, 256 row value)
 WAV_PERIOD = 1000  # lcm(50 sample count, 1000 sample value)
 GIF_PERIOD = 224  # lcm(32 width, 32 height·5, 7 frames)
 
-_encode_png_cached = lru_cache(maxsize=PNG_PERIOD)(encode_png)
-_encode_wav_cached = lru_cache(maxsize=WAV_PERIOD)(encode_wav)
-_encode_gif_cached = lru_cache(maxsize=GIF_PERIOD)(encode_gif)
+# Decorate IN PLACE (wrapper replaces the module attribute under the same
+# name) so cloudpickle can serialize the _synth closure by reference: a
+# rebind to a new name leaves module.encode_png ≠ the wrapper and pickling
+# the _lru_cache_wrapper by value fails.
+encode_png = lru_cache(maxsize=PNG_PERIOD)(encode_png)
+encode_wav = lru_cache(maxsize=WAV_PERIOD)(encode_wav)
+encode_gif = lru_cache(maxsize=GIF_PERIOD)(encode_gif)
 
 
 def synth_media(docs: DataFrame) -> DataFrame:
@@ -292,9 +296,9 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         encoders = {
-            0: ("image", _encode_png_cached, PNG_PERIOD),
-            1: ("audio", _encode_wav_cached, WAV_PERIOD),
-            2: ("video", _encode_gif_cached, GIF_PERIOD),
+            0: ("image", encode_png, PNG_PERIOD),
+            1: ("audio", encode_wav, WAV_PERIOD),
+            2: ("video", encode_gif, GIF_PERIOD),
         }
         for pdf in batches:
             kinds, payloads = [], []

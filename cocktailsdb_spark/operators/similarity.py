@@ -135,6 +135,41 @@ def cosine_topk_pandas(
     )
 
 
+def ivf_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the bucketed approximate path against the exact one,
+    per query: |exact top-k ∩ approx top-k| / k. The quality dial for the
+    IVF trade (bucket equi-join instead of cross join) — at 100 TB both
+    sides are tiny (Q×k rows), so the metric join itself is a broadcast.
+
+    Output: (query_id, n_exact, n_hit, recall).
+    """
+    exact = cosine_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    hit = approx.select(
+        F.col("query_id").alias("_aq"), F.col(id_col).alias("_av")
+    )
+    joined = exact.join(
+        F.broadcast(hit),
+        (exact["query_id"] == hit["_aq"]) & (exact[id_col] == hit["_av"]),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("_av").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        qround(
+            F.sum(F.when(F.col("_av").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            SIM_ROUND,
+        ).alias("recall"),
+    )
+
+
 def label_centroids(
     emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:
@@ -209,18 +244,34 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket instead of a cross join.
+    """Approximate top-k: equi-join on LSH bucket instead of a cross join,
+    with multi-probe — each query probes its own bucket plus every bucket
+    at Hamming distance 1 (one flipped hyperplane sign), i.e. K+1 of the
+    2^K buckets. Near neighbours that land just across one hyperplane are
+    recovered, at (K+1)/2^K of the brute-force work instead of 1/2^K.
 
-    At scale the candidate side shuffles once on a 2^K-ary key (or is
-    written bucketed once and never shuffles again); queries broadcast.
-    Recall < 1.0 by design — the exact twin is ``cosine_topk``.
+    At scale the candidate side shuffles once on the 2^K-ary bucket key
+    (or is written bucketed once and never shuffles again); the query side
+    — Q×(K+1) probe rows — broadcasts. Recall < 1.0 by design — the exact
+    twin is ``cosine_topk``.
     """
+    n_planes = len(PLANES)
     base = with_norm(emb, vec_col).withColumn("_bucket", plane_bucket(F.col("_vec")))
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_vec").alias("_qvec"),
-        F.col("_norm").alias("_qnorm"),
-        F.col("_bucket").alias("_qbucket"),
+    # probe set: the query's bucket and each single-bit flip of it. All
+    # K+1 values are distinct, and every candidate has exactly one bucket,
+    # so no (query, candidate) pair can join twice — no dedup needed.
+    probes = F.array(
+        F.col("_bucket"),
+        *[F.col("_bucket").bitwiseXOR(F.lit(1 << bit)) for bit in range(n_planes)],
+    )
+    q = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_vec").alias("_qvec"),
+            F.col("_norm").alias("_qnorm"),
+            F.explode(probes).alias("_qbucket"),
+        )
     )
     c = base.select(id_col, "_vec", "_norm", "_bucket")
     sim = qround(dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")), SIM_ROUND)

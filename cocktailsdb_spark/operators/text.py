@@ -18,7 +18,6 @@ from ..constants import (
     BPE_TOKEN_RE,
     FP_MOD,
     FP_POWERS,
-    HEXDIGITS,
     LANG_PRECEDENCE,
     LANG_STOPWORDS,
     QUALITY_W_DIGIT,
@@ -121,12 +120,8 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 
 def md5_prefix_value(tok: Column, n_hex: int = 4, offset: int = 0) -> Column:
     """Integer from n hex chars of md5(token) starting at ``offset`` — md5
-    is the hash both engines share; hex parsing via instr so no
-    engine-specific conversion functions are involved."""
-    h = F.md5(tok)
-    v = F.lit(0)
-    for i in range(n_hex):
-        # F.position accepts Column needles (F.instr wants a Python str)
-        digit = F.position(F.substring(h, offset + i + 1, 1), F.lit(HEXDIGITS)) - 1
-        v = v * 16 + digit
-    return v
+    is the hash both engines share. One substring + conv per value (the
+    DuckDB twins parse the same chars positionally; values are identical
+    for md5's lowercase hex, only the Spark-side expression count shrinks
+    from 2n chained ops to 2)."""
+    return F.conv(F.substring(F.md5(tok), offset + 1, n_hex), 16, 10).cast("long")

@@ -773,8 +773,11 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_TOPK_SQL = f"""WITH {_SQL_EMB_BASE},
         bk AS (SELECT vec_id, v, nv, {_sql_bucket("v")} AS bucket FROM nrm),
-        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn, bucket AS qb FROM bk
+        q0 AS (SELECT vec_id AS query_id, v AS qv, nv AS qn, bucket AS qb0 FROM bk
               WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        q AS (SELECT query_id, qv, qn,
+                     unnest([qb0{"".join(f", xor(qb0, {1 << bit})" for bit in range(len(PLANES)))}]) AS qb
+              FROM q0),
         pairs AS (
           SELECT q.query_id, c.vec_id,
                  {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim

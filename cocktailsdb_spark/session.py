@@ -46,6 +46,13 @@ def get_spark(
         # 100 TB this yields ~800k splits, well within driver capacity.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Default 8000 makes any stage whose generated method exceeds 8 KB
+        # bytecode (e.g. a 64-buffer aggregate like simhash's) fall back to
+        # INTERPRETED expression evaluation — measured 2.7× slower than the
+        # codegen path on simhash_fingerprint at sf0.1. 65535 restores
+        # codegen for wide aggregates; even when HotSpot declines to JIT a
+        # huge method, running its bytecode beats Spark's interpreter.
+        .config("spark.sql.codegen.hugeMethodLimit", "65535")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -17,6 +17,7 @@ carry full DuckDB oracles.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -509,6 +510,9 @@ def streaming_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scratch dir to a stable path and return a plain distributed
     # read of it — the caller sees a normal parquet-backed DataFrame.
     keep_dir = tempfile.mkdtemp(prefix="cdbspark_fbm_state_")
+    # reclaim the kept state at interpreter exit — repeated driver rounds /
+    # test runs must not accumulate one parquet dir per invocation in /tmp
+    atexit.register(shutil.rmtree, keep_dir, ignore_errors=True)
     final_dir = os.path.join(keep_dir, "final_state")
     shutil.move(state_holder[0], final_dir)
     shutil.rmtree(workdir, ignore_errors=True)

@@ -42,6 +42,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The fixtures' at-rest encoding is not ours to control: µs-no-timezone
+    # parquet reads back as TIMESTAMP_NTZ in Spark 4, which rejects numeric
+    # casts and serializes without a zone offset. Normalize every NTZ column
+    # to TimestampType once at the scan (session tz is pinned UTC above, so
+    # the instant is unambiguous) — SURVEY §1.3 maps timestamp → TimestampType.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

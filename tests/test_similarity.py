@@ -54,6 +54,20 @@ def test_ivf_results_subset_of_bucket_and_sims_match_exact(spark, sf_dir):
     assert all(v <= 3 for v in per_q.values())
 
 
+def test_ivf_recall_floor_and_bounds(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    rows = similarity.ivf_recall(emb, [0, 1, 2, 3, 4], k=3).collect()
+    assert len(rows) == 5  # one row per query
+    for r in rows:
+        assert r["n_exact"] == 3
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall"] == pytest.approx(r["n_hit"] / r["n_exact"], abs=1e-6)
+    # fixture floor: hyperplane buckets keep at least a third of the exact
+    # neighbours on average for these queries (deterministic planes + data)
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 0.3
+
+
 def test_kmeans_assign_recovers_separated_clusters(spark):
     rows = [(i, [10.0 + (i % 3) * 0.1] * 4, 1) for i in range(3)] + [
         (i + 10, [-10.0 - (i % 3) * 0.1] * 4, 2) for i in range(3)

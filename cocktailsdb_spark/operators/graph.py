@@ -30,7 +30,11 @@ PR_SCALE = int(1e12)
 PR_TOP_K = 20
 
 
-PR_CHECKPOINT_EVERY = 0
+# A/B-measured at sf0.1 (quiet machine, best of 2): every-2 7.85s,
+# every-1 9.22s, never 10.36s. Without truncation each iteration's
+# broadcast build re-walks the previous iterations' nested plan, so
+# periodic lineage truncation wins despite its eager materialization jobs.
+PR_CHECKPOINT_EVERY = 2
 
 
 def pagerank(
@@ -48,13 +52,13 @@ def pagerank(
     Returns the top_k nodes by final rank (rank-desc, node tiebreak).
 
     ``checkpoint_every`` controls how often the rank frame is
-    materialized: iterations form one DAG (no branch reuses an
-    intermediate rank), so skipping checkpoints never recomputes work —
-    it only deepens the plan. At the default 5 iterations the whole loop
-    runs as ONE action (0 = never checkpoint), which removes the eager
-    materialization jobs that dominated wall-clock at bench scale;
-    set k≥1 only when iters is large enough that optimizer time or
-    memory pressure demands periodic lineage truncation."""
+    materialized (0 = never). Measured, not guessed: never-checkpoint is
+    ~30% SLOWER than every-2 at sf0.1 — each iteration's broadcast is
+    built by a driver job over the previous iterations' nested plan, and
+    without truncation that chain deepens every round (plan/optimizer
+    cost grows superlinearly even though shuffle outputs are reused).
+    localCheckpoint every 2 iterations keeps the plan shallow at the cost
+    of one eager materialization job per truncation — the net win."""
     edges = edges.select("src", "dst").distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # out-degree is joined into the edge list ONCE, outside the loop —

@@ -322,6 +322,41 @@ def _qround4(x: float) -> float:
     return math.floor(x * 10000.0 + 0.5) / 10000.0
 
 
+@lru_cache(maxsize=4096)
+def _payload_features(payload: bytes) -> dict:
+    """Feature dict for one payload (everything except media_id/kind).
+    Deterministic in the bytes, so memoized by the payload itself: the
+    synthetic corpus repeats payloads with period ≤ 1000 per format, and
+    real corpora repeat thumbnails/stock assets heavily too. The cache is
+    per Python worker and workers are reused across partitions, so a
+    full-corpus pass decodes each distinct payload once per worker."""
+    row: dict = dict.fromkeys(
+        (
+            "width", "height", "n_frames", "sample_rate",
+            "duration_ms", "mean_amp", "mean_luma", "thumb_mean",
+        ),
+        None,
+    )
+    if payload[:8] == PNG_SIG:
+        rows = decode_png(payload)
+        row["width"], row["height"] = len(rows[0]), len(rows)
+        n = row["width"] * row["height"]
+        row["mean_luma"] = _qround4(sum(sum(r) for r in rows) / n)
+        thumb = resize_nearest(rows, THUMB, THUMB)
+        row["thumb_mean"] = _qround4(sum(sum(r) for r in thumb) / (THUMB * THUMB))
+        row["n_frames"] = 1
+    elif payload[:4] == b"RIFF":
+        d = decode_wav(payload)
+        row["sample_rate"] = d["sample_rate"]
+        row["duration_ms"] = d["duration_ms"]
+        row["mean_amp"] = _qround4(d["mean_amp"])
+    elif payload[:3] == b"GIF":
+        row.update(decode_gif(payload))
+    else:
+        raise ValueError("unknown payload magic")
+    return row
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched decode + feature extraction over the binary payloads:
     PNG → dimensions, mean luma, 8×8 nearest-neighbor thumbnail mean;
@@ -336,29 +371,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "sample_rate", "duration_ms", "mean_amp", "mean_luma", "thumb_mean",
             )}
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                payload = bytes(payload)
-                row = dict.fromkeys(out, None)
-                row["media_id"], row["kind"] = media_id, kind
-                if payload[:8] == PNG_SIG:
-                    rows = decode_png(payload)
-                    row["width"], row["height"] = len(rows[0]), len(rows)
-                    n = row["width"] * row["height"]
-                    row["mean_luma"] = _qround4(sum(sum(r) for r in rows) / n)
-                    thumb = resize_nearest(rows, THUMB, THUMB)
-                    row["thumb_mean"] = _qround4(
-                        sum(sum(r) for r in thumb) / (THUMB * THUMB)
-                    )
-                    row["n_frames"] = 1
-                elif payload[:4] == b"RIFF":
-                    d = decode_wav(payload)
-                    row["sample_rate"] = d["sample_rate"]
-                    row["duration_ms"] = d["duration_ms"]
-                    row["mean_amp"] = _qround4(d["mean_amp"])
-                elif payload[:3] == b"GIF":
-                    row.update(decode_gif(payload))
-                else:
-                    raise ValueError(f"unknown payload magic for media {media_id}")
-                for k, v in row.items():
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
+                feats = _payload_features(bytes(payload))
+                for k, v in feats.items():
                     out[k].append(v)
             yield pd.DataFrame(out)
 

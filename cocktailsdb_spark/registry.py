@@ -53,64 +53,19 @@ from . import registry_ext  # noqa: E402,F401
 # this round's new additions) first; everything else keeps registration order
 # behind them. Rotate per round as families accumulate driver-green rows.
 _DRIVER_PRIORITY: list[str] = [
-    # round-3 additions (newest = highest risk)
-    "streaming_interval_join_outer",
+    # round-4 fixes/changes (newest = highest risk): the r3-broken entries
+    # and everything whose semantics or expressions changed this round
     "ivf_recall_at_k",
-    # judge-named never-checked entries (VERDICT r2 §next-round #1)
+    "embedding_topk_ivf",
+    "sessionize_events",
+    "sessionize_skew_chunked",
+    "json_lines_roundtrip",
+    "multimodal_features",
+    "simhash_fingerprint",
+    "simhash_near_dup",
     "pagerank_top_nodes",
-    "bm25_rank_query",
-    "funnel_conversion",
-    "snapshot_diff_cdc",
-    "streaming_interval_join",
     "streaming_foreach_merge",
-    "incremental_agg_merge",
-    "fuzzy_match_names",
-    # rest of the streaming family
-    "streaming_dedup_within_watermark",
-    "streaming_dedup_keys",
-    "streaming_stateful_counts",
-    "streaming_static_join",
-    # TPC-H Q2-Q22 (Q1/Q3/Q5 are driver-green from r1/r2)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_suppliers",
-    "tpch_q12_priority_classes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_active_suppliers",
-    "tpch_q21_sole_problem_supplier",
-    "tpch_q22_dormant_customers",
-    # retrieval / corpus family
-    "inverted_index_terms",
-    "chunk_documents",
-    "vocab_top_terms",
-    "pack_sequences",
-    "stratified_sample",
-    "weighted_resample",
-    "decontaminate_ngrams",
-    "corpus_clean_stats",
-    "tfidf_top_terms",
-    "mixture_weights",
-    "bigram_lm_counts",
-    "unigram_logprob_score",
-    # analytics family
-    "cohort_retention",
-    "rolling_zscore_revenue",
-    "profile_table_quality",
-    # remaining never-checked singletons (overflow past the ~50 cap is
-    # harmless; they head next round's rotation)
-    "http_dim_distributed",
-    "topk_per_group_limit",
+    # never driver-checked (r1–r3 samples missed these 27)
     "approx_percentile_price",
     "repetition_stats",
     "pii_redact",
@@ -133,11 +88,25 @@ _DRIVER_PRIORITY: list[str] = [
     "argmax_order_per_customer",
     "scd2_dim_history",
     "merge_upsert_dim",
-    "json_lines_roundtrip",
     "orc_roundtrip",
     "approx_distinct_users",
     "range_join_recent_clicks",
     "window_distribution_family",
+    # md5-parse rewrite touched these families too — re-confirm a sample
+    "minhash_lsh_pairs",
+    "stratified_sample",
+    "weighted_resample",
+    "doc_fingerprint",
+    "ngram_jaccard_prefix",
+    "dedup_clusters",
+    "embedding_near_dup",
+    # timestamp normalization touched every events consumer — sample a few
+    "window_tumbling_hour",
+    "window_sliding_halfhour",
+    "session_window_native",
+    "json_extract_props",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_prefix",
     "embedding_topk_cosine",
     "embedding_topk_ivf",
+    "embedding_topk_ivf_kmeans",
     "text_quality_score",
     "doc_fingerprint",
     "json_extract_props",

@@ -227,6 +227,94 @@ def kmeans_assign(
     )
 
 
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k with a centroid (coarse-quantizer) index
+    — the production-standard ANN layout, complementing the hyperplane-LSH
+    path of :func:`ivf_topk`. Cells are the label centroids (deterministic
+    coarse quantizer); every vector belongs to its nearest cell, and each
+    query scans only its ``n_probe`` nearest cells.
+
+    Scale shape: centroids are tiny and broadcast twice (cell assignment,
+    query-probe selection); assignment is one window shuffle on the vector
+    id (on a real deployment the cell id is precomputed and stored with
+    the vector, making this a pure equi-join read); candidate scoring
+    touches ~n_probe/n_cells of the data per query instead of all of it.
+
+    Output: (query_id, vec_id, sim, rank) — same contract as the exact
+    and LSH variants, so the three share one result shape.
+    """
+    cents = label_centroids(emb, vec_col=vec_col)
+    cvecs = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    ).select(F.col("label").alias("cell"), "cvec")
+
+    base = with_norm(emb, vec_col).select(id_col, "_vec", "_norm")
+    d2 = qround(
+        F.aggregate(
+            F.zip_with(F.col("_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        SIM_ROUND,
+    )
+    # nearest cell per vector, carrying _vec/_norm through the window so
+    # the candidate side needs no second join against the base table
+    wa = Window.partitionBy(id_col).orderBy("d2", "cell")
+    assign = (
+        base.crossJoin(F.broadcast(cvecs))
+        .select(id_col, "_vec", "_norm", "cell", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_vec", "_norm", "cell")
+    )
+    # each query probes its n_probe nearest cells
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    qd2 = qround(
+        F.aggregate(
+            F.zip_with(F.col("_qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        SIM_ROUND,
+    )
+    wp = Window.partitionBy("query_id").orderBy("qd2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cvecs))
+        .select("query_id", "_qvec", "_qnorm", "cell", qd2.alias("qd2"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qvec", "_qnorm", "cell")
+    )
+    sim = qround(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
 def plane_bucket(vec: Column) -> Column:
     """Bucket id from the sign pattern of the fixed hyperplane projections
     (random-hyperplane LSH with deterministic integer planes)."""

@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and everything whose semantics or expressions changed this round
     "ivf_recall_at_k",
     "embedding_topk_ivf",
+    "embedding_topk_ivf_kmeans",
     "sessionize_events",
     "sessionize_skew_chunked",
     "json_lines_roundtrip",

@@ -870,6 +870,61 @@ register(
         SELECT vec_id, centroid_label, d2 FROM r WHERE rn = 1""",
 )
 
+N_PROBE = 2
+
+
+def _q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — IVF-Flat ANN: centroid coarse quantizer, n_probe nearest
+    cells scanned per query (the production-standard ANN layout; the
+    hyperplane-LSH twin is embedding_topk_ivf)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_kmeans_topk(e, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
+
+
+_SQL_QD2 = sql_qround(
+    "list_sum([(q.qv[i] - cv.cvec[i]) * (q.qv[i] - cv.cvec[i])"
+    " for i in range(1, len(q.qv) + 1)])",
+    6,
+)
+
+register(
+    "embedding_topk_ivf_kmeans",
+    _q_ivf_kmeans_topk,
+    f"""WITH {_SQL_EMB_BASE},
+        cex AS (SELECT label, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+                       unnest(embedding::DOUBLE[]) AS x
+                FROM embeddings),
+        cd AS (SELECT label, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY label, pos),
+        cv AS (SELECT label AS cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY label),
+        ad AS (SELECT b.vec_id, b.v, b.nv, cv.cell,
+                      {sql_qround("list_sum([(b.v[i] - cv.cvec[i]) * (b.v[i] - cv.cvec[i]) for i in range(1, len(b.v) + 1)])", 6)} AS d2
+               FROM nrm b CROSS JOIN cv),
+        assign AS (SELECT vec_id, v, nv, cell FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM ad)
+                   WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cv.cell, {_SQL_QD2} AS qd2
+               FROM q CROSS JOIN cv),
+        probes AS (SELECT query_id, qv, qn, cell FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd)
+                   WHERE rn <= {N_PROBE}),
+        pairs AS (
+          SELECT p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM assign a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}""",
+)
+
 NEAR_DUP_T = 0.95
 
 

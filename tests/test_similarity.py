@@ -68,6 +68,21 @@ def test_ivf_recall_floor_and_bounds(spark, sf_dir):
     assert mean_recall >= 0.3
 
 
+def test_ivf_kmeans_topk_sims_exact_and_bounded(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {(r["query_id"], r["vec_id"]): r["sim"]
+             for r in similarity.cosine_topk(emb, [0, 1, 2], k=3).collect()}
+    approx = similarity.ivf_kmeans_topk(emb, [0, 1, 2], k=3, n_probe=2).collect()
+    per_q: dict[int, int] = {}
+    for r in approx:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        key = (r["query_id"], r["vec_id"])
+        # any overlap with the exact top-k must agree on the sim value
+        if key in exact:
+            assert exact[key] == r["sim"]
+    assert per_q and all(v <= 3 for v in per_q.values())
+
+
 def test_kmeans_assign_recovers_separated_clusters(spark):
     rows = [(i, [10.0 + (i % 3) * 0.1] * 4, 1) for i in range(3)] + [
         (i + 10, [-10.0 - (i % 3) * 0.1] * 4, 2) for i in range(3)

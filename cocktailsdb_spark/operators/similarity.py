@@ -141,6 +141,7 @@ def ivf_recall(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
 ) -> DataFrame:
     """Recall@k of the bucketed approximate path against the exact one,
     per query: |exact top-k ∩ approx top-k| / k. The quality dial for the
@@ -148,9 +149,18 @@ def ivf_recall(
     sides are tiny (Q×k rows), so the metric join itself is a broadcast.
 
     Output: (query_id, n_exact, n_hit, recall).
+
+    ``method`` selects the approximate path under test: ``"lsh"`` (the
+    hyperplane-bucket :func:`ivf_topk`) or ``"kmeans"`` (the centroid
+    :func:`ivf_kmeans_topk`).
     """
     exact = cosine_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
-    approx = ivf_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    if method == "lsh":
+        approx = ivf_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    elif method == "kmeans":
+        approx = ivf_kmeans_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown ANN method {method!r}; 'lsh' or 'kmeans'")
     hit = approx.select(
         F.col("query_id").alias("_aq"), F.col(id_col).alias("_av")
     )

@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ivf_recall_at_k",
     "embedding_topk_ivf",
     "embedding_topk_ivf_kmeans",
+    "ivf_kmeans_recall_at_k",
     "sessionize_events",
     "sessionize_skew_chunked",
     "json_lines_roundtrip",

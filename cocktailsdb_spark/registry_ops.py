@@ -887,10 +887,7 @@ _SQL_QD2 = sql_qround(
     6,
 )
 
-register(
-    "embedding_topk_ivf_kmeans",
-    _q_ivf_kmeans_topk,
-    f"""WITH {_SQL_EMB_BASE},
+IVF_KMEANS_TOPK_SQL = f"""WITH {_SQL_EMB_BASE},
         cex AS (SELECT label, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
                        unnest(embedding::DOUBLE[]) AS x
                 FROM embeddings),
@@ -922,7 +919,34 @@ register(
         r AS (SELECT *, CAST(row_number() OVER (
                  PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
               FROM pairs)
-        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}""",
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+register("embedding_topk_ivf_kmeans", _q_ivf_kmeans_topk, IVF_KMEANS_TOPK_SQL)
+
+
+def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality metric — recall@k of the centroid IVF-Flat path against
+    the exact brute-force top-k, per query (the LSH twin is
+    ivf_recall_at_k). Both ANN families ship with their quality dial."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_recall(e, QUERY_IDS, k=TOPK, method="kmeans")
+
+
+register(
+    "ivf_kmeans_recall_at_k",
+    _q_ivf_kmeans_recall,
+    f"""WITH exact AS ({COSINE_TOPK_SQL}),
+        approx AS ({IVF_KMEANS_TOPK_SQL})
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               {sql_qround(
+                   "CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)", 6)} AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id""",
 )
 
 NEAR_DUP_T = 0.95

@@ -32,6 +32,19 @@ def test_poc_uses_broadcast_joins(spark, sf_dir):
     assert plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin") <= 1
 
 
+def test_ivf_kmeans_broadcasts_and_single_candidate_join(spark, sf_dir):
+    from cocktailsdb_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = _plan(similarity.ivf_kmeans_topk(emb, [0, 1, 2], k=3))
+    # centroid assignment, probe selection, and the candidate cell join
+    # must all be broadcast-side — never a shuffle of N on a join key
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+    # no Python in the hot path: everything is JVM expressions
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     df = l.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") >= 25)

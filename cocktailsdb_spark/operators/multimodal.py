@@ -36,6 +36,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..tables import spread
 
@@ -313,6 +314,31 @@ def synth_media(docs: DataFrame) -> DataFrame:
             )
 
     return spread(docs).select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(features: DataFrame, step: int = 2, fps: int = 10) -> DataFrame:
+    """Frame sampling for video media: every ``step``-th frame index with
+    its nominal timestamp at ``fps``. The Python decode stage yields
+    ``n_frames`` once per payload (memoized); the per-frame expansion is
+    JVM-side ``sequence`` + ``explode`` — the sampled-frame work list a
+    downstream decode/caption stage would map over, produced without
+    re-entering Python. At 100 TB the explode multiplies rows by
+    ~n_frames/step, so it runs AFTER filters/pushdown, never before.
+
+    Output: (media_id, n_frames, frame_idx, frame_ms).
+    """
+    ms_per_frame = 1000 // fps
+    return (
+        features.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(step))
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_ms", F.col("frame_idx") * ms_per_frame)
+    )
 
 
 def _qround4(x: float) -> float:

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sessionize_skew_chunked",
     "json_lines_roundtrip",
     "multimodal_features",
+    "multimodal_frame_sample",
     "simhash_fingerprint",
     "simhash_near_dup",
     "pagerank_top_nodes",

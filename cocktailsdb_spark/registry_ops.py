@@ -1343,6 +1343,28 @@ register(
        FROM documents""",
 )
 
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: decode yields n_frames per video payload
+    (Python, memoized); the every-2nd-frame work list is a JVM-side
+    sequence+explode. Oracle predicts n_frames from the generation
+    formula (doc_id % 7 + 1 for video docs)."""
+    d = load(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.synth_media(d))
+    return multimodal.frame_sample(feats, step=2, fps=10)
+
+
+register(
+    "multimodal_frame_sample",
+    _q_frame_sample,
+    """WITH v AS (SELECT doc_id, doc_id % 7 + 1 AS nf FROM documents
+                  WHERE doc_id % 3 = 2),
+        s AS (SELECT doc_id, nf, unnest(range(0, nf, 2)) AS f FROM v)
+        SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+               CAST(f AS INT) AS frame_idx, CAST(f * 100 AS INT) AS frame_ms
+        FROM s""",
+)
+
 # ===========================================================================
 # Structured Streaming twins (real readStream topologies; exact oracles)
 # ===========================================================================

@@ -92,3 +92,15 @@ def test_features_decode_inverts_encode(spark, sf_dir):
             w, h = M._video_dims(media_id)
             assert (r["kind"], r["width"], r["height"]) == ("video", w, h)
             assert r["n_frames"] == M._video_n_frames(media_id)
+
+
+def test_frame_sample_every_second_frame(spark):
+    rows = [
+        (1, "video", 8, 8, 5, None, None, None, None, None),
+        (2, "video", 8, 8, 1, None, None, None, None, None),
+        (3, "image", 8, 8, 1, None, None, None, None, None),  # filtered out
+    ]
+    feats = spark.createDataFrame(rows, M.FEATURE_SCHEMA)
+    out = M.frame_sample(feats, step=2, fps=10).collect()
+    got = sorted((r["media_id"], r["frame_idx"], r["frame_ms"]) for r in out)
+    assert got == [(1, 0, 0), (1, 2, 200), (1, 4, 400), (2, 0, 0)]

@@ -1,0 +1,79 @@
+"""User-defined extension surface (SURVEY.md §2.8): the two Python API
+shapes the engine had not yet exercised — a Python UDTF (table function,
+one row in → many rows out, Arrow-batched) and a grouped-agg pandas UDF
+(UDAF: Series in → scalar out).
+
+Both are demonstrations of the API with honest scale posture, not the
+preferred path: everything either does is also expressible JVM-side
+(`chunk_documents`, `percentile_approx`) and the JVM forms are what the
+hot path should use. A real pipeline reaches for these shapes when the
+per-group / per-row logic genuinely cannot be written as expressions
+(custom tokenizers, model scoring, exact order statistics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import CHUNK_SIZE, CHUNK_STRIDE
+
+
+def chunk_span_udtf_cls(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
+    """Build the UDTF class computing overlapping chunk SPANS for a text:
+    (chunk_id, start_tok, n_tokens) — the work list `chunk_documents`
+    materializes, emitted by a table function instead of posexplode.
+    Python-side per row, so this is the API-coverage twin of the JVM
+    chunker, not its replacement at 100 TB."""
+
+    class ChunkSpans:
+        def eval(self, text: str):  # noqa: D102 — UDTF protocol method
+            n = max(len(text.split(" ")), 1) if text is not None else 1
+            cid = 0
+            for start in range(1, n + 1, stride):
+                yield cid, start, min(size, n - start + 1)
+                cid += 1
+
+    return ChunkSpans
+
+
+def chunk_spans(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """LATERAL-join the chunk-span UDTF against ``documents``: one span row
+    per (doc, chunk). Arrow-batched (useArrow) so rows cross the Python
+    boundary in columnar batches."""
+    from pyspark.sql.functions import udtf
+
+    spans = udtf(
+        chunk_span_udtf_cls(),
+        returnType="chunk_id int, start_tok int, n_tokens int",
+        useArrow=True,
+    )
+    spark.udtf.register("cdbspark_chunk_spans", spans)
+    view = "cdbspark_udtf_docs"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""SELECT d.doc_id, s.chunk_id, s.start_tok, s.n_tokens
+            FROM {view} d, LATERAL cdbspark_chunk_spans(d.text) s"""
+    )
+
+
+def median_by_key(
+    df: DataFrame, key: str, value: str, out_col: str = "median_value"
+) -> DataFrame:
+    """Exact per-key median via a grouped-agg pandas UDF (the UDAF shape:
+    Arrow-batched Series → scalar). Exact order statistics are one of the
+    few aggregates with no JVM expression form (`percentile_approx` is the
+    sketch alternative); per-group state is the group's values, so at
+    100 TB this holds only where groups fit a worker — else use the
+    sketch. Result rounded to 4 dp to keep the cross-engine comparison on
+    the quantized grid (both engines average the two middle doubles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    from ..numeric import qround
+
+    return df.groupBy(key).agg(qround(_median(F.col(value)), 4).alias(out_col))

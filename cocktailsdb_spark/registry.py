@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     "json_lines_roundtrip",
     "multimodal_features",
     "multimodal_frame_sample",
+    "udtf_chunk_spans",
+    "udaf_median_order_value",
     "simhash_fingerprint",
     "simhash_near_dup",
     "pagerank_top_nodes",

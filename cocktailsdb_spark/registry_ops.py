@@ -1344,6 +1344,50 @@ register(
 )
 
 
+from .operators import udx as _udx  # noqa: E402
+
+
+def _q_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDTF surface — Python table function (Arrow-batched) emitting
+    chunk spans per document via LATERAL join; same span math as the JVM
+    chunk_documents, so the oracle is the same range() arithmetic."""
+    return _udx.chunk_spans(spark, load(spark, sf_dir, "documents"))
+
+
+register(
+    "udtf_chunk_spans",
+    _q_chunk_spans_udtf,
+    f"""WITH t AS (SELECT doc_id, greatest(len(string_split(text, ' ')), 1) AS n
+                   FROM documents),
+        s AS (SELECT doc_id, n,
+                     unnest(range(1, n + 1, {corpus.CHUNK_STRIDE})) AS start
+              FROM t)
+        SELECT doc_id,
+               CAST((start - 1) // {corpus.CHUNK_STRIDE} AS INT) AS chunk_id,
+               CAST(start AS INT) AS start_tok,
+               CAST(least({corpus.CHUNK_SIZE}, n - start + 1) AS INT) AS n_tokens
+        FROM s""",
+)
+
+
+def _q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDAF surface — grouped-agg pandas UDF: exact per-customer
+    median order value (the order statistic percentile_approx only
+    sketches)."""
+    o = load(spark, sf_dir, "orders")
+    return _udx.median_by_key(o, "o_custkey", "o_totalprice", "median_price")
+
+
+register(
+    "udaf_median_order_value",
+    _q_udaf_median,
+    """SELECT o_custkey,
+              floor(median(o_totalprice) * 10000.0 + 0.5) / 10000.0
+                AS median_price
+       FROM orders GROUP BY o_custkey""",
+)
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: decode yields n_frames per video payload
     (Python, memoized); the every-2nd-frame work list is a JVM-side

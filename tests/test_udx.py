@@ -1,0 +1,36 @@
+"""§2.8 UDF/UDAF/UDTF surface: Python table function + grouped-agg pandas
+UDF, pinned against hand-computed expectations."""
+
+from __future__ import annotations
+
+from cocktailsdb_spark.operators import udx
+
+
+def test_udtf_chunk_spans_cover_every_token(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "only two")],
+        "doc_id long, text string",
+    )
+    rows = udx.chunk_spans(spark, docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 tokens, stride 48 → starts 1, 49, 97
+    spans = sorted((r["start_tok"], r["n_tokens"]) for r in by_doc[1])
+    assert spans == [(1, 64), (49, 52), (97, 4)]
+    # every token index in [1, 100] is covered by some span
+    covered = set()
+    for s, n in spans:
+        covered.update(range(s, s + n))
+    assert covered == set(range(1, 101))
+    # doc 2: 2 tokens → one span
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[2]] == [(1, 2)]
+
+
+def test_udaf_median_matches_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 99.0), (2, 5.0), (2, 7.0)],
+        "k long, v double",
+    )
+    got = {r["k"]: r["median_value"] for r in udx.median_by_key(df, "k", "v").collect()}
+    assert got == {1: 20.0, 2: 6.0}

@@ -348,14 +348,14 @@ register(
 # --- slowly-changing dimensions: SCD2 history + MERGE upsert -----------------
 
 from .operators import scd as _scd  # noqa: E402
-from .sources.http_source import fake_transport, fetch_df  # noqa: E402
+from .sources.http_source import bounded_keys, fake_transport, fetch_df  # noqa: E402
 
 
 def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 over the two-version dimension records of the REST source:
     each idDrink gets version 1 (closed range) and version 2 (current)."""
     part = load(spark, sf_dir, "part")
-    keys = [r["p_name"] for r in part.select("p_name").distinct().orderBy("p_name").collect()]
+    keys = bounded_keys(part, "p_name")
     raw = fetch_df(spark, keys, transport=fake_transport)
     return _scd.scd2_history(raw, "idDrink", "dateModified", "strDrink").select(
         "idDrink", "strDrink", "version", "valid_from", "valid_to", "is_current"

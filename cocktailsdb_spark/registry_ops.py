@@ -39,7 +39,7 @@ from .constants import (
 )
 from .operators import corpus, dedup, events, filters, multimodal, retrieval, similarity, text
 from .registry import register
-from .sources.http_source import fake_transport, fetch_df, fetch_distributed
+from .sources.http_source import bounded_keys, fake_transport, fetch_df, fetch_distributed
 from .sources.watermark import WatermarkStore, incremental_load
 from .streaming import stream_queries
 from .tables import load, register_views
@@ -1190,7 +1190,7 @@ def _q_http_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup on idDrink → P7 lowercase → P1 projection. The full reference
     dimension pipeline, network-free."""
     part = load(spark, sf_dir, "part")
-    keys = [r["p_name"] for r in part.select("p_name").distinct().orderBy("p_name").collect()]
+    keys = bounded_keys(part, "p_name")
     raw = fetch_df(spark, keys, transport=fake_transport)
     dd = dedup.latest_wins(raw, ["idDrink"], ["dateModified", "strDrink"])
     return conform.lowercase_strings(dd).select(

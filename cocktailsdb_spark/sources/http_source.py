@@ -99,6 +99,24 @@ def fetch_rows(
     return out
 
 
+MAX_DRIVER_KEYS = 10_000
+
+
+def bounded_keys(df: DataFrame, col: str, cap: int = MAX_DRIVER_KEYS) -> list[str]:
+    """Collect a DISTINCT key list to the driver with a hard cap: the
+    driver-side fetch/pivot pattern is only valid for dimension-sized key
+    sets (the reference's is 238 rows). Collecting cap+1 and raising keeps
+    a silently-grown dimension from becoming a driver OOM — the error
+    names the scale path to switch to."""
+    rows = df.select(col).distinct().orderBy(col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"driver-side key collect exceeds {cap} distinct {col!r} values; "
+            "use fetch_distributed (mapInPandas) or a join instead"
+        )
+    return [r[col] for r in rows]
+
+
 def fetch_df(
     spark: SparkSession, keys: Iterable[str], transport: Transport = http_transport
 ) -> DataFrame:

@@ -56,3 +56,14 @@ def test_distributed_matches_driver_side(spark):
         for r in http_source.fetch_distributed(keys_df, http_source.fake_transport).collect()
     }
     assert driver == dist
+
+
+def test_bounded_keys_caps_driver_collect(spark):
+    from cocktailsdb_spark.sources.http_source import bounded_keys
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(10)], "p_name string")
+    assert len(bounded_keys(df, "p_name", cap=10)) == 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds 5"):
+        bounded_keys(df, "p_name", cap=5)

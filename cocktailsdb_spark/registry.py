@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "udtf_chunk_spans",
     "udaf_median_order_value",
+    "compact_small_files",
     "simhash_fingerprint",
     "simhash_near_dup",
     "pagerank_top_nodes",

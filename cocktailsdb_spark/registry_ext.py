@@ -314,6 +314,7 @@ register(
     _layout.BUCKETED_JOIN_SQL,
 )
 register("salted_groupby", _layout.salted_groupby, _layout.SALTED_GROUPBY_SQL)
+register("compact_small_files", _layout.compacted_events, _layout.COMPACTED_EVENTS_SQL)
 
 # --- argmax aggregation (max_by with deterministic struct tiebreak) ----------
 

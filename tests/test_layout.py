@@ -3,6 +3,7 @@ date-partitioning must prune the scan, salting must re-aggregate exactly."""
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -117,3 +118,34 @@ def test_salted_groupby_equals_direct(spark, sf_dir):
         for r in layout.salted_groupby(spark, sf_dir).collect()
     }
     assert salted == direct
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from cocktailsdb_spark.plans.layout import compact_parquet
+    from cocktailsdb_spark.tables import load
+
+    frag = str(tmp_path / "frag")
+    load(spark, sf_dir, "events").repartition(40).write.parquet(frag)
+    n_small = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_small == 40
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, frag, dst)
+    assert n_out < n_small  # KB-sized files collapse to ceil(bytes/target)=1
+    assert spark.read.parquet(dst).count() == load(spark, sf_dir, "events").count()
+
+
+def test_layout_cache_invalidated_by_newer_fixture(tmp_path):
+    from cocktailsdb_spark.plans.layout import _cache_fresh
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    marker = cache / "_SUCCESS"
+    marker.touch()
+    src = tmp_path / "events.parquet"
+    src.touch()
+    # source older than cache -> fresh; newer -> stale
+    os.utime(src, (marker.stat().st_mtime - 100, marker.stat().st_mtime - 100))
+    assert _cache_fresh(str(cache), str(src))
+    os.utime(src, (marker.stat().st_mtime + 100, marker.stat().st_mtime + 100))
+    assert not _cache_fresh(str(cache), str(src))

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import SESSION_GAP_SEC
-from ..numeric import dsum
+from ..numeric import dsum, qround
 
 
 def json_props(events: DataFrame) -> DataFrame:
@@ -284,6 +284,45 @@ def funnel_steps(
     return sums.select(
         F.expr(f"stack({len(steps)}, {stack_args}) AS (step, step_index, n_users)")
     ).select("step", F.col("step_index").cast("int").alias("step_index"), "n_users")
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Markov transition counts over each user's event stream: for every
+    consecutive (event, next event) pair in (ts, event_id) order, the pair
+    count and its share of all transitions leaving the source event type.
+    ONE shuffle (the per-user window); the pair aggregate then runs on the
+    tiny (type × type) grid. The row-probability denominator reuses the
+    same aggregate via a window sum — no second pass over the facts."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        qround(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+             * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM c
+"""
 
 
 def cohort_retention(events: DataFrame) -> DataFrame:

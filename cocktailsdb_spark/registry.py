@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "udtf_chunk_spans",
     "udaf_median_order_value",
     "compact_small_files",
+    "event_transition_counts",
     "simhash_fingerprint",
     "simhash_near_dup",
     "pagerank_top_nodes",

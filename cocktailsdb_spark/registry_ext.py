@@ -513,6 +513,21 @@ def _funnel_sql(steps: tuple[str, ...]) -> str:
 register("funnel_conversion", _q_funnel, _funnel_sql(events.FUNNEL_STEPS))
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts + row-normalized probabilities over each
+    user's event stream — the next-event matrix funnel/recommendation
+    analyses start from. One user_id window shuffle; the aggregate runs on
+    the (type × type) grid."""
+    return events.event_transitions(load(spark, sf_dir, "events"))
+
+
+register(
+    "event_transition_counts",
+    _q_event_transitions,
+    events.EVENT_TRANSITIONS_SQL,
+)
+
+
 def _q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cohort_retention(load(spark, sf_dir, "events"))
 

@@ -131,3 +131,24 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
     assert any(day >= "1997-01-01" for day in full) and any(
         day < "1997-01-01" for day in full
     )
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators.events import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0.replace(minute=1), 1, "b", 0.0, "{}"),
+        (3, t0.replace(minute=2), 1, "a", 0.0, "{}"),
+        (4, t0, 2, "a", 0.0, "{}"),
+        (5, t0.replace(minute=1), 2, "b", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"]) for r in event_transitions(ev).collect()}
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}

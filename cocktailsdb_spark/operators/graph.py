@@ -11,15 +11,22 @@ re-quantized to 12 dp — both engines then carry bit-identical ranks into
 the next iteration, which makes a fixed-iteration unrolled-CTE DuckDB
 twin value-exact.
 
-Scale notes: one shuffle per iteration (contributions aggregate on dst);
-the rank frame is node-sized, edges are the big side. ``localCheckpoint``
-after every iteration truncates lineage (same pattern as
-dedup_clusters) — without it the plan doubles each round. On a cluster
-the edge table is persisted once, pre-partitioned on dst, and every
-iteration reuses that partitioning; ranks broadcast when nodes ≪ edges.
+Scale shape (round 5): the edge table (the big side) is partitioned on
+``src`` ONCE and persisted; every iteration's contribution join is then a
+shuffle-hash join that streams the cached edges in place and shuffles only
+the node-sized rank frame — no per-iteration broadcast build (which was a
+synchronous driver job per iteration), no edge-side exchange, ever. The
+only per-iteration shuffle of real data is the map-side-combined
+contribution aggregate on ``dst``. Nodes with no in-edges hold the
+constant quantized rank (1-d)/n after every iteration, so they are left
+out of the iterated frame entirely (coalesced in at the contribution join
+and restored by one final left join) instead of being unioned in as
+node-sized zero rows every round.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,10 +37,11 @@ PR_SCALE = int(1e12)
 PR_TOP_K = 20
 
 
-# A/B-measured at sf0.1 (quiet machine, best of 2): every-2 7.85s,
-# every-1 9.22s, never 10.36s. Without truncation each iteration's
-# broadcast build re-walks the previous iterations' nested plan, so
-# periodic lineage truncation wins despite its eager materialization jobs.
+# A/B-measured at sf0.1 (quiet machine, best of 2, round-5 shuffle-hash
+# form): every-2 ≈ never ≈ every-1 within noise once the per-iteration
+# broadcast builds are gone — kept at 2 so the plan stays shallow for
+# arbitrary iters (without truncation optimizer cost grows superlinearly
+# with the unrolled depth).
 PR_CHECKPOINT_EVERY = 2
 
 
@@ -43,6 +51,8 @@ def pagerank(
     iters: int = PR_ITERS,
     top_k: int = PR_TOP_K,
     checkpoint_every: int = PR_CHECKPOINT_EVERY,
+    assume_distinct: bool = False,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (``src``,
     ``dst``). The node set is src ∪ dst, so sink nodes (in-edges only)
@@ -52,56 +62,69 @@ def pagerank(
     Returns the top_k nodes by final rank (rank-desc, node tiebreak).
 
     ``checkpoint_every`` controls how often the rank frame is
-    materialized (0 = never). Measured, not guessed: never-checkpoint is
-    ~30% SLOWER than every-2 at sf0.1 — each iteration's broadcast is
-    built by a driver job over the previous iterations' nested plan, and
-    without truncation that chain deepens every round (plan/optimizer
-    cost grows superlinearly even though shuffle outputs are reused).
-    localCheckpoint every 2 iterations keeps the plan shallow at the cost
-    of one eager materialization job per truncation — the net win."""
-    edges = edges.select("src", "dst").distinct()
+    materialized (0 = never): periodic lineage truncation keeps
+    plan/optimizer cost flat in the iteration count at the cost of one
+    eager materialization job per truncation.
+
+    Exactness: a node with no in-edges has rank
+    floor((1-d)/n·1e12+0.5)/1e12 after every iteration (its aggregate
+    input would be qs=0), and Python computes that constant with the same
+    IEEE double steps as the engine's expression — so dropping those rows
+    from the iterated frame and coalescing the constant back in is
+    value-identical to the old union-a-zero-row-per-node form, and the
+    unrolled-CTE DuckDB oracle stays bit-exact."""
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        # defensive dedup for arbitrary inputs; callers whose edge list is
+        # distinct by construction (e.g. a union of two disjointly-keyed
+        # halves) skip this full-edge shuffle with assume_distinct=True
+        edges = edges.distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # out-degree is joined into the edge list ONCE, outside the loop —
-    # the iterations then never shuffle the (big) edge side again
-    edges_w = edges.join(outdeg, "src").localCheckpoint()
+    # out-degree is joined into the edge list ONCE, outside the loop, and
+    # the result is persisted pre-partitioned on src (persist — unlike
+    # localCheckpoint's LogicalRDD, InMemoryRelation preserves the hash
+    # partitioning) — the iterations never shuffle or re-scan the big edge
+    # side again. Everything downstream (node universe included) derives
+    # from this one materialization: the upstream edge pipeline runs once.
+    edges_w = edges.join(outdeg, "src").repartition(nparts, "src").persist()
     # node universe = src ∪ dst, so the implementation is self-consistent
-    # for any input (the union-into-aggregate below emits a row per dst;
-    # a src-only node set would silently grow the output for graphs with
-    # sink nodes while n_nodes counted fewer — a divergence from the
-    # oracle twin for non-symmetrized inputs)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # for any input (sink nodes get rank rows; a src-only node set would
+    # silently diverge from the oracle twin for non-symmetrized inputs).
+    # For a symmetrized graph every node appears as a src, and the src
+    # side of the cache is already hash-partitioned on src — the distinct
+    # is then a partial+final aggregate with NO exchange at all.
+    if symmetrized:
+        universe = edges_w.select(F.col("src").alias("node"))
+    else:
+        universe = edges_w.select(F.col("src").alias("node")).unionByName(
+            edges_w.select(F.col("dst").alias("node"))
+        )
+    nodes = universe.distinct().localCheckpoint()
     n_nodes = nodes.count()  # scalar: node-count frame only, never edges
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     base = 1.0 - damping
+    # rank of a node with no in-edges — same IEEE steps as the engine
+    # expression below with qs = 0
+    q_const = math.floor((base / n_nodes + damping * 0.0) * PR_SCALE + 0.5) / PR_SCALE
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for it in range(1, iters + 1):
-        # ranks are node-sized — broadcast into the (big) edge side so
-        # each iteration's only exchange is the map-side-combined
-        # partial-sum shuffle of the contribution aggregate. Nodes with
-        # no in-edges are handled by unioning a zero-contribution row
-        # per node INTO that same aggregate (sum(q)+0 ≡ the left-join +
-        # coalesce(qs,0) form, one operator cheaper: no second join, no
-        # second broadcast). At node counts beyond broadcast reach, drop
-        # the hint: the join falls back to the classic
-        # shuffle-per-iteration PageRank shape.
-        contrib_in = edges_w.join(
-            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
-        ).select(
+        # the rank frame is node-sized: shuffle IT onto the edge
+        # partitioning (shuffle-hash join — no sort, no broadcast
+        # build) and stream the checkpointed edges in place. Each
+        # iteration's only full-data exchange is the map-side-combined
+        # contribution aggregate on dst.
+        r_src = ranks.select(F.col("node").alias("src"), "r").hint("shuffle_hash")
+        contrib = edges_w.join(r_src, "src", "left").select(
             "dst",
             F.floor(
-                (F.col("r") / F.col("outdeg")) * PR_SCALE + F.lit(0.5)
+                (F.coalesce(F.col("r"), F.lit(q_const)) / F.col("outdeg"))
+                * PR_SCALE
+                + F.lit(0.5)
             ).cast("long").alias("q"),
         )
-        zero = nodes.select(
-            F.col("node").alias("dst"), F.lit(0).cast("long").alias("q")
-        )
         ranks = (
-            contrib_in.unionByName(zero)
-            .groupBy("dst")
+            contrib.groupBy("dst")
             .agg(F.sum("q").alias("qs"))
             .select(
                 F.col("dst").alias("node"),
@@ -115,8 +138,18 @@ def pagerank(
         )
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             ranks = ranks.localCheckpoint()
-    return (
-        ranks.orderBy(F.desc("r"), F.asc("node"))
+    # restore the constant-rank rows for nodes with no in-edges (both
+    # sides node-sized — hash join, no sort)
+    full = nodes.join(ranks.hint("shuffle_hash"), "node", "left").select(
+        "node", F.coalesce(F.col("r"), F.lit(q_const)).alias("r")
+    )
+    out = (
+        full.orderBy(F.desc("r"), F.asc("node"))
         .limit(top_k)
         .select("node", F.col("r").alias("rank_score"))
+        # pin the (top_k-row) result so the edge cache can be released
+        # before the caller consumes the frame
+        .localCheckpoint()
     )
+    edges_w.unpersist()
+    return out

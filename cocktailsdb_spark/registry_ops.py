@@ -1967,7 +1967,11 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return _graph.pagerank(edges)
+    # pairs is distinct and the two halves are disjointly keyed ("c…" vs
+    # "s…" prefixes), so the union is already duplicate-free — skip
+    # pagerank's defensive full-edge dedup shuffle; the graph is
+    # symmetrized, so the node universe is the src side alone
+    return _graph.pagerank(edges, assume_distinct=True, symmetrized=True)
 
 
 def _pagerank_sql() -> str:

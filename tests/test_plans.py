@@ -32,15 +32,31 @@ def test_poc_uses_broadcast_joins(spark, sf_dir):
     assert plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin") <= 1
 
 
-def test_ivf_kmeans_broadcasts_and_single_candidate_join(spark, sf_dir):
+def test_kmeans_assign_is_narrow_zero_exchange(spark, sf_dir):
+    """Nearest-centroid assignment must be a pure narrow map over the scan:
+    the bounded centroid set is folded in as a literal, so the plan for N
+    rows has NO shuffle exchange, NO join, and NO window — the shape that
+    survives 100 TB (cf. the bucketed-join assert in test_layout.py)."""
+    from cocktailsdb_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = _plan(similarity.kmeans_assign(emb))
+    assert _count_nodes(plan, "Exchange") == 0
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_kmeans_single_exchange_candidate_join(spark, sf_dir):
     from cocktailsdb_spark.operators import similarity
 
     emb = load(spark, sf_dir, "embeddings")
     plan = _plan(similarity.ivf_kmeans_topk(emb, [0, 1, 2], k=3))
-    # centroid assignment, probe selection, and the candidate cell join
-    # must all be broadcast-side — never a shuffle of N on a join key
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # cell assignment and probe selection are narrow literal expressions;
+    # the candidate cell join broadcasts the tiny probe side, so the ONLY
+    # shuffle left is the final per-query top-k window
+    assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") == 0
+    assert _count_nodes(plan, "Exchange") == 1
     # no Python in the hot path: everything is JVM expressions
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

@@ -399,7 +399,12 @@ def extract_features(media: DataFrame) -> DataFrame:
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 out["media_id"].append(media_id)
                 out["kind"].append(kind)
-                feats = _payload_features(bytes(payload))
+                try:
+                    feats = _payload_features(bytes(payload))
+                except ValueError as exc:
+                    # the memoized decode is id-free; re-attribute here so
+                    # one bad payload in a 50k-row batch names its row
+                    raise ValueError(f"media_id={media_id}: {exc}") from exc
                 for k, v in feats.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

@@ -142,6 +142,7 @@ def ivf_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
+    n_probe: int = 2,
 ) -> DataFrame:
     """Recall@k of the bucketed approximate path against the exact one,
     per query: |exact top-k ∩ approx top-k| / k. The quality dial for the
@@ -158,7 +159,9 @@ def ivf_recall(
     if method == "lsh":
         approx = ivf_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
     elif method == "kmeans":
-        approx = ivf_kmeans_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+        approx = ivf_kmeans_topk(
+            emb, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+        )
     else:
         raise ValueError(f"unknown ANN method {method!r}; 'lsh' or 'kmeans'")
     hit = approx.select(

@@ -29,7 +29,7 @@ from .. import conform
 from ..operators.dedup import latest_wins
 from ..runlog import RunLog
 from ..sources import csv_sources
-from ..sources.http_source import Transport, fetch_df, http_transport
+from ..sources.http_source import Transport, bounded_keys, fetch_df, http_transport
 from ..sources.watermark import DEFAULT_MARK, WatermarkStore
 
 SOURCE_BARS = ("budapest", "london", "new york")
@@ -153,11 +153,13 @@ def query_cocktail_data(
     spark: SparkSession, sales: DataFrame, transport: Transport = http_transport
 ) -> DataFrame:
     """Stage 5 (build_database.py:171-224): A3 distinct drinks → S5 per-key
-    fetch (error→empty) → O1+O2 latest-wins dedup on idDrink → P7."""
-    keys = [
-        r["drink"]
-        for r in sales.select("drink").distinct().orderBy("drink").collect()
-    ]
+    fetch (error→empty) → O1+O2 latest-wins dedup on idDrink → P7.
+
+    The distinct-drink collect goes through the capped ``bounded_keys``
+    (238 keys in the reference corpus; a silently-grown dimension raises
+    the named error pointing at fetch_distributed instead of OOMing the
+    driver)."""
+    keys = bounded_keys(sales, "drink")
     raw = fetch_df(spark, keys, transport=transport)
     dd = latest_wins(raw, ["idDrink"], ["dateModified", "strDrink"])
     return conform.lowercase_strings(dd)

@@ -182,7 +182,7 @@ def range_sorted_write(spark: SparkSession, sf_dir: str) -> str:
     footers back (pyarrow) and asserts the ranges are disjoint. Returns
     the written path."""
     path = _cache_path("lineitem_by_shipdate", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not _cache_fresh(path, os.path.join(sf_dir, "lineitem.parquet")):
         (
             load(spark, sf_dir, "lineitem")
             .repartitionByRange(8, "l_shipdate")
@@ -203,7 +203,7 @@ def zorder_write(spark: SparkSession, sf_dir: str, bits: int = 8) -> str:
     built from plain Spark primitives (tests/test_layout.py asserts the
     per-file skipping on both columns). Returns the written path."""
     path = _cache_path("lineitem_zorder", sf_dir)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if _cache_fresh(path, os.path.join(sf_dir, "lineitem.parquet")):
         return path
     l = load(spark, sf_dir, "lineitem")
     maxes = l.agg(
@@ -298,12 +298,17 @@ def compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is content-preserving."""
     path = _cache_path("events_compacted", sf_dir)
     if not _cache_fresh(path, os.path.join(sf_dir, "events.parquet")):
-        frag = os.path.join(tempfile.mkdtemp(prefix="cdbspark_frag_"), "events_small")
-        load(spark, sf_dir, "events").repartition(64).write.mode("overwrite").parquet(frag)
-        compact_parquet(spark, frag, path)
         import shutil
 
-        shutil.rmtree(os.path.dirname(frag), ignore_errors=True)
+        frag = os.path.join(tempfile.mkdtemp(prefix="cdbspark_frag_"), "events_small")
+        try:
+            load(spark, sf_dir, "events").repartition(64).write.mode(
+                "overwrite"
+            ).parquet(frag)
+            compact_parquet(spark, frag, path)
+        finally:
+            # the 64-fragment staging copy must not outlive a failed run
+            shutil.rmtree(os.path.dirname(frag), ignore_errors=True)
     return spark.read.parquet(path).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -53,67 +53,58 @@ from . import registry_ext  # noqa: E402,F401
 # this round's new additions) first; everything else keeps registration order
 # behind them. Rotate per round as families accumulate driver-green rows.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 fixes/changes (newest = highest risk): the r3-broken entries
-    # and everything whose semantics or expressions changed this round
-    "ivf_recall_at_k",
-    "embedding_topk_ivf",
+    # round-5 plan rewrites (newest = highest risk): the centroid-ANN
+    # family's zero-exchange literal assignment, the shuffle-hash
+    # PageRank, the versioned-manifest compaction, the NULL-normalized
+    # UDTF oracle, and the bounded_keys pipeline entry point
+    "kmeans_assign_centroid",
     "embedding_topk_ivf_kmeans",
     "ivf_kmeans_recall_at_k",
-    "sessionize_events",
-    "sessionize_skew_chunked",
-    "json_lines_roundtrip",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "udtf_chunk_spans",
-    "udaf_median_order_value",
-    "compact_small_files",
-    "event_transition_counts",
-    "simhash_fingerprint",
-    "simhash_near_dup",
+    "label_centroids",
     "pagerank_top_nodes",
-    "streaming_foreach_merge",
-    # never driver-checked (r1–r3 samples missed these 27)
-    "approx_percentile_price",
-    "repetition_stats",
-    "pii_redact",
-    "hash_split",
-    "set_intersect_customers",
-    "set_except_customers",
-    "cube_revenue",
-    "grouping_sets_mix",
-    "rank_family_topk",
-    "lag_lead_daily_revenue",
-    "quantile_disc_price",
-    "stats_moments",
-    "price_histogram",
-    "unpivot_priority_counts",
-    "json_map_aggregate",
-    "asof_join_signup",
-    "partition_pruned_load",
-    "bucketed_join_revenue",
-    "salted_groupby",
-    "argmax_order_per_customer",
-    "scd2_dim_history",
-    "merge_upsert_dim",
-    "orc_roundtrip",
-    "approx_distinct_users",
-    "range_join_recent_clicks",
-    "window_distribution_family",
-    # md5-parse rewrite touched these families too — re-confirm a sample
-    "minhash_lsh_pairs",
-    "stratified_sample",
-    "weighted_resample",
-    "doc_fingerprint",
-    "ngram_jaccard_prefix",
-    "dedup_clusters",
-    "embedding_near_dup",
-    # timestamp normalization touched every events consumer — sample a few
+    "compact_small_files",
+    "udtf_chunk_spans",
+    "multimodal_features",
+    "reference_parity_poc",
+    "http_dim_pipeline",
+    # oldest driver evidence (last green row is r1/r2) — entries change
+    # under the driver (fixture re-encodings, shared-helper rewrites), so
+    # stale green rows are its only blind spot; oldest first
+    "incremental_idempotence",
+    "streaming_tumbling_hour",
+    "streaming_session_window",
+    "scan_project_filter",
+    "conform_lowercase",
+    "regexp_extract_int",
+    "cast_and_roundtrip",
+    "surrogate_key_rows",
+    "union_source_tags",
+    "filter_watermark",
+    "watermark_max",
+    "distinct_union_keys",
+    "dedup_latest_wins",
+    "groupby_count_day",
+    "sort_topk",
+    "window_running",
+    "join_left_equi",
+    "join_left_composite",
+    "join_semi",
+    "join_anti",
+    "case_when_bucket",
+    "cte_sql_api",
+    "pivot_priority_counts",
+    "rollup_revenue",
+    "exact_dedup_hash",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+    "embedding_topk_pandas",
+    "lang_id_ngram",
+    "text_quality_score",
+    "token_counts",
+    "json_extract_props",
     "window_tumbling_hour",
     "window_sliding_halfhour",
     "session_window_native",
-    "json_extract_props",
-    "funnel_conversion",
-    "cohort_retention",
 ]
 
 

@@ -1357,7 +1357,8 @@ def _q_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "udtf_chunk_spans",
     _q_chunk_spans_udtf,
-    f"""WITH t AS (SELECT doc_id, greatest(len(string_split(text, ' ')), 1) AS n
+    f"""WITH t AS (SELECT doc_id,
+                          greatest(len(string_split(coalesce(text, ''), ' ')), 1) AS n
                    FROM documents),
         s AS (SELECT doc_id, n,
                      unnest(range(1, n + 1, {corpus.CHUNK_STRIDE})) AS start

@@ -73,38 +73,136 @@ FROM orders WHERE o_totalprice > 300000
 """
 
 
+MANIFEST = "MANIFEST"
+
+
+def _read_manifest(base: str):
+    import json
+
+    mp = os.path.join(base, MANIFEST)
+    if not os.path.exists(mp):
+        return None
+    with open(mp, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _write_manifest(base: str, manifest: dict) -> None:
+    """Atomically (POSIX rename) replace the pointer file — the single
+    commit point of every table mutation. On an object store this is one
+    PUT of the pointer object."""
+    import json
+
+    tmp = os.path.join(base, MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(manifest))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(base, MANIFEST))
+
+
+def resolve_data_dir(path: str):
+    """(data_dir, manifest) for a table root: versioned tables resolve
+    through their MANIFEST pointer; a plain parquet directory resolves to
+    itself (manifest None)."""
+    base = path.rstrip("/")
+    m = _read_manifest(base)
+    if m is None:
+        return base, None
+    return os.path.join(base, m["version_dir"]), m
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Reader entry point for (possibly versioned) parquet tables."""
+    return spark.read.parquet(resolve_data_dir(path)[0])
+
+
+def _adopt_versioned(spark: SparkSession, base: str) -> dict:
+    """One-time migration of a plain parquet directory into the versioned
+    layout: move its files into ``v_00000001/`` and commit a manifest.
+    This is the only step that mutates a directory readers may be scanning
+    directly — run it when the table is created / before serving readers;
+    afterwards every mutation is an atomic pointer flip."""
+    vdir = "v_00000001"
+    target = os.path.join(base, vdir)
+    os.makedirs(target, exist_ok=True)
+    for name in os.listdir(base):
+        if name in (vdir, MANIFEST) or name.startswith(MANIFEST):
+            continue
+        os.rename(os.path.join(base, name), os.path.join(target, name))
+    rows = spark.read.parquet(target).count()  # once, at adoption only
+    manifest = {"version": 1, "version_dir": vdir, "rows": int(rows)}
+    _write_manifest(base, manifest)
+    return manifest
+
+
 def compact_small_files(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> int:
-    """Small-files compaction IN PLACE: rewrite a parquet directory into
-    size-targeted files (total bytes / target). The streaming/incremental
-    sinks append one file per micro-batch — at scale the resulting
-    million-file directories destroy scan planning; periodic compaction is
-    part of the sink contract.
+    """Small-files compaction: rewrite a parquet table into size-targeted
+    files (total bytes / target). The streaming/incremental sinks append
+    one file per micro-batch — at scale the resulting million-file
+    directories destroy scan planning; periodic compaction is part of the
+    sink contract.
 
-    The compacted copy is staged to a sibling directory, verified
-    (row-count parity), then swapped into ``path`` via two renames —
-    readers of ``path`` keep seeing a complete directory, and the original
-    survives until the swap commits. Returns the new file count."""
+    Reader-safe swap: the table root holds immutable ``v_NNNNNNNN/`` data
+    directories plus a ``MANIFEST`` pointer file; readers resolve through
+    :func:`resolve_data_dir` / :func:`read_table`. The compacted copy is
+    written to the NEXT version directory and committed by one atomic
+    ``os.replace`` of the pointer (on an object store: one PUT) — a reader
+    can never observe a missing or partial directory, unlike dir-rename
+    swaps (two renames leave a no-directory window, and object-store
+    renames are not atomic at all). A crash before the pointer flip leaves
+    the old version serving and an orphan next-version dir that the next
+    compaction vacuums. The immediately-previous version stays on disk for
+    in-flight readers and is vacuumed by the compaction after it (at
+    scale: retention-based vacuum).
+
+    The row gate uses the WRITE JOB's own Observation metric against the
+    manifest's recorded count — no verify re-read of the output. First
+    call on a plain directory adopts it via :func:`_adopt_versioned`.
+    Returns the new file count."""
     import shutil
 
-    df = spark.read.parquet(path)
-    n_rows_before = df.count()
+    from pyspark.sql import Observation
+
+    base = path.rstrip("/")
+    m = _read_manifest(base)
+    if m is None:
+        m = _adopt_versioned(spark, base)
+    data_dir = os.path.join(base, m["version_dir"])
     total = sum(
         os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
+        for dp, _, fs in os.walk(data_dir)
         for f in fs
         if f.endswith(".parquet")
     )
     n_files = max(1, total // (target_file_mb * 1024 * 1024))
-    base = path.rstrip("/")
-    tmp = base + "_compacting"
-    old = base + "_precompact"
-    df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
-    if spark.read.parquet(tmp).count() != n_rows_before:  # paranoia gate
-        shutil.rmtree(tmp)
-        raise RuntimeError(f"compaction row-count mismatch for {path}")
-    os.rename(base, old)
-    os.rename(tmp, base)
-    shutil.rmtree(old)
+    next_ver = int(m["version"]) + 1
+    next_name = f"v_{next_ver:08d}"
+    next_dir = os.path.join(base, next_name)
+    if os.path.exists(next_dir):  # orphan from a crashed earlier attempt
+        shutil.rmtree(next_dir)
+    obs = Observation(f"compact_{next_name}")
+    df = spark.read.parquet(data_dir).observe(obs, F.count(F.lit(1)).alias("rows"))
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(next_dir)
+    rows_written = int(obs.get["rows"])
+    if rows_written != int(m["rows"]):  # paranoia gate, no re-read
+        shutil.rmtree(next_dir)
+        raise RuntimeError(
+            f"compaction row-count mismatch for {path}: "
+            f"wrote {rows_written}, manifest says {m['rows']}"
+        )
+    prev_keep = m["version_dir"]
+    _write_manifest(
+        base, {"version": next_ver, "version_dir": next_name, "rows": rows_written}
+    )
+    # vacuum everything except the new version and its immediate
+    # predecessor (kept for readers that resolved before the flip)
+    for name in os.listdir(base):
+        if (
+            name.startswith("v_")
+            and name not in (next_name, prev_keep)
+            and os.path.isdir(os.path.join(base, name))
+        ):
+            shutil.rmtree(os.path.join(base, name))
     return int(n_files)

@@ -106,6 +106,21 @@ def test_poc_ctas_registered_in_catalog(spark, built):
     assert tbl.count() == poc.count()
 
 
+def test_query_cocktail_data_caps_key_collect(spark):
+    """A silently-grown drink dimension must raise the named bounded_keys
+    error instead of collecting an unbounded key list to the driver."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from cocktailsdb_spark.sources.http_source import MAX_DRIVER_KEYS
+
+    big = spark.range(MAX_DRIVER_KEYS + 1).select(
+        _F.concat(_F.lit("drink_"), _F.col("id").cast("string")).alias("drink")
+    )
+    with _pytest.raises(ValueError, match="fetch_distributed"):
+        bar_pipeline.query_cocktail_data(spark, big, transport=fake_transport)
+
+
 def test_cocktails_latest_wins(spark, built):
     base, _ = built
     cocktails = spark.read.parquet(os.path.join(base, "cocktails"))

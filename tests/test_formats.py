@@ -40,12 +40,50 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
     assert n_before == 24
     n_target = formats.compact_small_files(spark, path, target_file_mb=128)
-    # compaction swaps in place: SAME path now holds the compacted files
-    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    # SAME table root serves the compacted files through the manifest
+    data_dir, manifest = formats.resolve_data_dir(path)
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(data_dir))
     assert n_after == n_target == 1  # tiny fixture → single file
-    assert spark.read.parquet(path).count() == load(spark, sf_dir, "events").count()
-    assert not os.path.exists(path + "_precompact")  # staging dirs cleaned up
-    assert not os.path.exists(path + "_compacting")
+    expected = load(spark, sf_dir, "events").count()
+    assert formats.read_table(spark, path).count() == expected
+    # rows recorded from the write job's Observation metric, no re-read
+    assert manifest["rows"] == expected
+
+
+def test_compaction_swap_is_reader_atomic(spark, sf_dir):
+    """The swap is one atomic pointer flip: an in-flight reader that
+    resolved BEFORE a later compaction still reads its (retained) version;
+    a crash that leaves a fully-written but uncommitted version dir is
+    invisible to readers; repeated compactions vacuum older versions."""
+    work = tempfile.mkdtemp(prefix="cdbspark_compact_")
+    path = os.path.join(work, "frag")
+    load(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(path)
+    expected = load(spark, sf_dir, "events").count()
+
+    formats.compact_small_files(spark, path, target_file_mb=128)
+    dir_v2, m2 = formats.resolve_data_dir(path)
+    assert m2["version"] == 2  # v1 = adopted originals, v2 = compacted
+
+    # in-flight reader: resolves now, consumes after the NEXT compaction
+    inflight = formats.read_table(spark, path)
+    formats.compact_small_files(spark, path, target_file_mb=128)
+    dir_v3, m3 = formats.resolve_data_dir(path)
+    assert m3["version"] == 3 and dir_v3 != dir_v2
+    assert os.path.isdir(dir_v2)  # predecessor retained for in-flight reads
+    assert inflight.count() == expected  # reader is unaffected by the swap
+    assert not os.path.isdir(os.path.join(path, "v_00000001"))  # vacuumed
+
+    # crash simulation: next-version dir fully written, pointer flip never
+    # happened — readers keep resolving the committed version
+    orphan = os.path.join(path, "v_99999999")
+    os.makedirs(orphan)
+    d, m = formats.resolve_data_dir(path)
+    assert m["version"] == 3 and "v_99999999" not in d
+    assert formats.read_table(spark, path).count() == expected
+
+    # at no point does the table root itself disappear (the dir-rename
+    # design had a no-directory window between its two renames)
+    assert os.path.isdir(path)
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):

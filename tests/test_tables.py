@@ -56,6 +56,58 @@ def test_load_normalizes_ntz_to_timestamp(spark, fake_sf):
     assert all(r["s"] is not None for r in secs)
 
 
+_ENCODINGS = ("nanos", "us_ntz", "us_ltz")
+# instants chosen to stress the conversions: µs precision, midnight
+# boundary, pre-1970 (negative epoch), and a far-future value
+_TS_CASES = [
+    dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+    dt.datetime(2024, 3, 2, 0, 0, 1, 0),
+    dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+    dt.datetime(2200, 1, 1, 6, 7, 8, 910111),
+]
+
+
+@pytest.mark.parametrize("encoding", _ENCODINGS)
+def test_load_normalizes_every_shipped_encoding(spark, encoding):
+    """The driver has shipped `ts` as TIMESTAMP(NANOS) (read as long under
+    the nanosAsLong shim), µs TIMESTAMP_NTZ, and µs adjusted-to-UTC across
+    rounds. Whatever arrives, load() must present TimestampType with the
+    exact same instants under the pinned UTC session — so the next silent
+    fixture regeneration is a no-op."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if encoding == "nanos":
+        ts_type = pa.timestamp("ns")
+    elif encoding == "us_ntz":
+        ts_type = pa.timestamp("us")
+    else:
+        ts_type = pa.timestamp("us", tz="UTC")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(1, len(_TS_CASES) + 1), pa.int64()),
+            "ts": pa.array(pd.Series(_TS_CASES), ts_type),
+            "user_id": pa.array([7] * len(_TS_CASES), pa.int64()),
+            "event_type": pa.array(["click"] * len(_TS_CASES)),
+            "value": pa.array([1.5] * len(_TS_CASES), pa.float64()),
+        }
+    )
+    work = tempfile.mkdtemp(prefix=f"cdbspark_enc_{encoding}_")
+    try:
+        pdir = os.path.join(work, "events.parquet")
+        os.makedirs(pdir)
+        pq.write_table(tbl, os.path.join(pdir, "part-0.parquet"))
+        df = load(spark, work, "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        got = {r["event_id"]: r["ts"] for r in df.collect()}
+        assert got == {i + 1: ts for i, ts in enumerate(_TS_CASES)}
+        # numeric casts (sessionize's epoch math) stay legal
+        assert df.select(F.col("ts").cast("double")).first()[0] is not None
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_load_real_fixture_ts_is_timestamp(spark, sf_dir):
     # whatever encoding the driver shipped this round, the contract holds
     df = load(spark, sf_dir, "events")

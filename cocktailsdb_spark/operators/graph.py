@@ -88,7 +88,11 @@ def pagerank(
     # partitioning) — the iterations never shuffle or re-scan the big edge
     # side again. Everything downstream (node universe included) derives
     # from this one materialization: the upstream edge pipeline runs once.
-    edges_w = edges.join(outdeg, "src").repartition(nparts, "src").persist()
+    # outdeg is node-sized — broadcast it so the big edge side reaches its
+    # one src-partitioning exchange without a sort-merge join first
+    edges_w = (
+        edges.join(F.broadcast(outdeg), "src").repartition(nparts, "src").persist()
+    )
     # node universe = src ∪ dst, so the implementation is self-consistent
     # for any input (sink nodes get rank rows; a src-only node set would
     # silently diverge from the oracle twin for non-symmetrized inputs).

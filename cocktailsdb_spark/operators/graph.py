@@ -45,6 +45,43 @@ PR_TOP_K = 20
 PR_CHECKPOINT_EVERY = 2
 
 
+def _iterate(
+    edges_w: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    base: float,
+    damping: float,
+    q_const: float,
+) -> DataFrame:
+    """One power-iteration step. The rank frame is node-sized: shuffle IT
+    onto the edge partitioning (shuffle-hash join — no sort, no broadcast
+    build) and stream the persisted edges in place. The step's only
+    full-data exchange is the map-side-combined contribution aggregate on
+    dst (shape pinned by tests/test_graph.py::test_iteration_plan_shape)."""
+    r_src = ranks.select(F.col("node").alias("src"), "r").hint("shuffle_hash")
+    contrib = edges_w.join(r_src, "src", "left").select(
+        "dst",
+        F.floor(
+            (F.coalesce(F.col("r"), F.lit(q_const)) / F.col("outdeg"))
+            * PR_SCALE
+            + F.lit(0.5)
+        ).cast("long").alias("q"),
+    )
+    return (
+        contrib.groupBy("dst")
+        .agg(F.sum("q").alias("qs"))
+        .select(
+            F.col("dst").alias("node"),
+            F.floor(
+                (base / n_nodes + damping * (F.col("qs") / PR_SCALE))
+                * PR_SCALE
+                + F.lit(0.5)
+            ).cast("long").alias("qr"),
+        )
+        .select("node", (F.col("qr") / PR_SCALE).alias("r"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
@@ -113,33 +150,7 @@ def pagerank(
     q_const = math.floor((base / n_nodes + damping * 0.0) * PR_SCALE + 0.5) / PR_SCALE
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for it in range(1, iters + 1):
-        # the rank frame is node-sized: shuffle IT onto the edge
-        # partitioning (shuffle-hash join — no sort, no broadcast
-        # build) and stream the checkpointed edges in place. Each
-        # iteration's only full-data exchange is the map-side-combined
-        # contribution aggregate on dst.
-        r_src = ranks.select(F.col("node").alias("src"), "r").hint("shuffle_hash")
-        contrib = edges_w.join(r_src, "src", "left").select(
-            "dst",
-            F.floor(
-                (F.coalesce(F.col("r"), F.lit(q_const)) / F.col("outdeg"))
-                * PR_SCALE
-                + F.lit(0.5)
-            ).cast("long").alias("q"),
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("q").alias("qs"))
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(
-                    (base / n_nodes + damping * (F.col("qs") / PR_SCALE))
-                    * PR_SCALE
-                    + F.lit(0.5)
-                ).cast("long").alias("qr"),
-            )
-            .select("node", (F.col("qr") / PR_SCALE).alias("r"))
-        )
+        ranks = _iterate(edges_w, ranks, n_nodes, base, damping, q_const)
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             ranks = ranks.localCheckpoint()
     # restore the constant-rank rows for nodes with no in-edges (both

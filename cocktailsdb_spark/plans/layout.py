@@ -317,3 +317,28 @@ def compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPACTED_EVENTS_SQL = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """
+
+
+def time_travel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation on the versioned-manifest table layout
+    (sources/formats.py): write events as a fragmented versioned table,
+    compact it (committing version 2), then time-travel-read version 1.
+    Version directories are immutable, so the pre-compaction snapshot
+    must read back exactly the original rows even though the table's
+    current pointer has moved on — oracle = the events table itself."""
+    from ..sources import formats
+
+    path = _cache_path("events_versioned", sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    if not _cache_fresh(os.path.join(path, "v_00000001"), src):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # stale/partial: rebuild
+        load(spark, sf_dir, "events").repartition(16).write.mode(
+            "overwrite"
+        ).parquet(path)
+        formats.compact_small_files(spark, path)  # adopts v1, commits v2
+    assert formats.resolve_data_dir(path)[1]["version"] >= 2
+    return formats.read_table(spark, path, version=1).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

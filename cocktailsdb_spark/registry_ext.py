@@ -315,6 +315,7 @@ register(
 )
 register("salted_groupby", _layout.salted_groupby, _layout.SALTED_GROUPBY_SQL)
 register("compact_small_files", _layout.compacted_events, _layout.COMPACTED_EVENTS_SQL)
+register("time_travel_read", _layout.time_travel_events, _layout.COMPACTED_EVENTS_SQL)
 
 # --- argmax aggregation (max_by with deterministic struct tiebreak) ----------
 

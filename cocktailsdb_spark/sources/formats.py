@@ -100,20 +100,68 @@ def _write_manifest(base: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(base, MANIFEST))
 
 
-def resolve_data_dir(path: str):
+def resolve_data_dir(path: str, version: int | None = None):
     """(data_dir, manifest) for a table root: versioned tables resolve
     through their MANIFEST pointer; a plain parquet directory resolves to
-    itself (manifest None)."""
+    itself (manifest None). ``version`` time-travels to a retained
+    snapshot — version directories are immutable, so any un-vacuumed
+    version reads exactly as committed."""
     base = path.rstrip("/")
     m = _read_manifest(base)
     if m is None:
+        if version is not None:
+            raise ValueError(f"{path} is not a versioned table")
         return base, None
-    return os.path.join(base, m["version_dir"]), m
+    if version is None:
+        return os.path.join(base, m["version_dir"]), m
+    name = f"v_{int(version):08d}"
+    target = os.path.join(base, name)
+    if not os.path.isdir(target):
+        raise ValueError(
+            f"version {version} of {path} is not retained (vacuumed or never "
+            f"written); current is {m['version']}"
+        )
+    return target, {"version": int(version), "version_dir": name}
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Reader entry point for (possibly versioned) parquet tables."""
-    return spark.read.parquet(resolve_data_dir(path)[0])
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Reader entry point for (possibly versioned) parquet tables;
+    ``version`` reads a retained historical snapshot (time travel)."""
+    return spark.read.parquet(resolve_data_dir(path, version)[0])
+
+
+def list_versions(path: str) -> list[int]:
+    """Retained snapshot versions, ascending."""
+    base = path.rstrip("/")
+    return sorted(
+        int(n[2:])
+        for n in os.listdir(base)
+        if n.startswith("v_") and os.path.isdir(os.path.join(base, n))
+    )
+
+
+def vacuum_versions(path: str, keep: int = 2) -> list[int]:
+    """Retention-based vacuum: drop all but the newest ``keep`` retained
+    versions (the current version is always kept). Returns the removed
+    version numbers. This is the explicit form of the keep-predecessor
+    policy compaction applies automatically; at scale it runs on a
+    maintenance schedule with ``keep`` sized to the longest reader."""
+    import shutil
+
+    base = path.rstrip("/")
+    m = _read_manifest(base)
+    if m is None:
+        raise ValueError(f"{path} is not a versioned table")
+    keep = max(1, int(keep))
+    versions = list_versions(base)
+    current = int(m["version"])
+    survivors = set(versions[-keep:]) | {current}
+    removed = [v for v in versions if v not in survivors]
+    for v in removed:
+        shutil.rmtree(os.path.join(base, f"v_{v:08d}"))
+    return removed
 
 
 def _adopt_versioned(spark: SparkSession, base: str) -> dict:

@@ -86,6 +86,25 @@ def test_compaction_swap_is_reader_atomic(spark, sf_dir):
     assert os.path.isdir(path)
 
 
+def test_time_travel_and_vacuum(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="cdbspark_tt_")
+    path = os.path.join(work, "tbl")
+    load(spark, sf_dir, "events").repartition(6).write.mode("overwrite").parquet(path)
+    expected = load(spark, sf_dir, "events").count()
+    formats.compact_small_files(spark, path, target_file_mb=128)  # v1→v2
+    # the pre-compaction snapshot reads back exactly, current is v2
+    assert formats.read_table(spark, path, version=1).count() == expected
+    assert formats.list_versions(path) == [1, 2]
+    removed = formats.vacuum_versions(path, keep=1)
+    assert removed == [1] and formats.list_versions(path) == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        formats.read_table(spark, path, version=1)
+    # current still serves after vacuum
+    assert formats.read_table(spark, path).count() == expected
+
+
 def test_approx_distinct_within_error_bound(spark, sf_dir):
     rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
     assert rows

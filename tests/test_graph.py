@@ -42,6 +42,37 @@ def test_pagerank_matches_python_model(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_iteration_plan_shape(spark):
+    """The per-iteration join must stream the persisted src-partitioned
+    edge frame in place: shuffle-hash join (no sort-merge, no broadcast
+    build of ranks), and no Exchange on the edge side — only the
+    node-sized rank frame and the contribution aggregate shuffle."""
+    from pyspark.sql import functions as F
+
+    raw = [(f"n{i}", f"n{(i * 7 + 1) % 50}") for i in range(200)]
+    df = spark.createDataFrame(raw, "src string, dst string").distinct()
+    outdeg = df.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_w = df.join(F.broadcast(outdeg), "src").repartition(8, "src").persist()
+    edges_w.count()
+    nodes = edges_w.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(0.01).alias("r"))
+    step = G._iterate(edges_w, ranks, 100, 0.15, 0.85, 0.0015)
+    plan = step._sc._jvm.PythonSQLUtils.explainString(
+        step._jdf.queryExecution(), "formatted"
+    )
+    # outer tree = everything above the cached InMemoryRelation's own
+    # (already-materialized) build plan
+    outer = plan.split("== Initial Plan ==")[0].split("InMemoryRelation")[0]
+    assert "ShuffledHashJoin" in outer
+    assert "SortMergeJoin" not in outer and "BroadcastHashJoin" not in outer
+    # the step's ONLY live exchange is the contribution aggregate on dst:
+    # the edge side streams from the src-partitioned cache, and the rank
+    # frame (derived partitioning-preserving from that cache here, or
+    # node-sized in the real loop) needs at most its own small shuffle
+    assert outer.count("Exchange") == 1, outer
+    edges_w.unpersist()
+
+
 def test_pagerank_top_k_ordering(spark):
     raw = [(f"n{i}", "hub") for i in range(6)]
     edges = raw + [(t, s) for s, t in raw]

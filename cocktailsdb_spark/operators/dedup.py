@@ -215,7 +215,12 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
             f"banding with {SIMHASH_BANDS} bands only guarantees recall for "
             f"hamming <= {SIMHASH_BANDS - 1}, got max_hamming={max_hamming}"
         )
-    fps = simhash(docs)
+    # materialize the fingerprints ONCE: the band-explode self-join plans
+    # this subtree 8× (4 union branches × 2 join sides) — ReuseExchange
+    # only shares the shuffle files, so the 64-lane final aggregate would
+    # still re-run per occurrence (measured 5.7 → 3.9 s at sf0.1; the same
+    # fix a cluster deployment makes by persisting the fingerprint table)
+    fps = simhash(docs).localCheckpoint()
     bcols = [f"band{b}" for b in range(SIMHASH_BANDS)]
     bands = None
     for b in range(SIMHASH_BANDS):

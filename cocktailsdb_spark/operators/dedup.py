@@ -311,6 +311,46 @@ def dedup_clusters(
     return labels
 
 
+def dedup_canonical(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus-dedup DECISION: one row per document with its near-dup
+    cluster (own id for singletons), the cluster size, and whether the doc
+    is the cluster's kept canonical representative — highest quality score
+    wins, doc-id-asc tiebreak. This is the output a training-data pipeline
+    actually ships: filter ``is_canonical`` and the corpus is deduped
+    while every drop stays attributable to its surviving twin.
+
+    Scale shape: clusters from :func:`dedup_clusters` (bounded-iteration
+    label propagation), quality from a single narrow pass; the canonical
+    choice is a ``max_by(struct(quality, -id))`` AGGREGATE (map-side
+    partial, one shuffle on cluster_id) — not a window sort. doc_id is
+    unique, so the struct argmax is deterministic."""
+    from .text import quality_score
+
+    clusters = dedup_clusters(docs, n=n, threshold=threshold, id_col=id_col)
+    q = quality_score(docs).select(F.col("doc_id").alias(id_col), "quality")
+    labeled = (
+        q.join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    canon = labeled.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("quality"), (-F.col(id_col)).alias("_t"))
+        ).alias("_canon"),
+        F.count("*").alias("n_members"),
+    )
+    return (
+        labeled.join(canon, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "n_members",
+            (F.col(id_col) == F.col("_canon")).alias("is_canonical"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     spark,

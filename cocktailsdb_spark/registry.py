@@ -57,6 +57,8 @@ _DRIVER_PRIORITY: list[str] = [
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized
     # UDTF oracle, and the bounded_keys pipeline entry point
+    "dedup_canonical",
+    "time_travel_read",
     "kmeans_assign_centroid",
     "embedding_topk_ivf_kmeans",
     "ivf_kmeans_recall_at_k",

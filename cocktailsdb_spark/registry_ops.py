@@ -619,6 +619,43 @@ register(
 )
 
 
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the dedup DECISION: per doc, its cluster, the cluster size and
+    whether it is the kept canonical member (max quality, id tiebreak).
+    Composes dedup_clusters + text_quality_score; oracle mirrors the
+    argmax with a window (equivalent under unique doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.dedup_canonical(d, n=NGRAM_N, threshold=JACCARD_T)
+
+
+def _dedup_canonical_sql() -> str:
+    # called at registration time, after QUALITY_SQL is defined below
+    return f"""WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL})),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS nid FROM edges),
+        reach(node, lab) AS (
+          SELECT nid, nid FROM nodes
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        clus AS (SELECT node AS doc_id, min(lab) AS cluster_id
+                 FROM reach GROUP BY node),
+        q AS (SELECT doc_id, quality FROM ({{QUALITY}})),
+        lab AS (SELECT q.doc_id,
+                       coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+                       q.quality
+                FROM q LEFT JOIN clus c USING (doc_id)),
+        r AS (SELECT doc_id, cluster_id,
+                     CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS n_members,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM lab)
+        SELECT doc_id, cluster_id, n_members, (rn = 1) AS is_canonical
+        FROM r""".replace("{QUALITY}", QUALITY_SQL)
+
+
 def _sql_simhash_cte() -> str:
     """CTEs computing the 64-bit simhash (4 × 16-bit bands + packed hex
     string) per doc — mirrors operators/dedup.py::simhash exactly."""
@@ -1008,10 +1045,7 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_WORDS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
-register(
-    "text_quality_score",
-    _q_quality,
-    f"""WITH t AS (
+QUALITY_SQL = f"""WITH t AS (
           SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS tk
           FROM documents),
         m AS (
@@ -1031,8 +1065,10 @@ register(
                      + {QUALITY_W_LEN}*least(avg_tok/10, 1.0)
                      + {QUALITY_W_DIGIT}*(1.0 - digit_ratio)) * 10000.0 + 0.5)
                  / 10000.0 AS quality
-        FROM m""",
-)
+        FROM m"""
+
+register("text_quality_score", _q_quality, QUALITY_SQL)
+register("dedup_canonical", _q_dedup_canonical, _dedup_canonical_sql())
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,3 +149,27 @@ def test_edit_distance_pairs_blocking_and_verify(spark):
     # by design (documented candidate-recall blocking)
     assert not any("ted bolt" in k for k in out)
     assert all(a < b for a, b in out)  # canonical pair ordering
+
+
+def test_dedup_canonical_decision(spark, sf_dir):
+    """Exactly one canonical per cluster; singletons keep themselves; the
+    kept member has the cluster's max quality (id-asc tiebreak)."""
+    from cocktailsdb_spark.operators.dedup import dedup_canonical
+    from cocktailsdb_spark.operators.text import quality_score
+    from cocktailsdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = dedup_canonical(docs).collect()
+    assert len(out) == docs.count()  # one decision per document
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    for cid, members in by_cluster.items():
+        canons = [r for r in members if r["is_canonical"]]
+        assert len(canons) == 1, cid
+        assert all(r["n_members"] == len(members) for r in members)
+        best = max(members, key=lambda r: (q[r["doc_id"]], -r["doc_id"]))
+        assert canons[0]["doc_id"] == best["doc_id"]
+        if len(members) == 1:
+            assert members[0]["doc_id"] == cid

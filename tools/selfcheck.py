@@ -51,9 +51,30 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--default-session",
+        action="store_true",
+        help="run under a driver-like plain session (ANSI on, 200 shuffle "
+        "partitions, host timezone) instead of the tuned get_spark() — "
+        "every entry must stay oracle-green there too",
+    )
     args = ap.parse_args()
 
-    spark = get_spark("selfcheck")
+    if args.default_session:
+        import os as _os2
+
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{_os2.environ.get('SPARK_GRAFT_CPUS', '16')}]"
+            )
+            .appName("selfcheck-default")
+            .config("spark.sql.ansi.enabled", "true")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     import os as _os
 

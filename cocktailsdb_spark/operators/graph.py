@@ -112,24 +112,22 @@ def pagerank(
     unrolled-CTE DuckDB oracle stays bit-exact."""
     spark = edges.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges = edges.select("src", "dst")
-    if not assume_distinct:
-        # defensive dedup for arbitrary inputs; callers whose edge list is
-        # distinct by construction (e.g. a union of two disjointly-keyed
-        # halves) skip this full-edge shuffle with assume_distinct=True
-        edges = edges.distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # out-degree is joined into the edge list ONCE, outside the loop, and
-    # the result is persisted pre-partitioned on src (persist — unlike
-    # localCheckpoint's LogicalRDD, InMemoryRelation preserves the hash
-    # partitioning) — the iterations never shuffle or re-scan the big edge
-    # side again. Everything downstream (node universe included) derives
-    # from this one materialization: the upstream edge pipeline runs once.
-    # outdeg is node-sized — broadcast it so the big edge side reaches its
-    # one src-partitioning exchange without a sort-merge join first
-    edges_w = (
-        edges.join(F.broadcast(outdeg), "src").repartition(nparts, "src").persist()
-    )
+    # ONE exchange prepares the whole edge side: repartition on src, then
+    # both the duplicate-edge dedup (keys ⊇ src) and the out-degree
+    # aggregate (key = src) run on that partitioning with NO further
+    # exchange — HashPartitioning(src) satisfies clustering on any key
+    # set containing src. The two consumers share the repartition shuffle
+    # via ReuseExchange inside the one persist-materialization job.
+    rep = edges.select("src", "dst").repartition(nparts, "src")
+    dedup = rep if assume_distinct else rep.dropDuplicates(["src", "dst"])
+    outdeg = dedup.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # out-degree is node-sized — broadcast it back onto the edge list, and
+    # persist the result (persist — unlike localCheckpoint's LogicalRDD,
+    # InMemoryRelation preserves the hash partitioning): the iterations
+    # never shuffle or re-scan the big edge side again. Everything
+    # downstream (node universe included) derives from this one
+    # materialization.
+    edges_w = dedup.join(F.broadcast(outdeg), "src").persist()
     # node universe = src ∪ dst, so the implementation is self-consistent
     # for any input (sink nodes get rank rows; a src-only node set would
     # silently diverge from the oracle twin for non-symmetrized inputs).

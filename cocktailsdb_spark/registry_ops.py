@@ -1993,22 +1993,17 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every node appears as a src → no dangling mass)."""
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
+    pairs = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    # pairs is distinct and the two halves are disjointly keyed ("c…" vs
-    # "s…" prefixes), so the union is already duplicate-free — skip
-    # pagerank's defensive full-edge dedup shuffle; the graph is
+    # no pre-dedup: pagerank folds the (src,dst) dedup into its one
+    # src-repartition exchange at zero extra shuffle cost; the graph is
     # symmetrized, so the node universe is the src side alone
-    return _graph.pagerank(edges, assume_distinct=True, symmetrized=True)
+    return _graph.pagerank(edges, symmetrized=True)
 
 
 def _pagerank_sql() -> str:

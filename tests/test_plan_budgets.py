@@ -1,0 +1,44 @@
+"""Exchange budgets: every headline query has a known shuffle count that
+its 100 TB posture depends on (PLANS.md shows the full plans). A regression
+that adds an exchange — a lost broadcast, a dropped partitioning reuse, a
+window where an aggregate belongs — fails here long before it shows up as
+a bench number drifting inside the noise band.
+
+Budgets are static plan counts (final AQE tree); AQE can only merge
+exchanges at runtime, never add them, so <= is the right direction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from __spark_entry__ import queries
+from tools.plan_audit import fmt_plan, node_counts
+
+# name -> max exchanges allowed in the final planned tree
+BUDGETS = {
+    "poc_analysis": 2,  # fact agg + post-agg stock join side
+    "tpch_q1_pricing": 1,  # the one aggregate
+    "tpch_q3_shipping_priority": 1,
+    "partition_pruned_load": 0,  # pruning + narrow filter only
+    "kmeans_assign_centroid": 0,  # literal-folded narrow argmin
+    "embedding_topk_ivf": 1,  # final per-query top-k window
+    "embedding_topk_ivf_kmeans": 1,
+    "exact_dedup_hash": 1,
+    "sessionize_events": 1,  # one user-partitioned window chain
+    "asof_join_signup": 1,
+    "funnel_conversion": 2,
+    "snapshot_diff_cdc": 2,
+    "multimodal_features": 1,  # spread() repartition feeding mapInPandas
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, sf_dir, name):
+    df = queries()[name](spark, sf_dir)
+    counts = node_counts(fmt_plan(df))
+    got = counts.get("Exchange", 0)
+    assert got <= BUDGETS[name], (
+        f"{name}: {got} exchanges planned, budget {BUDGETS[name]} — "
+        f"plan nodes: {counts}"
+    )

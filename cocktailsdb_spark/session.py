@@ -46,6 +46,13 @@ def get_spark(
         # 100 TB this yields ~800k splits, well within driver capacity.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark still defaults timestamp writes to the deprecated INT96
+        # encoding, which parquet defines NO sort order for — readers see
+        # statistics=None, so every layout trick that relies on footer
+        # min/max skipping (range_sorted_write, partitioned sinks) goes
+        # blind on timestamp columns. INT64 micros carries real stats and
+        # is what every modern writer emits.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Default 8000 makes any stage whose generated method exceeds 8 KB
         # bytecode (e.g. a 64-buffer aggregate like simhash's) fall back to
         # INTERPRETED expression evaluation — measured 2.7× slower than the

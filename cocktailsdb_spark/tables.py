@@ -35,6 +35,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session with defaults — naive parquet timestamps must agree with the
     # DuckDB oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Timestamp sinks must carry footer min/max stats (INT96, Spark's
+    # default, has no parquet sort order → statistics=None → no file
+    # skipping). Pinning here, not just in session.py, keeps layouts
+    # written under a plain driver session valid for stat-dependent
+    # readers — the /tmp layout cache is shared across sessions.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects; read
     # the raw int64 nanos and convert exactly (integer div — ns values
     # exceed 2^53, double math would corrupt them).

@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "pagerank_top_nodes",
     "incremental_agg_merge",
     "unigram_logprob_score",
+    # round-5 additions
+    "boilerplate_ngrams",
+    "boilerplate_coverage",
+    "semantic_dedup",
+    "embedding_topk_sq",
 ]
 
 

@@ -445,3 +445,138 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 5, min_docs: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the cross-document half of the
+    repeated-content family; the intra-document half is
+    filters.repetition_stats): a word n-gram that occurs in at least
+    ``min_docs`` DISTINCT documents is boilerplate — headers, footers,
+    license blocks, templated sentences. CCNet/RefinedWeb-style pipelines
+    strip these before training.
+
+    Output: (gram, n_docs) for every boilerplate gram.
+
+    Scale shape: one explode of distinct-per-doc shingles (bounded by
+    token count), then ONE map-side-combined shuffle on the gram to count
+    distinct docs — counting distinct doc_ids per gram needs no second
+    shuffle because the exploded rows are already (gram, doc) pairs with
+    per-doc distinct grams, so count(*) == count(distinct doc). No joins,
+    no windows; the gram key space is uniform (text hashing), so no skew.
+    """
+    ex = spread(docs).select(
+        F.col(id_col), F.explode(shingles(tokens(), n)).alias("gram")
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_coverage(
+    docs: DataFrame, n: int = 5, min_docs: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document boilerplate exposure: of the document's n-gram
+    OCCURRENCES (with repeats — every token position starts one), how many
+    are corpus-boilerplate (:func:`boilerplate_ngrams`)? The per-doc
+    fraction is the filter signal — a doc that is mostly boilerplate gets
+    dropped, one with a single boilerplate footer survives.
+
+    Output: (doc_id, n_grams, n_boiler, boiler_ratio); documents shorter
+    than ``n`` tokens have no occurrences and are excluded (same contract
+    in the oracle twin).
+
+    Scale shape: the boilerplate set joins the occurrence stream on the
+    gram — an equi-join Spark plans as broadcast when the set is small
+    (the common case: boilerplate is a tiny fraction of distinct grams)
+    and as a shuffle join otherwise; then one groupBy on doc_id. Left
+    join + count-if, so non-boilerplate occurrences are counted without a
+    second scan of the corpus."""
+    boiler = boilerplate_ngrams(docs, n=n, min_docs=min_docs, id_col=id_col)
+    count = F.size(tokens()) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens(), i, n)),
+    )
+    occ = (
+        spread(docs)
+        .filter(count >= 1)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+    hit = boiler.select("gram", F.lit(1).alias("_is_boiler"))
+    return (
+        occ.join(hit, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_is_boiler"), F.lit(0))).alias("n_boiler"),
+            qround(
+                F.sum(F.coalesce(F.col("_is_boiler"), F.lit(0))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the coarse quantizer (nearest label-centroid cell — the same
+    zero-exchange literal assignment as similarity.kmeans_assign), then
+    inside each cell drop every vector that has a LOWER-id neighbour with
+    cosine ≥ ``threshold`` (greedy keep-first — deterministic, no
+    iteration). Near-identical paraphrases land in the same cell and
+    collapse to one representative.
+
+    Output: (vec_id, cell, kept) for every vector.
+
+    ``threshold`` is data-dependent: real text-embedding corpora run at
+    0.9+; these synthetic uniform-ish fixtures top out at cosine ≈ 0.47
+    within a cell, so the default demonstrates the operator at 0.35.
+
+    Scale shape: cell assignment is a narrow map (centroid set folded in
+    as a Catalyst literal — zero exchanges on N); the candidate self-join
+    shuffles both sides once on the cell id. Per-cell work is quadratic
+    in cell size, which is exactly SemDeDup's contract — the cluster
+    count is chosen ∝ N so cells stay bounded (~N/C vectors each); with
+    the fixtures' label-count cells this is C=10."""
+    from .similarity import (
+        SIM_ROUND,
+        _cells_by_distance,
+        _collect_centroids,
+        dot,
+        with_norm,
+    )
+
+    cents = _collect_centroids(emb, vec_col)
+    base = with_norm(emb, vec_col).select(id_col, "_vec", "_norm")
+    assign = base.withColumn(
+        "cell", F.element_at(_cells_by_distance(F.col("_vec"), cents), 1)["cell"]
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    sim = qround(
+        dot(F.col("a._vec"), F.col("b._vec")) / (F.col("a._norm") * F.col("b._norm")),
+        SIM_ROUND,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return assign.join(dropped, id_col, "left").select(
+        id_col, "cell", F.col("_dropped").isNull().alias("kept")
+    )

@@ -162,8 +162,10 @@ def ivf_recall(
         approx = ivf_kmeans_topk(
             emb, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
         )
+    elif method == "sq":
+        approx = sq_rerank_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
     else:
-        raise ValueError(f"unknown ANN method {method!r}; 'lsh' or 'kmeans'")
+        raise ValueError(f"unknown ANN method {method!r}; 'lsh', 'kmeans' or 'sq'")
     hit = approx.select(
         F.col("query_id").alias("_aq"), F.col(id_col).alias("_av")
     )
@@ -442,6 +444,115 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
+SQ_LEVELS = 127  # symmetric int8 scalar quantization: codes in [-127, 127]
+
+
+def _sq_quantize(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization of a double array: per-vector
+    scale s = max|x| / 127, code_i = floor(x_i / s + 0.5). Codes and the
+    inverse scale are exact small integers / one IEEE expression, so the
+    DuckDB twin reproduces them bit-for-bit. The zero vector quantizes to
+    all-zero codes (scale floored at 1e-30 to avoid 0/0)."""
+    maxabs = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.greatest(maxabs / F.lit(float(SQ_LEVELS)), F.lit(1e-30))
+    codes = F.transform(vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return codes, scale
+
+
+def sq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization ANN with exact re-ranking — the third ANN
+    family next to hyperplane-LSH (:func:`ivf_topk`) and centroid
+    IVF-Flat (:func:`ivf_kmeans_topk`): coarse-score EVERY candidate on
+    int8 codes (approx cosine = s_q·s_c·Σ code_q·code_c / (‖q‖‖c‖)),
+    keep the top ``k·rerank`` per query, then re-score only those on the
+    full vectors and emit the exact top-k.
+
+    Output: (query_id, vec_id, sim, rank) — ``sim`` is the EXACT cosine,
+    same contract as the other ANN variants, so ivf_recall's metric
+    applies unchanged (method="sq").
+
+    Scale shape: the coarse pass streams all N candidates but touches
+    only the int8 codes — 4× fewer bytes than float32 (the real-engine
+    win is SIMD dot products on packed int8; the Spark expression keeps
+    the same data-volume shape). The rerank pass is an equi-join of the
+    tiny Q×(k·rerank) candidate-id set (broadcast) back to the full
+    vectors — pointed lookups, not a second scan. One window per pass,
+    both partitioned by query_id (Q partitions, never skewed on N)."""
+    m = k * rerank
+    base = with_norm(emb, vec_col)
+    codes, scale = _sq_quantize(F.col("_vec"))
+    cand = base.select(
+        id_col, "_vec", "_norm", codes.alias("_codes"), scale.alias("_scale")
+    )
+    q = cand.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+        F.col("_codes").alias("_qcodes"),
+        F.col("_scale").alias("_qscale"),
+    )
+    # int dot: codes ≤ 127 ⇒ products ≤ 16129, exact in int32 for any
+    # realistic dim; scaled back to the cosine estimate in one
+    # left-associated double expression (identical on both engines)
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_qcodes"), F.col("_codes"), lambda x, y: x * y),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    approx = qround(
+        int_dot.cast("double")
+        * F.col("_qscale")
+        * F.col("_scale")
+        / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
+    coarse_pairs = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, approx.alias("approx_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc(id_col))
+    shortlist = (
+        coarse_pairs.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= m)
+        .select("query_id", id_col)
+    )
+    # exact rerank: join the Q×m shortlist back to the full vectors
+    full = base.select(id_col, "_vec", "_norm")
+    qf = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    sim = qround(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
+    rer = (
+        F.broadcast(shortlist)
+        .join(full, id_col)
+        .join(F.broadcast(qf), "query_id")
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "sim", "rank")
     )

@@ -53,6 +53,13 @@ from . import registry_ext  # noqa: E402,F401
 # this round's new additions) first; everything else keeps registration order
 # behind them. Rotate per round as families accumulate driver-green rows.
 _DRIVER_PRIORITY: list[str] = [
+    # round-5 new operators (never driver-checked): corpus boilerplate
+    # pair, SemDeDup, scalar-quantized ANN + its recall dial
+    "boilerplate_ngrams",
+    "boilerplate_coverage",
+    "semantic_dedup",
+    "embedding_topk_sq",
+    "sq_recall_at_k",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

@@ -594,6 +594,61 @@ def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("ngram_jaccard_prefix", _q_ngram_jaccard_prefix, NGRAM_JACCARD_SQL)
 
+BOILER_N = 5
+BOILER_MIN_DOCS = 3
+
+
+def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X4 — corpus-level boilerplate: word n-grams occurring in ≥ K
+    distinct documents (cross-document repeated content; the intra-doc
+    twin is repetition_stats). One explode + one shuffle on the gram."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.boilerplate_ngrams(d, n=BOILER_N, min_docs=BOILER_MIN_DOCS)
+
+
+_SQL_BOILER_CTE = f"""
+  btk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  bsh AS (SELECT doc_id, unnest(list_distinct(
+            [array_to_string(tk[i:i+{BOILER_N - 1}], ' ')
+             for i in range(1, len(tk)-{BOILER_N - 2})])) AS gram
+          FROM btk),
+  boiler AS (SELECT gram, count(*) AS n_docs FROM bsh
+             GROUP BY gram HAVING count(*) >= {BOILER_MIN_DOCS})
+"""
+
+register(
+    "boilerplate_ngrams",
+    _q_boilerplate_ngrams,
+    f"WITH {_SQL_BOILER_CTE} SELECT gram, n_docs FROM boiler",
+)
+
+
+def _q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X4 — per-document boilerplate exposure: fraction of the doc's
+    n-gram occurrences (with repeats) that are corpus-boilerplate — the
+    CCNet-style drop signal. Equi-join of the boilerplate set onto the
+    occurrence stream, then one groupBy on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.boilerplate_coverage(d, n=BOILER_N, min_docs=BOILER_MIN_DOCS)
+
+
+register(
+    "boilerplate_coverage",
+    _q_boilerplate_coverage,
+    f"""WITH {_SQL_BOILER_CTE},
+        occ AS (SELECT doc_id,
+                       unnest([array_to_string(tk[i:i+{BOILER_N - 1}], ' ')
+                               for i in range(1, len(tk)-{BOILER_N - 2})]) AS gram
+                FROM btk),
+        j AS (SELECT o.doc_id,
+                     CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS isb
+              FROM occ o LEFT JOIN boiler b ON o.gram = b.gram)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(isb) AS BIGINT) AS n_boiler,
+               {sql_qround("CAST(sum(isb) AS DOUBLE) / count(*)", 6)} AS boiler_ratio
+        FROM j GROUP BY doc_id""",
+)
+
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — connected components over the near-dup pair graph (iterative
@@ -974,6 +1029,119 @@ register(
     _q_ivf_kmeans_recall,
     f"""WITH exact AS ({COSINE_TOPK_SQL}),
         approx AS ({IVF_KMEANS_TOPK_SQL})
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               {sql_qround(
+                   "CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)", 6)} AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id""",
+)
+
+SEMDEDUP_T = 0.35  # synthetic fixtures top out ≈0.47 within-cell; real corpora run 0.9+
+
+_SQL_KMEANS_ASSIGN_CTE = f"""
+  scex AS (SELECT label, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+  scd AS (SELECT label, CAST(pos AS INT) AS pos,
+                 {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+          FROM scex GROUP BY label, pos),
+  scv AS (SELECT label AS cell, list(c ORDER BY pos) AS cvec
+          FROM scd GROUP BY label),
+  sad AS (SELECT b.vec_id, b.v, b.nv, scv.cell,
+                 {sql_qround("list_sum([(b.v[i] - scv.cvec[i]) * (b.v[i] - scv.cvec[i]) for i in range(1, len(b.v) + 1)])", 6)} AS d2
+          FROM nrm b CROSS JOIN scv),
+  sassign AS (SELECT vec_id, v, nv, cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM sad)
+              WHERE rn = 1)
+"""
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 — SemDeDup: coarse-quantizer cells (zero-exchange literal
+    assignment), within-cell cosine ≥ τ drops every lower-id-shadowed
+    vector; greedy keep-first, deterministic."""
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(e, threshold=SEMDEDUP_T)
+
+
+register(
+    "semantic_dedup",
+    _q_semantic_dedup,
+    f"""WITH {_SQL_EMB_BASE}, {_SQL_KMEANS_ASSIGN_CTE},
+        sp AS (SELECT b2.vec_id AS drop_id,
+                      {sql_qround(_sql_dot("a2.v", "b2.v") + " / (a2.nv * b2.nv)", 6)} AS sim
+               FROM sassign a2 JOIN sassign b2
+                 ON a2.cell = b2.cell AND a2.vec_id < b2.vec_id),
+        sdrop AS (SELECT DISTINCT drop_id FROM sp WHERE sim >= {SEMDEDUP_T}),
+        skept AS (SELECT a.vec_id, a.cell, (d.drop_id IS NULL) AS kept
+                  FROM sassign a LEFT JOIN sdrop d ON a.vec_id = d.drop_id)
+        SELECT vec_id, cell, kept FROM skept""",
+)
+
+SQ_RERANK = 4
+
+_SQL_SQ_CTE = f"""
+  sq0 AS (SELECT vec_id, v, nv,
+                 greatest(list_max(list_transform(v, x -> abs(x))) / {float(similarity.SQ_LEVELS)}, 1e-30) AS s
+          FROM nrm),
+  sq AS (SELECT vec_id, v, nv, s,
+                list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS codes
+         FROM sq0),
+  sqq AS (SELECT vec_id AS query_id, v AS qv, nv AS qn, s AS qs, codes AS qcodes
+          FROM sq WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+  scp AS (SELECT q.query_id, c.vec_id,
+                 {sql_qround(
+                     "CAST(list_sum([q.qcodes[i] * c.codes[i] for i in range(1, len(q.qcodes)+1)]) AS DOUBLE)"
+                     " * q.qs * c.s / (q.qn * c.nv)", 6)} AS approx_sim
+          FROM sq c CROSS JOIN sqq q WHERE c.vec_id <> q.query_id),
+  sshort AS (SELECT query_id, vec_id FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY approx_sim DESC, vec_id ASC) AS rn
+               FROM scp)
+             WHERE rn <= {TOPK * SQ_RERANK}),
+  sqpairs AS (SELECT s.query_id, s.vec_id,
+                     {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+              FROM sshort s
+              JOIN nrm c ON c.vec_id = s.vec_id
+              JOIN sqq q ON q.query_id = s.query_id)
+"""
+
+SQ_TOPK_SQL = f"""WITH {_SQL_EMB_BASE}, {_SQL_SQ_CTE},
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM sqpairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+
+def _q_sq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — third ANN family: int8 scalar-quantized coarse scan (4× fewer
+    bytes than float32) + exact rerank of the k·rerank shortlist."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.sq_rerank_topk(e, QUERY_IDS, k=TOPK, rerank=SQ_RERANK)
+
+
+register("embedding_topk_sq", _q_sq_rerank_topk, SQ_TOPK_SQL)
+
+
+def _q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality metric — recall@k of the scalar-quantized rerank path
+    against the exact brute-force top-k (the family's quality dial, like
+    ivf_recall_at_k / ivf_kmeans_recall_at_k for the other two)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_recall(e, QUERY_IDS, k=TOPK, method="sq")
+
+
+register(
+    "sq_recall_at_k",
+    _q_sq_recall,
+    f"""WITH exact AS ({COSINE_TOPK_SQL}),
+        approx AS ({SQ_TOPK_SQL})
         SELECT e.query_id,
                CAST(count(*) AS BIGINT) AS n_exact,
                CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)

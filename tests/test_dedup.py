@@ -173,3 +173,63 @@ def test_dedup_canonical_decision(spark, sf_dir):
         assert canons[0]["doc_id"] == best["doc_id"]
         if len(members) == 1:
             assert members[0]["doc_id"] == cid
+
+
+def test_boilerplate_ngrams_detects_shared_phrase(docs):
+    # BASE appears verbatim in docs 0, 1 and (minus the last token) 2 —
+    # every 5-gram not touching the final token is shared by 3 docs
+    out = dedup.boilerplate_ngrams(docs, n=5, min_docs=3)
+    grams = {r["gram"]: r["n_docs"] for r in out.collect()}
+    assert "the quick brown fox jumps" in grams
+    assert grams["the quick brown fox jumps"] == 3
+    # nothing from the unrelated doc reaches the threshold
+    assert not any("whatsoever" in g for g in grams)
+
+
+def test_boilerplate_coverage_ratio(docs):
+    out = {r["doc_id"]: r for r in dedup.boilerplate_coverage(docs, n=5, min_docs=3).collect()}
+    # doc 3 shares no grams: zero boilerplate, ratio 0
+    assert out[3]["n_boiler"] == 0 and out[3]["boiler_ratio"] == 0.0
+    # docs 0/1 are pure boilerplate except grams touching their last token
+    # (doc 2's divergence point): 14 tokens → 10 grams, 9 boilerplate
+    assert out[0]["n_grams"] == 10
+    assert out[0]["n_boiler"] == 9
+    assert 0.0 < out[2]["boiler_ratio"] < 1.0
+
+
+def test_boilerplate_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, "too short"), (1, "also tiny")], "doc_id long, text string"
+    )
+    assert dedup.boilerplate_coverage(df, n=5, min_docs=2).count() == 0
+
+
+def test_semantic_dedup_greedy_keep_first(spark):
+    # two tight clusters; within each, all vectors are near-identical →
+    # exactly the lowest id of each cell survives at a high threshold
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.01], 0),
+        (1, [1.0, 0.0, 0.0, 0.02], 0),
+        (2, [0.99, 0.01, 0.0, 0.0], 0),
+        (10, [0.0, 1.0, 0.0, 0.01], 1),
+        (11, [0.0, 0.99, 0.01, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in dedup.semantic_dedup(df, threshold=0.9).collect()}
+    assert len(out) == 5  # every vector classified exactly once
+    assert out[0]["kept"] and out[10]["kept"]
+    assert not any(out[i]["kept"] for i in (1, 2, 11))
+    # cells follow the label clusters
+    assert out[0]["cell"] == out[1]["cell"] == out[2]["cell"]
+    assert out[10]["cell"] == out[11]["cell"] != out[0]["cell"]
+
+
+def test_semantic_dedup_fixture_partition(spark, sf_dir):
+    from cocktailsdb_spark.tables import load
+
+    out = dedup.semantic_dedup(load(spark, sf_dir, "embeddings"))
+    total = load(spark, sf_dir, "embeddings").count()
+    agg = out.groupBy("kept").count().collect()
+    counts = {r["kept"]: r["count"] for r in agg}
+    assert sum(counts.values()) == total
+    assert counts.get(True, 0) > 0  # something always survives

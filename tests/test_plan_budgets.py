@@ -30,6 +30,10 @@ BUDGETS = {
     "funnel_conversion": 2,
     "snapshot_diff_cdc": 2,
     "multimodal_features": 1,  # spread() repartition feeding mapInPandas
+    # round-5 additions
+    "boilerplate_ngrams": 2,  # spread() + the one gram aggregate
+    "semantic_dedup": 2,  # cell self-join + drop-set join (assignment is narrow)
+    "embedding_topk_sq": 2,  # coarse + rerank windows (both on query_id)
 }
 
 

@@ -4,6 +4,7 @@ IVF structural properties on the fixture embeddings."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cocktailsdb_spark.operators import similarity
 from cocktailsdb_spark.tables import load
@@ -120,3 +121,50 @@ def test_label_centroids_exact_mean(spark):
     )
     out = {(r["label"], r["pos"]): r["c"] for r in similarity.label_centroids(df).collect()}
     assert out == {(7, 0): 2.0, (7, 1): 4.0}
+
+
+def test_sq_quantization_roundtrip_accuracy(spark, sf_dir):
+    """int8 codes reconstruct each vector to ≤ half a quantization step
+    per dimension — the bound symmetric SQ guarantees."""
+    from cocktailsdb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings").limit(50)
+    base = similarity.with_norm(e)
+    codes, scale = similarity._sq_quantize(F.col("_vec"))
+    err = base.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("_vec"),
+                codes.cast("array<double>"),
+                lambda x, c: F.abs(x - c * scale),
+            ),
+            F.lit(0.0),
+            lambda a, x: F.greatest(a, x),
+        ).alias("max_err"),
+        scale.alias("s"),
+    )
+    for r in err.collect():
+        assert r["max_err"] <= r["s"] / 2 + 1e-12
+
+
+def test_sq_rerank_sims_are_exact_and_recall_high(spark, sf_dir):
+    """The rerank emits EXACT cosines (subset of brute-force pairs), and
+    the shortlist is wide enough that recall@3 stays ≥ 0.8 mean."""
+    from cocktailsdb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    approx = {
+        (r["query_id"], r["vec_id"]): r["sim"]
+        for r in similarity.sq_rerank_topk(e, qids, k=3).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"]): r["sim"]
+        for r in similarity.cosine_topk(e, qids, k=3).collect()
+    }
+    for key, sim in approx.items():
+        if key in exact:
+            assert sim == exact[key]
+    rec = similarity.ivf_recall(e, qids, k=3, method="sq").collect()
+    mean = sum(r["recall"] for r in rec) / len(rec)
+    assert mean >= 0.8

@@ -342,3 +342,70 @@ def time_travel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return formats.read_table(spark, path, version=1).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the 100 TB shape where the
+    filtered dimension is too big to BROADCAST but selective enough that
+    most fact rows will not survive the join: Spark's runtime filtering
+    builds a Bloom filter from the dim side's join keys and injects
+    ``might_contain`` into the FACT SCAN, so non-matching lineitem rows
+    die before the shuffle instead of after it (the shuffle is the cost
+    that matters at scale). tests/test_layout.py asserts the plan carries
+    the injected filter.
+
+    Broadcast is disabled for this query (that is the scenario — with a
+    broadcastable dim, BHJ already avoids the fact shuffle) and the
+    application-side threshold is lowered because the sf0.1 fact scan is
+    ~50 MB, not the 10 GB default. The confs are restored afterwards."""
+    prev = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        o = load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 250000)
+        )
+        l = load(spark, sf_dir, "lineitem")
+        result = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue"
+                ),
+                F.count("*").alias("n_lines"),
+            )
+        )
+        # materialize under the pinned confs (same idiom as the bucketed
+        # join above); the cached result is what the caller consumes
+        result = result.cache()
+        result.count()
+        return result
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+BLOOM_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+GROUP BY o_orderpriority
+"""

@@ -60,6 +60,8 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup",
     "embedding_topk_sq",
     "sq_recall_at_k",
+    "bloom_filtered_join",
+    "schema_evolution_read",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

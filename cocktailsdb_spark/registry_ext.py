@@ -314,6 +314,11 @@ register(
     _layout.BUCKETED_JOIN_SQL,
 )
 register("salted_groupby", _layout.salted_groupby, _layout.SALTED_GROUPBY_SQL)
+register(
+    "bloom_filtered_join",
+    _layout.bloom_filtered_join,
+    _layout.BLOOM_JOIN_SQL,
+)
 register("compact_small_files", _layout.compacted_events, _layout.COMPACTED_EVENTS_SQL)
 register("time_travel_read", _layout.time_travel_events, _layout.COMPACTED_EVENTS_SQL)
 
@@ -423,6 +428,11 @@ register(
 from .sources import formats as _formats  # noqa: E402
 
 register("json_lines_roundtrip", _formats.json_roundtrip, _formats.JSON_ROUNDTRIP_SQL)
+register(
+    "schema_evolution_read",
+    _formats.schema_evolution_read,
+    _formats.SCHEMA_EVOLUTION_SQL,
+)
 register("orc_roundtrip", _formats.orc_roundtrip, _formats.ORC_ROUNDTRIP_SQL)
 
 

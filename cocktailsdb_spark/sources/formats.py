@@ -254,3 +254,46 @@ def compact_small_files(
         ):
             shutil.rmtree(os.path.join(base, name))
     return int(n_files)
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: two parquet batches written at
+    different schema VERSIONS (v2 adds a ``price_band`` column) read back
+    as ONE table via ``mergeSchema`` — v1 rows surface NULL for the added
+    column, the standard additive-evolution contract (Delta/Iceberg do
+    the same resolution from their metadata; plain parquet pays one
+    footer-merge pass, which is why ``mergeSchema`` stays opt-in at
+    100 TB and table formats keep the schema in the manifest instead).
+
+    Deterministic batch split (o_orderkey parity) so the oracle twin is a
+    plain UNION ALL."""
+    work = tempfile.mkdtemp(prefix="cdbspark_evo_")
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") > 200000, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(work, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(work, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(work, "batch=1"), os.path.join(work, "batch=2"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "price_band")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS price_band
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS price_band
+FROM orders WHERE o_orderkey % 2 = 1
+"""

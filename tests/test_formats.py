@@ -129,3 +129,16 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             lo = prices[max(0, int((q - 0.01) * n) - 1)]
             hi = prices[min(n - 1, int((q + 0.01) * n))]
             assert lo <= val <= hi, f"{status} q={q}: {val} not in [{lo}, {hi}]"
+
+
+def test_schema_evolution_merges_batches(spark, sf_dir):
+    from cocktailsdb_spark.sources import formats
+    from cocktailsdb_spark.tables import load
+
+    out = formats.schema_evolution_read(spark, sf_dir)
+    assert out.count() == load(spark, sf_dir, "orders").count()
+    # v1 rows (even keys) surface NULL for the evolved column; v2 never
+    nulls = out.filter("price_band IS NULL").select("o_orderkey").collect()
+    assert nulls and all(r["o_orderkey"] % 2 == 0 for r in nulls)
+    bands = {r["price_band"] for r in out.filter("o_orderkey % 2 = 1").collect()}
+    assert bands == {"high", "low"}

@@ -149,3 +149,16 @@ def test_layout_cache_invalidated_by_newer_fixture(tmp_path):
     assert _cache_fresh(str(cache), str(src))
     os.utime(src, (marker.stat().st_mtime + 100, marker.stat().st_mtime + 100))
     assert not _cache_fresh(str(cache), str(src))
+
+
+def test_bloom_filtered_join_injects_runtime_filter(spark, sf_dir):
+    """Under no-broadcast + lowered application threshold, Spark must
+    inject the dim-side Bloom filter into the fact scan — the runtime
+    semi-join reduction the 100 TB shape depends on."""
+    df = layout.bloom_filtered_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cached result's plan carries the InMemoryRelation of the
+    # original bloom-filtered query
+    assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), plan[:2000]
+    row = df.collect()[0]
+    assert row["o_orderpriority"] == "1-URGENT" and row["n_lines"] > 0

@@ -558,9 +558,15 @@ def semantic_dedup(
 
     cents = _collect_centroids(emb, vec_col)
     base = with_norm(emb, vec_col).select(id_col, "_vec", "_norm")
+    # materialize the assignment once: the self-join consumes it on BOTH
+    # sides, and without a persist each side re-evaluates the C×dim
+    # distance expression over the full corpus (measured ~2× the
+    # assignment cost at sf0.1). A real deployment stores the cell id at
+    # write time — the persist is the in-session stand-in for that column.
     assign = base.withColumn(
         "cell", F.element_at(_cells_by_distance(F.col("_vec"), cents), 1)["cell"]
-    )
+    ).persist()
+    assign.count()
     a, b = assign.alias("a"), assign.alias("b")
     sim = qround(
         dot(F.col("a._vec"), F.col("b._vec")) / (F.col("a._norm") * F.col("b._norm")),

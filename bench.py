@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "boilerplate_coverage",
     "semantic_dedup",
     "embedding_topk_sq",
+    "embedding_topk_pq",
 ]
 
 

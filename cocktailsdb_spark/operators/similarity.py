@@ -164,8 +164,12 @@ def ivf_recall(
         )
     elif method == "sq":
         approx = sq_rerank_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    elif method == "pq":
+        approx = pq_rerank_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
     else:
-        raise ValueError(f"unknown ANN method {method!r}; 'lsh', 'kmeans' or 'sq'")
+        raise ValueError(
+            f"unknown ANN method {method!r}; 'lsh', 'kmeans', 'sq' or 'pq'"
+        )
     hit = approx.select(
         F.col("query_id").alias("_aq"), F.col(id_col).alias("_av")
     )
@@ -534,6 +538,139 @@ def sq_rerank_topk(
         .select("query_id", id_col)
     )
     # exact rerank: join the Q×m shortlist back to the full vectors
+    full = base.select(id_col, "_vec", "_norm")
+    qf = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    sim = qround(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
+    rer = (
+        F.broadcast(shortlist)
+        .join(full, id_col)
+        .join(F.broadcast(qf), "query_id")
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
+PQ_M = 8  # subspaces; codes per vector = PQ_M small ints ≈ M bytes vs 4·dim
+
+
+def _pq_sub_cents(cents, m: int):
+    """Slice the collected centroid set into ``m`` per-subspace codebooks
+    (same (labels, vectors, dtype) shape _cells_by_distance consumes)."""
+    labels, vecs, dtype = cents
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by {m} subspaces")
+    sub = dim // m
+    return [
+        (labels, [v[j * sub : (j + 1) * sub] for v in vecs], dtype)
+        for j in range(m)
+    ], sub
+
+
+def _sub_codebook_map(sub_cents) -> Column:
+    """map<label, array<double>> literal of one subspace codebook — like
+    _cells_by_distance's literals, one from_json per side so plan-build
+    cost stays O(1) in C×dim."""
+    import json
+
+    labels, vecs, dtype = sub_cents
+    keys = F.from_json(
+        F.lit(json.dumps(labels)), f"array<{dtype.simpleString()}>"
+    )
+    vals = F.from_json(F.lit(json.dumps(vecs)), "array<array<double>>")
+    return F.map_from_arrays(keys, vals)
+
+
+def _raw_d2(a: Column, b: Column) -> Column:
+    """Unrounded squared L2 — same left-associated fold on both engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    m: int = PQ_M,
+    rerank: int = 8,  # wider than SQ's 4: 10-entry codebooks rank noisier
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) + exact
+    rerank — the fourth production ANN family next to hyperplane-LSH,
+    centroid IVF-Flat and int8 SQ. Vectors are ENCODED once into ``m``
+    sub-codes (nearest per-subspace codebook entry); a query is compared
+    to a candidate through the codes only: approx d² = Σ_j d²(q_j,
+    codebook_j[code_j]). The candidate side of the coarse scan carries
+    just the m small ints — ~m bytes instead of 4·dim, the strongest
+    compression of the four families.
+
+    The per-subspace distances are folded to integer micro-units
+    (floor(d²·1e6 + 0.5) summed as BIGINT), so coarse ranking involves
+    no float-order ambiguity at all and both engines agree exactly. The
+    shortlist of k·rerank per query is re-scored on full vectors; output
+    is the EXACT cosine, same contract as the other families (recall
+    dial: ivf_recall(method="pq")).
+
+    Scale shape: encoding is a narrow map over literals (zero exchanges
+    on N — stored as a column at write time in a real deployment, like
+    the IVF cell id); the coarse scan is the same broadcast-Q pattern as
+    brute force but over the compressed codes; rerank joins the tiny
+    Q×(k·rerank) id set back to full vectors. Codebooks are the bounded
+    centroid set (MAX_CENTROIDS cap applies)."""
+    cents = _collect_centroids(emb, vec_col)
+    subs, sub = _pq_sub_cents(cents, m)
+
+    base = with_norm(emb, vec_col)
+    code_cols = [
+        F.element_at(
+            _cells_by_distance(F.slice(F.col("_vec"), j * sub + 1, sub), subs[j]),
+            1,
+        )["cell"]
+        for j in range(m)
+    ]
+    cand = base.select(id_col, F.array(*code_cols).alias("_codes"))
+    # the coarse pass needs only the query vector (ADC is a distance, not
+    # a cosine — norms enter at the exact rerank)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+    )
+    # integer micro-unit ADC score: Σ_j floor(d²(q_j, codebook_j[code_j])·1e6 + .5)
+    score = None
+    for j in range(m):
+        dj = _raw_d2(
+            F.slice(F.col("_qvec"), j * sub + 1, sub),
+            F.element_at(_sub_codebook_map(subs[j]), F.col("_codes")[j]),
+        )
+        sj = F.floor(dj * F.lit(1e6) + F.lit(0.5)).cast("long")
+        score = sj if score is None else score + sj
+    coarse = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, score.alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_s"), F.asc(id_col))
+    shortlist = (
+        coarse.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= k * rerank)
+        .select("query_id", id_col)
+    )
     full = base.select(id_col, "_vec", "_norm")
     qf = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),

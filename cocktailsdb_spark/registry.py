@@ -62,6 +62,8 @@ _DRIVER_PRIORITY: list[str] = [
     "sq_recall_at_k",
     "bloom_filtered_join",
     "schema_evolution_read",
+    "embedding_topk_pq",
+    "pq_recall_at_k",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

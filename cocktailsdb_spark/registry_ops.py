@@ -1154,6 +1154,105 @@ register(
         GROUP BY e.query_id""",
 )
 
+# wider shortlist than SQ's: PQ's 10-entry codebooks on the near-uniform
+# synthetic embeddings give a noisier coarse ranking (real corpora cluster,
+# and real PQ uses 256-entry codebooks); measured rerank→recall@3 at
+# sf0.01: 4→0.40, 8→0.60, 16→0.80 (BASELINE.md). Must equal
+# pq_rerank_topk's default — ivf_recall(method="pq") uses the default.
+PQ_RERANK = 8
+assert similarity.pq_rerank_topk.__defaults__[2] == PQ_RERANK
+# fixture embedding dim is 64 (same contract the PLANES hyperplanes bake in)
+PQ_SUB = 64 // similarity.PQ_M
+
+_SQL_PQ_CTE = f"""
+  pex AS (SELECT label, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings),
+  pcd AS (SELECT label, CAST(pos AS INT) AS pos,
+                 {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+          FROM pex GROUP BY label, pos),
+  pcv AS (SELECT label, CAST(pos // {PQ_SUB} AS INT) AS j,
+                 list(c ORDER BY pos) AS subvec
+          FROM pcd GROUP BY label, pos // {PQ_SUB}),
+  enc0 AS (SELECT b.vec_id, p.j, p.label,
+                  {sql_qround(
+                      f"list_sum([(b.v[p.j*{PQ_SUB}+i] - p.subvec[i])"
+                      f" * (b.v[p.j*{PQ_SUB}+i] - p.subvec[i])"
+                      f" for i in range(1, {PQ_SUB}+1)])", 6)} AS d2
+           FROM nrm b CROSS JOIN pcv p),
+  enc AS (SELECT vec_id, j, label AS code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, j ORDER BY d2, label) AS rn FROM enc0)
+          WHERE rn = 1),
+  pqq AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+          WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+  scj AS (SELECT q.query_id, e.vec_id,
+                 CAST(floor(
+                   list_sum([(q.qv[e.j*{PQ_SUB}+i] - p.subvec[i])
+                             * (q.qv[e.j*{PQ_SUB}+i] - p.subvec[i])
+                             for i in range(1, {PQ_SUB}+1)]) * 1000000.0 + 0.5)
+                   AS BIGINT) AS sj
+          FROM pqq q CROSS JOIN enc e
+          JOIN pcv p ON p.j = e.j AND p.label = e.code
+          WHERE e.vec_id <> q.query_id),
+  psc AS (SELECT query_id, vec_id, CAST(sum(sj) AS BIGINT) AS s FROM scj
+          GROUP BY query_id, vec_id),
+  pshort AS (SELECT query_id, vec_id FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY s ASC, vec_id ASC) AS rn
+               FROM psc)
+             WHERE rn <= {TOPK * PQ_RERANK}),
+  ppairs AS (SELECT s.query_id, s.vec_id,
+                    {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+             FROM pshort s
+             JOIN nrm c ON c.vec_id = s.vec_id
+             JOIN pqq q ON q.query_id = s.query_id)
+"""
+
+PQ_TOPK_SQL = f"""WITH {_SQL_EMB_BASE}, {_SQL_PQ_CTE},
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM ppairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+
+def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — fourth ANN family: product quantization with asymmetric
+    distance (ADC) over m sub-codes (~m bytes/vector in the coarse scan)
+    + exact rerank. Integer micro-unit distances, so coarse ranking has
+    zero float-order ambiguity across engines."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.pq_rerank_topk(e, QUERY_IDS, k=TOPK, rerank=PQ_RERANK)
+
+
+register("embedding_topk_pq", _q_pq_rerank_topk, PQ_TOPK_SQL)
+
+
+def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality metric — recall@k of the PQ/ADC rerank path against the
+    exact brute-force top-k (completes the recall dial across all four
+    ANN families)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_recall(e, QUERY_IDS, k=TOPK, method="pq")
+
+
+register(
+    "pq_recall_at_k",
+    _q_pq_recall,
+    f"""WITH exact AS ({COSINE_TOPK_SQL}),
+        approx AS ({PQ_TOPK_SQL})
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               {sql_qround(
+                   "CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)", 6)} AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id""",
+)
+
 NEAR_DUP_T = 0.95
 
 

@@ -34,6 +34,7 @@ BUDGETS = {
     "boilerplate_ngrams": 2,  # spread() + the one gram aggregate
     "semantic_dedup": 2,  # cell self-join + drop-set join (assignment is narrow)
     "embedding_topk_sq": 2,  # coarse + rerank windows (both on query_id)
+    "embedding_topk_pq": 2,  # same two-pass shape over the m-byte codes
 }
 
 

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "embedding_topk_sq",
     "embedding_topk_pq",
+    "bpe_merge_train",
 ]
 
 

@@ -317,3 +317,98 @@ def unigram_logprob_score(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFra
             qround(F.col("qs") / 1e6 / F.col("n_tokens"), 4).alias("mean_logprob"),
         )
     )
+
+
+BPE_MERGES = 4
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Apply one BPE merge (a,b)→ab to a symbol array with the standard
+    left-to-right greedy single pass, as a JVM array fold: the merged
+    symbol ab differs from a, so an occurrence consumed by a merge cannot
+    chain into the next one — exactly BPE's non-overlap rule. The DuckDB
+    twin runs the same fold with a space-joined string accumulator
+    (list_reduce pins the accumulator to the element type); symbols are
+    space-free so the delimited forms are equivalent."""
+    a_lit, b_lit, ab_lit = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc, x):
+        do = (F.element_at(acc, -1) == a_lit) & (x == b_lit)
+        return F.when(
+            do,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab_lit)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.slice(syms, 2, F.size(syms)),
+        F.array(F.element_at(syms, 1)),
+        step,
+    )
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn a BPE merge table from the corpus — the tokenizer-training
+    primitive: start from character symbols per distinct word (weighted
+    by corpus frequency), then repeatedly (1) count adjacent symbol
+    pairs, (2) take the most frequent pair (count desc, pair lexicographic
+    tiebreak), (3) merge it everywhere, ``n_merges`` times.
+
+    Output: (merge_rank, lhs, rhs, pair_count) — the merge table in
+    learned order, pair_count as counted at selection time.
+
+    Scale shape per round: ONE map-side-combined shuffle on the pair key
+    (pairs explode from the vocab table, which is distinct-word-sized,
+    not corpus-sized — the classic BPE-trainer factorization), a 1-row
+    argmax collect (control plane, like the watermark reads), and a
+    narrow vocab-sized fold to apply the merge. The vocab frame is
+    localCheckpoint'd per round so plan depth stays flat in n_merges.
+    At 100 TB the vocab is ~10⁸ distinct words — still the small side by
+    3-4 orders of magnitude."""
+    w = F.col("w")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+    )
+    words = (
+        spread(docs)
+        .select(F.explode(tokens()).alias("w"))
+        .filter(F.length(w) >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(chars.alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        # filter BEFORE building the pair index: F.sequence(1, 0) yields
+        # [1, 0] (inferred step -1), and element_at(syms, 0) is an ANSI
+        # error — same guard as dedup.shingles
+        pairs = words.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("a"),
+                        F.element_at(F.col("syms"), i + F.lit(1)).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merges.append((rank, row["a"], row["b"], int(row["cnt"])))
+        words = words.select(
+            _merge_fold(F.col("syms"), row["a"], row["b"]).alias("syms"), "freq"
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "schema_evolution_read",
     "embedding_topk_pq",
     "pq_recall_at_k",
+    "bpe_merge_train",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

@@ -2350,3 +2350,58 @@ register(
                {sql_qround("sum(ql) / 1000000.0 / count(*)", 4)} AS mean_logprob
         FROM q GROUP BY doc_id""",
 )
+
+
+# ===========================================================================
+# §2.9 corpus extension — BPE merge-table training (tokenizer primitive)
+# ===========================================================================
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — learn a BPE merge table from the corpus: char symbols per
+    distinct word (freq-weighted), then n_merges rounds of
+    count-pairs → argmax → merge-everywhere. Oracle = the same rounds
+    unrolled as CTE blocks with a string-accumulator list_reduce fold."""
+    return corpus.bpe_merges(load(spark, sf_dir, "documents"))
+
+
+def _bpe_sql(n_merges: int) -> str:
+    def fold(m: str) -> str:
+        # left-to-right greedy merge as a list_reduce over a space-joined
+        # accumulator (symbols are space-free); mirrors corpus._merge_fold
+        return (
+            f"string_split(list_reduce(syms, (acc, x) -> "
+            f"CASE WHEN (acc = {m}.a OR ends_with(acc, ' ' || {m}.a)) AND x = {m}.b "
+            f"THEN CASE WHEN acc = {m}.a THEN {m}.ab "
+            f"ELSE left(acc, len(acc) - len({m}.a) - 1) || ' ' || {m}.ab END "
+            f"ELSE acc || ' ' || x END), ' ')"
+        )
+
+    blocks = [
+        """w0 AS (
+        SELECT [w[i] for i in range(1, len(w)+1)] AS syms, freq FROM (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE len(w) >= 1 GROUP BY w))"""
+    ]
+    for r in range(n_merges):
+        blocks.append(
+            f"""p{r} AS (
+          SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, unnest([syms[i:i+1] for i in range(1, len(syms))]) AS pr
+            FROM w{r} WHERE len(syms) >= 2)
+          GROUP BY pr[1], pr[2]),
+        m{r} AS (SELECT a, b, a || b AS ab, cnt FROM p{r}
+                 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        w{r + 1} AS (SELECT {fold(f'm{r}')} AS syms, freq
+                     FROM w{r} CROSS JOIN m{r})"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"cnt AS pair_count FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n        ".join(blocks) + "\n        " + union
+
+
+register("bpe_merge_train", _q_bpe_merges, _bpe_sql(corpus.BPE_MERGES))

@@ -188,3 +188,68 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2].n_tokens == 2 and out[2].mean_logprob == exp2
     # the doc with rarer tokens scores lower (perplexity-proxy ordering)
     assert out[2].mean_logprob < out[1].mean_logprob
+
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python greedy BPE trainer — the spec the Spark operator (and
+    its DuckDB twin) must reproduce: count adjacent pairs over the
+    freq-weighted vocab, take (count desc, pair lexicographic) argmax,
+    merge left-to-right single-pass, repeat."""
+    vocab = {w: [c for c in w] for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_merges_match_reference_on_constructed_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "low low low lower lowest"),
+            (1, "new newer newest low"),
+            (2, "wider wide new new"),
+        ],
+        "doc_id long, text string",
+    )
+    freqs: dict[str, int] = {}
+    for t in ("low low low lower lowest", "new newer newest low", "wider wide new new"):
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _bpe_reference(freqs, 4)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in corpus.bpe_merges(docs, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merges_fixture_deterministic(spark, sf_dir):
+    from cocktailsdb_spark.tables import load
+
+    out1 = corpus.bpe_merges(load(spark, sf_dir, "documents")).collect()
+    out2 = corpus.bpe_merges(load(spark, sf_dir, "documents")).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == corpus.BPE_MERGES
+    for r in out1:
+        assert r["pair_count"] > 0 and len(r["lhs"]) >= 1 and len(r["rhs"]) >= 1

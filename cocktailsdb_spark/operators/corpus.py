@@ -346,24 +346,11 @@ def _merge_fold(syms, a: str, b: str):
     )
 
 
-def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Learn a BPE merge table from the corpus — the tokenizer-training
-    primitive: start from character symbols per distinct word (weighted
-    by corpus frequency), then repeatedly (1) count adjacent symbol
-    pairs, (2) take the most frequent pair (count desc, pair lexicographic
-    tiebreak), (3) merge it everywhere, ``n_merges`` times.
-
-    Output: (merge_rank, lhs, rhs, pair_count) — the merge table in
-    learned order, pair_count as counted at selection time.
-
-    Scale shape per round: ONE map-side-combined shuffle on the pair key
-    (pairs explode from the vocab table, which is distinct-word-sized,
-    not corpus-sized — the classic BPE-trainer factorization), a 1-row
-    argmax collect (control plane, like the watermark reads), and a
-    narrow vocab-sized fold to apply the merge. The vocab frame is
-    localCheckpoint'd per round so plan depth stays flat in n_merges.
-    At 100 TB the vocab is ~10⁸ distinct words — still the small side by
-    3-4 orders of magnitude."""
+def _bpe_train(docs: DataFrame, n_merges: int):
+    """Shared BPE training loop: returns (merge list, final vocab frame
+    with the original word kept alongside its symbol list) — the merge
+    table feeds :func:`bpe_merges`, the trained vocab feeds
+    :func:`bpe_encode`."""
     w = F.col("w")
     chars = F.transform(
         F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
@@ -374,7 +361,7 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         .filter(F.length(w) >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
-        .select(chars.alias("syms"), "freq")
+        .select("w", chars.alias("syms"), "freq")
         .localCheckpoint()
     )
     merges = []
@@ -406,9 +393,67 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         row = best[0]
         merges.append((rank, row["a"], row["b"], int(row["cnt"])))
         words = words.select(
-            _merge_fold(F.col("syms"), row["a"], row["b"]).alias("syms"), "freq"
+            "w",
+            _merge_fold(F.col("syms"), row["a"], row["b"]).alias("syms"),
+            "freq",
         ).localCheckpoint()
+    return merges, words
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn a BPE merge table from the corpus — the tokenizer-training
+    primitive: start from character symbols per distinct word (weighted
+    by corpus frequency), then repeatedly (1) count adjacent symbol
+    pairs, (2) take the most frequent pair (count desc, pair lexicographic
+    tiebreak), (3) merge it everywhere, ``n_merges`` times.
+
+    Output: (merge_rank, lhs, rhs, pair_count) — the merge table in
+    learned order, pair_count as counted at selection time.
+
+    Scale shape per round: ONE map-side-combined shuffle on the pair key
+    (pairs explode from the vocab table, which is distinct-word-sized,
+    not corpus-sized — the classic BPE-trainer factorization), a 1-row
+    argmax collect (control plane, like the watermark reads), and a
+    narrow vocab-sized fold to apply the merge. The vocab frame is
+    localCheckpoint'd per round so plan depth stays flat in n_merges.
+    At 100 TB the vocab is ~10⁸ distinct words — still the small side by
+    3-4 orders of magnitude."""
+    merges, _ = _bpe_train(docs, n_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenize the corpus with the learned merge table: each word's
+    final symbol list after training IS its subword encoding, so encoding
+    is ONE equi-join of the exploded corpus tokens against the trained
+    vocab — the apply half of the tokenizer story.
+
+    Output: (doc_id, n_words, n_subwords, subword_ratio) per document —
+    the fertility metric (subwords per word) every tokenizer report
+    tracks.
+
+    Scale shape: the vocab side is distinct-word-sized; the join is a
+    plain equi-join on the word (broadcast when the vocab fits, shuffle
+    otherwise — at 10⁸ vocab entries Spark picks the shuffle form), then
+    one groupBy on doc_id."""
+    _, vocab = _bpe_train(docs, n_merges)
+    enc = vocab.select("w", F.size("syms").alias("n_sub"))
+    tok = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens()).alias("w"))
+        .filter(F.length("w") >= 1)
+    )
+    return (
+        tok.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            qround(
+                F.sum("n_sub").cast("double") / F.count("*"), 4
+            ).alias("subword_ratio"),
+        )
     )

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_topk_pq",
     "pq_recall_at_k",
     "bpe_merge_train",
+    "bpe_encode_stats",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

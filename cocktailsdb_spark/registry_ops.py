@@ -2379,7 +2379,7 @@ def _bpe_sql(n_merges: int) -> str:
 
     blocks = [
         """w0 AS (
-        SELECT [w[i] for i in range(1, len(w)+1)] AS syms, freq FROM (
+        SELECT w, [w[i] for i in range(1, len(w)+1)] AS syms, freq FROM (
           SELECT w, count(*) AS freq FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           WHERE len(w) >= 1 GROUP BY w))"""
@@ -2393,7 +2393,7 @@ def _bpe_sql(n_merges: int) -> str:
           GROUP BY pr[1], pr[2]),
         m{r} AS (SELECT a, b, a || b AS ab, cnt FROM p{r}
                  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-        w{r + 1} AS (SELECT {fold(f'm{r}')} AS syms, freq
+        w{r + 1} AS (SELECT w, {fold(f'm{r}')} AS syms, freq
                      FROM w{r} CROSS JOIN m{r})"""
         )
     union = "\n        UNION ALL ".join(
@@ -2405,3 +2405,34 @@ def _bpe_sql(n_merges: int) -> str:
 
 
 register("bpe_merge_train", _q_bpe_merges, _bpe_sql(corpus.BPE_MERGES))
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the apply half of the tokenizer: each word's trained symbol
+    list IS its subword encoding, so encoding = one equi-join of the
+    exploded corpus against the vocab; output is per-doc fertility
+    (subwords per word)."""
+    return corpus.bpe_encode(load(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    body = _bpe_sql(n_merges)
+    # reuse the training CTE blocks; replace the merge-table tail with
+    # the encoding join
+    head = body[: body.rindex("SELECT CAST(1 AS INT)")]
+    return (
+        head
+        + f""", tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+        enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM w{n_merges})
+        SELECT t.doc_id,
+               count(*) AS n_words,
+               CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+               {sql_qround("CAST(sum(e.n_sub) AS DOUBLE) / count(*)", 4)} AS subword_ratio
+        FROM tok t JOIN enc e USING (w)
+        WHERE len(t.w) >= 1
+        GROUP BY t.doc_id"""
+    )
+
+
+register("bpe_encode_stats", _q_bpe_encode, _bpe_encode_sql(corpus.BPE_MERGES))

@@ -253,3 +253,38 @@ def test_bpe_merges_fixture_deterministic(spark, sf_dir):
     assert len(out1) == corpus.BPE_MERGES
     for r in out1:
         assert r["pair_count"] > 0 and len(r["lhs"]) >= 1 and len(r["rhs"]) >= 1
+
+
+def test_bpe_encode_fertility_bounds(spark, sf_dir):
+    """Subword counts sit between word count (everything merged) and char
+    count (nothing merged), and match the reference encoding lengths."""
+    from cocktailsdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = corpus.bpe_encode(docs).collect()
+    assert out
+    for r in out:
+        assert r["n_words"] <= r["n_subwords"]
+        assert r["subword_ratio"] >= 1.0
+    # cross-check one constructed corpus against the pure-Python reference
+    tiny = spark.createDataFrame(
+        [(0, "low low lower"), (1, "newest newer low")],
+        "doc_id long, text string",
+    )
+    freqs = {"low": 3, "lower": 1, "newest": 1, "newer": 1}
+    vocab = {w: [c for c in w] for w in freqs}
+    for _, a, b, _c in _bpe_reference(freqs, corpus.BPE_MERGES):
+        for w, syms in vocab.items():
+            out2, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out2.append(a + b); i += 2
+                else:
+                    out2.append(syms[i]); i += 1
+            vocab[w] = out2
+    expected = {
+        0: sum(len(vocab[w]) for w in ["low", "low", "lower"]),
+        1: sum(len(vocab[w]) for w in ["newest", "newer", "low"]),
+    }
+    got = {r["doc_id"]: r["n_subwords"] for r in corpus.bpe_encode(tiny).collect()}
+    assert got == expected

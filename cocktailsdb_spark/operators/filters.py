@@ -154,3 +154,37 @@ def hash_split(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", "lang", qround(u, 6).alias("u"), split.alias("split")
     )
+
+
+K_ANON_K = 5
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("c_nationkey", "c_mktsegment"),
+    k: int = K_ANON_K,
+) -> DataFrame:
+    """Privacy-governance check: k-anonymity of a table under a set of
+    quasi-identifier columns — every row should be indistinguishable from
+    at least k−1 others on those columns before release. One
+    map-side-combined shuffle on the quasi-identifier key builds the
+    equivalence classes; the report aggregates class-size stats (the
+    second aggregate runs over class-count rows, never the table).
+
+    Output (single row): min_class_size, n_classes, n_rows,
+    n_rows_below_k, pct_below_k — release gate: n_rows_below_k == 0.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count("*").alias("sz"))
+    return classes.agg(
+        F.min("sz").alias("min_class_size"),
+        F.count("*").alias("n_classes"),
+        F.sum("sz").alias("n_rows"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).alias(
+            "n_rows_below_k"
+        ),
+        qround(
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("pct_below_k"),
+    )

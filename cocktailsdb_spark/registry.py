@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_recall_at_k",
     "bpe_merge_train",
     "bpe_encode_stats",
+    "k_anonymity_report",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

@@ -2065,6 +2065,30 @@ register(
 )
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance — k-anonymity release gate on customer under
+    (c_nationkey, c_mktsegment) quasi-identifiers."""
+    return filters.k_anonymity_report(load(spark, sf_dir, "customer"))
+
+
+register(
+    "k_anonymity_report",
+    _q_k_anonymity,
+    f"""WITH cls AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS sz
+          FROM customer GROUP BY c_nationkey, c_mktsegment)
+        SELECT min(sz) AS min_class_size,
+               count(*) AS n_classes,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN sz < {filters.K_ANON_K} THEN sz ELSE 0 END)
+                    AS BIGINT) AS n_rows_below_k,
+               {sql_qround(
+                   f"CAST(sum(CASE WHEN sz < {filters.K_ANON_K} THEN sz ELSE 0 END)"
+                   " AS DOUBLE) / sum(sz)", 6)} AS pct_below_k
+        FROM cls""",
+)
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.tfidf_top_terms(load(spark, sf_dir, "documents"))
 

@@ -113,3 +113,20 @@ def test_inject_pii_is_deterministic_salt(spark):
     assert rows[3] == "base user3@mail.example.com"
     assert rows[4] == "base 555-867-5309"
     assert rows[5] == "base 10.0.0.5"
+
+
+def test_k_anonymity_report_gate(spark):
+    df = spark.createDataFrame(
+        [(i, i % 2, "A") for i in range(10)] + [(99, 7, "B")],
+        "c_custkey long, c_nationkey int, c_mktsegment string",
+    )
+    r = filters.k_anonymity_report(df, k=5).collect()[0]
+    # classes: (0,A)=5, (1,A)=5, (7,B)=1 → one singleton below k
+    assert r["min_class_size"] == 1
+    assert r["n_classes"] == 3
+    assert r["n_rows"] == 11
+    assert r["n_rows_below_k"] == 1
+    assert abs(r["pct_below_k"] - 1 / 11) < 1e-6
+    # the release-gate-passes case
+    ok = filters.k_anonymity_report(df.filter("c_mktsegment = 'A'"), k=5).collect()[0]
+    assert ok["n_rows_below_k"] == 0 and ok["pct_below_k"] == 0.0

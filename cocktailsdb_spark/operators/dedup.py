@@ -586,3 +586,92 @@ def semantic_dedup(
     return assign.join(dropped, id_col, "left").select(
         id_col, "cell", F.col("_dropped").isNull().alias("kept")
     )
+
+
+MINHASH_H = 16  # signature length
+MINHASH_BANDS_N = 4  # 4 bands × 4 rows: collide iff a 4-slice matches
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 — hand-rolled deterministic MinHash + banding with EXACT verify:
+    the oracle-checkable twin of :func:`minhash_lsh_pairs` (whose
+    pyspark.ml hash functions are engine-internal and thus rows-only).
+    Signature h_s(doc) = min over distinct shingles of
+    md5_value(seed_s ++ shingle); candidates collide iff any of the
+    ``MINHASH_BANDS_N`` contiguous signature slices matches exactly;
+    collided pairs are verified with the TRUE Jaccard (array_intersect
+    over the carried shingle sets) — so every emitted pair is a real
+    near-duplicate, and only candidate RECALL is probabilistic.
+
+    Output: (doc_a, doc_b, jaccard) for verified pairs with a band
+    collision. Deterministic on both engines — md5 is the shared hash.
+
+    Scale shape: signatures/bands are a narrow map over the shingle
+    array; candidate generation is ONE equi-join on (band_id, band key)
+    — the bucketed path, no all-pairs; verification happens in-row on
+    the joined shingle arrays (at 100 TB carry a capped shingle sample
+    or re-join content by id instead)."""
+    sh = shingles(tokens(), n)
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s: md5_prefix_value(F.concat(F.lit(f"s{h}:"), s), 8),
+                )
+            )
+            for h in range(MINHASH_H)
+        ]
+    )
+    rows_per_band = MINHASH_H // MINHASH_BANDS_N
+    base = (
+        spread(docs)
+        .select(F.col(id_col), sh.alias("_sh"))
+        .filter(F.size("_sh") >= 1)
+        .withColumn("_sig", sigs)
+    )
+    banded = base.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                        .cast("array<string>")
+                        .alias("bk"),
+                    )
+                    for b in range(MINHASH_BANDS_N)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "_sh", F.col("b.band_id").alias("band_id"),
+             F.concat_ws(",", F.col("b.bk")).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
+    jac = qround(inter.cast("double") / union, 4)
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -802,6 +802,68 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("minhash_lsh_pairs", _q_minhash_lsh, None)  # rows-only by design
 
+MB_N = 3
+MB_T = 0.5
+
+
+def _q_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — deterministic MinHash banding with exact in-row Jaccard
+    verify: the oracle-checkable twin of minhash_lsh_pairs (pyspark.ml's
+    hash functions are engine-internal; md5 is shared with DuckDB)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_banded_pairs(d, n=MB_N, threshold=MB_T)
+
+
+def _mb_hexval(col: str, n_hex: int = 8) -> str:
+    # parse n hex chars of an md5 STRING COLUMN (md5 computed once per
+    # row upstream, unlike _sql_md5_prefix_value which inlines md5(t)
+    # per char — 16 signatures × 8 chars would re-hash 128× per shingle)
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('{HEXDIGITS}', substr({col},{i + 1},1))-1)*{16 ** (n_hex - 1 - i)}"
+            for i in range(n_hex)
+        )
+        + ")"
+    )
+
+
+register(
+    "minhash_banded_pairs",
+    _q_minhash_banded,
+    f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        shd AS (SELECT doc_id, list_distinct(
+                  [array_to_string(t[i:i+{MB_N - 1}], ' ')
+                   for i in range(1, len(t)-{MB_N - 2})]) AS sh
+                FROM tk),
+        shf AS (SELECT doc_id, sh FROM shd WHERE len(sh) >= 1),
+        sr AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+        mh1 AS (SELECT doc_id, h, md5('s' || h || ':' || s) AS m
+                FROM sr CROSS JOIN (SELECT unnest(range(0, {dedup.MINHASH_H})) AS h)),
+        mh2 AS (SELECT doc_id, h, {_mb_hexval('m')} AS v FROM mh1),
+        mh AS (SELECT doc_id, h, min(v) AS mv FROM mh2 GROUP BY doc_id, h),
+        bands AS (SELECT doc_id,
+                         CAST(h // {dedup.MINHASH_H // dedup.MINHASH_BANDS_N} AS INT)
+                           AS band_id,
+                         list(mv ORDER BY h) AS bk
+                  FROM mh GROUP BY doc_id, h // {dedup.MINHASH_H // dedup.MINHASH_BANDS_N}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id AND a.bk = b.bk
+                  AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.doc_a, c.doc_b,
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i,
+                       CAST(len(sa.sh) AS BIGINT) AS na,
+                       CAST(len(sb.sh) AS BIGINT) AS nb
+                FROM cand c
+                JOIN shf sa ON sa.doc_id = c.doc_a
+                JOIN shf sb ON sb.doc_id = c.doc_b),
+        j AS (SELECT doc_a, doc_b,
+                     {sql_qround("CAST(i AS DOUBLE) / (na + nb - i)", 4)} AS jaccard
+              FROM ver)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {MB_T}""",
+)
+
 # ===========================================================================
 # §2.9 X3 — similarity search over embeddings
 # ===========================================================================

@@ -233,3 +233,19 @@ def test_semantic_dedup_fixture_partition(spark, sf_dir):
     counts = {r["kept"]: r["count"] for r in agg}
     assert sum(counts.values()) == total
     assert counts.get(True, 0) > 0  # something always survives
+
+
+def test_minhash_banded_finds_near_dup_and_verifies_exactly(docs):
+    out = dedup.minhash_banded_pairs(docs, n=3, threshold=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    # exact duplicates always collide in every band and score 1.0
+    assert pairs.get((0, 1)) == 1.0
+    # every emitted jaccard is exact (cross-check with the plain operator)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    for key, j in pairs.items():
+        assert exact[key] == j
+    # candidate recall is probabilistic, so emitted ⊆ exact-threshold set
+    assert set(pairs) <= {k for k, j in exact.items() if j >= 0.5}

@@ -693,3 +693,84 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "sim", "rank")
     )
+
+
+def ivf_index_write(spark, emb: DataFrame, cache_dir: str, src_file: str,
+                    vec_col: str = "embedding") -> str:
+    """Materialize the IVF index AT REST: write the embedding table
+    partitioned by its nearest-centroid cell (the stored-cell-id design
+    every ANN docstring above references). One narrow assignment map +
+    one partitioned write; rewritten only when the source fixture
+    changes (mtime-gated like plans/layout.py's caches)."""
+    import os
+
+    from ..plans.layout import _cache_fresh
+
+    if _cache_fresh(cache_dir, src_file):
+        return cache_dir
+    cents = _collect_centroids(emb, vec_col)
+    assigned = emb.withColumn(
+        "cell",
+        F.element_at(
+            _cells_by_distance(_as_double(F.col(vec_col)), cents), 1
+        )["cell"],
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(cache_dir)
+    return cache_dir
+
+
+def ivf_kmeans_topk_stored(
+    spark,
+    emb: DataFrame,
+    cache_dir: str,
+    src_file: str,
+    query_ids: list[int],
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat ANN over the STORED index: candidates come from the
+    cell-partitioned parquet layout (:func:`ivf_index_write`), so the
+    probe join prunes whole cell directories — Spark plans a dynamic
+    partition pruning subquery on the broadcast probe side, and the scan
+    never opens the other ``n_cells − n_probe`` partitions. Same output
+    contract and same oracle as :func:`ivf_kmeans_topk` (the in-plan
+    assignment variant): identical results, index cost paid at write
+    time instead of per query — the production trade."""
+    path = ivf_index_write(spark, emb, cache_dir, src_file, vec_col)
+    stored = spark.read.parquet(path)
+    cents = _collect_centroids(emb, vec_col)
+
+    q = with_norm(stored.filter(F.col(id_col).isin(query_ids)), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    probes = q.select(
+        "query_id",
+        "_qvec",
+        "_qnorm",
+        F.explode(
+            F.transform(
+                F.slice(_cells_by_distance(F.col("_qvec"), cents), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    cand = with_norm(stored, vec_col).select(id_col, "cell", "_vec", "_norm")
+    sim = qround(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
+    pairs = (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )

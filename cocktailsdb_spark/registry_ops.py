@@ -1078,6 +1078,31 @@ IVF_KMEANS_TOPK_SQL = f"""WITH {_SQL_EMB_BASE},
 register("embedding_topk_ivf_kmeans", _q_ivf_kmeans_topk, IVF_KMEANS_TOPK_SQL)
 
 
+def _q_ivf_kmeans_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the same IVF-Flat search over the STORED index: embeddings
+    written partitioned by cell (ivf_index_write, mtime-cached), the
+    probe join dynamic-partition-prunes the cell directories. Identical
+    results to the in-plan variant — same oracle; index cost moved to
+    write time."""
+    import os
+
+    from .plans.layout import _cache_path
+
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_kmeans_topk_stored(
+        spark,
+        e,
+        _cache_path("embeddings_by_cell", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        QUERY_IDS,
+        k=TOPK,
+        n_probe=N_PROBE,
+    )
+
+
+register("embedding_topk_ivf_stored", _q_ivf_kmeans_stored, IVF_KMEANS_TOPK_SQL)
+
+
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 quality metric — recall@k of the centroid IVF-Flat path against
     the exact brute-force top-k, per query (the LSH twin is

@@ -223,3 +223,31 @@ def test_pq_codes_are_codebook_labels(spark, sf_dir):
     labels = set(cents[0])
     for r in codes.collect():
         assert set(r["codes"]) <= labels
+
+
+def test_ivf_stored_index_prunes_partitions_dynamically(spark, sf_dir):
+    """The stored (cell-partitioned) index must (a) return exactly the
+    in-plan IVF results and (b) plan a dynamic-partition-pruning
+    subquery on the candidate scan — the at-rest half of the IVF story."""
+    import os
+
+    from cocktailsdb_spark.plans.layout import _cache_path
+    from cocktailsdb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    stored = similarity.ivf_kmeans_topk_stored(
+        spark,
+        e,
+        _cache_path("embeddings_by_cell", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        qids,
+        k=3,
+        n_probe=2,
+    )
+    plan = stored._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    inplan = similarity.ivf_kmeans_topk(e, qids, k=3, n_probe=2)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )

@@ -103,3 +103,54 @@ def profile_table(
             "min_num, max_num, min_str, max_str)"
         )
     )
+
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def correlation_matrix(
+    df: DataFrame, cols: tuple[str, ...] = CORR_COLS
+) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns — the profiling
+    primitive behind feature-drift and redundancy checks. ONE aggregate
+    pass computes every Σx, Σx² and Σxy as DECIMAL(38,10) (exact — no
+    float summation-order dependence), then the correlations are single
+    same-order IEEE expressions per pair, so the DuckDB twin is
+    value-exact. Output: one row per unordered pair (col_a < col_b).
+
+    Scale shape: one map-side-combined aggregate producing
+    O(n_cols²) scalars; the pair expansion happens on the 1-row
+    aggregate, never on data."""
+    from ..numeric import dsum, qround
+
+    # the stats_moments recipe: products in IEEE double (identical on both
+    # engines), then DECIMAL(24,8)-exact sums (order-insensitive) — every
+    # Σx, Σx², Σxy matches DuckDB bit-for-bit
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    agg = df.agg(*aggs)
+    # expand pairs with ONE explode over the single aggregate row — a
+    # union of per-pair selects would re-run the aggregate per branch
+    pair_structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("n").cast("double")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+            sp = F.col(f"sp_{a}_{b}").cast("double")
+            corr = (n * sp - sa * sb) / F.sqrt(
+                (n * ssa - sa * sa) * (n * ssb - sb * sb)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    qround(corr, 6).alias("pearson_r"),
+                )
+            )
+    return agg.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")

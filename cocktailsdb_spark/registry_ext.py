@@ -662,6 +662,50 @@ def _profile_sql() -> str:
 register("profile_table_quality", _q_profile_table, _profile_sql())
 
 
+def _q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling — pairwise Pearson correlations over lineitem's numeric
+    columns from ONE exact-decimal aggregate pass (drift/redundancy
+    primitive)."""
+    from .operators.profiling import correlation_matrix
+
+    return correlation_matrix(load(spark, sf_dir, "lineitem"))
+
+
+def _corr_sql() -> str:
+    from .operators.profiling import CORR_COLS
+    from .numeric import sql_qround
+
+    from .numeric import sql_dsum
+
+    sums = ["count(*) AS n"]
+    for c in CORR_COLS:
+        sums.append(f"{sql_dsum(c)} AS s_{c}")
+        sums.append(f"{sql_dsum(f'{c} * {c}')} AS ss_{c}")
+    pairs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1 :]:
+            sums.append(f"{sql_dsum(f'{a} * {b}')} AS sp_{a}_{b}")
+            expr = (
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"{sql_qround(expr, 6)} AS pearson_r FROM agg"
+            )
+    return (
+        "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n        "
+        + "\n        UNION ALL ".join(pairs)
+    )
+
+
+register("correlation_matrix", _q_correlation_matrix, _corr_sql())
+
+
 def _q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.incremental_agg_merge(load(spark, sf_dir, "orders"))
 

@@ -57,3 +57,21 @@ def test_profile_table_hll_variant_matches_exact_on_small_input(spark):
               for r in P.profile_table(df, exact=False).collect()}
     for c, n in exact.items():
         assert abs(approx[c] - n) <= max(3, int(0.10 * n))  # HLL default rsd ~5%, 2σ
+
+
+def test_correlation_matrix_hand_computed(spark):
+    from cocktailsdb_spark.operators.profiling import correlation_matrix
+
+    # y = 2x exactly → r = 1; z anti-correlated with x → r = -1
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)],
+        "x double, y double, z double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r["pearson_r"]
+        for r in correlation_matrix(df, cols=("x", "y", "z")).collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    assert len(out) == 3

@@ -223,3 +223,40 @@ def incremental_agg_merge(
         )
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "revenue", "n_orders")
     )
+
+
+EWMA_SPAN = 10
+EWMA_ALPHA = 0.8
+
+
+def ewma_daily_revenue(
+    orders: DataFrame, span: int = EWMA_SPAN, alpha: float = EWMA_ALPHA
+) -> DataFrame:
+    """Finite-window EWMA trend over daily revenue: smoothed_t =
+    Σ_{j<span} w_j · revenue_{t-j} / Σ w_j over the lags PRESENT, with
+    w_j = alpha^j precomputed driver-side as Python literals — both
+    engines then evaluate the identical left-associated weighted sum, so
+    no libm pow() drift can split them (the recursive infinite-history
+    EWMA form would carry float state across every row; the truncated
+    window is the distributable, restartable form).
+
+    Output: (day, revenue, ewma). One window per year partition (same
+    no-global-ordering contract as daily_revenue_delta)."""
+    weights = [alpha**j for j in range(span)]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.partitionBy(F.year("day")).orderBy("day")
+    num = None
+    den = None
+    for j, wt in enumerate(weights):
+        lagged = F.lag("revenue", j).over(w)
+        term = F.when(lagged.isNotNull(), lagged * F.lit(wt)).otherwise(F.lit(0.0))
+        present = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        qround(num / den, 4).alias("ewma"),
+    )

@@ -706,6 +706,36 @@ def _corr_sql() -> str:
 register("correlation_matrix", _q_correlation_matrix, _corr_sql())
 
 
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window family — truncated-window EWMA trend over daily revenue
+    (driver-precomputed alpha^j literals; no libm pow in either engine)."""
+    return relational.ewma_daily_revenue(load(spark, sf_dir, "orders"))
+
+
+def _ewma_sql() -> str:
+    from .numeric import sql_qround
+    from .operators.relational import EWMA_ALPHA, EWMA_SPAN
+
+    num, den = [], []
+    for j in range(EWMA_SPAN):
+        wt = repr(EWMA_ALPHA**j)
+        lag = f"lag(revenue, {j}) OVER w"
+        num.append(f"CASE WHEN {lag} IS NOT NULL THEN {lag} * {wt} ELSE 0.0 END")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    expr = "(" + " + ".join(num) + ") / (" + " + ".join(den) + ")"
+    return f"""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d("o_totalprice")} AS revenue
+          FROM orders GROUP BY 1)
+        SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+               {sql_qround(expr, 4)} AS ewma
+        FROM daily
+        WINDOW w AS (PARTITION BY year(day) ORDER BY day)"""
+
+
+register("ewma_daily_revenue", _q_ewma, _ewma_sql())
+
+
 def _q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.incremental_agg_merge(load(spark, sf_dir, "orders"))
 

@@ -111,3 +111,21 @@ def test_cube_has_all_grouping_sets(spark, sf_dir):
     grand = [r for r in out if (r["g_rf"], r["g_ls"]) == (1, 1)]
     assert len(grand) == 1
     assert grand[0]["n"] == sum(r["n"] for r in out if (r["g_rf"], r["g_ls"]) == (0, 0))
+
+
+def test_ewma_hand_computed(spark):
+    from cocktailsdb_spark.operators import relational
+
+    # constant revenue → ewma equals the constant regardless of weights
+    rows = [(i, f"2024-01-{i:02d}", 100.0) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate string, o_totalprice double")
+    out = relational.ewma_daily_revenue(df).collect()
+    assert all(r["ewma"] == 100.0 for r in out)
+    # two-day ramp: day2 ewma = (200 + 0.8*100) / 1.8
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01", 100.0), (2, "2024-01-02", 200.0)],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    )
+    out2 = {r["day"]: r["ewma"] for r in relational.ewma_daily_revenue(df2).collect()}
+    assert out2["2024-01-01"] == 100.0
+    assert abs(out2["2024-01-02"] - (200 + 0.8 * 100) / 1.8) < 1e-3

@@ -457,3 +457,25 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             ).alias("subword_ratio"),
         )
     )
+
+
+SAMPLE_N = 200
+
+
+def uniform_sample_n(docs: DataFrame, n: int = SAMPLE_N) -> DataFrame:
+    """Exact-size uniform sample: keep the n documents with the LOWEST
+    md5(doc_id) — the distributed, deterministic equivalent of reservoir
+    sampling (hash order statistics give every row equal inclusion
+    probability; reruns and retries agree row-for-row, which rand()-based
+    reservoirs cannot promise). Complements stratified_sample (rate-based)
+    with an exact-count contract.
+
+    Scale shape: TakeOrderedAndProject — each partition keeps its local
+    top-n by the hash, the driver merges n·n_partitions candidate rows;
+    no full sort, no global shuffle of the table."""
+    u = md5_prefix_value(F.col("doc_id").cast("string"), 8)
+    return (
+        docs.select("doc_id", "lang", "source", u.alias("sample_key"))
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(n)
+    )

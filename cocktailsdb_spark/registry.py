@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_topk_ivf_stored",
     "correlation_matrix",
     "ewma_daily_revenue",
+    "uniform_sample_n",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

@@ -2515,6 +2515,22 @@ def _bpe_sql(n_merges: int) -> str:
     return "WITH " + ",\n        ".join(blocks) + "\n        " + union
 
 
+def _q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — exact-size deterministic uniform sample (hash order
+    statistics; the distributed reservoir-sampling equivalent)."""
+    return corpus.uniform_sample_n(load(spark, sf_dir, "documents"))
+
+
+register(
+    "uniform_sample_n",
+    _q_uniform_sample,
+    f"""SELECT doc_id, lang, source,
+               {_sql_md5_prefix_value("CAST(doc_id AS VARCHAR)", 8)} AS sample_key
+        FROM documents
+        ORDER BY sample_key ASC, doc_id ASC LIMIT {corpus.SAMPLE_N}""",
+)
+
+
 register("bpe_merge_train", _q_bpe_merges, _bpe_sql(corpus.BPE_MERGES))
 
 

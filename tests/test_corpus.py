@@ -288,3 +288,22 @@ def test_bpe_encode_fertility_bounds(spark, sf_dir):
     }
     got = {r["doc_id"]: r["n_subwords"] for r in corpus.bpe_encode(tiny).collect()}
     assert got == expected
+
+
+def test_uniform_sample_exact_size_and_deterministic(spark, sf_dir):
+    from cocktailsdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = corpus.uniform_sample_n(docs, n=50).collect()
+    b = corpus.uniform_sample_n(docs, n=50).collect()
+    assert len(a) == 50
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the sample is the lowest-hash prefix: max kept key < min dropped key
+    kept = {r["doc_id"] for r in a}
+    all_keys = {
+        r["doc_id"]: r["sample_key"]
+        for r in corpus.uniform_sample_n(docs, n=10**9).collect()
+    }
+    max_kept = max(all_keys[d] for d in kept)
+    dropped = [k for d, k in all_keys.items() if d not in kept]
+    assert not dropped or max_kept <= min(dropped)

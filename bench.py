@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "embedding_topk_sq",
     "embedding_topk_pq",
     "bpe_merge_train",
+    "minhash_banded_pairs",
+    "correlation_matrix",
 ]
 
 

@@ -260,3 +260,43 @@ def ewma_daily_revenue(
         "revenue",
         qround(num / den, 4).alias("ewma"),
     )
+
+
+def groupwise_linreg(
+    lineitem: DataFrame,
+    group_col: str = "l_returnflag",
+    x_col: str = "l_quantity",
+    y_col: str = "l_extendedprice",
+) -> DataFrame:
+    """Per-group ordinary least squares (y = a·x + b) from ONE aggregate
+    pass of exact-decimal moments — the distributed closed-form regression
+    (the per-group twin of :func:`correlation_matrix`'s recipe; libraries
+    do the same two-pass trick, this is the one-pass sufficient-statistics
+    form). slope/intercept/r² are single same-order IEEE expressions over
+    the exact sums, so the DuckDB twin is value-exact.
+
+    Output: (group, n, slope, intercept, r2)."""
+    x, y = F.col(x_col), F.col(y_col)
+    m = lineitem.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sxx"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "grp",
+        "n",
+        qround(slope, 6).alias("slope"),
+        qround(intercept, 4).alias("intercept"),
+        qround(r2, 6).alias("r2"),
+    )

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "correlation_matrix",
     "ewma_daily_revenue",
     "uniform_sample_n",
+    "groupwise_linreg",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

@@ -736,6 +736,38 @@ def _ewma_sql() -> str:
 register("ewma_daily_revenue", _q_ewma, _ewma_sql())
 
 
+def _q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — per-group closed-form OLS from one exact-moment pass."""
+    return relational.groupwise_linreg(load(spark, sf_dir, "lineitem"))
+
+
+def _linreg_sql() -> str:
+    from .numeric import sql_qround
+
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    intercept = f"(sy - ({slope}) * sx) / n"
+    r2 = ("((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+          " / ((n * sxx - sx * sx) * (n * syy - sy * sy))")
+    return f"""WITH m AS (
+          SELECT l_returnflag AS grp,
+                 count(*) AS n_raw,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 {_d("l_quantity")} AS sx,
+                 {_d("l_quantity * l_quantity")} AS sxx,
+                 {_d("l_extendedprice")} AS sy,
+                 {_d("l_extendedprice * l_extendedprice")} AS syy,
+                 {_d("l_quantity * l_extendedprice")} AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT grp, n_raw AS n,
+               {sql_qround(slope, 6)} AS slope,
+               {sql_qround(intercept, 4)} AS intercept,
+               {sql_qround(r2, 6)} AS r2
+        FROM m"""
+
+
+register("groupwise_linreg", _q_linreg, _linreg_sql())
+
+
 def _q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.incremental_agg_merge(load(spark, sf_dir, "orders"))
 

@@ -136,3 +136,35 @@ def test_funnel_matches_python_model(spark, evs):
             prev = min(cand)
             counts[step] += 1
     assert got == counts
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_merges_match_python_model(spark, docs):
+    """The Spark BPE trainer must agree with the greedy reference on
+    arbitrary tiny corpora — pair counting (overlapping, freq-weighted),
+    (count desc, pair lexicographic) argmax, left-to-right merge."""
+    from cocktailsdb_spark.operators import corpus
+    from tests.test_corpus import _bpe_reference
+
+    freqs: dict[str, int] = {}
+    for t in docs:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _bpe_reference(freqs, 3)
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in corpus.bpe_merges(df, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == expected

@@ -129,3 +129,17 @@ def test_ewma_hand_computed(spark):
     out2 = {r["day"]: r["ewma"] for r in relational.ewma_daily_revenue(df2).collect()}
     assert out2["2024-01-01"] == 100.0
     assert abs(out2["2024-01-02"] - (200 + 0.8 * 100) / 1.8) < 1e-3
+
+
+def test_groupwise_linreg_recovers_exact_line(spark):
+    from cocktailsdb_spark.operators import relational
+
+    # y = 3x + 7 exactly → slope 3, intercept 7, r2 = 1 per group
+    rows = [("A", float(x), 3.0 * x + 7.0) for x in range(1, 6)] + [
+        ("B", float(x), -2.0 * x + 1.0) for x in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_quantity double, l_extendedprice double")
+    out = {r["grp"]: r for r in relational.groupwise_linreg(df).collect()}
+    assert out["A"]["slope"] == 3.0 and out["A"]["intercept"] == 7.0
+    assert out["A"]["r2"] == 1.0
+    assert out["B"]["slope"] == -2.0 and out["B"]["intercept"] == 1.0

@@ -53,17 +53,26 @@ def bm25_rank(
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
     """
     qt = F.array(*[F.lit(t) for t in query_terms])
-    dl = docs.select("doc_id", F.size(tokens()).alias("dl"))
-    stats = dl.agg(
+    stats = docs.select(F.size(tokens()).alias("dl")).agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
+    # carry dl WITH the exploded rows: the per-doc length rides along to
+    # the (doc, term) aggregate (min over a constant), so no doc-sized dl
+    # frame ever joins back — the round-5 plan drops the two doc_id-keyed
+    # join exchanges the original shape paid (7 → 4 exchanges, and the
+    # removed two were the only ones carrying corpus-sized rows)
+    # localCheckpoint: tf is tiny (docs matching the query × |query| terms)
+    # and feeds BOTH the df aggregate and the scoring aggregate — without
+    # materialization each consumer re-explodes the whole corpus (the plan
+    # showed the token-explode subtree twice)
     tf = (
         spread(docs)
-        .select("doc_id", F.explode(tokens()).alias("term"))
+        .select("doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term"))
         .filter(F.array_contains(qt, F.col("term")))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+        .localCheckpoint()
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -79,7 +88,6 @@ def bm25_rank(
     q = F.floor(contrib * 1e6 + F.lit(0.5)).cast("long")
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg((F.sum(q) / 1e6).alias("score"), F.count("*").alias("n_terms_hit"))

@@ -35,6 +35,7 @@ BUDGETS = {
     "semantic_dedup": 2,  # cell self-join + drop-set join (assignment is narrow)
     "embedding_topk_sq": 2,  # coarse + rerank windows (both on query_id)
     "embedding_topk_pq": 2,  # same two-pass shape over the m-byte codes
+    "bm25_rank_query": 3,  # df agg + stats scalar + score agg (tf checkpointed)
 }
 
 

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ewma_daily_revenue",
     "uniform_sample_n",
     "groupwise_linreg",
+    "corrupt_tolerant_read",
     # round-5 plan rewrites (newest = highest risk): the centroid-ANN
     # family's zero-exchange literal assignment, the shuffle-hash
     # PageRank, the versioned-manifest compaction, the NULL-normalized

@@ -433,6 +433,11 @@ register(
     _formats.schema_evolution_read,
     _formats.SCHEMA_EVOLUTION_SQL,
 )
+register(
+    "corrupt_tolerant_read",
+    _formats.corrupt_tolerant_read,
+    _formats.CORRUPT_TOLERANT_SQL,
+)
 register("orc_roundtrip", _formats.orc_roundtrip, _formats.ORC_ROUNDTRIP_SQL)
 
 

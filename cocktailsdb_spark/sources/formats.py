@@ -297,3 +297,70 @@ SELECT o_orderkey, o_custkey, o_totalprice,
        CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS price_band
 FROM orders WHERE o_orderkey % 2 = 1
 """
+
+
+CORRUPT_EVERY = 100
+
+
+def corrupt_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance at the source: write events as
+    JSON-lines with every ``CORRUPT_EVERY``-th line deterministically
+    truncated mid-record (the classic upstream-producer bug), then read
+    in PERMISSIVE mode with an explicit ``_corrupt_record`` column —
+    good rows parse, bad rows land whole in the quarantine column
+    instead of killing the job (FAILFAST) or vanishing silently
+    (DROPMALFORMED without audit). Output: the parsed good rows; the
+    quarantine count is asserted in tests.
+
+    The corruption is keyed on event_id parity (event_id % CORRUPT_EVERY
+    == 0), so the oracle is a plain filter on the clean table."""
+    work = tempfile.mkdtemp(prefix="cdbspark_corrupt_")
+    path = os.path.join(work, "events_dirty")
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clean_dir = os.path.join(work, "clean")
+    ev.coalesce(1).write.mode("overwrite").option("timestampFormat", ts_fmt).json(
+        clean_dir
+    )
+    os.makedirs(path, exist_ok=True)
+    import json as _json
+
+    with open(os.path.join(path, "part-00000.json"), "w") as out:
+        for fn in sorted(os.listdir(clean_dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(clean_dir, fn)) as f:
+                for line in f:
+                    rec = _json.loads(line)
+                    if rec["event_id"] % CORRUPT_EVERY == 0:
+                        out.write(line[: max(10, len(line) // 2)].rstrip() + "\n")
+                    else:
+                        out.write(line)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, _corrupt_record string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+        # Spark disallows queries whose referenced columns prune down to
+        # ONLY the internal corrupt-record column (a count() through the
+        # quarantine filter does exactly that); its documented contract is
+        # to cache or save the parsed result first. At scale this cache is
+        # the quarantine write the pipeline does anyway.
+        .cache()
+    )
+    return raw.filter(F.col("_corrupt_record").isNull()).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+CORRUPT_TOLERANT_SQL = f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE event_id % {CORRUPT_EVERY} <> 0
+"""

@@ -142,3 +142,17 @@ def test_schema_evolution_merges_batches(spark, sf_dir):
     assert nulls and all(r["o_orderkey"] % 2 == 0 for r in nulls)
     bands = {r["price_band"] for r in out.filter("o_orderkey % 2 = 1").collect()}
     assert bands == {"high", "low"}
+
+
+def test_corrupt_tolerant_read_quarantines_bad_lines(spark, sf_dir):
+    from cocktailsdb_spark.sources import formats
+    from cocktailsdb_spark.tables import load
+
+    good = formats.corrupt_tolerant_read(spark, sf_dir)
+    total = load(spark, sf_dir, "events").count()
+    n_bad_expected = load(spark, sf_dir, "events").filter(
+        f"event_id % {formats.CORRUPT_EVERY} = 0"
+    ).count()
+    assert good.count() == total - n_bad_expected
+    # no corrupted id survives, and values parse exactly
+    assert good.filter(f"event_id % {formats.CORRUPT_EVERY} = 0").count() == 0

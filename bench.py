@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "bpe_merge_train",
     "minhash_banded_pairs",
     "correlation_matrix",
+    "gapfill_daily_revenue",
+    "skyline_parts",
+    "triangle_count",
 ]
 
 

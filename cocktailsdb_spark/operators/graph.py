@@ -166,3 +166,85 @@ def pagerank(
     )
     edges_w.unpersist()
     return out
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient by
+    degree-ordered wedge enumeration (Suri & Vassilvitskii, WWW'11 — the
+    standard MapReduce triangle algorithm; public).
+
+    Input: an edge list (``src``, ``dst``), either direction, duplicates
+    tolerated. Canonicalized to undirected distinct (a<b) pairs first.
+
+    Scale shape: the naive wedge join explodes on hub nodes (a degree-d
+    node yields d² wedge candidates). Orienting every edge from its
+    lower-(degree, id) endpoint to the higher one caps every out-degree at
+    O(sqrt(m)), so wedge enumeration is O(m^1.5) worst-case TOTAL — the
+    known optimum for exact counting — and each triangle is enumerated
+    exactly once (at its lowest-degree apex). Exchanges: one shuffle for
+    the canonical dedup, one node-sized degree aggregate (broadcast back
+    onto edges — node table ≪ edge table; at the extreme where even nodes
+    don't fit a broadcast, the same plan runs with two shuffle joins), one
+    self-join on the wedge apex, one closure equi-join against the
+    canonical edge set. No window functions, no driver collect.
+
+    Output: single row (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering) where global_clustering = 3·triangles / wedges,
+    qround(9) for cross-engine float identity. All counts are exact
+    BIGINT arithmetic.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = canon.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    directed = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    d1 = directed.select(F.col("lo"), F.col("hi").alias("u"))
+    d2 = directed.select(F.col("lo"), F.col("hi").alias("v"))
+    # each unordered wedge once per apex; u < v by node id, so the closure
+    # probe against canonical (a < b) edges is a plain two-key equi-join
+    wedges = d1.join(d2, "lo").where(F.col("u") < F.col("v"))
+    closed = wedges.join(
+        canon, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b"))
+    )
+    tri = closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    base = canon.agg(
+        F.count("*").cast("long").alias("n_edges"),
+    )
+    nodes_wedges = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    from ..numeric import qround
+
+    return (
+        nodes_wedges.crossJoin(base)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            qround(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9
+            ).alias("global_clustering"),
+        )
+    )

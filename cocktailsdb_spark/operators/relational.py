@@ -300,3 +300,90 @@ def groupwise_linreg(
         qround(intercept, 4).alias("intercept"),
         qround(r2, 6).alias("r2"),
     )
+
+
+def gapfill_locf(orders: DataFrame) -> DataFrame:
+    """Time-series gap-fill: build a dense daily spine per series and fill
+    missing days by last-observation-carried-forward (the hypertable
+    `locf(gapfill(...))` shape, re-expressed declaratively).
+
+    Series = order priority, value = daily revenue (exact decimal sum, so
+    the filled value is bit-identical cross-engine). Plan shape: ONE
+    shuffle builds the (series, day) daily aggregate; the per-series
+    min/max bounds are a series-sized second aggregate whose `sequence()`
+    explode generates the spine WITHOUT a driver round-trip (no collect,
+    no Python date loop — the spine is a JVM expression, so a 10-year ×
+    1M-series spine never materializes on the driver). The LOCF window
+    partitions by series — at 100 TB the series key (device/customer) is
+    the parallelism unit, and rows-unbounded-preceding `last(ignorenulls)`
+    is a single ordered pass per series partition.
+
+    Output: (series, day, revenue_filled, is_gap). Leading days are never
+    NULL because each series' spine starts at its own first observation.
+    """
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.to_date("o_orderdate").alias("dt"),
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    bounds = daily.groupBy("series").agg(
+        F.min("dt").alias("d0"), F.max("dt").alias("d1")
+    )
+    spine = bounds.select(
+        "series", F.explode(F.sequence("d0", "d1")).alias("dt")
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["series", "dt"], "left").select(
+        "series",
+        F.date_format("dt", "yyyy-MM-dd").alias("day"),
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+        F.col("revenue").isNull().alias("is_gap"),
+    )
+
+
+def _local_skyline(batches):
+    """Per-batch 2-D skyline (min price, max size) via the sort-and-scan
+    trick: after sorting by (price asc, size desc), a point survives iff
+    its size strictly exceeds every earlier point's size. Correct on
+    DISTINCT (price, size) points: any dominator sorts strictly earlier
+    and has size >= current, so `size > cummax(previous sizes)` is exactly
+    non-dominance. Pure pandas on Arrow batches (no per-row Python)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pdf
+            continue
+        pdf = pdf.sort_values(
+            ["p_retailprice", "p_size"], ascending=[True, False]
+        ).reset_index(drop=True)
+        prev_max = pdf["p_size"].cummax().shift(1)
+        yield pdf[prev_max.isna() | (pdf["p_size"] > prev_max)]
+
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """Pareto frontier (skyline) of parts: minimize p_retailprice,
+    maximize p_size — the multi-objective "best tradeoffs" operator SQL
+    expresses only as a quadratic NOT EXISTS self-join.
+
+    Scale shape: classic two-phase local/global skyline. Points are first
+    reduced to DISTINCT (size, price) with counts (one shuffle — this also
+    makes dominance strictness automatic: distinct points that compare
+    <=/>= must differ somewhere). Phase 1 prunes each partition to its
+    LOCAL skyline with a narrow Arrow-batched scan (no shuffle; local
+    non-dominance is necessary for global non-dominance, so no survivor is
+    lost). Phase 2 runs the same scan on the single coalesced candidate
+    partition — candidates are skyline-sized (O(distinct sizes), ~dozens),
+    so the 1-partition pass is trivially small. The quadratic oracle twin
+    is the exact-verify form; this plan does zero pairwise comparisons.
+
+    Output: (p_size, p_retailprice, n_parts, min_partkey) per frontier
+    point.
+    """
+    pts = part.groupBy("p_size", "p_retailprice").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    local = pts.mapInPandas(_local_skyline, schema=pts.schema)
+    return local.coalesce(1).mapInPandas(_local_skyline, schema=pts.schema)

@@ -53,6 +53,12 @@ from . import registry_ext  # noqa: E402,F401
 # this round's new additions) first; everything else keeps registration order
 # behind them. Rotate per round as families accumulate driver-green rows.
 _DRIVER_PRIORITY: list[str] = [
+    # round-5 late additions (never driver-checked): gap-fill/LOCF,
+    # Pareto skyline, degree-ordered triangle census, quarantined JSON
+    # ingest, per-group OLS
+    "gapfill_daily_revenue",
+    "skyline_parts",
+    "triangle_count",
     # round-5 new operators (never driver-checked): corpus boilerplate
     # pair, SemDeDup, scalar-quantized ANN + its recall dial
     "boilerplate_ngrams",

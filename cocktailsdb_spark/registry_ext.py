@@ -819,3 +819,129 @@ register(
        WHERE o_custkey % 100 = 0
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
 )
+
+
+# ===========================================================================
+# round-5 additions: time-series gap-fill, Pareto skyline, triangle counting
+# ===========================================================================
+
+
+def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF over per-priority daily revenue (the
+    hypertable locf(gapfill(...)) shape; ~670 gap days per series in the
+    fixture)."""
+    return relational.gapfill_locf(load(spark, sf_dir, "orders"))
+
+
+register(
+    "gapfill_daily_revenue",
+    _q_gapfill,
+    f"""WITH daily AS (
+          SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS dt,
+                 {_d('o_totalprice')} AS revenue
+          FROM orders GROUP BY 1, 2),
+        bounds AS (SELECT series, min(dt) AS d0, max(dt) AS d1
+                   FROM daily GROUP BY 1),
+        spine AS (SELECT series,
+                         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                     CAST(d1 AS TIMESTAMP),
+                                                     INTERVAL 1 DAY)) AS DATE)
+                           AS dt
+                  FROM bounds),
+        j AS (SELECT s.series, s.dt, d.revenue
+              FROM spine s LEFT JOIN daily d USING (series, dt))
+        SELECT series, strftime(dt, '%Y-%m-%d') AS day,
+               last_value(revenue IGNORE NULLS) OVER (
+                 PARTITION BY series ORDER BY dt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS revenue_filled,
+               revenue IS NULL AS is_gap
+        FROM j""",
+)
+
+
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (min price, max size) — two-phase
+    local/global skyline; the quadratic NOT EXISTS twin is the
+    exact-verify form."""
+    return relational.skyline_parts(load(spark, sf_dir, "part"))
+
+
+register(
+    "skyline_parts",
+    _q_skyline,
+    """WITH pts AS (
+          SELECT p_size, p_retailprice,
+                 CAST(count(*) AS BIGINT) AS n_parts,
+                 min(p_partkey) AS min_partkey
+          FROM part GROUP BY 1, 2)
+       SELECT p_size, p_retailprice, n_parts, min_partkey
+       FROM pts p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM pts q
+         WHERE q.p_retailprice <= p.p_retailprice
+           AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""",
+)
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-order graph over one quarter.
+    Edge generation is a self-join on l_orderkey whose per-order fanout is
+    bounded by lineitems-per-order (<= 7 in TPC-H), so candidate pairs are
+    O(orders), not quadratic — the blocking IS the join key. The shipdate
+    slice (pushed to the parquet scan) keeps the graph sparse and makes
+    density FALL as SF grows (more suppliers, same window) — the full
+    seven-year projection densifies toward complete, which no exact
+    triangle algorithm survives; a time-sliced census is also the
+    operationally meaningful question."""
+    from .operators import graph as _g
+
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    x, y = l.alias("x"), l.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+    ).select(
+        F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+    )
+    return _g.triangle_stats(edges)
+
+
+def _triangles_sql() -> str:
+    from .numeric import sql_qround
+
+    return f"""WITH sl AS (
+          SELECT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1995-04-01'),
+        e AS (
+          SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM sl x JOIN sl y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+        tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               {sql_qround('3.0 * n_triangles / n_wedges', 9)}
+                 AS global_clustering
+        FROM agg, ne, tri"""
+
+
+register("triangle_count", _q_triangles, _triangles_sql())

@@ -83,3 +83,31 @@ def test_pagerank_top_k_ordering(spark):
     assert out[1].rank_score <= out[0].rank_score
     # equal-rank spokes tie-break lexically
     assert [r.node for r in out[1:]] == ["n0", "n1"]
+
+
+def test_triangle_stats_k4(spark):
+    # K4: every pair connected -> C(4,3)=4 triangles, 12 wedges, cc=1.0
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in nodes for y in nodes if x < y]
+    # feed duplicates and reversed direction: canonicalization must absorb
+    df = spark.createDataFrame(
+        edges + [(y, x) for x, y in edges], "src string, dst string"
+    )
+    row = G.triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        4, 6, 12, 4,
+    )
+    assert row.global_clustering == 1.0
+
+
+def test_triangle_stats_star_plus_triangle(spark):
+    # star hub h-(x1..x4) has no triangles; disjoint triangle p-q-r has 1
+    edges = [("h", f"x{i}") for i in range(4)] + [
+        ("p", "q"), ("q", "r"), ("p", "r"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    row = G.triangle_stats(df).collect()[0]
+    assert row.n_triangles == 1
+    # wedges: hub C(4,2)=6 + triangle 3*1 = 9
+    assert row.n_wedges == 9
+    assert row.n_nodes == 8 and row.n_edges == 7

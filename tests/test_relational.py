@@ -143,3 +143,66 @@ def test_groupwise_linreg_recovers_exact_line(spark):
     assert out["A"]["slope"] == 3.0 and out["A"]["intercept"] == 7.0
     assert out["A"]["r2"] == 1.0
     assert out["B"]["slope"] == -2.0 and out["B"]["intercept"] == 1.0
+
+
+def test_gapfill_locf_semantics(spark):
+    import datetime as dt
+
+    rows = [
+        # series A: days 1,2,4,7 present (gaps 3,5,6)
+        ("A", dt.datetime(2024, 1, 1), 10.0),
+        ("A", dt.datetime(2024, 1, 2), 20.0),
+        ("A", dt.datetime(2024, 1, 4), 40.0),
+        ("A", dt.datetime(2024, 1, 7), 70.0),
+        # two orders one day: summed
+        ("A", dt.datetime(2024, 1, 2), 5.0),
+        # series B: single day
+        ("B", dt.datetime(2024, 2, 1), 1.0),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {
+        (r.series, r.day): (r.revenue_filled, r.is_gap)
+        for r in relational.gapfill_locf(orders).collect()
+    }
+    assert len(got) == 7 + 1  # A spans 7 days, B spans 1
+    assert got[("A", "2024-01-02")] == (25.0, False)
+    assert got[("A", "2024-01-03")] == (25.0, True)  # LOCF from day 2
+    assert got[("A", "2024-01-05")] == (40.0, True)
+    assert got[("A", "2024-01-06")] == (40.0, True)
+    assert got[("A", "2024-01-07")] == (70.0, False)
+    assert got[("B", "2024-02-01")] == (1.0, False)
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[1] <= p[1] and q[0] >= p[0] and (q[1] < p[1] or q[0] > p[0])
+            for q in pts
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(set(out))
+
+
+def test_skyline_parts_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(1, 12), float(rng.randint(100, 999)))
+        for i in range(400)
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_size int, p_retailprice double"
+    )
+    got = sorted(
+        (r.p_size, r.p_retailprice) for r in relational.skyline_parts(part).collect()
+    )
+    expect = _brute_skyline(sorted({(s, p) for _, s, p in rows}))
+    assert got == expect
+    # frontier is a strictly decreasing price / increasing size chain
+    for (s1, p1), (s2, p2) in zip(got, got[1:]):
+        assert s1 < s2 and p1 < p2

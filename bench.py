@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "gapfill_daily_revenue",
     "skyline_parts",
     "triangle_count",
+    "cusum_changepoint",
+    "join_skew_report",
 ]
 
 

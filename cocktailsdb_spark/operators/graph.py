@@ -206,6 +206,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .unionAll(canon.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # node-sized; referenced three times (both orientation lookups +
+        # the wedge-count aggregate) — persist so the canon union/groupBy
+        # runs once
+        .persist()
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))

@@ -154,3 +154,43 @@ def correlation_matrix(
                 )
             )
     return agg.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")
+
+
+def join_skew_report(
+    df: DataFrame, key: str, top_n: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/groupBy key: the
+    top_n heaviest key values with their row counts, share of the table,
+    and ratio to the average key weight — the number that says whether a
+    shuffle on this key needs salting (ratio >> 1) or AQE skew-join
+    handling. This is the measurement step the engine's own salted paths
+    (salted_groupby, sessionize_skew_chunked) presume someone ran.
+
+    ONE data-sized shuffle (the key aggregate); the distinct-key count and
+    total ride the same aggregate via a second tiny rollup of it, joined
+    back as a broadcast scalar. TakeOrdered top_n, count-desc then key
+    for determinism. pct/avg ratios are single same-order IEEE divisions,
+    qround'd.
+    """
+    from ..numeric import qround
+
+    per_key = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count("*").alias("n")
+    )
+    totals = per_key.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key_value").cast("string").alias("key_value"),
+            "n",
+            qround(F.col("n") / F.col("total_rows"), 6).alias("pct_of_rows"),
+            qround(
+                F.col("n") / (F.col("total_rows") / F.col("n_keys")), 4
+            ).alias("x_avg_key"),
+        )
+        .orderBy(F.desc("n"), F.asc("key_value"))
+        .limit(top_n)
+    )

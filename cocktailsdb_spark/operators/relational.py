@@ -387,3 +387,60 @@ def skyline_parts(part: DataFrame) -> DataFrame:
     )
     local = pts.mapInPandas(_local_skyline, schema=pts.schema)
     return local.coalesce(1).mapInPandas(_local_skyline, schema=pts.schema)
+
+
+def cusum_changepoint(orders: DataFrame) -> DataFrame:
+    """Per-series change-point detection by CUSUM: the day where the
+    cumulative sum of (daily revenue − series mean) attains its maximum
+    absolute value — the classic single-change-point estimator (Page's
+    CUSUM / binary-segmentation pivot; public statistics).
+
+    Determinism: the running sum accumulates per-row deviations CAST to
+    DECIMAL(24,8) — the cumulative total is then exact integer decimal
+    arithmetic in both engines, immune to float association order; only
+    the final reported statistic is a qround'd double. Plan: ONE shuffle
+    for the daily aggregate, a series-sized mean aggregate broadcast back,
+    one per-series ordered window pass for the cusum, one per-series
+    argmax window — the series key is the parallelism unit (no global
+    ordering anywhere).
+
+    Output: (series, cp_day, cusum, direction) — one row per series;
+    direction 'up' if the post-change mean is higher (cusum at the pivot
+    is negative: the pre-pivot segment under-ran the mean), else 'down'.
+    """
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.to_date("o_orderdate").alias("dt"),
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    stats = daily.groupBy("series").agg(
+        dsum(F.col("revenue")).alias("tot"), F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(stats), "series")
+        .withColumn(
+            "cusum_exact",
+            F.sum(
+                (F.col("revenue") - F.col("tot") / F.col("n")).cast(DEC)
+            ).over(w),
+        )
+    )
+    pick = Window.partitionBy("series").orderBy(
+        F.abs(F.col("cusum_exact")).desc(), F.col("dt").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "series",
+            F.date_format("dt", "yyyy-MM-dd").alias("cp_day"),
+            qround(F.col("cusum_exact").cast("double"), 4).alias("cusum"),
+            F.when(F.col("cusum_exact") < 0, F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+    )

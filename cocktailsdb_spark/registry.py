@@ -59,6 +59,8 @@ _DRIVER_PRIORITY: list[str] = [
     "gapfill_daily_revenue",
     "skyline_parts",
     "triangle_count",
+    "cusum_changepoint",
+    "join_skew_report",
     # round-5 new operators (never driver-checked): corpus boilerplate
     # pair, SemDeDup, scalar-quantized ANN + its recall dial
     "boilerplate_ngrams",

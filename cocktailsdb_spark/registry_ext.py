@@ -945,3 +945,66 @@ def _triangles_sql() -> str:
 
 
 register("triangle_count", _q_triangles, _triangles_sql())
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection — per-series CUSUM pivot over daily revenue
+    (decimal-exact running sum; one row per priority series)."""
+    return relational.cusum_changepoint(load(spark, sf_dir, "orders"))
+
+
+def _cusum_sql() -> str:
+    from .numeric import sql_qround
+
+    return f"""WITH daily AS (
+          SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS dt,
+                 {_d('o_totalprice')} AS revenue
+          FROM orders GROUP BY 1, 2),
+        stats AS (SELECT series, {_d('revenue')} AS tot,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM daily GROUP BY 1),
+        c AS (SELECT d.series, d.dt,
+                     sum(CAST(d.revenue - s.tot / s.n AS DECIMAL(24,8)))
+                       OVER (PARTITION BY d.series ORDER BY d.dt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cusum_exact
+              FROM daily d JOIN stats s USING (series)),
+        p AS (SELECT series, dt, cusum_exact,
+                     row_number() OVER (PARTITION BY series
+                                        ORDER BY abs(cusum_exact) DESC,
+                                                 dt ASC) AS rn
+              FROM c)
+        SELECT series, strftime(dt, '%Y-%m-%d') AS cp_day,
+               {sql_qround('CAST(cusum_exact AS DOUBLE)', 4)} AS cusum,
+               CASE WHEN cusum_exact < 0 THEN 'up' ELSE 'down' END
+                 AS direction
+        FROM p WHERE rn = 1"""
+
+
+register("cusum_changepoint", _q_cusum, _cusum_sql())
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic over the lineitem join key l_suppkey."""
+    return _prof.join_skew_report(load(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+def _skew_report_sql() -> str:
+    from .numeric import sql_qround
+
+    pct = sql_qround("n / total_rows", 6)
+    xavg = sql_qround("n / (total_rows / n_keys)", 4)
+    return f"""WITH per_key AS (
+          SELECT CAST(l_suppkey AS VARCHAR) AS key_value,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys
+              FROM per_key)
+        SELECT key_value, n, {pct} AS pct_of_rows, {xavg} AS x_avg_key
+        FROM per_key, t
+        ORDER BY n DESC, key_value ASC
+        LIMIT 10"""
+
+
+register("join_skew_report", _q_skew_report, _skew_report_sql())

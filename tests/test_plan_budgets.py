@@ -36,6 +36,12 @@ BUDGETS = {
     "embedding_topk_sq": 2,  # coarse + rerank windows (both on query_id)
     "embedding_topk_pq": 2,  # same two-pass shape over the m-byte codes
     "bm25_rank_query": 3,  # df agg + stats scalar + score agg (tf checkpointed)
+    "gapfill_daily_revenue": 2,  # daily agg + LOCF window (spine joins broadcast)
+    "skyline_parts": 1,  # distinct-point agg; both skyline passes are narrow
+    # triangle_count is excluded: its persisted canon/deg subtrees re-print
+    # inside every InMemoryRelation reference, so formatted-tree Exchange
+    # counts measure plan printing, not runtime shuffles (runtime shape is
+    # pinned semantically in tests/test_graph.py)
 }
 
 

@@ -75,3 +75,16 @@ def test_correlation_matrix_hand_computed(spark):
     assert out[("x", "z")] == -1.0
     assert out[("y", "z")] == -1.0
     assert len(out) == 3
+
+
+def test_join_skew_report_counts_and_ratios(spark):
+    from cocktailsdb_spark.operators.profiling import join_skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = join_skew_report(df, "k", top_n=2).collect()
+    assert [(r.key_value, r.n) for r in got] == [("a", 6), ("b", 3)]
+    # total 10 rows over 3 keys -> avg 10/3; a is 1.8x the average
+    assert got[0].pct_of_rows == 0.6
+    assert got[0].x_avg_key == 1.8
+    assert got[1].x_avg_key == 0.9

@@ -206,3 +206,23 @@ def test_skyline_parts_matches_bruteforce(spark):
     # frontier is a strictly decreasing price / increasing size chain
     for (s1, p1), (s2, p2) in zip(got, got[1:]):
         assert s1 < s2 and p1 < p2
+
+
+def test_cusum_changepoint_mean_shift(spark):
+    import datetime as dt
+
+    rows = [
+        ("X", dt.datetime(2024, 1, d), 10.0) for d in range(1, 7)
+    ] + [
+        ("X", dt.datetime(2024, 1, d), 50.0) for d in range(7, 13)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderdate timestamp, o_totalprice double"
+    )
+    [r] = relational.cusum_changepoint(orders).collect()
+    # mean = 30; pre-shift days accumulate -20 each -> |cusum| peaks at the
+    # last pre-change day, and the negative pivot means the level went UP
+    assert r.series == "X"
+    assert r.cp_day == "2024-01-06"
+    assert r.cusum == -120.0
+    assert r.direction == "up"

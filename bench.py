@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "triangle_count",
     "cusum_changepoint",
     "join_skew_report",
+    "activity_streaks",
+    "embedding_stats",
 ]
 
 

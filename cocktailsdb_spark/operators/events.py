@@ -347,3 +347,46 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             "n_users",
         )
     )
+
+
+def activity_streaks(events: DataFrame, top_k: int = 20) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per user
+    (the classic `date − row_number()` island key — public SQL folklore).
+
+    Plan: ONE shuffle clusters each user's distinct activity days; the
+    island key, per-island aggregate, and per-user argmax all run on that
+    same user partitioning (the distinct, both windows, and the final
+    aggregate share HashPartitioning(user_id) — no further data-sized
+    exchange). TakeOrdered top_k with full tiebreak (streak desc, user
+    asc, start asc) keeps the result deterministic cross-engine.
+
+    Output: (user_id, streak_days, start_day, end_day) — each user's
+    single longest streak (earliest wins ties), top_k longest overall.
+    """
+    days = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).dropDuplicates(["user_id", "d"])
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("int").alias("streak_days"),
+        F.min("d").alias("start_d"),
+        F.max("d").alias("end_d"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_d")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format("start_d", "yyyy-MM-dd").alias("start_day"),
+            F.date_format("end_d", "yyyy-MM-dd").alias("end_day"),
+        )
+        .orderBy(F.desc("streak_days"), F.asc("user_id"))
+        .limit(top_k)
+    )

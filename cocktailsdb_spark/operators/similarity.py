@@ -774,3 +774,45 @@ def ivf_kmeans_topk_stored(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "sim", "rank")
     )
+
+
+def embedding_stats(emb: DataFrame) -> DataFrame:
+    """Per-vector summary statistics computed entirely with JVM
+    higher-order array functions (`aggregate` folds — no explode, no UDF,
+    no shuffle: a narrow map over the vector column).
+
+    Cross-engine exactness: each fold accumulates integer-quantized
+    elements (floor(x·10^6 + 0.5) and floor(x²·10^9 + 0.5) as BIGINT), so
+    the per-vector sums are exact integer arithmetic in both engines —
+    float32→float64 widening is value-exact, and only the final
+    norm/mean are qround'd doubles. At 100 TB this is the zero-exchange
+    shape: stats ride the scan, no aggregation tree needed.
+
+    Output: (vec_id, dim, l2_norm, mean_component, max_component).
+    """
+    S1, S2 = 1_000_000.0, 1_000_000_000.0
+    zero = F.lit(0).cast("long")
+    qsum = F.aggregate(
+        "embedding",
+        zero,
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * F.lit(S1) + F.lit(0.5)).cast("long"),
+    )
+    qsq = F.aggregate(
+        "embedding",
+        zero,
+        lambda acc, x: acc
+        + F.floor(
+            x.cast("double") * x.cast("double") * F.lit(S2) + F.lit(0.5)
+        ).cast("long"),
+    )
+    dim = F.size("embedding")
+    return emb.select(
+        "vec_id",
+        dim.cast("int").alias("dim"),
+        qround(F.sqrt(qsq / F.lit(S2)), 6).alias("l2_norm"),
+        qround(qsum / F.lit(S1) / dim, 6).alias("mean_component"),
+        qround(F.array_max("embedding").cast("double"), 6).alias(
+            "max_component"
+        ),
+    )

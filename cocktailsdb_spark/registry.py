@@ -61,6 +61,8 @@ _DRIVER_PRIORITY: list[str] = [
     "triangle_count",
     "cusum_changepoint",
     "join_skew_report",
+    "activity_streaks",
+    "embedding_stats",
     # round-5 new operators (never driver-checked): corpus boilerplate
     # pair, SemDeDup, scalar-quantized ANN + its recall dial
     "boilerplate_ngrams",

@@ -1008,3 +1008,72 @@ def _skew_report_sql() -> str:
 
 
 register("join_skew_report", _q_skew_report, _skew_report_sql())
+
+
+def _q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per user
+    (top 20)."""
+    return events.activity_streaks(load(spark, sf_dir, "events"))
+
+
+register(
+    "activity_streaks",
+    _q_streaks,
+    """WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        isl AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                          AS INT) AS grp
+          FROM days),
+        streaks AS (
+          SELECT user_id, grp, CAST(count(*) AS INT) AS streak_days,
+                 min(d) AS start_d, max(d) AS end_d
+          FROM isl GROUP BY user_id, grp),
+        best AS (
+          SELECT user_id, streak_days, start_d, end_d,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY streak_days DESC, start_d ASC)
+                   AS rn
+          FROM streaks)
+        SELECT user_id, streak_days,
+               strftime(start_d, '%Y-%m-%d') AS start_day,
+               strftime(end_d, '%Y-%m-%d') AS end_day
+        FROM best WHERE rn = 1
+        ORDER BY streak_days DESC, user_id ASC
+        LIMIT 20""",
+)
+
+
+def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 higher-order-function surface: per-vector stats via quantized
+    JVM `aggregate` folds — zero exchanges, no explode, no UDF."""
+    from .operators import similarity as _sim
+
+    return _sim.embedding_stats(load(spark, sf_dir, "embeddings"))
+
+
+def _embedding_stats_sql() -> str:
+    from .numeric import sql_qround
+
+    qsum = (
+        "CAST(list_aggregate(list_transform(embedding, e -> "
+        "CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), "
+        "'sum') AS BIGINT)"
+    )
+    qsq = (
+        "CAST(list_aggregate(list_transform(embedding, e -> "
+        "CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1000000000.0 "
+        "+ 0.5) AS BIGINT)), 'sum') AS BIGINT)"
+    )
+    return f"""SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               {sql_qround(f'sqrt({qsq} / 1000000000.0)', 6)} AS l2_norm,
+               {sql_qround(f'{qsum} / 1000000.0 / len(embedding)', 6)}
+                 AS mean_component,
+               {sql_qround('CAST(list_max(embedding) AS DOUBLE)', 6)}
+                 AS max_component
+        FROM embeddings"""
+
+
+register("embedding_stats", _q_embedding_stats, _embedding_stats_sql())

@@ -152,3 +152,34 @@ def test_event_transitions_counts_and_probs(spark):
     )
     got = {(r["from_type"], r["to_type"]): (r["n"], r["p"]) for r in event_transitions(ev).collect()}
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_activity_streaks_islands(spark):
+    rows = (
+        # user 1: days 1-3, then 5-6, then 10 -> longest = 3 (Jan 1-3)
+        [(1, datetime(2024, 1, d, 9)) for d in (1, 2, 3, 5, 6, 10)]
+        # duplicate events on one day must not inflate the streak
+        + [(1, datetime(2024, 1, 2, 15))]
+        # user 2: two 2-day streaks -> earliest (Jan 1-2) wins the tie
+        + [(2, datetime(2024, 1, d, 9)) for d in (1, 2, 8, 9)]
+    )
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.user_id: r for r in EV.activity_streaks(ev).collect()}
+    assert got[1].streak_days == 3
+    assert (got[1].start_day, got[1].end_day) == ("2024-01-01", "2024-01-03")
+    assert got[2].streak_days == 2
+    assert (got[2].start_day, got[2].end_day) == ("2024-01-01", "2024-01-02")
+
+
+def test_embedding_stats_known_vector(spark):
+    from cocktailsdb_spark.operators.similarity import embedding_stats
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [-1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in embedding_stats(emb).collect()}
+    assert got[1].dim == 2 and got[1].l2_norm == 5.0
+    assert got[1].mean_component == 3.5 and got[1].max_component == 4.0
+    assert got[2].l2_norm == 1.0 and got[2].max_component == 0.0
+    assert got[2].mean_component == -0.25

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "join_skew_report",
     "activity_streaks",
     "embedding_stats",
+    "heavy_hitters_exact",
 ]
 
 

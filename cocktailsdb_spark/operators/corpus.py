@@ -479,3 +479,60 @@ def uniform_sample_n(docs: DataFrame, n: int = SAMPLE_N) -> DataFrame:
         .orderBy(F.asc("sample_key"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+HH_CAPACITY = 200
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra–Gries summary over whitespace tokens: at most
+    HH_CAPACITY live counters regardless of vocabulary size. Batch form:
+    exact vectorized value_counts per Arrow batch merged into the capped
+    summary; when the summary overflows, subtract the (capacity+1)-th
+    largest weight from every counter and drop the non-positive ones —
+    the classic MG decrement, batched. Guarantee preserved: a term with
+    true partition count > N_p/capacity ends with a positive counter."""
+    import pandas as pd
+
+    summary: dict[str, int] = {}
+    for pdf in batches:
+        counts = (
+            pdf["text"].dropna().str.split(" ").explode().value_counts()
+        )
+        for t, c in counts.items():
+            summary[t] = summary.get(t, 0) + int(c)
+        if len(summary) > HH_CAPACITY:
+            d = sorted(summary.values(), reverse=True)[HH_CAPACITY]
+            summary = {t: v - d for t, v in summary.items() if v > d}
+    yield pd.DataFrame({"term": sorted(summary)})
+
+
+def heavy_hitters(docs: DataFrame, k: int = 25, capacity: int = HH_CAPACITY) -> DataFrame:
+    """EXACT top-k frequent tokens with bounded-memory candidate
+    generation — the two-pass heavy-hitter pattern (Misra–Gries summaries
+    per partition, then an exact recount of candidates only).
+
+    Why not plain explode+groupBy (vocab_top_terms)? That shuffle carries
+    one row per (partition, distinct term) — fine until the vocabulary
+    itself is shuffle-sized (web-scale n-grams, URLs, user agents). Here
+    phase 1 holds ≤ `capacity` counters per partition (MG guarantee: any
+    term with partition count > N_p/capacity survives; counts summing
+    across partitions, any term with GLOBAL count > N/capacity survives
+    in at least one summary — in particular every true heavy hitter).
+    Phase 2 recounts ONLY the ≤ capacity×partitions candidates via a
+    broadcast semi-join on the token stream, so the exact aggregate's key
+    space is bounded by construction, not by the data. The result is
+    provably the exact top-k whenever the kth count exceeds N/capacity
+    (pinned for the fixture in tests/test_corpus.py).
+
+    Output: (term, n), count-desc then term for determinism.
+    """
+    cand = spread(docs).mapInPandas(_mg_candidates, "term string")
+    return (
+        docs.select(F.explode(tokens()).alias("term"))
+        .join(F.broadcast(cand.dropDuplicates(["term"])), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "join_skew_report",
     "activity_streaks",
     "embedding_stats",
+    "heavy_hitters_exact",
     # round-5 new operators (never driver-checked): corpus boilerplate
     # pair, SemDeDup, scalar-quantized ANN + its recall dial
     "boilerplate_ngrams",

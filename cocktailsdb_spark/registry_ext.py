@@ -1077,3 +1077,24 @@ def _embedding_stats_sql() -> str:
 
 
 register("embedding_stats", _q_embedding_stats, _embedding_stats_sql())
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 tokens via bounded-memory Misra-Gries candidates +
+    exact recount (the oracle is the unbounded plain top-k — a green hash
+    proves the bounded path loses nothing)."""
+    from .operators import corpus as _corpus
+
+    return _corpus.heavy_hitters(load(spark, sf_dir, "documents"))
+
+
+register(
+    "heavy_hitters_exact",
+    _q_heavy_hitters,
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+       SELECT term, CAST(count(*) AS BIGINT) AS n
+       FROM tok GROUP BY term
+       ORDER BY n DESC, term ASC
+       LIMIT 25""",
+)

@@ -307,3 +307,35 @@ def test_uniform_sample_exact_size_and_deterministic(spark, sf_dir):
     max_kept = max(all_keys[d] for d in kept)
     dropped = [k for d, k in all_keys.items() if d not in kept]
     assert not dropped or max_kept <= min(dropped)
+
+
+def test_heavy_hitters_matches_unbounded_topk(spark, sf_dir):
+    from cocktailsdb_spark.operators.corpus import HH_CAPACITY, heavy_hitters
+    from cocktailsdb_spark.operators.text import tokens
+    from cocktailsdb_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    got = heavy_hitters(docs, k=25).collect()
+    toks = docs.select(F.explode(tokens()).alias("term"))
+    want = (
+        toks.groupBy("term").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term")).limit(25).collect()
+    )
+    assert [(r.term, r.n) for r in got] == [(r.term, r.n) for r in want]
+    # the exactness precondition the docstring claims: kth count > N/capacity
+    n_total = toks.count()
+    assert got[-1].n > n_total / HH_CAPACITY
+
+
+def test_mg_candidates_survive_capacity_pressure(spark):
+    # 1 partition, capacity-sized flood of singletons + one heavy term:
+    # the heavy term must survive the MG decrements
+    import pandas as pd
+    from cocktailsdb_spark.operators.corpus import HH_CAPACITY, _mg_candidates
+
+    flood = [f"u{i}" for i in range(10 * HH_CAPACITY)]
+    text = " ".join(flood + ["hot"] * (len(flood) // 10))
+    [out] = list(_mg_candidates(iter([pd.DataFrame({"text": [text]})])))
+    assert "hot" in set(out["term"])
+    assert len(out) <= HH_CAPACITY

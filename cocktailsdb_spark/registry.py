@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "activity_streaks",
     "embedding_stats",
     "heavy_hitters_exact",
+    "correlation_matrix_fast",
     # round-5 new operators (never driver-checked): corpus boilerplate
     # pair, SemDeDup, scalar-quantized ANN + its recall dial
     "boilerplate_ngrams",

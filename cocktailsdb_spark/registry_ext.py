@@ -1098,3 +1098,61 @@ register(
        ORDER BY n DESC, term ASC
        LIMIT 25""",
 )
+
+
+def _q_correlation_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGINT-lane twin of correlation_matrix: same exact one-pass
+    Pearson matrix, decimal aggregation replaced by hi/lo long sums that
+    stay in the codegen fast path."""
+    return _prof.correlation_matrix_fast(load(spark, sf_dir, "lineitem"))
+
+
+def _corr_fast_sql() -> str:
+    from .numeric import sql_qround
+    from .operators.profiling import (
+        CORR_COLS,
+        CORR_LANE_SCALE,
+        CORR_LANE_SPLIT,
+    )
+
+    def lanes(v, name):
+        q = f"CAST(floor(({v}) * {CORR_LANE_SCALE}.0 + 0.5) AS BIGINT)"
+        return [
+            f"CAST(sum({q} >> 32) AS BIGINT) AS hi_{name}",
+            f"CAST(sum({q} & {CORR_LANE_SPLIT - 1}) AS BIGINT) AS lo_{name}",
+        ]
+
+    def rebuild(name):
+        return (
+            f"(CAST(hi_{name} AS DOUBLE) * {float(CORR_LANE_SPLIT)!r}"
+            f" + CAST(lo_{name} AS DOUBLE)) / {CORR_LANE_SCALE}.0"
+        )
+
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in CORR_COLS:
+        sums += lanes(c, f"s_{c}")
+        sums += lanes(f"{c} * {c}", f"ss_{c}")
+    pairs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1 :]:
+            sums += lanes(f"{a} * {b}", f"sp_{a}_{b}")
+            n = "CAST(n AS DOUBLE)"
+            sa, sb = rebuild(f"s_{a}"), rebuild(f"s_{b}")
+            ssa, ssb = rebuild(f"ss_{a}"), rebuild(f"ss_{b}")
+            sp = rebuild(f"sp_{a}_{b}")
+            expr = (
+                f"({n} * ({sp}) - ({sa}) * ({sb}))"
+                f" / sqrt(({n} * ({ssa}) - ({sa}) * ({sa}))"
+                f" * ({n} * ({ssb}) - ({sb}) * ({sb})))"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"{sql_qround(expr, 6)} AS pearson_r FROM agg"
+            )
+    return (
+        "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n        "
+        + "\n        UNION ALL ".join(pairs)
+    )
+
+
+register("correlation_matrix_fast", _q_correlation_fast, _corr_fast_sql())

@@ -88,3 +88,18 @@ def test_join_skew_report_counts_and_ratios(spark):
     assert got[0].pct_of_rows == 0.6
     assert got[0].x_avg_key == 1.8
     assert got[1].x_avg_key == 0.9
+
+
+def test_correlation_fast_equals_decimal_path(spark, sf_dir):
+    from cocktailsdb_spark.operators.profiling import (
+        correlation_matrix,
+        correlation_matrix_fast,
+    )
+    from cocktailsdb_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    slow = {(r.col_a, r.col_b): r.pearson_r for r in correlation_matrix(li).collect()}
+    fast = {(r.col_a, r.col_b): r.pearson_r for r in correlation_matrix_fast(li).collect()}
+    assert slow.keys() == fast.keys()
+    for k in slow:
+        assert abs(slow[k] - fast[k]) < 1e-6, (k, slow[k], fast[k])

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "embedding_stats",
     "heavy_hitters_exact",
     "correlation_matrix_fast",
+    "gapfill_interpolate",
 ]
 
 

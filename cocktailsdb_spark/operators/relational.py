@@ -444,3 +444,63 @@ def cusum_changepoint(orders: DataFrame) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+def gapfill_interpolate(orders: DataFrame) -> DataFrame:
+    """`gapfill_locf`'s linear-interpolation twin (the hypertable
+    `interpolate(gapfill(...))` shape): each missing day gets the value
+    linearly interpolated between its bounding observations.
+
+    Same spine/plan as gapfill_locf (one daily-aggregate shuffle, JVM
+    `sequence()` spine, per-series window passes — series key is the
+    parallelism unit). Four window expressions over ONE per-series
+    ordering recover the bounding observations: last/first(ignorenulls)
+    over the backward/forward frames for both value and day. The
+    interpolation weight (d−d0)/(d1−d0) and the blend are single
+    same-order IEEE expressions, qround(4) — value-exact cross-engine.
+    Trailing days (no next observation) carry the last value; the spine
+    starts at each series' first observation, so there is no leading
+    edge.
+
+    Output: (series, day, revenue_interp, is_gap).
+    """
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.to_date("o_orderdate").alias("dt"),
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    bounds = daily.groupBy("series").agg(
+        F.min("dt").alias("d0"), F.max("dt").alias("d1")
+    )
+    spine = bounds.select("series", F.explode(F.sequence("d0", "d1")).alias("dt"))
+    j = spine.join(daily, ["series", "dt"], "left")
+    back = (
+        Window.partitionBy("series")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("series")
+        .orderBy("dt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("revenue", ignorenulls=True).over(back)
+    next_v = F.first("revenue", ignorenulls=True).over(fwd)
+    prev_d = F.last(
+        F.when(F.col("revenue").isNotNull(), F.col("dt")), ignorenulls=True
+    ).over(back)
+    next_d = F.first(
+        F.when(F.col("revenue").isNotNull(), F.col("dt")), ignorenulls=True
+    ).over(fwd)
+    span = F.datediff(next_d, prev_d).cast("double")
+    w = F.datediff(F.col("dt"), prev_d).cast("double") / span
+    interp = F.when(F.col("revenue").isNotNull(), F.col("revenue")).otherwise(
+        F.when(next_v.isNull(), prev_v).otherwise(
+            prev_v + (next_v - prev_v) * w
+        )
+    )
+    return j.select(
+        "series",
+        F.date_format("dt", "yyyy-MM-dd").alias("day"),
+        qround(interp, 4).alias("revenue_interp"),
+        F.col("revenue").isNull().alias("is_gap"),
+    )

@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS
     "gapfill_daily_revenue",
+    "gapfill_interpolate",
     "skyline_parts",
     "triangle_count",
     "cusum_changepoint",

@@ -1156,3 +1156,57 @@ def _corr_fast_sql() -> str:
 
 
 register("correlation_matrix_fast", _q_correlation_fast, _corr_fast_sql())
+
+
+def _q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill twin of gapfill_daily_revenue."""
+    return relational.gapfill_interpolate(load(spark, sf_dir, "orders"))
+
+
+register(
+    "gapfill_interpolate",
+    _q_gapfill_interp,
+    f"""WITH daily AS (
+          SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS dt,
+                 {_d('o_totalprice')} AS revenue
+          FROM orders GROUP BY 1, 2),
+        bounds AS (SELECT series, min(dt) AS d0, max(dt) AS d1
+                   FROM daily GROUP BY 1),
+        spine AS (SELECT series,
+                         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                     CAST(d1 AS TIMESTAMP),
+                                                     INTERVAL 1 DAY)) AS DATE)
+                           AS dt
+                  FROM bounds),
+        j AS (SELECT s.series, s.dt, d.revenue
+              FROM spine s LEFT JOIN daily d USING (series, dt)),
+        w AS (SELECT series, dt, revenue,
+                last_value(revenue IGNORE NULLS) OVER wb AS prev_v,
+                first_value(revenue IGNORE NULLS) OVER wf AS next_v,
+                last_value(CASE WHEN revenue IS NOT NULL THEN dt END
+                           IGNORE NULLS) OVER wb AS prev_d,
+                first_value(CASE WHEN revenue IS NOT NULL THEN dt END
+                            IGNORE NULLS) OVER wf AS next_d
+              FROM j
+              WINDOW wb AS (PARTITION BY series ORDER BY dt
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW),
+                     wf AS (PARTITION BY series ORDER BY dt
+                            ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING))
+        SELECT series, strftime(dt, '%Y-%m-%d') AS day,
+               {{interp}} AS revenue_interp,
+               revenue IS NULL AS is_gap
+        FROM w""".format(
+        interp=__import__(
+            "cocktailsdb_spark.numeric", fromlist=["sql_qround"]
+        ).sql_qround(
+            """CASE WHEN revenue IS NOT NULL THEN revenue
+                    WHEN next_v IS NULL THEN prev_v
+                    ELSE prev_v + (next_v - prev_v)
+                         * (CAST(dt - prev_d AS DOUBLE)
+                            / CAST(next_d - prev_d AS DOUBLE)) END""",
+            4,
+        )
+    ),
+)

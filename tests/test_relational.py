@@ -226,3 +226,25 @@ def test_cusum_changepoint_mean_shift(spark):
     assert r.cp_day == "2024-01-06"
     assert r.cusum == -120.0
     assert r.direction == "up"
+
+
+def test_gapfill_interpolate_semantics(spark):
+    import datetime as dt
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1), 10.0),
+        ("A", dt.datetime(2024, 1, 4), 40.0),  # gap days 2,3 interpolate
+        ("A", dt.datetime(2024, 1, 6), 10.0),  # gap day 5 interpolates down
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {
+        r.day: (r.revenue_interp, r.is_gap)
+        for r in relational.gapfill_interpolate(orders).collect()
+    }
+    assert got["2024-01-02"] == (20.0, True)
+    assert got["2024-01-03"] == (30.0, True)
+    assert got["2024-01-04"] == (40.0, False)
+    assert got["2024-01-05"] == (25.0, True)
+    assert got["2024-01-06"] == (10.0, False)

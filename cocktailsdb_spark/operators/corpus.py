@@ -536,3 +536,50 @@ def heavy_hitters(docs: DataFrame, k: int = 25, capacity: int = HH_CAPACITY) -> 
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(k)
     )
+
+
+def ccnet_quality_buckets(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — public): score every document with the corpus-trained LM
+    (:func:`unigram_logprob_score` is the perplexity proxy), then split
+    each language into equal head / middle / tail tertiles — head is the
+    highest-logprob (lowest-perplexity) third, the slice a pretraining
+    mix keeps or upsamples.
+
+    Tertile assignment is POSITIONAL (row_number within lang over the
+    total order (mean_logprob, doc_id), bucket by integer arithmetic
+    rn*3 vs n) — no float quantile thresholds, so both engines cut in
+    exactly the same place even with ties. Exactness costs one per-lang
+    sort window over the scored (doc-sized, not token-sized) frame;
+    production CCNet fits the two cutoff scores on a bounded sample and
+    applies them as a narrow map — this operator is the exact-verify twin
+    of that plan, and its cutoffs are recoverable from the output
+    (min/max score per bucket).
+
+    Output: (lang, bucket, n_docs, min_score, max_score), ≤ 3 rows per
+    language.
+    """
+    scored = unigram_logprob_score(docs, smooth)
+    with_lang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_logprob", "doc_id")
+    ranked = with_lang.select(
+        "lang",
+        "mean_logprob",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), F.lit("tail"))
+        .when(F.col("rn") * 3 <= F.col("n") * 2, F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        ranked.select("lang", bucket.alias("bucket"), "mean_logprob")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("mean_logprob").alias("min_score"),
+            F.max("mean_logprob").alias("max_score"),
+        )
+    )

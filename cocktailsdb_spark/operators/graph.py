@@ -252,3 +252,66 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+BFS_MAX_HOPS = 6
+
+
+def bfs_levels(edges: DataFrame, max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """Single-source BFS: hop distance from the minimum node id to every
+    node reachable within ``max_hops``, over the undirected edge set.
+
+    The third iterative-graph shape next to :func:`pagerank` (damped
+    numeric fixed-point) and ``dedup.dedup_clusters`` (monotone label
+    propagation): monotone FRONTIER expansion with early termination —
+    the Pregel traversal pattern.
+
+    Scale shape: the undirected edge list (the big side) is deduped and
+    persisted ONCE; each hop joins it against the broadcast node-sized
+    frontier (no edge-side exchange ever), dedupes the neighbor set (one
+    node-sized shuffle — the only real shuffle per hop), and anti-joins
+    the broadcast visited set. Frontier and visited are node-sized, never
+    edge-sized, and each hop's result is localCheckpoint'd so the plan
+    does not deepen with hop count (same lineage-truncation rationale as
+    the PageRank iteration). Terminates as soon as a frontier is empty.
+
+    Output: (node, level INT) for each reached node — node keeps the
+    edge endpoints' type — level 0 at the source. Deterministic: integer
+    levels, min-id source.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    visited = (
+        und.agg(F.min("src").alias("node"))
+        .where(F.col("node").isNotNull())
+        .select("node", F.lit(0).cast("int").alias("level"))
+        .localCheckpoint()
+    )
+    if not visited.take(1):
+        und.unpersist()
+        return visited
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            und.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates(["node"])
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("level"))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    und.unpersist()
+    return visited

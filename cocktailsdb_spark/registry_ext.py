@@ -885,18 +885,14 @@ register(
 )
 
 
-def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the supplier co-order graph over one quarter.
-    Edge generation is a self-join on l_orderkey whose per-order fanout is
-    bounded by lineitems-per-order (<= 7 in TPC-H), so candidate pairs are
-    O(orders), not quadratic — the blocking IS the join key. The shipdate
-    slice (pushed to the parquet scan) keeps the graph sparse and makes
-    density FALL as SF grows (more suppliers, same window) — the full
-    seven-year projection densifies toward complete, which no exact
-    triangle algorithm survives; a time-sliced census is also the
-    operationally meaningful question."""
-    from .operators import graph as _g
-
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-order edges over 1995Q1 (shared by triangle_count and
+    graph_bfs_levels). Edge generation is a self-join on l_orderkey whose
+    per-order fanout is bounded by lineitems-per-order (<= 7 in TPC-H), so
+    candidate pairs are O(orders), not quadratic — the blocking IS the join
+    key. The shipdate slice (pushed to the parquet scan) keeps the graph
+    sparse and makes density FALL as SF grows (more suppliers, same
+    window)."""
     l = (
         load(spark, sf_dir, "lineitem")
         .where(
@@ -906,14 +902,23 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
     )
     x, y = l.alias("x"), l.alias("y")
-    edges = x.join(
+    return x.join(
         y,
         (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
         & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
     ).select(
         F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
     )
-    return _g.triangle_stats(edges)
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-order graph over one quarter
+    (edges: :func:`_co_order_edges`). The full seven-year projection
+    densifies toward complete, which no exact triangle algorithm survives;
+    a time-sliced census is also the operationally meaningful question."""
+    from .operators import graph as _g
+
+    return _g.triangle_stats(_co_order_edges(spark, sf_dir))
 
 
 def _triangles_sql() -> str:
@@ -945,6 +950,46 @@ def _triangles_sql() -> str:
 
 
 register("triangle_count", _q_triangles, _triangles_sql())
+
+
+def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the 1995Q1 supplier co-order graph
+    (operators/graph.py:bfs_levels): hop distance from the minimum
+    supplier id to every node reachable within BFS_MAX_HOPS. Third
+    iterative-graph shape (frontier expansion) next to PageRank
+    (numeric fixed-point) and dedup clustering (label propagation).
+    Oracle: DuckDB recursive CTE with UNION-distinct working table —
+    (node, lvl) rows are bounded by nodes x hops, then min(lvl) per node
+    recovers the BFS level."""
+    from .operators import graph as _g
+
+    return _g.bfs_levels(_co_order_edges(spark, sf_dir))
+
+
+def _bfs_sql() -> str:
+    from .operators.graph import BFS_MAX_HOPS
+
+    return f"""WITH RECURSIVE sl AS (
+          SELECT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1995-04-01'),
+        e AS (
+          SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM sl x JOIN sl y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        walk(node, lvl) AS (
+          SELECT (SELECT min(a) FROM und), 0
+          UNION
+          SELECT u.b, w.lvl + 1
+          FROM walk w JOIN und u ON u.a = w.node
+          WHERE w.lvl < {BFS_MAX_HOPS}
+        )
+        SELECT node, CAST(min(lvl) AS INT) AS level
+        FROM walk GROUP BY node"""
+
+
+register("graph_bfs_levels", _q_bfs_levels, _bfs_sql())
 
 
 def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2463,6 +2463,51 @@ register(
 )
 
 
+
+
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/corpus — CCNet-style per-language perplexity tertiles over the
+    corpus-trained unigram LM (operators/corpus.py:ccnet_quality_buckets);
+    positional tertile cut so both engines split identically."""
+    return corpus.ccnet_quality_buckets(load(spark, sf_dir, "documents"))
+
+
+register(
+    "ccnet_quality_buckets",
+    _q_ccnet_buckets,
+    f"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                   FROM tok GROUP BY term),
+        totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                          CAST(count(*) AS BIGINT) AS vocab
+                   FROM counts),
+        q AS (SELECT t.doc_id,
+                     CAST(floor(ln((c.cnt + {corpus.LM_SMOOTH}) /
+                                   (s.total + {corpus.LM_SMOOTH} * s.vocab))
+                                * 1000000.0 + 0.5) AS BIGINT) AS ql
+              FROM tok t JOIN counts c USING (term) CROSS JOIN totals s),
+        scored AS (SELECT doc_id,
+                          {sql_qround("sum(ql) / 1000000.0 / count(*)", 4)}
+                            AS mean_logprob
+                   FROM q GROUP BY doc_id),
+        ranked AS (SELECT d.lang, s.mean_logprob,
+                          row_number() OVER (PARTITION BY d.lang
+                              ORDER BY s.mean_logprob, s.doc_id) AS rn,
+                          count(*) OVER (PARTITION BY d.lang) AS n
+                   FROM scored s JOIN documents d USING (doc_id))
+        SELECT lang,
+               CASE WHEN rn * 3 <= n THEN 'tail'
+                    WHEN rn * 3 <= n * 2 THEN 'middle'
+                    ELSE 'head' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(mean_logprob) AS min_score,
+               max(mean_logprob) AS max_score
+        FROM ranked GROUP BY 1, 2""",
+)
+
+
 # ===========================================================================
 # §2.9 corpus extension — BPE merge-table training (tokenizer primitive)
 # ===========================================================================

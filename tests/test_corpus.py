@@ -339,3 +339,33 @@ def test_mg_candidates_survive_capacity_pressure(spark):
     [out] = list(_mg_candidates(iter([pd.DataFrame({"text": [text]})])))
     assert "hot" in set(out["term"])
     assert len(out) <= HH_CAPACITY
+
+
+def test_ccnet_buckets_positional_tertiles(spark):
+    # 6 docs, one lang: common-word docs score high (head), rare-word docs
+    # low (tail); with n=6 each tertile holds exactly 2 docs and the score
+    # ranges must be ordered tail <= middle <= head
+    rows = [
+        (1, "the the the the", "en"),
+        (2, "the the the cat", "en"),
+        (3, "the the cat cat", "en"),
+        (4, "the cat dog bird", "en"),
+        (5, "zebra quark vex jolt", "en"),
+        (6, "axolotl nymph glyph quux", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.bucket: r for r in corpus.ccnet_quality_buckets(docs).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert all(r.n_docs == 2 for r in out.values())
+    assert out["tail"].max_score <= out["middle"].min_score
+    assert out["middle"].max_score <= out["head"].min_score
+
+
+def test_ccnet_buckets_remainder_goes_to_head(spark):
+    # n=4: tail gets floor(4/3)=1, middle 1, head the remaining 2
+    rows = [(i, t, "en") for i, t in enumerate(
+        ["a a a a", "a a a b", "a b c d", "w x y z"]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.bucket: r.n_docs for r in corpus.ccnet_quality_buckets(docs).collect()}
+    assert out == {"tail": 1, "middle": 1, "head": 2}

@@ -111,3 +111,27 @@ def test_triangle_stats_star_plus_triangle(spark):
     # wedges: hub C(4,2)=6 + triangle 3*1 = 9
     assert row.n_wedges == 9
     assert row.n_nodes == 8 and row.n_edges == 7
+
+
+def test_bfs_levels_path_and_disconnected(spark):
+    # path a-b-c-d plus a disconnected pair x-y: BFS from min node "a"
+    # reaches the path only; x/y are absent from the result
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.level for r in G.bfs_levels(df).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_levels_hop_cap_and_duplicates(spark):
+    # chain 0-1-2-3-4 fed with duplicate and reversed edges; cap at 2 hops
+    chain = [(i, i + 1) for i in range(4)]
+    df = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain] + chain, "src long, dst long"
+    )
+    out = {r.node: r.level for r in G.bfs_levels(df, max_hops=2).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_levels_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert G.bfs_levels(df).count() == 0

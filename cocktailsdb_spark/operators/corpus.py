@@ -583,3 +583,75 @@ def ccnet_quality_buckets(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFra
             F.max("mean_logprob").alias("max_score"),
         )
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 40
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, top_n: int = PMI_TOP_N
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990 — public): the adjacent token pairs that co-occur far more than
+    their unigram frequencies predict. PMI(a,b) =
+    ln( p(a,b) / (p(a)·p(b)) ) with p from corpus counts; a min-count
+    floor suppresses the classic rare-pair PMI blow-up.
+
+    Scale shape: pair construction is the same JVM higher-order transform
+    as :func:`bigram_counts` (no self-join, no Python); pair counts are
+    the one data-sized map-side-combined shuffle; unigram counts are
+    vocabulary-sized and broadcast onto the pair aggregate twice (left
+    and right term); the two corpus totals arrive as one broadcast scalar
+    row. Top-N is a TakeOrdered bounded heap over the ROUNDED score with
+    (term_a, term_b) as the unique tiebreak — cross-engine libm drift in
+    ln() cannot reorder rows (same convention as tfidf_top_terms).
+    """
+    tk = tokens()
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.struct(
+            F.element_at(tk, i).alias("term_a"),
+            F.element_at(tk, i + 1).alias("term_b"),
+        ),
+    )
+    base = spread(docs)
+    pair_counts = (
+        base.filter(F.size(tk) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        base.select(F.explode(tk).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_term"))
+    )
+    totals = uni.agg(F.sum("n_term").alias("n_uni"))
+    # total adjacent pairs = sum over docs of (len-1) = unigram total minus
+    # the doc count — no second corpus pass needed
+    n_docs = base.agg(F.count("*").alias("n_docs"))
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_term").alias("n_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_term").alias("n_b"))
+    nu = F.col("n_uni").cast("double")
+    nb = (F.col("n_uni") - F.col("n_docs")).cast("double")
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * nu * nu)
+        / (nb * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pair_counts.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_pair").cast("int").alias("n_pair"),
+            qround(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(top_n)
+    )

@@ -2508,6 +2508,52 @@ register(
 )
 
 
+
+
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/corpus — PMI collocation mining with min-count floor
+    (operators/corpus.py:pmi_collocations); rounded-score ordering so
+    libm drift cannot reorder the top-N."""
+    return corpus.pmi_collocations(load(spark, sf_dir, "documents"))
+
+
+register(
+    "pmi_collocations",
+    _q_pmi,
+    f"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        pc AS (SELECT t1.term AS term_a, t2.term AS term_b,
+                      CAST(count(*) AS BIGINT) AS n_pair
+               FROM tok t1 JOIN tok t2
+                 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+               GROUP BY 1, 2
+               HAVING count(*) >= {corpus.PMI_MIN_COUNT}),
+        uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term
+                FROM tok GROUP BY term),
+        tot AS (SELECT CAST(sum(n_term) AS BIGINT) AS n_uni FROM uni),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT p.term_a, p.term_b, CAST(p.n_pair AS INT) AS n_pair,
+                 {sql_qround(
+                     "ln((CAST(p.n_pair AS DOUBLE) * CAST(t.n_uni AS DOUBLE)"
+                     " * CAST(t.n_uni AS DOUBLE))"
+                     " / (CAST(t.n_uni - d.n_docs AS DOUBLE)"
+                     " * CAST(ua.n_term AS DOUBLE) * CAST(ub.n_term AS DOUBLE)))",
+                     6,
+                 )} AS pmi
+          FROM pc p
+          JOIN uni ua ON ua.term = p.term_a
+          JOIN uni ub ON ub.term = p.term_b
+          CROSS JOIN tot t CROSS JOIN nd d),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY pmi DESC, term_a, term_b) AS rn FROM scored)
+        SELECT term_a, term_b, n_pair, pmi FROM r WHERE rn <= {corpus.PMI_TOP_N}""",
+)
+
+
 # ===========================================================================
 # §2.9 corpus extension — BPE merge-table training (tokenizer primitive)
 # ===========================================================================

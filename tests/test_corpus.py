@@ -369,3 +369,22 @@ def test_ccnet_buckets_remainder_goes_to_head(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = {r.bucket: r.n_docs for r in corpus.ccnet_quality_buckets(docs).collect()}
     assert out == {"tail": 1, "middle": 1, "head": 2}
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    # "x y" always adjacent (5 times); "the" is everywhere -> "the the"
+    # pairs score low; pair "x y": n_pair=5, n_x=5, n_y=5
+    rows = [(i, "the the x y the", "en") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus.pmi_collocations(docs, min_count=2, top_n=10).collect()
+    by_pair = {(r.term_a, r.term_b): r for r in out}
+    n_uni, n_docs = 25.0, 5.0
+    nb = n_uni - n_docs  # 20 adjacent pairs
+    exp = math.log((5.0 * n_uni * n_uni) / (nb * 5.0 * 5.0))
+    want = math.floor(exp * 1e6 + 0.5) / 1e6
+    got = by_pair[("x", "y")]
+    assert got.n_pair == 5 and abs(got.pmi - want) < 1e-9
+    # the top row must be the strongest collocation
+    assert (out[0].term_a, out[0].term_b) == ("x", "y")

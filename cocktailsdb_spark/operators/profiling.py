@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -265,3 +265,120 @@ def correlation_matrix_fast(
                 )
             )
     return agg.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")
+
+
+RUN_COLUMNS = ("event_type", "user_id")
+
+
+def encoding_runs_report(
+    events: DataFrame, cols: tuple[str, ...] = RUN_COLUMNS
+) -> DataFrame:
+    """Storage-encoding advisor: for each candidate column, how many value
+    RUNS it has when the table is laid out in its natural (ts, event_id)
+    order — the number an RLE/dictionary encoder actually compresses
+    against (parquet RLE_DICTIONARY, ORC RLEv2). Emits runs, distinct
+    count, average run length and runs/rows ratio per column; a ratio
+    near 1 says "this column won't RLE under this sort order", which is
+    exactly the evidence a zorder/range-sort layout decision needs
+    (plans/layout.py writes those layouts).
+
+    DISTRIBUTED run counting — the interesting part: a run count under a
+    global total order normally wants one global window (single-reducer
+    sort, the classic scale-killer). Instead each calendar-day slice
+    counts its internal runs under a day-partitioned window, every day
+    also reports its first/last values (min/max over a (ts, event_id, v)
+    struct — no second sort), and a day-sized boundary pass subtracts one
+    run wherever a day's first value null-safe-equals the previous day's
+    last. Exactly the split-merge identity segmented-scan compilers use;
+    the data-sized shuffle is ONE hash exchange on day, and the boundary
+    frame is calendar-sized (~2.5k rows for 7 years), not data-sized.
+
+    The DuckDB twin runs the naive single global window — the engine's
+    distributed form must reproduce it bit-for-bit.
+    """
+    day = F.col("ts").cast("date").alias("day")
+    w = Window.partitionBy("day").orderBy("ts", "event_id")
+    proj = [day, "ts", "event_id"] + [F.col(c) for c in cols]
+    base = events.select(*proj)
+    chg = [
+        (~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)))
+        | F.isnull(F.lag(F.struct(F.col(c))).over(w))
+        for c in cols
+    ]
+    with_chg = base.select(
+        "day",
+        "ts",
+        "event_id",
+        *[F.col(c) for c in cols],
+        *[c.cast("long").alias(f"_chg_{i}") for i, c in enumerate(chg)],
+    )
+    per_day = with_chg.groupBy("day").agg(
+        F.count("*").alias("day_rows"),
+        *[F.sum(f"_chg_{i}").alias(f"day_runs_{i}") for i in range(len(cols))],
+        *[
+            F.min(F.struct("ts", "event_id", F.col(c).alias("v")))["v"].alias(
+                f"first_{i}"
+            )
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.max(F.struct("ts", "event_id", F.col(c).alias("v")))["v"].alias(
+                f"last_{i}"
+            )
+            for i, c in enumerate(cols)
+        ],
+    )
+    wd = Window.orderBy("day")
+    stitched = per_day.select(
+        "day",
+        "day_rows",
+        *[
+            (
+                F.col(f"day_runs_{i}")
+                # subtract only when a previous day EXISTS (struct-lag
+                # null means first day — eqNullSafe alone would wrongly
+                # merge a NULL-valued first run with "no previous day")
+                - F.when(
+                    F.lag(F.struct(F.col(f"last_{i}"))).over(wd).isNotNull()
+                    & F.col(f"first_{i}").eqNullSafe(
+                        F.lag(F.col(f"last_{i}")).over(wd)
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias(f"adj_runs_{i}")
+            for i in range(len(cols))
+        ],
+    )
+    totals = stitched.agg(
+        F.sum("day_rows").alias("n_rows"),
+        *[F.sum(f"adj_runs_{i}").alias(f"runs_{i}") for i in range(len(cols))],
+    )
+    distincts = events.agg(
+        *[
+            F.countDistinct(F.col(c)).alias(f"nd_{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    from ..numeric import qround
+
+    joined = totals.crossJoin(F.broadcast(distincts))
+    frames = []
+    for i, c in enumerate(cols):
+        frames.append(
+            joined.select(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col(f"nd_{i}").cast("long").alias("n_distinct"),
+                F.col(f"runs_{i}").cast("long").alias("n_runs"),
+                qround(
+                    F.col("n_rows").cast("double") / F.col(f"runs_{i}"), 4
+                ).alias("avg_run_len"),
+                qround(
+                    F.col(f"runs_{i}").cast("double") / F.col("n_rows"), 6
+                ).alias("runs_ratio"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out

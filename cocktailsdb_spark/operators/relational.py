@@ -504,3 +504,59 @@ def gapfill_interpolate(orders: DataFrame) -> DataFrame:
         qround(interp, 4).alias("revenue_interp"),
         F.col("revenue").isNull().alias("is_gap"),
     )
+
+
+def winsorized_stats(
+    orders: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-group robust statistics by winsorization: clip o_totalprice to
+    the group's discrete [p_lo, p_hi] quantiles, then mean/stddev of the
+    clipped values — the outlier-insensitive profile every ingest QA pass
+    wants next to the raw moments.
+
+    Cutoffs use the same type-1 (pure element selection, zero
+    interpolation) quantile as :func:`quantile_disc`, so they are exact
+    across engines; clipping is least/greatest against the broadcast
+    group-sized cutoff row; moments are decimal-exact ``dsum`` power sums
+    (order-insensitive), combined into mean/stddev with one identical
+    double expression per engine. Two data shuffles total — the rank
+    window and the final aggregate; at 100 TB the cutoffs come from a
+    bounded sample instead of the exact rank (this operator is the
+    exact-verify twin of that plan).
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+
+    def _at(q: float) -> Column:
+        idx = F.floor(F.lit(q) * (F.col("n") - 1)).cast("int") + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("o_totalprice")))
+
+    cuts = ranked.groupBy("o_orderpriority").agg(
+        _at(lo).alias("p_lo"), _at(hi).alias("p_hi")
+    )
+    v = F.greatest(F.least(F.col("o_totalprice"), F.col("p_hi")), F.col("p_lo"))
+    g = (
+        orders.join(F.broadcast(cuts), "o_orderpriority")
+        .select("o_orderpriority", "p_lo", "p_hi", v.alias("v"))
+        .groupBy("o_orderpriority", "p_lo", "p_hi")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum(F.col("v")).alias("sx"),
+            dsum(F.col("v") * F.col("v")).alias("sxx"),
+        )
+    )
+    n, sx, sxx = F.col("n").cast("double"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return g.select(
+        "o_orderpriority",
+        F.col("n"),
+        "p_lo",
+        "p_hi",
+        qround(sx / n, 4).alias("win_mean"),
+        qround(F.sqrt(var), 4).alias("win_std"),
+    )

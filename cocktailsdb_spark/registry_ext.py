@@ -1255,3 +1255,90 @@ register(
         )
     ),
 )
+
+
+from .numeric import sql_dsum, sql_qround  # noqa: E402
+
+
+def _q_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust profiling — winsorized per-priority price stats: type-1
+    quantile cutoffs (exact element selection), broadcast clip, decimal-
+    exact moments (operators/relational.py:winsorized_stats)."""
+    return relational.winsorized_stats(load(spark, sf_dir, "orders"))
+
+
+register(
+    "winsorized_stats",
+    _q_winsor,
+    f"""WITH r AS (
+         SELECT o_orderpriority, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                count(*) OVER (PARTITION BY o_orderpriority) AS n
+         FROM orders),
+       cuts AS (
+         SELECT o_orderpriority,
+                max(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS INT) + 1
+                         THEN o_totalprice END) AS p_lo,
+                max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS INT) + 1
+                         THEN o_totalprice END) AS p_hi
+         FROM r GROUP BY o_orderpriority),
+       clipped AS (
+         SELECT o.o_orderpriority, c.p_lo, c.p_hi,
+                greatest(least(o.o_totalprice, c.p_hi), c.p_lo) AS v
+         FROM orders o JOIN cuts c USING (o_orderpriority)),
+       g AS (
+         SELECT o_orderpriority, p_lo, p_hi,
+                CAST(count(*) AS BIGINT) AS n,
+                {sql_dsum("v")} AS sx,
+                {sql_dsum("v * v")} AS sxx
+         FROM clipped GROUP BY 1, 2, 3)
+       SELECT o_orderpriority, n, p_lo, p_hi,
+              {sql_qround("sx / CAST(n AS DOUBLE)", 4)} AS win_mean,
+              {sql_qround(
+                  "sqrt((sxx - sx * sx / CAST(n AS DOUBLE))"
+                  " / (CAST(n AS DOUBLE) - 1))", 4)} AS win_std
+       FROM g""",
+)
+
+
+def _q_encoding_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling/layout — RLE-run storage advisor under the natural
+    (ts, event_id) order, counted DISTRIBUTED (per-day windows + day-
+    boundary stitch; operators/profiling.py:encoding_runs_report). The
+    oracle is the naive single global window the engine must reproduce."""
+    from .operators import profiling
+
+    return profiling.encoding_runs_report(load(spark, sf_dir, "events"))
+
+
+def _encoding_runs_sql() -> str:
+    parts = []
+    for c in ("event_type", "user_id"):
+        parts.append(f"""
+        SELECT '{c}' AS col_name, n_rows,
+               nd_{c} AS n_distinct, runs_{c} AS n_runs,
+               {sql_qround(f"CAST(n_rows AS DOUBLE) / runs_{c}", 4)} AS avg_run_len,
+               {sql_qround(f"CAST(runs_{c} AS DOUBLE) / n_rows", 6)} AS runs_ratio
+        FROM runs CROSS JOIN nd""")
+    sel = " UNION ALL ".join(parts)
+    return f"""WITH o AS (
+          SELECT event_type, user_id,
+                 lag(event_type) OVER w AS p_et,
+                 lag(user_id) OVER w AS p_u,
+                 row_number() OVER w AS rn
+          FROM events WINDOW w AS (ORDER BY ts, event_id)),
+        runs AS (SELECT
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN rn = 1 OR event_type IS DISTINCT FROM p_et
+                        THEN 1 ELSE 0 END) AS BIGINT) AS runs_event_type,
+          CAST(sum(CASE WHEN rn = 1 OR user_id IS DISTINCT FROM p_u
+                        THEN 1 ELSE 0 END) AS BIGINT) AS runs_user_id
+          FROM o),
+        nd AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id
+               FROM events)
+        {sel}"""
+
+
+register("encoding_runs_report", _q_encoding_runs, _encoding_runs_sql())

@@ -183,3 +183,18 @@ def test_embedding_stats_known_vector(spark):
     assert got[1].mean_component == 3.5 and got[1].max_component == 4.0
     assert got[2].l2_norm == 1.0 and got[2].max_component == 0.0
     assert got[2].mean_component == -0.25
+
+
+def test_winsorized_stats_clips_outlier(spark):
+    # group of 20: values 1..19 plus a 1000 outlier. p05 idx = floor(.05*19)+1
+    # = 1 (min), p95 idx = floor(.95*19)+1 = 19 -> value 19, so the outlier
+    # clips to 19 and the winsorized mean is (sum(1..19)+19)/20 = 10.45
+    rows = [(i, "P", float(i)) for i in range(1, 20)] + [(20, "P", 1000.0)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    r = R.winsorized_stats(df).collect()[0]
+    assert r.n == 20 and r.p_lo == 1.0 and r.p_hi == 19.0
+    assert abs(r.win_mean - 10.45) < 1e-9
+    # raw mean would be 58.5 — winsorization must have removed the outlier
+    assert r.win_std < 10

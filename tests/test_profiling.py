@@ -103,3 +103,46 @@ def test_correlation_fast_equals_decimal_path(spark, sf_dir):
     assert slow.keys() == fast.keys()
     for k in slow:
         assert abs(slow[k] - fast[k]) < 1e-6, (k, slow[k], fast[k])
+
+
+def test_encoding_runs_day_boundary_stitch(spark):
+    import datetime as dt
+
+    # event_type run "A" crosses midnight: naive per-day counting would
+    # report 2 runs for it; the boundary stitch must merge them into 1.
+    # user_id changes at the boundary, so its runs stay unmerged.
+    t = lambda d, h: dt.datetime(2024, 1, d, h, 0, 0)
+    rows = [
+        (1, t(1, 22), 10, "A", 1.0, None),
+        (2, t(1, 23), 10, "A", 1.0, None),
+        (3, t(2, 1), 20, "A", 1.0, None),   # same type run continues, user changes
+        (4, t(2, 2), 20, "B", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.col_name: r for r in P.encoding_runs_report(ev).collect()}
+    assert out["event_type"].n_runs == 2          # A (stitched), B
+    assert out["user_id"].n_runs == 2             # 10, 20 — boundary not equal
+    assert out["event_type"].n_rows == 4
+    assert abs(out["event_type"].avg_run_len - 2.0) < 1e-9
+
+
+def test_encoding_runs_null_values_form_runs(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), 1, None, 1.0, None),
+        (2, dt.datetime(2024, 1, 1, 2), 1, None, 1.0, None),
+        (3, dt.datetime(2024, 1, 1, 3), 1, "A", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.col_name: r for r in P.encoding_runs_report(ev).collect()}
+    # NULL,NULL is one run (null-safe equality), then A
+    assert out["event_type"].n_runs == 2

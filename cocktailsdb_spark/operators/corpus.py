@@ -655,3 +655,45 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
         .limit(top_n)
     )
+
+
+SOURCE_CAP = 500
+
+
+def source_cap(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
+    """Per-source document cap — the "max N pages per domain" guard every
+    web-corpus pipeline applies so no single site dominates the mix
+    (Common Crawl-derived corpora cap per registered domain; ``source``
+    plays that role here). Keeps the ``cap`` docs with the LOWEST
+    md5(doc_id) per source — a deterministic uniform choice, not
+    first-crawled bias; reruns and retries agree row-for-row.
+
+    Scale shape: two-phase top-N. Phase 1 pre-truncates WITHIN each
+    (source, salt) bucket — 16-way salted windows, so a million-doc hot
+    domain sorts as 16 independent ~cap-bounded streams instead of one
+    hot partition. Phase 2 ranks the surviving ≤16·cap rows per source —
+    the global winners are necessarily inside their salt bucket's local
+    top-cap, so the result is bit-identical to the naive single window
+    the DuckDB twin runs. The phase-2 input is cap-bounded per source,
+    never data-sized.
+    """
+    u = md5_prefix_value(F.col("doc_id").cast("string"), 8)
+    salted = docs.select(
+        "doc_id", "lang", "source", u.alias("sample_key"),
+        (F.col("doc_id") % 16).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("sample_key", "doc_id")
+    pre = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= cap)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        pre.withColumn("rank_in_source", F.row_number().over(w2))
+        .filter(F.col("rank_in_source") <= cap)
+        .select(
+            "doc_id", "lang", "source",
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+        )
+    )

@@ -390,3 +390,52 @@ def activity_streaks(events: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("streak_days"), F.asc("user_id"))
         .limit(top_k)
     )
+
+
+def asof_next(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    tolerance_sec: int = 86400,
+) -> DataFrame:
+    """Forward as-of join with tolerance: for each ``left_type`` event,
+    the EARLIEST ``right_type`` event of the same user at-or-after its
+    timestamp, but only within ``tolerance_sec`` — the mirror of
+    :func:`asof_latest` (kdb's ``aj`` forward form / pandas
+    ``merge_asof(direction='forward', tolerance=...)``).
+
+    Same scalable union-then-window pattern — ONE shuffle on user_id, no
+    row-multiplying inequality join: tag both sides, union, take
+    ``first(right, ignorenulls)`` over the FOLLOWING frame [current,
+    unbounded]. At equal ts the right side sorts after the left (side=1)
+    so the match is inclusive; among right-side ties the smaller event_id
+    wins (earliest match). The tolerance is applied as a post-window
+    filter on the matched pair — matches beyond it become NULL, keeping
+    every left row (left-outer semantics).
+    """
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side"),
+        F.lit(None).cast("struct<ts:timestamp,id:bigint>").alias("r"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side"),
+        F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")).alias("r"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).withColumn(
+        "next_r", F.first("r", ignorenulls=True).over(w)
+    )
+    within = F.col("next_r.ts") <= F.col("ts") + F.expr(
+        f"INTERVAL {int(tolerance_sec)} SECOND"
+    )
+    return merged.filter(F.col("side") == 0).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(within, F.col("next_r.id")).alias("next_id"),
+        F.when(within, F.col("next_r.ts")).alias("next_ts"),
+    )

@@ -298,6 +298,28 @@ register(
        WHERE p.event_type = 'purchase'""",
 )
 
+def _q_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (operators/events.py:asof_next):
+    earliest same-user error at-or-after each purchase, NULL beyond 24 h;
+    union-then-window, one user_id shuffle, no inequality join."""
+    return events.asof_next(load(spark, sf_dir, "events"))
+
+
+register(
+    "asof_join_next",
+    _q_asof_next,
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+              n.event_id AS next_id, n.ts AS next_ts
+       FROM events p
+       LEFT JOIN LATERAL (
+           SELECT event_id, ts FROM events e
+           WHERE e.event_type = 'error' AND e.user_id = p.user_id
+             AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 86400 SECOND
+           ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) n ON TRUE
+       WHERE p.event_type = 'purchase'""",
+)
+
+
 
 # --- physical layout: partition pruning / bucketed join / salting -----------
 

@@ -2622,6 +2622,29 @@ register(
 )
 
 
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/corpus — per-source doc cap (the "max N per domain" web-corpus
+    guard), skew-safe two-phase top-N (operators/corpus.py:source_cap);
+    bit-identical to the naive single window the oracle runs."""
+    return corpus.source_cap(load(spark, sf_dir, "documents"))
+
+
+register(
+    "source_cap_firstn",
+    _q_source_cap,
+    f"""WITH r AS (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_sql_md5_prefix_value("CAST(doc_id AS VARCHAR)", 8)},
+                            doc_id) AS rank_in_source
+          FROM documents)
+        SELECT doc_id, lang, source,
+               CAST(rank_in_source AS INT) AS rank_in_source
+        FROM r WHERE rank_in_source <= {corpus.SOURCE_CAP}""",
+)
+
+
 register("bpe_merge_train", _q_bpe_merges, _bpe_sql(corpus.BPE_MERGES))
 
 

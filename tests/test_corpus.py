@@ -5,6 +5,7 @@ pin the edge cases oracles share with the Spark side)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cocktailsdb_spark.operators import corpus
@@ -388,3 +389,26 @@ def test_pmi_collocations_hand_computed(spark):
     assert got.n_pair == 5 and abs(got.pmi - want) < 1e-9
     # the top row must be the strongest collocation
     assert (out[0].term_a, out[0].term_b) == ("x", "y")
+
+
+def test_source_cap_matches_naive_window(spark):
+    from cocktailsdb_spark.operators.text import md5_prefix_value
+
+    rows = [(i, "t", "en", f"src{i % 3}") for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        (r.doc_id, r.rank_in_source)
+        for r in corpus.source_cap(docs, cap=7).collect()
+    }
+    # naive single-window reference
+    u = md5_prefix_value(F.col("doc_id").cast("string"), 8)
+    w = Window.partitionBy("source").orderBy(u, "doc_id")
+    ref = {
+        (r.doc_id, r.rn)
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 7).collect()
+    }
+    assert got == ref and len(got) == 21

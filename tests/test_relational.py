@@ -248,3 +248,35 @@ def test_gapfill_interpolate_semantics(spark):
     assert got["2024-01-04"] == (40.0, False)
     assert got["2024-01-05"] == (25.0, True)
     assert got["2024-01-06"] == (10.0, False)
+
+
+def test_asof_next_forward_tolerance(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import events as E
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    rows = [
+        # user 1: purchase at :10 -> errors at :10 (same-ts, inclusive,
+        # min event_id wins the tie) and :20
+        (1, t(10), 1, "purchase", 1.0, None),
+        (2, t(10), 1, "error", 1.0, None),
+        (3, t(10), 1, "error", 1.0, None),
+        (4, t(20), 1, "error", 1.0, None),
+        # user 2: purchase at :10, error only BEFORE it -> no match
+        (5, t(10), 2, "purchase", 1.0, None),
+        (6, t(5), 2, "error", 1.0, None),
+        # user 3: error beyond tolerance -> NULL match but row kept
+        (7, t(0), 3, "purchase", 1.0, None),
+        (8, t(59), 3, "error", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.purchase_id: r for r in E.asof_next(ev, tolerance_sec=1800).collect()}
+    assert len(out) == 3
+    assert out[1].next_id == 2            # same-ts inclusive, event_id tie -> 2
+    assert out[5].next_id is None         # only earlier errors
+    assert out[7].next_id is None         # beyond 30min tolerance

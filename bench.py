@@ -93,6 +93,14 @@ BENCH_QUERIES = [
     "heavy_hitters_exact",
     "correlation_matrix_fast",
     "gapfill_interpolate",
+    # round-5 session-2 additions
+    "graph_bfs_levels",
+    "ccnet_quality_buckets",
+    "pmi_collocations",
+    "winsorized_stats",
+    "encoding_runs_report",
+    "source_cap_firstn",
+    "asof_join_next",
 ]
 
 

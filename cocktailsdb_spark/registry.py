@@ -53,6 +53,17 @@ from . import registry_ext  # noqa: E402,F401
 # this round's new additions) first; everything else keeps registration order
 # behind them. Rotate per round as families accumulate driver-green rows.
 _DRIVER_PRIORITY: list[str] = [
+    # round-5 session-2 additions (never driver-checked): BFS levels,
+    # CCNet tertiles, PMI collocations, winsorized stats, distributed
+    # RLE-run advisor, per-source cap, forward as-of, hopping stream
+    "graph_bfs_levels",
+    "ccnet_quality_buckets",
+    "pmi_collocations",
+    "winsorized_stats",
+    "encoding_runs_report",
+    "source_cap_firstn",
+    "asof_join_next",
+    "streaming_sliding_halfhour",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1806,6 +1806,17 @@ register(
 
 register("streaming_tumbling_hour", stream_queries.streaming_tumbling_hour, TUMBLING_SQL)
 register(
+    "streaming_sliding_halfhour",
+    stream_queries.streaming_sliding_halfhour,
+    """WITH s AS (
+         SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/1800)
+                 AS BIGINT) * 1800 * 1000000) AS s1
+         FROM events),
+       b AS (SELECT s1 AS window_start FROM s
+             UNION ALL SELECT s1 - INTERVAL 30 MINUTE FROM s)
+       SELECT window_start, count(*) AS n FROM b GROUP BY 1""",
+)
+register(
     "streaming_session_window",
     stream_queries.streaming_session_window,
     SESSION_WINDOW_SQL,

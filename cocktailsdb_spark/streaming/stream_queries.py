@@ -545,3 +545,42 @@ def streaming_incremental_append(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window over the event stream: 1-hour windows
+    every 30 minutes, complete mode — each event lands in exactly two
+    overlapping windows (the streaming twin of the batch
+    window_sliding_halfhour, which materializes the same two-window
+    expansion explicitly). Fills the one windowing shape §2.7 lacked:
+    tumbling, session, and now hopping.
+
+    State cost at scale: windows/event = window/slide = 2; the state
+    store holds (2 × distinct windows in the watermark horizon) rows —
+    sizing is slide-bound, not event-bound, which is why a 1h/30m hop is
+    cheap but a 1h/1s hop is the classic misconfiguration."""
+    name = "stream_sliding_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_slide_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    with _low_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result

@@ -38,6 +38,17 @@ BUDGETS = {
     "bm25_rank_query": 3,  # df agg + stats scalar + score agg (tf checkpointed)
     "gapfill_daily_revenue": 2,  # daily agg + LOCF window (spine joins broadcast)
     "skyline_parts": 1,  # distinct-point agg; both skyline passes are narrow
+    # round-5 session-2 additions
+    "asof_join_next": 1,  # union + one user-partitioned following window
+    "winsorized_stats": 2,  # rank window + clipped agg (cuts broadcast back)
+    "source_cap_firstn": 2,  # salted pre-truncate window + per-source window
+    # pmi/ccnet/encoding_runs carry several SINGLE-PARTITION scalar-agg
+    # exchanges (vocab totals, doc counts, calendar-day stitches) whose
+    # payloads are constant-size; the budgets pin the overall count so a
+    # lost broadcast (which would add a data-sized exchange) still trips
+    "pmi_collocations": 11,
+    "ccnet_quality_buckets": 8,
+    "encoding_runs_report": 8,
     # triangle_count is excluded: its persisted canon/deg subtrees re-print
     # inside every InMemoryRelation reference, so formatted-tree Exchange
     # counts measure plan printing, not runtime shuffles (runtime shape is

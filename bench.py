@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "encoding_runs_report",
     "source_cap_firstn",
     "asof_join_next",
+    "incremental_join_mv",
+    "mad_outlier_report",
+    "hll_sketch_rollup",
 ]
 
 

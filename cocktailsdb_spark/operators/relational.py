@@ -560,3 +560,125 @@ def winsorized_stats(
         qround(sx / n, 4).alias("win_mean"),
         qround(F.sqrt(var), 4).alias("win_std"),
     )
+
+
+INCR_JOIN_CUTOFF = "1998-01-01"
+
+
+def incremental_join_mv(
+    orders: DataFrame, customer: DataFrame, cutoff: str = INCR_JOIN_CUTOFF
+) -> DataFrame:
+    """Materialized JOIN-view maintenance — the delta-join identity
+    Δ(O ⋈ C) = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC (the standard
+    incremental view maintenance rule; complements
+    :func:`incremental_agg_merge`, which maintains an aggregate view).
+    O splits on the cutoff date (ΔO = the new order batch); ΔC models a
+    late-arriving customer cohort (c_custkey % 50 == 0).
+
+    The refreshed view is V_old ∪ the three delta joins, aggregated per
+    market segment; the oracle is the FULL recompute O ⋈ C, so a green
+    hash proves delta maintenance ≡ rescan. Scale shape: the three delta
+    joins each touch one delta side (batch-sized, not history-sized) —
+    ΔC broadcasts both times it appears; only V_old = O_old ⋈ C_old is
+    history-sized, and in a real deployment that term is the STORED view
+    (read, not recomputed) — the whole point of the pattern. The final
+    aggregate merges decimal partials exactly as incremental_agg_merge.
+    """
+    is_new_o = F.to_date("o_orderdate") >= F.lit(cutoff)
+    is_new_c = F.col("c_custkey") % 50 == 0
+    o_old, d_o = orders.filter(~is_new_o), orders.filter(is_new_o)
+    c_old, d_c = customer.filter(~is_new_c), customer.filter(is_new_c)
+
+    def j(o_side: DataFrame, c_side: DataFrame, bcast: bool) -> DataFrame:
+        c2 = c_side.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        return o_side.select("o_custkey", "o_totalprice").join(
+            F.broadcast(c2) if bcast else c2, "o_custkey"
+        )
+
+    part = lambda df: df.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_partial"),
+        F.count("*").alias("n_partial"),
+    )
+    v_old = part(j(o_old, c_old, False))          # the stored view term
+    deltas = part(
+        j(d_o, c_old, False)
+        .unionByName(j(o_old, d_c, True))
+        .unionByName(j(d_o, d_c, True))
+    )
+    return (
+        v_old.unionByName(deltas)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("rev_partial").cast("double").alias("revenue"),
+            F.sum("n_partial").alias("n_orders"),
+        )
+    )
+
+
+MAD_K = 3.0
+
+
+def mad_outlier_report(orders: DataFrame, k: float = MAD_K) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: a value is
+    an outlier when |x − median| > k·MAD (Hampel filter, k≈3 — the
+    robust-statistics replacement for the 3-sigma rule, which breaks when
+    outliers inflate sigma itself). Completes the robust-profiling family
+    next to :func:`winsorized_stats` (clipping) and rolling z-score
+    (parametric).
+
+    Both medians are type-1 quantiles (exact element selection — the same
+    convention as quantile_disc) computed with one rank window each; the
+    group-sized cutoff rows broadcast back onto the data, so the plan is
+    two window passes + one final aggregate. The derived deviation is a
+    single double subtraction (identical IEEE op both engines), so the
+    second median is exact too.
+    """
+
+    def _median_of(df: DataFrame, val: str, tiebreak: str) -> DataFrame:
+        w = Window.partitionBy("o_orderpriority").orderBy(val, tiebreak)
+        ranked = df.select(
+            "o_orderpriority",
+            val,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(
+                Window.partitionBy("o_orderpriority")
+            ).alias("n"),
+        )
+        idx = F.floor(F.lit(0.5) * (F.col("n") - 1)).cast("int") + 1
+        return ranked.groupBy("o_orderpriority").agg(
+            F.max(F.when(F.col("rn") == idx, F.col(val))).alias(f"med_{val}")
+        )
+
+    med = _median_of(orders, "o_totalprice", "o_orderkey")
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("med_o_totalprice").alias("med"),
+        F.abs(F.col("o_totalprice") - F.col("med_o_totalprice")).alias("dev"),
+    )
+    mad = _median_of(dev, "dev", "o_orderkey").withColumnRenamed(
+        "med_dev", "mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "med",
+            "mad",
+            "n_outliers",
+            qround(
+                F.col("n_outliers").cast("double") / F.col("n"), 6
+            ).alias("outlier_ratio"),
+        )
+    )

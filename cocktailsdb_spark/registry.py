@@ -64,6 +64,9 @@ _DRIVER_PRIORITY: list[str] = [
     "source_cap_firstn",
     "asof_join_next",
     "streaming_sliding_halfhour",
+    "incremental_join_mv",
+    "mad_outlier_report",
+    "hll_sketch_rollup",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

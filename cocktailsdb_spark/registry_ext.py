@@ -810,6 +810,26 @@ register(
         FROM orders GROUP BY 1""",
 )
 
+def _q_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for a JOIN view — delta-join identity, three batch-sized delta
+    joins + the stored-view term (operators/relational.py:
+    incremental_join_mv); oracle = full recompute."""
+    return relational.incremental_join_mv(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+register(
+    "incremental_join_mv",
+    _q_incr_join,
+    f"""SELECT c.c_mktsegment,
+               {_d('o.o_totalprice')} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1""",
+)
+
+
 
 def _q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window family: percent_rank / cume_dist per customer.
@@ -1364,3 +1384,71 @@ def _encoding_runs_sql() -> str:
 
 
 register("encoding_runs_report", _q_encoding_runs, _encoding_runs_sql())
+
+
+def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers — Hampel |x−med| > k·MAD filter, two exact type-1
+    median passes (operators/relational.py:mad_outlier_report)."""
+    return relational.mad_outlier_report(load(spark, sf_dir, "orders"))
+
+
+def _mad_sql() -> str:
+    from .operators.relational import MAD_K
+
+    med1 = """SELECT o_orderpriority,
+                max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS INT) + 1
+                         THEN o_totalprice END) AS med
+              FROM (SELECT o_orderpriority, o_totalprice,
+                           row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS rn,
+                           count(*) OVER (PARTITION BY o_orderpriority) AS n
+                    FROM orders)
+              GROUP BY o_orderpriority"""
+    return f"""WITH med AS ({med1}),
+        dev AS (SELECT o.o_orderpriority, o.o_orderkey, m.med,
+                       abs(o.o_totalprice - m.med) AS dev
+                FROM orders o JOIN med m USING (o_orderpriority)),
+        dr AS (SELECT o_orderpriority, med, dev,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY dev, o_orderkey) AS rn,
+                      count(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM dev),
+        mad AS (SELECT o_orderpriority,
+                       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS INT) + 1
+                                THEN dev END) AS mad
+                FROM dr GROUP BY o_orderpriority)
+        SELECT d.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               d.med, a.mad,
+               CAST(sum(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               {sql_qround(
+                   f"CAST(sum(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)", 6)} AS outlier_ratio
+        FROM dev d JOIN mad a USING (o_orderpriority)
+        GROUP BY 1, 3, 4"""
+
+
+register("mad_outlier_report", _q_mad, _mad_sql())
+
+
+def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation — monthly HLL partials union-merged to the
+    global grain without a rescan (operators/profiling.py:
+    hll_sketch_rollup); oracle checks exact counts + boundedness."""
+    from .operators import profiling
+
+    return profiling.hll_sketch_rollup(load(spark, sf_dir, "events"))
+
+
+register(
+    "hll_sketch_rollup",
+    _q_hll_rollup,
+    """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS scope,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+              TRUE AS within_bound
+       FROM events GROUP BY 1
+       UNION ALL
+       SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+       FROM events""",
+)

@@ -146,3 +146,22 @@ def test_encoding_runs_null_values_form_runs(spark):
     out = {r.col_name: r for r in P.encoding_runs_report(ev).collect()}
     # NULL,NULL is one run (null-safe equality), then A
     assert out["event_type"].n_runs == 2
+
+
+def test_hll_rollup_estimate_within_bound(spark):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1 + (i % 3), 1 + (i % 20), 0, 0), i % 40,
+         "click", 1.0, None)
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.scope: r for r in P.hll_sketch_rollup(ev).collect()}
+    assert out["ALL"].n_exact == 40
+    assert all(r.within_bound for r in out.values())
+    assert len(out) == 4  # 3 months + ALL

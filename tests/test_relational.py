@@ -280,3 +280,39 @@ def test_asof_next_forward_tolerance(spark):
     assert out[1].next_id == 2            # same-ts inclusive, event_id tie -> 2
     assert out[5].next_id is None         # only earlier errors
     assert out[7].next_id is None         # beyond 30min tolerance
+
+
+def test_incremental_join_mv_all_quadrants(spark):
+    # orders split by cutoff date, customers split by custkey%50 — make
+    # sure every quadrant (old×old, new×old, old×new, new×new) is hit and
+    # the delta-maintained view equals the direct recompute
+    orders = spark.createDataFrame(
+        [
+            (1, 100, "1997-06-01", 10.0),   # old order, old cust
+            (2, 100, "1998-02-01", 20.0),   # new order, old cust
+            (3, 50, "1997-06-01", 40.0),    # old order, delta cust
+            (4, 50, "1998-02-01", 80.0),    # new order, delta cust
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    customer = spark.createDataFrame(
+        [(100, "AUTO"), (50, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    )
+    got = {
+        r.c_mktsegment: (r.revenue, r.n_orders)
+        for r in relational.incremental_join_mv(orders, customer).collect()
+    }
+    assert got == {"AUTO": (30.0, 2), "BUILDING": (120.0, 2)}
+
+
+def test_mad_outliers_hampel(spark):
+    # 11 values: 10 around 100 (med=100, MAD small) plus one wild 10000
+    vals = [98.0, 99.0, 99.5, 100.0, 100.5, 101.0, 101.5, 102.0, 97.0, 103.0, 10000.0]
+    df = spark.createDataFrame(
+        [(i, "P", v) for i, v in enumerate(vals)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    r = relational.mad_outlier_report(df).collect()[0]
+    assert r.n == 11 and r.med == 100.5 and r.mad == 1.5
+    assert r.n_outliers == 1  # only the 10000

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "incremental_join_mv",
     "mad_outlier_report",
     "hll_sketch_rollup",
+    "corpus_drift_kl",
+    "python_datasource_read",
 ]
 
 

@@ -697,3 +697,76 @@ def source_cap(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
             F.col("rank_in_source").cast("int").alias("rank_in_source"),
         )
     )
+
+
+DRIFT_BASELINE_SOURCE = "src0"
+DRIFT_SMOOTH = 0.5
+DRIFT_TOP_N = 20
+_DRIFT_SCALE = int(1e9)
+
+
+def corpus_drift_kl(
+    docs: DataFrame,
+    baseline_source: str = DRIFT_BASELINE_SOURCE,
+    smooth: float = DRIFT_SMOOTH,
+    top_n: int = DRIFT_TOP_N,
+) -> DataFrame:
+    """Corpus drift detection: KL divergence between the incoming corpus
+    P (every source except ``baseline_source``) and the baseline corpus Q
+    (the reference slice), with the top contributing terms — the check a
+    training pipeline runs before folding a new crawl into the mix, so a
+    topical/language shift is a number with named culprits, not a
+    surprise at eval time.
+
+    KL(P‖Q) = Σ_t p_t ln(p_t/q_t) over the UNION vocabulary with
+    add-``smooth`` smoothing (so q_t is never 0). ONE token pass computes
+    both sides' counts as conditional aggregates on the same groupBy;
+    corpus totals broadcast back. Per-term contributions are quantized to
+    1e-9 and the TOTAL row sums those integers — order-insensitive, so
+    both engines report the identical divergence (same recipe as
+    unigram_logprob_score). Output: top_n terms by |contribution| plus a
+    '<TOTAL>' row carrying the full KL.
+    """
+    is_base = F.col("source") == baseline_source
+    tok = spread(docs).select(is_base.alias("b"), F.explode(tokens()).alias("term"))
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(~F.col("b"), 1).otherwise(0)).alias("c_in"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("c_ref"),
+    )
+    totals = counts.agg(
+        F.sum("c_in").alias("t_in"),
+        F.sum("c_ref").alias("t_ref"),
+        F.count("*").alias("vocab"),
+    )
+    p = (F.col("c_in") + F.lit(smooth)) / (
+        F.col("t_in") + F.lit(smooth) * F.col("vocab")
+    )
+    q = (F.col("c_ref") + F.lit(smooth)) / (
+        F.col("t_ref") + F.lit(smooth) * F.col("vocab")
+    )
+    contrib_q = F.floor(
+        p * F.log(p / q) * F.lit(float(_DRIFT_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.col("c_in").cast("long").alias("c_in"),
+        F.col("c_ref").cast("long").alias("c_ref"),
+        contrib_q.alias("cq"),
+    )
+    top = (
+        scored.orderBy(F.abs(F.col("cq")).desc(), F.asc("term"))
+        .limit(top_n)
+        .select(
+            "term", "c_in", "c_ref",
+            (F.col("cq") / F.lit(float(_DRIFT_SCALE))).alias("kl_contrib"),
+        )
+    )
+    total = scored.agg(
+        (F.sum("cq") / F.lit(float(_DRIFT_SCALE))).alias("kl_contrib")
+    ).select(
+        F.lit("<TOTAL>").alias("term"),
+        F.lit(None).cast("long").alias("c_in"),
+        F.lit(None).cast("long").alias("c_ref"),
+        "kl_contrib",
+    )
+    return top.unionByName(total)

@@ -67,6 +67,8 @@ _DRIVER_PRIORITY: list[str] = [
     "incremental_join_mv",
     "mad_outlier_report",
     "hll_sketch_rollup",
+    "corpus_drift_kl",
+    "python_datasource_read",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

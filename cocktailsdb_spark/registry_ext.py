@@ -1452,3 +1452,41 @@ register(
        SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
        FROM events""",
 )
+
+
+def _q_py_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — user-defined Python DataSource (pyspark.sql.datasource V2
+    API): distributed partition-planned synthetic ledger, aggregated per
+    account (sources/py_datasource.py). The oracle regenerates the rows
+    from range() with the same integer hash."""
+    from .numeric import dsum
+    from .sources.py_datasource import LedgerDataSource
+
+    spark.dataSource.register(LedgerDataSource)
+    df = (
+        spark.read.format("synth_ledger")
+        .option("rows", "8000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return df.groupBy("account").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("amount")).alias("total"),
+    )
+
+
+register(
+    "python_datasource_read",
+    _q_py_datasource,
+    """WITH g AS (
+         SELECT i AS entry_id,
+                CAST((i * 2654435761) % 4294967296 AS BIGINT) AS h
+         FROM range(0, 8000) t(i)),
+       rows_ AS (SELECT entry_id,
+                        CAST(h % 97 AS INT) AS account,
+                        (h % 1000000) / 100.0 AS amount
+                 FROM g)
+       SELECT account, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(amount AS DECIMAL(24,8))) AS DOUBLE) AS total
+       FROM rows_ GROUP BY account""",
+)

@@ -2656,6 +2656,51 @@ register(
 )
 
 
+def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/corpus — KL-divergence drift between the incoming corpus and the
+    baseline source slice, integer-quantized contributions so the TOTAL
+    row is order-insensitive (operators/corpus.py:corpus_drift_kl)."""
+    return corpus.corpus_drift_kl(load(spark, sf_dir, "documents"))
+
+
+def _drift_sql() -> str:
+    s = corpus.DRIFT_SMOOTH
+    sc = corpus._DRIFT_SCALE
+    return f"""WITH tok AS (
+          SELECT source = '{corpus.DRIFT_BASELINE_SOURCE}' AS b,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        counts AS (SELECT term,
+                          CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS c_in,
+                          CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS c_ref
+                   FROM tok GROUP BY term),
+        tot AS (SELECT CAST(sum(c_in) AS BIGINT) AS t_in,
+                       CAST(sum(c_ref) AS BIGINT) AS t_ref,
+                       CAST(count(*) AS BIGINT) AS vocab
+                FROM counts),
+        scored AS (
+          SELECT term, c_in, c_ref,
+                 CAST(floor(
+                   ((c_in + {s}) / (t_in + {s} * vocab))
+                   * ln(((c_in + {s}) / (t_in + {s} * vocab))
+                        / ((c_ref + {s}) / (t_ref + {s} * vocab)))
+                   * {sc}.0 + 0.5) AS BIGINT) AS cq
+          FROM counts CROSS JOIN tot),
+        top AS (
+          SELECT term, c_in, c_ref, cq / {sc}.0 AS kl_contrib,
+                 row_number() OVER (ORDER BY abs(cq) DESC, term ASC) AS rn
+          FROM scored)
+        SELECT term, c_in, c_ref, kl_contrib
+        FROM top WHERE rn <= {corpus.DRIFT_TOP_N}
+        UNION ALL
+        SELECT '<TOTAL>', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(sum(cq) AS BIGINT) / {sc}.0
+        FROM scored"""
+
+
+register("corpus_drift_kl", _q_corpus_drift, _drift_sql())
+
+
 register("bpe_merge_train", _q_bpe_merges, _bpe_sql(corpus.BPE_MERGES))
 
 

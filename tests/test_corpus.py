@@ -412,3 +412,27 @@ def test_source_cap_matches_naive_window(spark):
         ).filter(F.col("rn") <= 7).collect()
     }
     assert got == ref and len(got) == 21
+
+
+def test_corpus_drift_zero_when_identical(spark):
+    # same distribution in baseline and incoming -> every contribution ~0
+    rows = [(i, "a b c d", "en", "src0" if i % 2 else "srcX") for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus.corpus_drift_kl(docs).collect()
+    total = [r for r in out if r.term == "<TOTAL>"][0]
+    assert abs(total.kl_contrib) < 1e-6
+
+
+def test_corpus_drift_flags_shifted_term(spark):
+    # "zzz" appears only in the incoming corpus -> top positive contributor
+    rows = [(i, "a b", "en", "src0") for i in range(20)] + [
+        (100 + i, "a zzz", "en", "srcX") for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus.corpus_drift_kl(docs).collect()
+    top_term = out[0]
+    assert top_term.term == "zzz" and top_term.kl_contrib > 0

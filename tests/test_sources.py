@@ -98,3 +98,24 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) >= {"id", "name", "score"}
     got = {r["id"]: r["score"] for r in merged.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+def test_python_datasource_partition_planning(spark):
+    from cocktailsdb_spark.sources.py_datasource import LedgerDataSource
+
+    spark.dataSource.register(LedgerDataSource)
+    df = (
+        spark.read.format("synth_ledger")
+        .option("rows", "1000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts == 4                       # the planner's partitions are real
+    assert df.count() == 1000
+    # deterministic content: same read twice is identical
+    a = sorted(r.entry_id for r in df.filter(F.col("account") == 0).collect())
+    b = sorted(r.entry_id for r in df.filter(F.col("account") == 0).collect())
+    assert a == b and len(a) > 0

@@ -421,13 +421,17 @@ def asof_next(
         "user_id", "ts", "event_id", F.lit(1).alias("side"),
         F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")).alias("r"),
     )
+    # forward lookup via the REVERSED running frame: last(ignorenulls)
+    # over desc order == first right at-or-after in asc order, but O(n)
+    # per partition (a (currentRow, unboundedFollowing) frame re-scans to
+    # the partition end per row — quadratic on hub users)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("side").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = left.unionByName(right).withColumn(
-        "next_r", F.first("r", ignorenulls=True).over(w)
+        "next_r", F.last("r", ignorenulls=True).over(w)
     )
     within = F.col("next_r.ts") <= F.col("ts") + F.expr(
         f"INTERVAL {int(tolerance_sec)} SECOND"

@@ -453,9 +453,13 @@ def gapfill_interpolate(orders: DataFrame) -> DataFrame:
 
     Same spine/plan as gapfill_locf (one daily-aggregate shuffle, JVM
     `sequence()` spine, per-series window passes — series key is the
-    parallelism unit). Four window expressions over ONE per-series
-    ordering recover the bounding observations: last/first(ignorenulls)
-    over the backward/forward frames for both value and day. The
+    parallelism unit). The bounding observations come from two RUNNING
+    frames: backward last(ignorenulls) on the ascending order, and the
+    forward bound via last(ignorenulls) on the DESCENDING order — never
+    a (currentRow, unboundedFollowing) frame, which Spark's
+    UnboundedFollowingWindowFunctionFrame evaluates by re-scanning to
+    the partition end for every row (O(n²) per partition; measured 2.6 s
+    → 0.9 s at sf0.1 on 2.4k-day series when rewritten). The
     interpolation weight (d−d0)/(d1−d0) and the blend are single
     same-order IEEE expressions, qround(4) — value-exact cross-engine.
     Trailing days (no next observation) carry the last value; the spine
@@ -480,15 +484,15 @@ def gapfill_interpolate(orders: DataFrame) -> DataFrame:
     )
     fwd = (
         Window.partitionBy("series")
-        .orderBy("dt")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("dt").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_v = F.last("revenue", ignorenulls=True).over(back)
-    next_v = F.first("revenue", ignorenulls=True).over(fwd)
+    next_v = F.last("revenue", ignorenulls=True).over(fwd)
     prev_d = F.last(
         F.when(F.col("revenue").isNotNull(), F.col("dt")), ignorenulls=True
     ).over(back)
-    next_d = F.first(
+    next_d = F.last(
         F.when(F.col("revenue").isNotNull(), F.col("dt")), ignorenulls=True
     ).over(fwd)
     span = F.datediff(next_d, prev_d).cast("double")

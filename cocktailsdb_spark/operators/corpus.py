@@ -285,7 +285,9 @@ def decontaminate(
 LM_SMOOTH = 0.5
 
 
-def unigram_logprob_score(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFrame:
+def unigram_logprob_score(
+    docs: DataFrame, smooth: float = LM_SMOOTH, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Perplexity-proxy quality scoring (the CCNet-style LM filter): train
     a smoothed unigram LM on the corpus itself, then score each document
     by its mean token log-probability — low scores flag gibberish /
@@ -296,8 +298,15 @@ def unigram_logprob_score(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFra
     per-doc sums; the vocabulary aggregate is broadcast back (vocab ≪
     corpus — same shape as tfidf). Per-token ln p is quantized to 6 dp
     and summed in integer space, so the cross-engine mean is exact; the
-    final mean divides once and qrounds 4 dp."""
-    tok = spread(docs).select("doc_id", F.explode(tokens()).alias("term"))
+    final mean divides once and qrounds 4 dp.
+
+    ``carry`` names doc-constant columns (e.g. lang) to ride the token
+    pass through the per-doc aggregate — callers that need them then skip
+    a doc-sized join-back (ccnet_quality_buckets saves a sort-merge join
+    this way)."""
+    tok = spread(docs).select(
+        "doc_id", *carry, F.explode(tokens()).alias("term")
+    )
     counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
     totals = counts.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("vocab")
@@ -309,10 +318,11 @@ def unigram_logprob_score(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFra
     return (
         tok.join(F.broadcast(counts), "term")
         .crossJoin(F.broadcast(totals))
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(F.sum(q).alias("qs"), F.count("*").alias("n_tokens"))
         .select(
             "doc_id",
+            *carry,
             F.col("n_tokens").cast("int").alias("n_tokens"),
             qround(F.col("qs") / 1e6 / F.col("n_tokens"), 4).alias("mean_logprob"),
         )
@@ -560,8 +570,7 @@ def ccnet_quality_buckets(docs: DataFrame, smooth: float = LM_SMOOTH) -> DataFra
     Output: (lang, bucket, n_docs, min_score, max_score), ≤ 3 rows per
     language.
     """
-    scored = unigram_logprob_score(docs, smooth)
-    with_lang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    with_lang = unigram_logprob_score(docs, smooth, carry=("lang",))
     w = Window.partitionBy("lang").orderBy("mean_logprob", "doc_id")
     ranked = with_lang.select(
         "lang",

@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "hll_sketch_rollup",
     "corpus_drift_kl",
     "python_datasource_read",
+    "range_pruned_revenue",
+    "zorder_box_revenue",
+    "observed_load_metrics",
+    "fk_orphans_report",
 ]
 
 

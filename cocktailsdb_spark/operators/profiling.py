@@ -432,3 +432,144 @@ def hll_sketch_rollup(events: DataFrame, bound: float = HLL_REL_ERR) -> DataFram
         ).alias("within_bound"),
     )
     return per_month.unionByName(global_row)
+
+
+def observed_load_metrics(df: DataFrame) -> DataFrame:
+    """Load-time QA metrics via ``pyspark.sql.Observation`` — counters
+    that PIGGYBACK the load action itself (Spark's observable metrics /
+    CollectMetrics API) instead of paying a second scan: at 100 TB the
+    difference between "profile while writing" and "profile afterwards"
+    is a full reread of the table. deequ's "analyzer on the write path"
+    is the same idea; here it is the raw public API.
+
+    The observed expressions use the repo's exactness recipes (decimal
+    revenue sum, BIGINT counts, min/max dates formatted) so the one-row
+    result is engine-exact; the oracle recomputes the identical metrics
+    with a plain aggregate. The pass that carries the metrics runs
+    through the no-op sink — all partitions computed, nothing collected.
+    """
+    from pyspark.sql import Observation
+
+    from ..numeric import dsum
+
+    obs = Observation("load_qa")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.min(F.to_date("l_shipdate")).alias("min_day"),
+        F.max(F.to_date("l_shipdate")).alias("max_day"),
+        dsum(F.col("l_extendedprice")).alias("revenue"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["null_qty"]),
+                m["min_day"].isoformat(),
+                m["max_day"].isoformat(),
+                float(m["revenue"]),
+            )
+        ],
+        "n_rows long, null_qty long, min_day string, max_day string, revenue double",
+    )
+
+
+def fk_orphans_report(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge (lineitem→orders/part/supplier, orders→customer,
+    customer→nation) — the constraint check a lake has to run itself
+    because parquet enforces nothing.
+
+    One scan per CHILD table, not per edge: lineitem's three FK columns
+    are checked in a single pass with three left joins against the
+    DISTINCT parent-key sets and conditional null counts. Parent key sets
+    are dimension-sized here and broadcast; at the scale where a parent
+    key set stops broadcasting (orders at 100 TB), the same plan runs as
+    a shuffled anti-join per edge — the orphan COUNT contract is
+    unchanged. Output: (relationship, n_child_rows, n_orphans).
+    """
+
+    def keys(df: DataFrame, col: str) -> DataFrame:
+        return df.select(F.col(col).alias(f"_pk_{col}")).distinct()
+
+    li = (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(keys(orders, "o_orderkey")),
+            F.col("l_orderkey") == F.col("_pk_o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(keys(part, "p_partkey")),
+            F.col("l_partkey") == F.col("_pk_p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(keys(supplier, "s_suppkey")),
+            F.col("l_suppkey") == F.col("_pk_s_suppkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_pk_o_orderkey").isNull().cast("long")).alias("o1"),
+            F.sum(F.col("_pk_p_partkey").isNull().cast("long")).alias("o2"),
+            F.sum(F.col("_pk_s_suppkey").isNull().cast("long")).alias("o3"),
+        )
+    )
+    li_rows = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_orderkey -> orders").alias("relationship"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("o1").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_partkey -> part").alias("relationship"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("o2").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_suppkey -> supplier").alias("relationship"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("o3").alias("n_orphans"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    def one(child: DataFrame, col: str, parent: DataFrame, pcol: str, label: str):
+        return (
+            child.select(F.col(col))
+            .join(
+                F.broadcast(keys(parent, pcol)),
+                F.col(col) == F.col(f"_pk_{pcol}"),
+                "left",
+            )
+            .agg(
+                F.count("*").alias("n_child_rows"),
+                F.sum(F.col(f"_pk_{pcol}").isNull().cast("long")).alias(
+                    "n_orphans"
+                ),
+            )
+            .select(
+                F.lit(label).alias("relationship"), "n_child_rows", "n_orphans"
+            )
+        )
+
+    return li_rows.unionByName(
+        one(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey -> customer")
+    ).unionByName(
+        one(customer, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey -> nation")
+    )

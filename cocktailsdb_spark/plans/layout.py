@@ -409,3 +409,76 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
 GROUP BY o_orderpriority
 """
+
+
+RANGE_SLICE = ("1995-03-01", "1995-06-01")
+
+
+def range_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the range-sorted layout (range_sorted_write) through a tight
+    shipdate slice: the predicate reaches the parquet footers, and because
+    every file covers a disjoint shipdate range, ~7/8 of the files never
+    leave the manifest (the same statistics test_layout.py asserts are
+    disjoint). The oracle runs the identical slice on the RAW fixture, so
+    a green hash proves the layout rewrite is content-preserving AND the
+    pruned scan misses nothing."""
+    lo, hi = RANGE_SLICE
+    path = range_sorted_write(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(24,8)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+RANGE_PRUNED_SQL = """
+SELECT l_returnflag, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+  AND l_shipdate < TIMESTAMP '1995-06-01'
+GROUP BY l_returnflag
+"""
+
+ZBOX_PART = (1000, 3000)
+ZBOX_SUPP = (50, 150)
+
+
+def zorder_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the z-ordered layout (zorder_write) with a 2-D box predicate
+    on (l_partkey, l_suppkey) — the workload z-ordering exists for: both
+    columns' footer min/max stay tight in every file because the sort key
+    interleaves their bits, so the box prunes files on EITHER column.
+    Same oracle contract as range_pruned_revenue: identical predicate on
+    the raw fixture proves the rewrite lost nothing."""
+    p_lo, p_hi = ZBOX_PART
+    s_lo, s_hi = ZBOX_SUPP
+    path = zorder_write(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where(
+            F.col("l_partkey").between(p_lo, p_hi)
+            & F.col("l_suppkey").between(s_lo, s_hi)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(24,8)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+ZORDER_BOX_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_partkey BETWEEN {ZBOX_PART[0]} AND {ZBOX_PART[1]}
+  AND l_suppkey BETWEEN {ZBOX_SUPP[0]} AND {ZBOX_SUPP[1]}
+"""

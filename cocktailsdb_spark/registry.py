@@ -69,6 +69,10 @@ _DRIVER_PRIORITY: list[str] = [
     "hll_sketch_rollup",
     "corpus_drift_kl",
     "python_datasource_read",
+    "range_pruned_revenue",
+    "zorder_box_revenue",
+    "observed_load_metrics",
+    "fk_orphans_report",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -331,6 +331,16 @@ register(
     _layout.PARTITION_PRUNED_SQL,
 )
 register(
+    "range_pruned_revenue",
+    _layout.range_pruned_revenue,
+    _layout.RANGE_PRUNED_SQL,
+)
+register(
+    "zorder_box_revenue",
+    _layout.zorder_box_revenue,
+    _layout.ZORDER_BOX_SQL,
+)
+register(
     "bucketed_join_revenue",
     _layout.bucketed_join_revenue,
     _layout.BUCKETED_JOIN_SQL,
@@ -1489,4 +1499,78 @@ register(
        SELECT account, CAST(count(*) AS BIGINT) AS n,
               CAST(sum(CAST(amount AS DECIMAL(24,8))) AS DOUBLE) AS total
        FROM rows_ GROUP BY account""",
+)
+
+
+def _q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observable metrics (CollectMetrics) — QA counters that ride the
+    load pass through the noop sink, no second scan
+    (operators/profiling.py:observed_load_metrics)."""
+    from .operators import profiling
+
+    return profiling.observed_load_metrics(load(spark, sf_dir, "lineitem"))
+
+
+register(
+    "observed_load_metrics",
+    _q_observed_metrics,
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_qty,
+              strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_day,
+              strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_day,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE)
+                AS revenue
+       FROM lineitem""",
+)
+
+
+def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts for all five FK edges,
+    one scan per child table (operators/profiling.py:fk_orphans_report)."""
+    from .operators import profiling
+
+    return profiling.fk_orphans_report(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+register(
+    "fk_orphans_report",
+    _q_fk_orphans,
+    """SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+              CAST(count(*) AS BIGINT) AS n_child_rows,
+              CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+       FROM lineitem l
+       UNION ALL
+       SELECT 'lineitem.l_partkey -> part', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+       FROM lineitem l
+       UNION ALL
+       SELECT 'lineitem.l_suppkey -> supplier', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+       FROM lineitem l
+       UNION ALL
+       SELECT 'orders.o_custkey -> customer', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+       FROM orders o
+       UNION ALL
+       SELECT 'customer.c_nationkey -> nation', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+       FROM customer c""",
 )

@@ -3,6 +3,8 @@ profile_table), hand-computed and independent of the DuckDB oracles."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cocktailsdb_spark.operators import profiling as P
 
 
@@ -165,3 +167,32 @@ def test_hll_rollup_estimate_within_bound(spark):
     assert out["ALL"].n_exact == 40
     assert all(r.within_bound for r in out.values())
     assert len(out) == 4  # 3 months + ALL
+
+
+def test_fk_orphans_detects_planted_orphans(spark):
+    li = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 999), (3, 77, 100)],  # 999: no supplier; 77: no order
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    orders = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 6)], "o_orderkey long, o_custkey long"
+    )
+    # order 3 has custkey 6 but only customer 5 exists -> 1 orphan there
+    orders = orders.withColumn(
+        "o_orderkey", F.when(F.col("o_orderkey") == 3, 4).otherwise(F.col("o_orderkey"))
+    )
+    customer = spark.createDataFrame([(5, 0)], "c_custkey long, c_nationkey long")
+    part = spark.createDataFrame([(10,)], "p_partkey long")
+    supplier = spark.createDataFrame([(100,)], "s_suppkey long")
+    nation = spark.createDataFrame([(0,)], "n_nationkey long")
+    out = {
+        r.relationship: r
+        for r in P.fk_orphans_report(
+            li, orders, customer, part, supplier, nation
+        ).collect()
+    }
+    assert out["lineitem.l_orderkey -> orders"].n_orphans == 1   # orderkey 3
+    assert out["lineitem.l_partkey -> part"].n_orphans == 1      # partkey 77
+    assert out["lineitem.l_suppkey -> supplier"].n_orphans == 1  # suppkey 999
+    assert out["orders.o_custkey -> customer"].n_orphans == 1    # custkey 6
+    assert out["customer.c_nationkey -> nation"].n_orphans == 0

@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "zorder_box_revenue",
     "observed_load_metrics",
     "fk_orphans_report",
+    "embedding_dim_ablation",
+    "spearman_rank_corr",
+    "top_event_paths",
 ]
 
 

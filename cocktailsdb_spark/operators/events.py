@@ -443,3 +443,55 @@ def asof_next(
         F.when(within, F.col("next_r.id")).alias("next_id"),
         F.when(within, F.col("next_r.ts")).alias("next_ts"),
     )
+
+
+PATH_LEN = 5
+PATH_TOP_N = 25
+
+
+def top_event_paths(
+    events: DataFrame, path_len: int = PATH_LEN, top_n: int = PATH_TOP_N
+) -> DataFrame:
+    """Path analysis: the most common event-type sequences users actually
+    take — each (user, day) journey truncated to its first ``path_len``
+    steps, counted corpus-wide, top-N. The product-analytics primitive
+    behind sankey/"user flow" views, and (as n-gram-over-actions) the
+    behavioral-cloning data prep for agentic training sets.
+
+    ONE data-sized shuffle: the (user, day) groupBy builds each journey
+    with sort_array(collect_list(struct(ts, event_id, type))) — the
+    struct sort gives the deterministic (ts, event_id) order WITHOUT a
+    window pass, the transform/slice/concat are narrow JVM expressions,
+    and journeys are bounded by path_len before the path count. The path
+    aggregate then carries one row per distinct journey; top-N is a
+    bounded TakeOrdered heap.
+    """
+    day = F.col("ts").cast("date")
+    j = (
+        events.groupBy(F.col("user_id"), day.alias("day"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(F.col("seq"), lambda s: s["et"]), 1, path_len
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        j.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), F.asc("path"))
+        .limit(top_n)
+    )

@@ -686,3 +686,50 @@ def mad_outlier_report(orders: DataFrame, k: float = MAD_K) -> DataFrame:
             ).alias("outlier_ratio"),
         )
     )
+
+
+def spearman_rank_corr(lineitem: DataFrame) -> DataFrame:
+    """Per-group Spearman rank correlation between quantity and extended
+    price — the monotonic-association twin of the Pearson entries
+    (stats_moments, correlation_matrix): outlier-proof, and the right
+    correlation for skewed columns a profiler meets in the wild.
+
+    Classical average-rank tie handling: avg_rank = min_rank + (ties−1)/2
+    from a rank window plus a (group, value)-count window; ranks are
+    half-integers, exactly representable, so the Pearson-on-ranks moment
+    sums are DECIMAL-exact and both engines combine them with one
+    identical IEEE expression (the stats_moments recipe). Two window
+    specs + the final aggregate; all partition by the group key first, so
+    the group is the parallelism unit.
+    """
+    g = "l_returnflag"
+    x, y = "l_quantity", "l_extendedprice"
+
+    def avg_rank(col: str) -> Column:
+        rk = F.rank().over(Window.partitionBy(g).orderBy(col))
+        ties = F.count("*").over(Window.partitionBy(g, col))
+        return rk + (ties - F.lit(1)) / F.lit(2.0)
+
+    ranked = lineitem.select(
+        g,
+        avg_rank(x).alias("rx"),
+        avg_rank(y).alias("ry"),
+    )
+    m = ranked.groupBy(g).agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("rx")).alias("sx"),
+        dsum(F.col("ry")).alias("sy"),
+        dsum(F.col("rx") * F.col("rx")).alias("sxx"),
+        dsum(F.col("ry") * F.col("ry")).alias("syy"),
+        dsum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        g,
+        n.cast("long").alias("n"),
+        qround(rho, 6).alias("spearman_rho"),
+    )

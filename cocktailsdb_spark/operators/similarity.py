@@ -816,3 +816,50 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
             "max_component"
         ),
     )
+
+
+ABLATION_DIM = 16
+
+
+def dim_ablation_overlap(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    trunc_dim: int = ABLATION_DIM,
+) -> DataFrame:
+    """Embedding dimension-ablation check (the Matryoshka-truncation
+    question): how much of the exact top-k survives when similarity is
+    computed over only the FIRST ``trunc_dim`` dimensions? Retrieval
+    pipelines truncate stored vectors to cut index bytes (MRL embeddings
+    are trained so prefixes stay usable — Kusupati et al. 2022, public);
+    this operator measures what that costs on THIS corpus: overlap@k per
+    query between the full-dim and truncated-dim rankings.
+
+    Both rankings reuse :func:`cosine_topk` (same broadcast-query plan,
+    rounded-sim rank determinism); the truncated side just slices the
+    array column — a narrow JVM expression, no second embedding table.
+    Output: (query_id, n_overlap, overlap_frac). A tiny (k·|Q|)-row join
+    computes the intersection.
+    """
+    full = cosine_topk(emb, query_ids, k)
+    trunc = cosine_topk(
+        emb.withColumn("embedding", F.slice("embedding", 1, trunc_dim)),
+        query_ids,
+        k,
+    )
+    hit = trunc.select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    from ..numeric import qround as _qr
+
+    return (
+        full.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            _qr(F.col("n_overlap").cast("double") / F.lit(float(k)), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )

@@ -73,6 +73,9 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_box_revenue",
     "observed_load_metrics",
     "fk_orphans_report",
+    "embedding_dim_ablation",
+    "spearman_rank_corr",
+    "top_event_paths",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

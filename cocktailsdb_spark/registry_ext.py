@@ -1574,3 +1574,61 @@ register(
                   THEN 1 ELSE 0 END) AS BIGINT)
        FROM customer c""",
 )
+
+
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with average-rank ties — Pearson on
+    exact half-integer ranks (operators/relational.py:spearman_rank_corr)."""
+    return relational.spearman_rank_corr(load(spark, sf_dir, "lineitem"))
+
+
+register(
+    "spearman_rank_corr",
+    _q_spearman,
+    f"""WITH r AS (
+          SELECT l_returnflag,
+                 rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+                   AS rx,
+                 rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                   + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+                   AS ry
+          FROM lineitem),
+        m AS (SELECT l_returnflag,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     {sql_dsum('rx')} AS sx, {sql_dsum('ry')} AS sy,
+                     {sql_dsum('rx * rx')} AS sxx, {sql_dsum('ry * ry')} AS syy,
+                     {sql_dsum('rx * ry')} AS sxy
+              FROM r GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               {sql_qround(
+                   "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)"
+                   " * (n * syy - sy * sy))", 6)} AS spearman_rho
+        FROM m"""
+)
+
+
+def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis — top first-5-step (user, day) journeys
+    (operators/events.py:top_event_paths); sort_array(collect_list)
+    journey build, no window pass."""
+    return events.top_event_paths(load(spark, sf_dir, "events"))
+
+
+register(
+    "top_event_paths",
+    _q_event_paths,
+    f"""WITH j AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 array_to_string(
+                   list_slice(
+                     list(event_type ORDER BY ts, event_id),
+                     1, {events.PATH_LEN}),
+                   '>') AS path
+          FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_journeys
+              FROM j GROUP BY path),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY n_journeys DESC, path ASC) AS rn FROM c)
+        SELECT path, n_journeys FROM r WHERE rn <= {events.PATH_TOP_N}""",
+)

@@ -897,6 +897,51 @@ COSINE_TOPK_SQL = f"""WITH {_SQL_EMB_BASE},
 
 register("embedding_topk_cosine", _q_cosine_topk, COSINE_TOPK_SQL)
 
+def _q_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — Matryoshka-truncation ablation: overlap@k between full-dim
+    and first-16-dim cosine rankings (operators/similarity.py:
+    dim_ablation_overlap)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.dim_ablation_overlap(e, QUERY_IDS, k=TOPK)
+
+
+def _ablation_sql() -> str:
+    d = similarity.ABLATION_DIM
+    tv = f"v[1:{d}]"
+    dot_tt = _sql_dot(tv, tv)
+    return f"""WITH {_SQL_EMB_BASE},
+        tn AS (SELECT vec_id, v, nv, sqrt({dot_tt}) AS tn_ FROM nrm),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn,
+                     v[1:{d}] AS tqv, tn_ AS tqn
+              FROM tn WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        fp AS (SELECT q.query_id, c.vec_id,
+                      {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+               FROM tn c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        fr AS (SELECT query_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id ASC) AS rn FROM fp)
+               WHERE rn <= {TOPK}),
+        tp AS (SELECT q.query_id, c.vec_id,
+                      {sql_qround(_sql_dot("q.tqv", f"c.v[1:{d}]") + " / (q.tqn * c.tn_)", 6)} AS sim
+               FROM tn c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        tr AS (SELECT query_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id ASC) AS rn FROM tp)
+               WHERE rn <= {TOPK})
+        SELECT f.query_id,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap,
+               {sql_qround(
+                   "CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)"
+                   f" AS DOUBLE) / {TOPK}.0", 6)} AS overlap_frac
+        FROM fr f LEFT JOIN tr t
+          ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+        GROUP BY f.query_id"""
+
+
+register("embedding_dim_ablation", _q_dim_ablation, _ablation_sql())
+
+
 
 def _q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 via @pandas_udf — Arrow-batched dot with the same fold order as

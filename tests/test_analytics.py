@@ -198,3 +198,25 @@ def test_winsorized_stats_clips_outlier(spark):
     assert abs(r.win_mean - 10.45) < 1e-9
     # raw mean would be 58.5 — winsorization must have removed the outlier
     assert r.win_std < 10
+
+
+def test_top_event_paths_order_and_truncation(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import events as E
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = (
+        # user 1: 7 events in one day -> path truncated to first 5
+        [(i, t(i), 1, c, 1.0, None) for i, c in enumerate("abcdefg")]
+        # users 2,3: identical 2-step journeys -> count 2
+        + [(10, t(1), 2, "x", 1.0, None), (11, t(2), 2, "y", 1.0, None)]
+        + [(12, t(1), 3, "x", 1.0, None), (13, t(2), 3, "y", 1.0, None)]
+    )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.path: r.n_journeys for r in E.top_event_paths(ev).collect()}
+    assert out == {"x>y": 2, "a>b>c>d>e": 1}

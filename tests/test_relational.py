@@ -316,3 +316,23 @@ def test_mad_outliers_hampel(spark):
     r = relational.mad_outlier_report(df).collect()[0]
     assert r.n == 11 and r.med == 100.5 and r.mad == 1.5
     assert r.n_outliers == 1  # only the 10000
+
+
+def test_spearman_perfect_monotone_and_ties(spark):
+    # y = x^3 is monotone in x -> rho = 1 even though Pearson < 1;
+    # add a tie pair to exercise average ranks
+    rows = [(i, "A", float(v), float(v) ** 3) for i, v in enumerate([1, 2, 2, 3, 5, 8])]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    r = relational.spearman_rank_corr(df).collect()[0]
+    assert r.n == 6 and abs(r.spearman_rho - 1.0) < 1e-9
+
+
+def test_spearman_perfect_inverse(spark):
+    rows = [(i, "A", float(i), float(-i)) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    r = relational.spearman_rank_corr(df).collect()[0]
+    assert abs(r.spearman_rho + 1.0) < 1e-9

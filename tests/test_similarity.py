@@ -251,3 +251,16 @@ def test_ivf_stored_index_prunes_partitions_dynamically(spark, sf_dir):
     assert sorted(map(tuple, stored.collect())) == sorted(
         map(tuple, inplan.collect())
     )
+
+
+def test_dim_ablation_full_dim_is_perfect_overlap(spark):
+    from cocktailsdb_spark.operators import similarity as S
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # truncating to the FULL dimension must reproduce the exact ranking
+    out = S.dim_ablation_overlap(emb, [0, 1], k=3, trunc_dim=8).collect()
+    assert all(r.n_overlap == 3 and r.overlap_frac == 1.0 for r in out)

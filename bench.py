@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "embedding_dim_ablation",
     "spearman_rank_corr",
     "top_event_paths",
+    "gdpr_erasure_audit",
 ]
 
 

@@ -482,3 +482,44 @@ FROM lineitem
 WHERE l_partkey BETWEEN {ZBOX_PART[0]} AND {ZBOX_PART[1]}
   AND l_suppkey BETWEEN {ZBOX_SUPP[0]} AND {ZBOX_SUPP[1]}
 """
+
+
+GDPR_COHORT_MOD = 97
+GDPR_COHORT_REM = 3
+
+
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure workflow end-to-end (sources/formats.py:
+    gdpr_erase): events adopted into the versioned layout, the cohort
+    user_id % 97 == 3 erased into a new version by atomic pointer flip,
+    and the audit row a DPO expects: rows before, rows erased, rows
+    after, and the erased cohort's remaining row count (must be 0).
+    Version 1 intentionally still holds the rows until vacuum — the
+    docstring of gdpr_erase is the retention caveat. Oracle recomputes
+    every number from the raw fixture."""
+    import shutil
+
+    from ..sources import formats
+
+    path = _cache_path("events_gdpr", sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    cohort = (F.col("user_id") % GDPR_COHORT_MOD) == GDPR_COHORT_REM
+    if not _cache_fresh(os.path.join(path, "v_00000001"), src):
+        shutil.rmtree(path, ignore_errors=True)
+        load(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path)
+    formats.gdpr_erase(spark, path, cohort, tag="cohort97r3")
+    before = formats.read_table(spark, path, version=1)
+    after = formats.read_table(spark, path)
+    b = before.agg(F.count("*").cast("long").alias("n_before"))
+    a = after.agg(
+        F.count("*").cast("long").alias("n_after"),
+        F.sum(cohort.cast("long")).cast("long").alias("cohort_rows_after"),
+    )
+    return b.crossJoin(a).select(
+        "n_before",
+        (F.col("n_before") - F.col("n_after")).alias("n_erased"),
+        "n_after",
+        "cohort_rows_after",
+    )

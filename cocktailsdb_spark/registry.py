@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_dim_ablation",
     "spearman_rank_corr",
     "top_event_paths",
+    "gdpr_erasure_audit",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1632,3 +1632,16 @@ register(
                 ORDER BY n_journeys DESC, path ASC) AS rn FROM c)
         SELECT path, n_journeys FROM r WHERE rn <= {events.PATH_TOP_N}""",
 )
+
+
+register(
+    "gdpr_erasure_audit",
+    _layout.gdpr_erasure_audit,
+    f"""SELECT CAST(count(*) AS BIGINT) AS n_before,
+              CAST(sum(CASE WHEN user_id % {97} = {3} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_erased,
+              CAST(count(*) - sum(CASE WHEN user_id % {97} = {3} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_after,
+              CAST(0 AS BIGINT) AS cohort_rows_after
+       FROM events""",
+)

@@ -364,3 +364,43 @@ CORRUPT_TOLERANT_SQL = f"""
 SELECT event_id, ts, user_id, event_type, value
 FROM events WHERE event_id % {CORRUPT_EVERY} <> 0
 """
+
+
+def gdpr_erase(spark: SparkSession, path: str, predicate, tag: str) -> None:
+    """Right-to-erasure pass over a versioned table: rewrite the current
+    version WITHOUT the rows matching ``predicate`` and commit the result
+    as the next version via the same atomic manifest flip as compaction —
+    readers never see a partial table, and the job is a plain anti-filter
+    scan-and-write (the parquet reality behind DELETE: immutable files
+    mean erasure is a rewrite, which is why erasure batches are queued
+    and amortized, not run per request).
+
+    Compliance caveat the versioning makes explicit: the PREVIOUS version
+    still contains the erased rows until :func:`vacuum_versions` drops it
+    — "deleted" means unreachable-by-pointer first and physically gone
+    only after retention. ``tag`` marks the manifest so a re-run with the
+    same tag is a no-op (idempotent maintenance job).
+    """
+    base = path.rstrip("/")
+    m = _read_manifest(base)
+    if m is None:
+        m = _adopt_versioned(spark, base)
+    if m.get("erased_tag") == tag:
+        return
+    from pyspark.sql import Observation
+
+    src = spark.read.parquet(os.path.join(base, m["version_dir"]))
+    next_v = int(m["version"]) + 1
+    vdir = f"v_{next_v:08d}"
+    obs = Observation(f"gdpr_{next_v}")
+    kept = src.filter(~predicate).observe(obs, F.count(F.lit(1)).alias("rows"))
+    kept.write.mode("overwrite").parquet(os.path.join(base, vdir))
+    _write_manifest(
+        base,
+        {
+            "version": next_v,
+            "version_dir": vdir,
+            "rows": int(obs.get["rows"]),
+            "erased_tag": tag,
+        },
+    )

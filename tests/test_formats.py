@@ -156,3 +156,33 @@ def test_corrupt_tolerant_read_quarantines_bad_lines(spark, sf_dir):
     assert good.count() == total - n_bad_expected
     # no corrupted id survives, and values parse exactly
     assert good.filter(f"event_id % {formats.CORRUPT_EVERY} = 0").count() == 0
+
+
+def test_gdpr_erase_idempotent_and_time_travel(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cocktailsdb_spark.sources import formats
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "id long, user_id long"
+    ).write.parquet(path)
+    pred = F.col("user_id") == 3
+    formats.gdpr_erase(spark, path, pred, tag="u3")
+    cur = formats.read_table(spark, path)
+    assert cur.count() == 80
+    assert cur.filter(pred).count() == 0
+    # previous version retains the rows until vacuum (the retention caveat)
+    assert formats.read_table(spark, path, version=1).filter(pred).count() == 20
+    # idempotent: same tag is a no-op, version does not advance
+    v_before = formats.list_versions(path)
+    formats.gdpr_erase(spark, path, pred, tag="u3")
+    assert formats.list_versions(path) == v_before
+    # vacuum drops the retained copy — the physical deletion step
+    formats.vacuum_versions(path, keep=1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        formats.read_table(spark, path, version=1)

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "spearman_rank_corr",
     "top_event_paths",
     "gdpr_erasure_audit",
+    "daily_user_accounting",
 ]
 
 

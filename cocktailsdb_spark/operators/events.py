@@ -495,3 +495,38 @@ def top_event_paths(
         .orderBy(F.desc("n_journeys"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def daily_user_accounting(events: DataFrame) -> DataFrame:
+    """Growth accounting: per calendar day — active users, NEW users
+    (first ever appearance), returning users, and the cumulative unique
+    user count. The dashboard primitive behind every DAU/new-vs-returning
+    chart, and a shape worth doing right: the naive form re-scans history
+    per day, this one never does.
+
+    Plan: ONE distinct over (user, day) collapses the event stream; a
+    row_number window per user marks each user's first day (no join back
+    against a first-seen table); the day aggregate counts active/new; the
+    running cumulative sum runs on the DAY-grain frame — calendar-sized
+    (~2.5k rows for 7 years), so its single-partition window is metadata
+    work, the same justification as the encoding-runs boundary stitch.
+    """
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = ud.select(
+        "day", (F.row_number().over(w) == 1).cast("long").alias("is_new")
+    )
+    daily = marked.groupBy("day").agg(
+        F.count("*").cast("long").alias("active_users"),
+        F.sum("is_new").cast("long").alias("new_users"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(wd).cast("long").alias("cumulative_unique"),
+    )

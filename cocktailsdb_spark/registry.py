@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: list[str] = [
     "spearman_rank_corr",
     "top_event_paths",
     "gdpr_erasure_audit",
+    "daily_user_accounting",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

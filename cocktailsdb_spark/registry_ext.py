@@ -1645,3 +1645,31 @@ register(
               CAST(0 AS BIGINT) AS cohort_rows_after
        FROM events""",
 )
+
+
+def _q_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — active/new/returning/cumulative-unique per day
+    from one (user, day) distinct + first-day window; cumulative runs on
+    the calendar-sized day frame (operators/events.py:
+    daily_user_accounting)."""
+    return events.daily_user_accounting(load(spark, sf_dir, "events"))
+
+
+register(
+    "daily_user_accounting",
+    _q_user_accounting,
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+        m AS (SELECT day,
+                     CASE WHEN row_number() OVER (PARTITION BY user_id
+                              ORDER BY day) = 1 THEN 1 ELSE 0 END AS is_new
+              FROM ud),
+        d AS (SELECT day, CAST(count(*) AS BIGINT) AS active_users,
+                     CAST(sum(is_new) AS BIGINT) AS new_users
+              FROM m GROUP BY day)
+        SELECT strftime(day, '%Y-%m-%d') AS day, active_users, new_users,
+               active_users - new_users AS returning_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_unique
+        FROM d""",
+)

@@ -220,3 +220,27 @@ def test_top_event_paths_order_and_truncation(spark):
     )
     out = {r.path: r.n_journeys for r in E.top_event_paths(ev).collect()}
     assert out == {"x>y": 2, "a>b>c>d>e": 1}
+
+
+def test_daily_user_accounting_new_vs_returning(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import events as E
+
+    d = lambda day, h: dt.datetime(2024, 1, day, h)
+    rows = [
+        (1, d(1, 1), 10, "a", 1.0, None),
+        (2, d(1, 2), 10, "a", 1.0, None),   # same user same day: 1 active
+        (3, d(1, 3), 20, "a", 1.0, None),
+        (4, d(2, 1), 10, "a", 1.0, None),   # returning
+        (5, d(2, 2), 30, "a", 1.0, None),   # new
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.day: r for r in E.daily_user_accounting(ev).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1.active_users, d1.new_users, d1.returning_users, d1.cumulative_unique) == (2, 2, 0, 2)
+    assert (d2.active_users, d2.new_users, d2.returning_users, d2.cumulative_unique) == (2, 1, 1, 3)

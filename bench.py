@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "top_event_paths",
     "gdpr_erasure_audit",
     "daily_user_accounting",
+    "quantile_two_pass",
+    "weighted_sample_topn",
 ]
 
 

@@ -779,3 +779,46 @@ def corpus_drift_kl(
         "kl_contrib",
     )
     return top.unionByName(total)
+
+
+WS_SAMPLE_N = 200
+
+
+def weighted_sample_topn(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    n: int = WS_SAMPLE_N,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by the Efraimidis–Spirakis
+    one-pass reservoir scheme (Efraimidis & Spirakis 2006 — public): each
+    row draws u ~ U(0,1) and the sample is the top-n rows by u^(1/w).
+    This is THE distributed weighted sampler — order statistics make it
+    a TakeOrdered bounded heap, no per-group state, restart-safe.
+
+    Determinism recipe: u comes from md5(doc_id) (as in
+    uniform_sample_n), and the sort key is the MONOTONE-equivalent
+    ln(u)/w instead of u^(1/w) — ln is correctly rounded in both
+    engines, pow is the one libm call with real cross-platform drift.
+    Ordering uses the qround'd key with doc_id tiebreak (repo oracle
+    convention). Zero-weight languages never sample (key → -inf guarded
+    out by a filter).
+    """
+    weights = UPSAMPLE_WEIGHTS if weights is None else weights
+    u = (md5_prefix_value(F.col("doc_id").cast("string"), 8) + 1) / F.lit(
+        float(16**8)
+    )
+    wt = None
+    for lang, wv in weights.items():
+        wt = (
+            F.when(F.col("lang") == lang, F.lit(float(wv)))
+            if wt is None
+            else wt.when(F.col("lang") == lang, F.lit(float(wv)))
+        )
+    wt = wt.otherwise(F.lit(0.0))
+    key = qround(F.log(u) / wt, 9)
+    return (
+        docs.select("doc_id", "lang", "source", wt.alias("w"), key.alias("es_key"))
+        .filter(F.col("w") > 0)
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(n)
+    )

@@ -733,3 +733,99 @@ def spearman_rank_corr(lineitem: DataFrame) -> DataFrame:
         n.cast("long").alias("n"),
         qround(rho, 6).alias("spearman_rho"),
     )
+
+
+QTP_BUCKETS = 1024
+QTP_DOMAIN = (0.0, 600000.0)  # o_totalprice domain; prod: first-pass sample
+
+
+def quantile_two_pass(
+    orders: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    n_buckets: int = QTP_BUCKETS,
+    domain: tuple[float, float] = QTP_DOMAIN,
+) -> DataFrame:
+    """EXACT per-group quantiles without a per-group full sort — the
+    histogram-narrowing algorithm every warehouse uses when groups are
+    too big to sort (BigQuery/Presto exact-percentile shape):
+
+    Pass 1 aggregates (group, bucket) counts over a fixed value grid —
+    one map-side-combined shuffle whose output is histogram-sized, not
+    data-sized. The cumulative bucket counts then locate, per group and
+    quantile, WHICH bucket holds the target rank and the residual offset
+    inside it (window over the histogram frame — ≤ groups × n_buckets
+    rows). Pass 2 sorts ONLY the selected buckets: the per-group window
+    now runs on ~n/n_buckets rows, and equal values always share a
+    bucket, so global rank = cumulative-previous + in-bucket rank is
+    exact. Output identical to :func:`quantile_disc` (same type-1
+    definition, same oracle) — green hash proves narrowing ≡ naive sort.
+    The fixed ``domain`` stands in for the sampling pre-pass a production
+    run uses to pick the grid.
+    """
+    lo, hi = domain
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("o_totalprice") - lo) / width).cast("int")
+        ),
+    )
+    hist = (
+        orders.groupBy(
+            "o_orderpriority", bucket.alias("bucket")
+        ).agg(F.count("*").alias("c"))
+    )
+    wb = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "bucket",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cum_prev"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    # selection rows: one per (group, q) — which bucket, which offset
+    sels = []
+    for q in qs:
+        k = F.floor(F.lit(q) * (F.col("n") - 1)).cast("long") + 1
+        sels.append(
+            cum.filter((k > F.col("cum_prev")) & (k <= F.col("cum_prev") + F.col("c")))
+            .select(
+                "o_orderpriority",
+                F.lit(q).alias("q"),
+                "bucket",
+                (k - F.col("cum_prev")).alias("offset"),
+            )
+        )
+    sel = sels[0]
+    for s in sels[1:]:
+        sel = sel.unionByName(s)
+    # pass 2: sort only the selected buckets (≈ n / n_buckets rows each)
+    wanted = sel.select("o_orderpriority", "bucket").distinct()
+    narrowed = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        bucket.alias("bucket"),
+    ).join(F.broadcast(wanted), ["o_orderpriority", "bucket"])
+    wl = Window.partitionBy("o_orderpriority", "bucket").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    local = narrowed.withColumn("lrank", F.row_number().over(wl).cast("long"))
+    picked = local.join(
+        F.broadcast(sel),
+        ["o_orderpriority", "bucket"],
+    ).filter(F.col("lrank") == F.col("offset"))
+    out = picked.groupBy("o_orderpriority").agg(
+        *[
+            F.max(
+                F.when(F.col("q") == q, F.col("o_totalprice"))
+            ).alias(f"p{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    return out

@@ -78,6 +78,8 @@ _DRIVER_PRIORITY: list[str] = [
     "top_event_paths",
     "gdpr_erasure_audit",
     "daily_user_accounting",
+    "quantile_two_pass",
+    "weighted_sample_topn",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1673,3 +1673,28 @@ register(
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_unique
         FROM d""",
 )
+
+
+def _q_quantile_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles by two-pass histogram narrowing — no per-group full
+    sort; SAME oracle as quantile_disc_price, so a green hash proves
+    narrowing == naive (operators/relational.py:quantile_two_pass)."""
+    return relational.quantile_two_pass(load(spark, sf_dir, "orders"))
+
+
+register(
+    "quantile_two_pass",
+    _q_quantile_two_pass,
+    """WITH r AS (
+         SELECT o_orderpriority, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                count(*) OVER (PARTITION BY o_orderpriority) AS n
+         FROM orders)
+       SELECT o_orderpriority,
+              max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS INT) + 1
+                       THEN o_totalprice END) AS p50,
+              max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS INT) + 1
+                       THEN o_totalprice END) AS p90
+       FROM r GROUP BY o_orderpriority""",
+)

@@ -2746,6 +2746,33 @@ def _drift_sql() -> str:
 register("corpus_drift_kl", _q_corpus_drift, _drift_sql())
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis order
+    statistics, ln-transformed key for cross-engine rank safety)
+    (operators/corpus.py:weighted_sample_topn)."""
+    return corpus.weighted_sample_topn(load(spark, sf_dir, "documents"))
+
+
+def _ws_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {float(w)}"
+        for lang, w in corpus.UPSAMPLE_WEIGHTS.items()
+    )
+    u = f"(({_sql_md5_prefix_value('CAST(doc_id AS VARCHAR)', 8)} + 1) / {float(16**8)})"
+    return f"""WITH s AS (
+          SELECT doc_id, lang, source,
+                 CASE lang {cases} ELSE 0.0 END AS w,
+                 {sql_qround(f"ln({u}) / (CASE lang {cases} ELSE 0.0 END)", 9)}
+                   AS es_key
+          FROM documents)
+        SELECT doc_id, lang, source, w, es_key
+        FROM s WHERE w > 0
+        ORDER BY es_key DESC, doc_id ASC LIMIT {corpus.WS_SAMPLE_N}"""
+
+
+register("weighted_sample_topn", _q_weighted_sample, _ws_sql())
+
+
 register("bpe_merge_train", _q_bpe_merges, _bpe_sql(corpus.BPE_MERGES))
 
 

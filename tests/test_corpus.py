@@ -436,3 +436,29 @@ def test_corpus_drift_flags_shifted_term(spark):
     out = corpus.corpus_drift_kl(docs).collect()
     top_term = out[0]
     assert top_term.term == "zzz" and top_term.kl_contrib > 0
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    rows = [(i, "t", "hi" if i % 2 == 0 else "lo", "s") for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus.weighted_sample_topn(
+        docs, weights={"hi": 5.0, "lo": 0.5}, n=200
+    ).collect()
+    n_hi = sum(1 for r in out if r.lang == "hi")
+    assert len(out) == 200
+    # w=5 vs w=0.5: the heavy class must dominate decisively (E[hi] ≈ 190)
+    assert n_hi > 150
+    # deterministic: same call returns the identical sample
+    again = corpus.weighted_sample_topn(docs, weights={"hi": 5.0, "lo": 0.5}, n=200).collect()
+    assert [r.doc_id for r in out] == [r.doc_id for r in again]
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    rows = [(i, "t", "a" if i < 10 else "z", "s") for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus.weighted_sample_topn(docs, weights={"a": 1.0}, n=50).collect()
+    assert all(r.lang == "a" for r in out) and len(out) == 10

@@ -336,3 +336,40 @@ def test_spearman_perfect_inverse(spark):
     )
     r = relational.spearman_rank_corr(df).collect()[0]
     assert abs(r.spearman_rho + 1.0) < 1e-9
+
+
+def test_quantile_two_pass_equals_naive_sort(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    k = 0
+    for g in ["A", "B", "C"]:
+        for _ in range(500):
+            k += 1
+            # heavy ties + out-of-domain values (clamped into edge buckets)
+            v = rng.choice([rng.uniform(-5.0, 700000.0), 250000.0, 250000.0])
+            rows.append((k, g, float(v)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    naive = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in relational.quantile_disc(df).collect()
+    }
+    fast = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in relational.quantile_two_pass(df).collect()
+    }
+    assert fast == naive
+
+
+def test_quantile_two_pass_tiny_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    out = {r.o_orderpriority: (r.p50, r.p90) for r in relational.quantile_two_pass(df).collect()}
+    # n=2: p50 idx floor(.5*1)+1=1 -> 10; p90 idx floor(.9)+1=1 -> 10
+    assert out["A"] == (10.0, 10.0)
+    assert out["B"] == (5.0, 5.0)

@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "daily_user_accounting",
     "quantile_two_pass",
     "weighted_sample_topn",
+    "streaming_tumbling_rocksdb",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1851,6 +1851,11 @@ register(
 
 register("streaming_tumbling_hour", stream_queries.streaming_tumbling_hour, TUMBLING_SQL)
 register(
+    "streaming_tumbling_rocksdb",
+    stream_queries.streaming_tumbling_rocksdb,
+    TUMBLING_SQL,
+)
+register(
     "streaming_sliding_halfhour",
     stream_queries.streaming_sliding_halfhour,
     """WITH s AS (

@@ -584,3 +584,61 @@ def streaming_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+@contextmanager
+def _rocksdb_state(spark: SparkSession):
+    """Run a streaming query under the RocksDB state store provider —
+    the production backend for large state: the default HDFS-backed
+    provider keeps every key in executor heap (OOM at big-state scale),
+    RocksDB keeps working state on local disk with block-cache reads and
+    supports changelog checkpointing. Same API, one conf."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def streaming_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window stream executed on the RocksDB state store —
+    bit-identical results to streaming_tumbling_hour (same oracle): the
+    state BACKEND must never change query semantics, and this entry pins
+    that. State lives off-heap on executor-local disk, which is what
+    makes billion-key watermarked aggregations feasible at 100 TB."""
+    name = "stream_rocks_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_rocks_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    with _low_shuffle(spark), _rocksdb_state(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result

@@ -523,3 +523,28 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_after",
         "cohort_rows_after",
     )
+
+
+def version_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between table VERSIONS: diff two retained
+    snapshots of the versioned events table (the GDPR-erasure table —
+    v1 holds the cohort, current does not) with the same full-outer
+    null-safe compare as snapshot_diff. This is Delta's CDF read
+    re-expressed over the manifest layout: because versions are
+    immutable, the feed is computable after the fact for ANY retained
+    pair, not just the latest commit. Here the expected feed is pure
+    deletes — the erased cohort — which the oracle derives from the raw
+    fixture."""
+    from ..operators.profiling import snapshot_diff
+    from ..sources import formats
+
+    # ensure the erased table exists (idempotent; same cache + tag)
+    gdpr_erasure_audit(spark, sf_dir).collect()
+    path = _cache_path("events_gdpr", sf_dir)
+    old = formats.read_table(spark, path, version=1)
+    new = formats.read_table(spark, path)
+    cols = ["ts", "user_id", "event_type", "value"]
+    return snapshot_diff(
+        old.select("event_id", *cols), new.select("event_id", *cols),
+        key="event_id", compare=cols,
+    )

@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quantile_two_pass",
     "weighted_sample_topn",
     "streaming_tumbling_rocksdb",
+    "version_cdc_feed",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1698,3 +1698,11 @@ register(
                        THEN o_totalprice END) AS p90
        FROM r GROUP BY o_orderpriority""",
 )
+
+
+register(
+    "version_cdc_feed",
+    _layout.version_cdc_feed,
+    f"""SELECT event_id, 'delete' AS change_type
+       FROM events WHERE user_id % {97} = {3}""",
+)

@@ -362,26 +362,25 @@ def encoding_runs_report(
     from ..numeric import qround
 
     joined = totals.crossJoin(F.broadcast(distincts))
-    frames = []
-    for i, c in enumerate(cols):
-        frames.append(
-            joined.select(
-                F.lit(c).alias("col_name"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col(f"nd_{i}").cast("long").alias("n_distinct"),
-                F.col(f"runs_{i}").cast("long").alias("n_runs"),
-                qround(
-                    F.col("n_rows").cast("double") / F.col(f"runs_{i}"), 4
-                ).alias("avg_run_len"),
-                qround(
-                    F.col(f"runs_{i}").cast("double") / F.col("n_rows"), 6
-                ).alias("runs_ratio"),
-            )
+    # pair expansion on the ONE-row aggregate via a single explode —
+    # a union of per-column selects would duplicate the whole data-sized
+    # subtree per branch (same pattern as correlation_matrix)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"nd_{i}").cast("long").alias("n_distinct"),
+            F.col(f"runs_{i}").cast("long").alias("n_runs"),
+            qround(
+                F.col("n_rows").cast("double") / F.col(f"runs_{i}"), 4
+            ).alias("avg_run_len"),
+            qround(
+                F.col(f"runs_{i}").cast("double") / F.col("n_rows"), 6
+            ).alias("runs_ratio"),
         )
-    out = frames[0]
-    for f_ in frames[1:]:
-        out = out.unionAll(f_)
-    return out
+        for i, c in enumerate(cols)
+    ]
+    return joined.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
 HLL_REL_ERR = 0.05
@@ -464,14 +463,15 @@ def observed_load_metrics(df: DataFrame) -> DataFrame:
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
     spark = df.sparkSession
+    day = lambda v: v.isoformat() if v is not None else None  # empty input
     return spark.createDataFrame(
         [
             (
                 int(m["n_rows"]),
-                int(m["null_qty"]),
-                m["min_day"].isoformat(),
-                m["max_day"].isoformat(),
-                float(m["revenue"]),
+                int(m["null_qty"] or 0),
+                day(m["min_day"]),
+                day(m["max_day"]),
+                float(m["revenue"]) if m["revenue"] is not None else None,
             )
         ],
         "n_rows long, null_qty long, min_day string, max_day string, revenue double",

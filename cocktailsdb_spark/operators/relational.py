@@ -555,14 +555,17 @@ def winsorized_stats(
         )
     )
     n, sx, sxx = F.col("n").cast("double"), F.col("sx"), F.col("sxx")
-    var = (sxx - sx * sx / n) / (n - 1)
+    # greatest(.,0): the exact-zero variance of an all-equal group can
+    # round to a tiny negative in double; n>1 guard: 1-row groups have no
+    # sample variance (NULL, not NaN — see spearman_rank_corr note)
+    var = F.greatest(sxx - sx * sx / n, F.lit(0.0)) / (n - 1)
     return g.select(
         "o_orderpriority",
         F.col("n"),
         "p_lo",
         "p_hi",
         qround(sx / n, 4).alias("win_mean"),
-        qround(F.sqrt(var), 4).alias("win_std"),
+        F.when(n > 1, qround(F.sqrt(var), 4)).alias("win_std"),
     )
 
 
@@ -725,13 +728,15 @@ def spearman_rank_corr(lineitem: DataFrame) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    rho = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
-    )
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    rho = (n * sxy - sx * sy) / F.sqrt(den2)
+    # degenerate group (constant column, n<2): den2 <= 0 -> NULL, never
+    # NaN — Spark's floor-based qround coerces NaN to a number while the
+    # DuckDB twin keeps it, so NaN must not reach qround
     return m.select(
         g,
         n.cast("long").alias("n"),
-        qround(rho, 6).alias("spearman_rho"),
+        F.when(den2 > 0, qround(rho, 6)).alias("spearman_rho"),
     )
 
 

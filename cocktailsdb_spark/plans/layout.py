@@ -488,15 +488,10 @@ GDPR_COHORT_MOD = 97
 GDPR_COHORT_REM = 3
 
 
-def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-erasure workflow end-to-end (sources/formats.py:
-    gdpr_erase): events adopted into the versioned layout, the cohort
-    user_id % 97 == 3 erased into a new version by atomic pointer flip,
-    and the audit row a DPO expects: rows before, rows erased, rows
-    after, and the erased cohort's remaining row count (must be 0).
-    Version 1 intentionally still holds the rows until vacuum — the
-    docstring of gdpr_erase is the retention caveat. Oracle recomputes
-    every number from the raw fixture."""
+def _ensure_gdpr_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the versioned events table with the cohort erased;
+    returns its path. Shared by gdpr_erasure_audit and version_cdc_feed so
+    neither pays the other's aggregations."""
     import shutil
 
     from ..sources import formats
@@ -510,6 +505,22 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(path)
     formats.gdpr_erase(spark, path, cohort, tag="cohort97r3")
+    return path
+
+
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure workflow end-to-end (sources/formats.py:
+    gdpr_erase): events adopted into the versioned layout, the cohort
+    user_id % 97 == 3 erased into a new version by atomic pointer flip,
+    and the audit row a DPO expects: rows before, rows erased, rows
+    after, and the erased cohort's remaining row count (must be 0).
+    Version 1 intentionally still holds the rows until vacuum — the
+    docstring of gdpr_erase is the retention caveat. Oracle recomputes
+    every number from the raw fixture."""
+    from ..sources import formats
+
+    cohort = (F.col("user_id") % GDPR_COHORT_MOD) == GDPR_COHORT_REM
+    path = _ensure_gdpr_table(spark, sf_dir)
     before = formats.read_table(spark, path, version=1)
     after = formats.read_table(spark, path)
     b = before.agg(F.count("*").cast("long").alias("n_before"))
@@ -538,9 +549,7 @@ def version_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import snapshot_diff
     from ..sources import formats
 
-    # ensure the erased table exists (idempotent; same cache + tag)
-    gdpr_erasure_audit(spark, sf_dir).collect()
-    path = _cache_path("events_gdpr", sf_dir)
+    path = _ensure_gdpr_table(spark, sf_dir)
     old = formats.read_table(spark, path, version=1)
     new = formats.read_table(spark, path)
     cols = ["ts", "user_id", "event_type", "value"]

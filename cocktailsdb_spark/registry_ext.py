@@ -1347,9 +1347,10 @@ register(
          FROM clipped GROUP BY 1, 2, 3)
        SELECT o_orderpriority, n, p_lo, p_hi,
               {sql_qround("sx / CAST(n AS DOUBLE)", 4)} AS win_mean,
-              {sql_qround(
-                  "sqrt((sxx - sx * sx / CAST(n AS DOUBLE))"
-                  " / (CAST(n AS DOUBLE) - 1))", 4)} AS win_std
+              CASE WHEN n > 1 THEN {sql_qround(
+                  "sqrt(greatest(sxx - sx * sx / CAST(n AS DOUBLE), 0.0)"
+                  " / (CAST(n AS DOUBLE) - 1))", 4)}
+              END AS win_std
        FROM g""",
 )
 
@@ -1601,9 +1602,11 @@ register(
                      {sql_dsum('rx * ry')} AS sxy
               FROM r GROUP BY l_returnflag)
         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-               {sql_qround(
-                   "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)"
-                   " * (n * syy - sy * sy))", 6)} AS spearman_rho
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                    THEN {sql_qround(
+                        "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)"
+                        " * (n * syy - sy * sy))", 6)}
+               END AS spearman_rho
         FROM m"""
 )
 
@@ -1638,9 +1641,13 @@ register(
     "gdpr_erasure_audit",
     _layout.gdpr_erasure_audit,
     f"""SELECT CAST(count(*) AS BIGINT) AS n_before,
-              CAST(sum(CASE WHEN user_id % {97} = {3} THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN user_id % {_layout.GDPR_COHORT_MOD}
+                                 = {_layout.GDPR_COHORT_REM}
+                            THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_erased,
-              CAST(count(*) - sum(CASE WHEN user_id % {97} = {3} THEN 1 ELSE 0 END)
+              CAST(count(*) - sum(CASE WHEN user_id % {_layout.GDPR_COHORT_MOD}
+                                            = {_layout.GDPR_COHORT_REM}
+                                       THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_after,
               CAST(0 AS BIGINT) AS cohort_rows_after
        FROM events""",
@@ -1704,5 +1711,6 @@ register(
     "version_cdc_feed",
     _layout.version_cdc_feed,
     f"""SELECT event_id, 'delete' AS change_type
-       FROM events WHERE user_id % {97} = {3}""",
+       FROM events WHERE user_id % {_layout.GDPR_COHORT_MOD}
+                         = {_layout.GDPR_COHORT_REM}""",
 )

@@ -241,8 +241,16 @@ def compact_small_files(
             f"wrote {rows_written}, manifest says {m['rows']}"
         )
     prev_keep = m["version_dir"]
+    # carry forward content markers (e.g. gdpr_erase's erased_tag):
+    # compaction changes LAYOUT, not content, so idempotency tags survive
+    extras = {
+        k: v
+        for k, v in m.items()
+        if k not in ("version", "version_dir", "rows")
+    }
     _write_manifest(
-        base, {"version": next_ver, "version_dir": next_name, "rows": rows_written}
+        base,
+        {**extras, "version": next_ver, "version_dir": next_name, "rows": rows_written},
     )
     # vacuum everything except the new version and its immediate
     # predecessor (kept for readers that resolved before the flip)
@@ -393,7 +401,11 @@ def gdpr_erase(spark: SparkSession, path: str, predicate, tag: str) -> None:
     next_v = int(m["version"]) + 1
     vdir = f"v_{next_v:08d}"
     obs = Observation(f"gdpr_{next_v}")
-    kept = src.filter(~predicate).observe(obs, F.count(F.lit(1)).alias("rows"))
+    # DELETE-WHERE semantics: a NULL predicate row is NOT matched, so it
+    # must be kept — ~NULL is NULL and a bare filter would drop it
+    kept = src.filter(~F.coalesce(predicate, F.lit(False))).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
     kept.write.mode("overwrite").parquet(os.path.join(base, vdir))
     _write_manifest(
         base,

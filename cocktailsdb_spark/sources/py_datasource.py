@@ -33,10 +33,13 @@ class _LedgerPartition(InputPartition):
 
 class _LedgerReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        self.n_rows = int(options.get("rows", LEDGER_ROWS))
-        self.n_parts = int(options.get("numPartitions", LEDGER_PARTS))
+        self.n_rows = max(0, int(options.get("rows", LEDGER_ROWS)))
+        self.n_parts = max(1, int(options.get("numPartitions", LEDGER_PARTS)))
 
     def partitions(self):  # planned on the driver; metadata only
+        if self.n_rows == 0:
+            # an empty but valid plan: one partition yielding no rows
+            return [_LedgerPartition(0, 0)]
         step = -(-self.n_rows // self.n_parts)
         return [
             _LedgerPartition(lo, min(lo + step, self.n_rows))

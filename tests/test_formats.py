@@ -186,3 +186,35 @@ def test_gdpr_erase_idempotent_and_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError):
         formats.read_table(spark, path, version=1)
+
+
+def test_gdpr_erase_keeps_null_predicate_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cocktailsdb_spark.sources import formats
+
+    path = str(tmp_path / "tbl_null")
+    spark.createDataFrame(
+        [(1, 3), (2, None), (3, 5)], "id long, user_id long"
+    ).write.parquet(path)
+    formats.gdpr_erase(spark, path, F.col("user_id") == 3, tag="t")
+    cur = formats.read_table(spark, path)
+    # DELETE-WHERE: the NULL row is NOT matched -> kept
+    assert sorted(r.id for r in cur.collect()) == [2, 3]
+
+
+def test_gdpr_tag_survives_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cocktailsdb_spark.sources import formats
+
+    path = str(tmp_path / "tbl_tag")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, user_id long"
+    ).write.parquet(path)
+    formats.gdpr_erase(spark, path, F.col("user_id") == 1, tag="x")
+    formats.compact_small_files(spark, path)
+    v = formats.list_versions(path)
+    # same-tag rerun after compaction is still a no-op
+    formats.gdpr_erase(spark, path, F.col("user_id") == 1, tag="x")
+    assert formats.list_versions(path) == v

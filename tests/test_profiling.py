@@ -196,3 +196,11 @@ def test_fk_orphans_detects_planted_orphans(spark):
     assert out["lineitem.l_suppkey -> supplier"].n_orphans == 1  # suppkey 999
     assert out["orders.o_custkey -> customer"].n_orphans == 1    # custkey 6
     assert out["customer.c_nationkey -> nation"].n_orphans == 0
+
+
+def test_observed_metrics_empty_frame(spark):
+    df = spark.createDataFrame(
+        [], "l_quantity double, l_shipdate timestamp, l_extendedprice double"
+    )
+    r = P.observed_load_metrics(df).collect()[0]
+    assert r.n_rows == 0 and r.min_day is None and r.revenue is None

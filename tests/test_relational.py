@@ -373,3 +373,22 @@ def test_quantile_two_pass_tiny_groups(spark):
     # n=2: p50 idx floor(.5*1)+1=1 -> 10; p90 idx floor(.9)+1=1 -> 10
     assert out["A"] == (10.0, 10.0)
     assert out["B"] == (5.0, 5.0)
+
+
+def test_spearman_degenerate_group_is_null(spark):
+    # constant quantity -> no rank variance -> NULL rho, never NaN/0.0
+    rows = [(i, "A", 5.0, float(i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    r = relational.spearman_rank_corr(df).collect()[0]
+    assert r.spearman_rho is None
+
+
+def test_winsorized_single_row_group_null_std(spark):
+    df = spark.createDataFrame(
+        [(1, "P", 10.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    r = relational.winsorized_stats(df).collect()[0]
+    assert r.win_mean == 10.0 and r.win_std is None

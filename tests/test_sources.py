@@ -119,3 +119,20 @@ def test_python_datasource_partition_planning(spark):
     a = sorted(r.entry_id for r in df.filter(F.col("account") == 0).collect())
     b = sorted(r.entry_id for r in df.filter(F.col("account") == 0).collect())
     assert a == b and len(a) > 0
+
+
+def test_python_datasource_zero_rows_and_bad_partitions(spark):
+    from cocktailsdb_spark.sources.py_datasource import LedgerDataSource
+
+    spark.dataSource.register(LedgerDataSource)
+    empty = (
+        spark.read.format("synth_ledger").option("rows", "0").load()
+    )
+    assert empty.count() == 0
+    clamped = (
+        spark.read.format("synth_ledger")
+        .option("rows", "10")
+        .option("numPartitions", "0")
+        .load()
+    )
+    assert clamped.count() == 10

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "daily_user_accounting",
     "quantile_two_pass",
     "weighted_sample_topn",
+    "arrow_token_stats",
 ]
 
 

@@ -77,3 +77,83 @@ def median_by_key(
     from ..numeric import qround
 
     return df.groupBy(key).agg(qround(_median(F.col(value)), 4).alias(out_col))
+
+
+def ngram_cols_udtf_cls():
+    """Polymorphic Python UDTF (Spark 4 dynamic-schema `analyze`): the
+    output schema is COMPUTED from the constant `n` argument at plan
+    time — `ngram_cols(text, 2)` emits (w1, w2), `ngram_cols(text, 3)`
+    emits (w1, w2, w3). This is the half of the UDTF protocol the
+    static-returnType chunk-span UDTF doesn't exercise; real uses are
+    schema-from-config table functions (feature expanders, pivoters)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NgramCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("ngram_cols: n must be a positive int literal")
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"w{i + 1}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ") if text else []
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    return NgramCols
+
+
+def ngram_cols(spark: SparkSession, docs: DataFrame, n: int = 3) -> DataFrame:
+    """LATERAL-join the polymorphic n-gram UDTF: one row per n-gram with
+    n individual word columns (schema decided by analyze())."""
+    from pyspark.sql.functions import udtf
+
+    fn = udtf(ngram_cols_udtf_cls(), useArrow=True)
+    spark.udtf.register("cdbspark_ngram_cols", fn)
+    view = "cdbspark_udtf_ngram_docs"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""SELECT d.doc_id, s.*
+            FROM {view} d, LATERAL cdbspark_ngram_cols(d.text, {int(n)}) s"""
+    )
+
+
+def arrow_token_stats(docs: DataFrame) -> DataFrame:
+    """`mapInArrow` — the zero-copy batch API underneath mapInPandas (no
+    pandas conversion; pyarrow RecordBatches in and out). Per-doc token
+    and character counts computed with pyarrow.compute kernels —
+    vectorized C++ on Arrow buffers, no per-row Python. The JVM twin is
+    trivially `size(split(...))`; the entry exists to pin the LAST
+    Python-boundary shape §2.8 lists, with honest posture: reach for
+    mapInArrow when the batch logic needs Arrow-native libraries
+    (tokenizers-rs, polars) without a pandas round-trip."""
+    import pyarrow as pa
+
+    def _stats(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = pc.coalesce(b.column(1), pa.scalar(""))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int32(),
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _stats, schema="doc_id long, n_tokens int, n_chars int"
+    )

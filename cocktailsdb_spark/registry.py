@@ -82,6 +82,8 @@ _DRIVER_PRIORITY: list[str] = [
     "weighted_sample_topn",
     "streaming_tumbling_rocksdb",
     "version_cdc_feed",
+    "udtf_ngram_cols",
+    "arrow_token_stats",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

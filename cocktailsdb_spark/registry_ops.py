@@ -1789,6 +1789,47 @@ def _q_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _udx.chunk_spans(spark, load(spark, sf_dir, "documents"))
 
 
+def _q_ngram_cols_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — POLYMORPHIC UDTF (dynamic analyze() schema): trigram word
+    columns per document; n is a plan-time literal that determines the
+    output schema (operators/udx.py:ngram_cols). Sliced to every 50th doc
+    to keep the row count honest for the lateral expansion."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    return _udx.ngram_cols(spark, d, n=3)
+
+
+register(
+    "udtf_ngram_cols",
+    _q_ngram_cols_udtf,
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        tok AS (SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM d)
+       SELECT t1.doc_id, t1.w AS w1, t2.w AS w2, t3.w AS w3
+       FROM tok t1
+       JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+       JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2""",
+)
+
+
+def _q_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — mapInArrow zero-copy batch transform: per-doc token/char
+    counts via pyarrow.compute kernels (operators/udx.py:
+    arrow_token_stats)."""
+    return _udx.arrow_token_stats(load(spark, sf_dir, "documents"))
+
+
+register(
+    "arrow_token_stats",
+    _q_arrow_token_stats,
+    """SELECT doc_id,
+              CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS n_tokens,
+              CAST(length(coalesce(text, '')) AS INT) AS n_chars
+       FROM documents""",
+)
+
+
 register(
     "udtf_chunk_spans",
     _q_chunk_spans_udtf,

@@ -34,3 +34,31 @@ def test_udaf_median_matches_hand_computed(spark):
     )
     got = {r["k"]: r["median_value"] for r in udx.median_by_key(df, "k", "v").collect()}
     assert got == {1: 20.0, 2: 6.0}
+
+
+def test_polymorphic_udtf_schema_follows_n(spark):
+    from cocktailsdb_spark.operators import udx
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    two = udx.ngram_cols(spark, docs, n=2)
+    assert two.columns == ["doc_id", "w1", "w2"]
+    assert two.count() == 3
+    four = udx.ngram_cols(spark, docs, n=4)
+    assert four.columns == ["doc_id", "w1", "w2", "w3", "w4"]
+    rows = four.collect()
+    assert len(rows) == 1 and (rows[0].w1, rows[0].w4) == ("a", "d")
+
+
+def test_arrow_token_stats_nulls_and_values(spark):
+    from cocktailsdb_spark.operators import udx
+
+    docs = spark.createDataFrame(
+        [(1, "a bb ccc"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in udx.arrow_token_stats(docs).collect()}
+    assert (out[1].n_tokens, out[1].n_chars) == (3, 8)
+    # NULL text coalesces to "" -> one empty token, zero chars (matches
+    # the DuckDB twin's string_split('') semantics)
+    assert (out[2].n_tokens, out[2].n_chars) == (1, 0)

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "quantile_two_pass",
     "weighted_sample_topn",
     "arrow_token_stats",
+    "variant_props_agg",
 ]
 
 

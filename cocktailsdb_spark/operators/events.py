@@ -530,3 +530,28 @@ def daily_user_accounting(events: DataFrame) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(wd).cast("long").alias("cumulative_unique"),
     )
+
+
+def variant_props_agg(events: DataFrame) -> DataFrame:
+    """X5 via the VARIANT type (Spark 4.0, public SQL:2023-adjacent
+    semi-structured type): ``try_parse_json`` decodes each props payload
+    ONCE into variant's binary encoding, and typed fields come out with
+    ``variant_get`` path expressions — versus get_json_object, which
+    re-parses the string per extraction. At 100 TB with many extractions
+    per row that single-parse property is the entire cost story (and
+    variant columns store shredded in parquet going forward). Malformed
+    payloads become NULL variants (try_), never job failures.
+
+    Output: per event_type — rows with a k value, exact sum and max of k.
+    """
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "version_cdc_feed",
     "udtf_ngram_cols",
     "arrow_token_stats",
+    "variant_props_agg",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

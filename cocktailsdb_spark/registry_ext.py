@@ -1714,3 +1714,21 @@ register(
        FROM events WHERE user_id % {_layout.GDPR_COHORT_MOD}
                          = {_layout.GDPR_COHORT_REM}""",
 )
+
+
+def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — VARIANT semi-structured type (Spark 4): one try_parse_json
+    decode, typed variant_get extraction, exact aggregate
+    (operators/events.py:variant_props_agg)."""
+    return events.variant_props_agg(load(spark, sf_dir, "events"))
+
+
+register(
+    "variant_props_agg",
+    _q_variant_props,
+    """SELECT event_type,
+              CAST(count(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS n_with_k,
+              CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+              CAST(max(CAST(props ->> '$.k' AS INT)) AS INT) AS max_k
+       FROM events GROUP BY event_type""",
+)

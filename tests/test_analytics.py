@@ -244,3 +244,24 @@ def test_daily_user_accounting_new_vs_returning(spark):
     d1, d2 = out["2024-01-01"], out["2024-01-02"]
     assert (d1.active_users, d1.new_users, d1.returning_users, d1.cumulative_unique) == (2, 2, 0, 2)
     assert (d2.active_users, d2.new_users, d2.returning_users, d2.cumulative_unique) == (2, 1, 1, 3)
+
+
+def test_variant_props_malformed_and_null(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import events as E
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"k": 7}'),
+        (2, dt.datetime(2024, 1, 1), 1, "a", 1.0, "not json {{{"),
+        (3, dt.datetime(2024, 1, 1), 1, "a", 1.0, None),
+        (4, dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"other": 1}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = E.variant_props_agg(ev).collect()[0]
+    # only the one well-formed row with a k field counts
+    assert (r.n_with_k, r.sum_k, r.max_k) == (1, 7, 7)

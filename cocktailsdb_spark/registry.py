@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "udtf_ngram_cols",
     "arrow_token_stats",
     "variant_props_agg",
+    "sql_scripting_pipeline",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1732,3 +1732,42 @@ register(
               CAST(max(CAST(props ->> '$.k' AS INT)) AS INT) AS max_k
        FROM events GROUP BY event_type""",
 )
+
+
+def _q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 BEGIN...END control flow, public
+    SQL/PSM-shaped): a script DECLAREs a variable, SETs it from a scalar
+    subquery (decimal-exact mean so the threshold is engine-exact), and
+    the final statement filters against it — the multi-step parameterized
+    report a SQL-first user writes without leaving SQL. The oracle is the
+    equivalent single statement with the subquery inlined."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        BEGIN
+          DECLARE thresh DOUBLE;
+          SET thresh = (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(24,8)))
+                                    AS DOUBLE) / count(*) * 1.5
+                        FROM orders);
+          SELECT CAST(count(*) AS BIGINT) AS n_large,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE)
+                   AS revenue,
+                 thresh AS threshold
+          FROM orders WHERE o_totalprice > thresh;
+        END
+    """)
+
+
+register(
+    "sql_scripting_pipeline",
+    _q_sql_scripting,
+    """WITH t AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(24,8)))
+                              AS DOUBLE) / count(*) * 1.5 AS thresh
+                  FROM orders)
+       SELECT CAST(count(*) AS BIGINT) AS n_large,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE)
+                AS revenue,
+              (SELECT thresh FROM t) AS threshold
+       FROM orders WHERE o_totalprice > (SELECT thresh FROM t)""",
+)

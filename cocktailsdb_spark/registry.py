@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "arrow_token_stats",
     "variant_props_agg",
     "sql_scripting_pipeline",
+    "streaming_restart_exactly_once",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

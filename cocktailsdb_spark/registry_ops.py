@@ -1897,6 +1897,12 @@ register(
     TUMBLING_SQL,
 )
 register(
+    "streaming_restart_exactly_once",
+    stream_queries.streaming_restart_exactly_once,
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY event_type""",
+)
+register(
     "streaming_sliding_halfhour",
     stream_queries.streaming_sliding_halfhour,
     """WITH s AS (

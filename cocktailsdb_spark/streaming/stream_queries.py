@@ -642,3 +642,63 @@ def streaming_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+def streaming_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-recovery semantics end-to-end: the stream is STOPPED
+    mid-input and a NEW query object resumes from the same checkpoint —
+    the restarted run must process only the unseen files, and the file
+    sink's commit log must yield exactly-once output (no loss, no dupes)
+    even though two distinct query incarnations wrote it. The oracle is
+    the plain batch aggregate over all events: any dropped or replayed
+    micro-batch breaks the hash.
+
+    Mechanics: the fixture is split into three source files; incarnation
+    one consumes file 1 and stops; files 2–3 land "while down";
+    incarnation two resumes from the checkpoint and drains. This is the
+    crash-recovery contract a production pipeline actually relies on —
+    checkpoint = source offsets + sink epoch log, not just state."""
+    workdir = tempfile.mkdtemp(prefix="cdbspark_restart_")
+    src_dir = os.path.join(workdir, "in")
+    sink_dir = os.path.join(workdir, "sink")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    os.makedirs(src_dir)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def _write_file(i: int) -> None:
+        parts[i].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"f{i}.parquet")
+        )
+
+    def _incarnation() -> None:
+        q = (
+            spark.readStream.format("parquet")
+            .schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .load(src_dir + "/*")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # "crash": the query object is gone for good
+
+    with _low_shuffle(spark):
+        _write_file(0)
+        _incarnation()
+        _write_file(1)  # arrive while the pipeline is down
+        _write_file(2)
+        _incarnation()  # resume from checkpoint only
+    out = (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .cache()
+    )
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

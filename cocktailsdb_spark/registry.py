@@ -87,6 +87,8 @@ _DRIVER_PRIORITY: list[str] = [
     "variant_props_agg",
     "sql_scripting_pipeline",
     "streaming_restart_exactly_once",
+    "xml_roundtrip",
+    "pandas_api_groupby",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

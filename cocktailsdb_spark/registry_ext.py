@@ -1771,3 +1771,47 @@ register(
               (SELECT thresh FROM t) AS threshold
        FROM orders WHERE o_totalprice > (SELECT thresh FROM t)""",
 )
+
+
+def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-format — built-in XML source round-trip (Spark 4), explicit
+    schema, post-parse filter (sources/formats.py:xml_roundtrip)."""
+    from .sources import formats
+
+    return formats.xml_roundtrip(spark, sf_dir)
+
+
+from .sources.formats import XML_ROUNDTRIP_SQL  # noqa: E402
+
+register("xml_roundtrip", _q_xml_roundtrip, XML_ROUNDTRIP_SQL)
+
+
+def _q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-API-on-Spark front end (pyspark.pandas — the Koalas
+    surface): the same engine driven through pandas idioms; groupby/agg
+    compile to the identical Catalyst plans as the DataFrame API.
+    Integer counts and max only (exact under any aggregation order), cast
+    back to Spark for the oracle compare."""
+    import pyspark.pandas as ps
+
+    pdf = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).pandas_api()
+    g = pdf.groupby("o_orderpriority").agg(
+        n=("o_totalprice", "count"), max_price=("o_totalprice", "max")
+    )
+    out = g.reset_index().to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("max_price").alias("max_price"),
+    )
+
+
+register(
+    "pandas_api_groupby",
+    _q_pandas_api,
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              max(o_totalprice) AS max_price
+       FROM orders GROUP BY o_orderpriority""",
+)

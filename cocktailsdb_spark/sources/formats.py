@@ -416,3 +416,36 @@ def gdpr_erase(spark: SparkSession, path: str, predicate, tag: str) -> None:
             "erased_tag": tag,
         },
     )
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → XML sink → schema'd XML source (Spark 4's built-in XML
+    data source — spark-xml graduated into core). XML is the
+    enterprise-ingest format (feeds, SOAP exports); like JSON it has no
+    footer statistics, so it stays ingest-only and lands in parquet.
+    Explicit read schema — XML inference would widen ints and reorder
+    fields. Customer is the all-scalar table (no timestamps: XML
+    timestamp round-tripping is format-option-dependent; the JSON twin
+    covers that axis)."""
+    work = tempfile.mkdtemp(prefix="cdbspark_xml_")
+    path = os.path.join(work, "customer_xml")
+    ddl = (
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_mktsegment string, c_acctbal double"
+    )
+    load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).write.mode("overwrite").format("xml").option("rowTag", "customer").save(path)
+    return (
+        spark.read.format("xml")
+        .schema(ddl)
+        .option("rowTag", "customer")
+        .load(path)
+        .filter(F.col("c_acctbal") > 0)
+    )
+
+
+XML_ROUNDTRIP_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_acctbal > 0
+"""

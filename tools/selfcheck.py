@@ -58,6 +58,15 @@ def main() -> int:
         "partitions, host timezone) instead of the tuned get_spark() — "
         "every entry must stay oracle-green there too",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra Spark conf overrides applied after session build "
+        "(e.g. spark.sql.adaptive.enabled=false for an AQE-off "
+        "insurance sweep)",
+    )
     args = ap.parse_args()
 
     if args.default_session:
@@ -75,6 +84,9 @@ def main() -> int:
         )
     else:
         spark = get_spark("selfcheck")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     con = duckdb.connect()
     import os as _os
 

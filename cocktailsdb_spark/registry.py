@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_restart_exactly_once",
     "xml_roundtrip",
     "pandas_api_groupby",
+    "collated_segment_count",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

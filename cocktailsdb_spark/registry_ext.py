@@ -1815,3 +1815,35 @@ register(
               max(o_totalprice) AS max_price
        FROM orders GROUP BY o_orderpriority""",
 )
+
+
+def _q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): grouping under UTF8_LCASE treats
+    case variants as ONE key at the comparison level — no lower() scan
+    rewrite, and range/equality predicates stay sargable under the
+    collation. Mixed case is synthesized (even custkeys upper-cased);
+    the emitted label is lower()ed because the collated group's
+    representative value is whichever variant a partition sees first —
+    collation defines equality, not a canonical form. Oracle: the
+    classic lower() rewrite."""
+    c = load(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        c.select(mixed.alias("_m"))
+        .select(F.expr("collate(_m, 'UTF8_LCASE')").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lower(F.col("seg")).alias("segment"), "n")
+    )
+
+
+register(
+    "collated_segment_count",
+    _q_collated_group,
+    """SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                         ELSE lower(c_mktsegment) END) AS segment,
+              CAST(count(*) AS BIGINT) AS n
+       FROM customer GROUP BY 1""",
+)

@@ -545,7 +545,10 @@ def variant_props_agg(events: DataFrame) -> DataFrame:
     Output: per event_type — rows with a k value, exact sum and max of k.
     """
     v = F.try_parse_json("props")
-    k = F.variant_get(v, "$.k", "int")
+    # try_variant_get, not variant_get: a well-formed payload whose k is
+    # non-numeric must degrade to NULL like the malformed ones, per the
+    # no-job-failures contract above
+    k = F.try_variant_get(v, "$.k", "int")
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -1797,7 +1797,7 @@ def _q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = load(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     ).pandas_api()
-    g = pdf.groupby("o_orderpriority").agg(
+    g = pdf.groupby("o_orderpriority", dropna=False).agg(
         n=("o_totalprice", "count"), max_price=("o_totalprice", "max")
     )
     out = g.reset_index().to_spark()

@@ -256,6 +256,8 @@ def test_variant_props_malformed_and_null(spark):
         (2, dt.datetime(2024, 1, 1), 1, "a", 1.0, "not json {{{"),
         (3, dt.datetime(2024, 1, 1), 1, "a", 1.0, None),
         (4, dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"other": 1}'),
+        # well-formed JSON, wrong-typed k: must degrade to NULL, not crash
+        (5, dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"k": "abc"}'),
     ]
     ev = spark.createDataFrame(
         rows,

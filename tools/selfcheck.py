@@ -85,6 +85,8 @@ def main() -> int:
     else:
         spark = get_spark("selfcheck")
     for kv in args.conf:
+        if "=" not in kv:
+            ap.error(f"--conf expects K=V, got {kv!r}")
         k, _, v = kv.partition("=")
         spark.conf.set(k, v)
     con = duckdb.connect()

@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "weighted_sample_topn",
     "arrow_token_stats",
     "variant_props_agg",
+    "xml_roundtrip",
+    "pandas_api_groupby",
+    "collated_segment_count",
+    "sql_scripting_pipeline",
+    "cogroup_asof_pandas",
 ]
 
 

@@ -157,3 +157,58 @@ def arrow_token_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(
         _stats, schema="doc_id long, n_tokens int, n_chars int"
     )
+
+
+def cogroup_asof_pandas(events: DataFrame) -> DataFrame:
+    """Cogrouped applyInPandas — the one Python-boundary shape the rest
+    of §2.8 doesn't touch: TWO grouped frames aligned per key, each
+    (purchases, signups) pair handed to pandas as a unit. The body is
+    pandas.merge_asof (backward, inclusive) — the idiomatic pandas as-of
+    — and the result must be BIT-IDENTICAL to the JVM union-then-window
+    as-of (events.asof_latest / the asof_join_signup oracle): same
+    output from a completely different execution strategy is the
+    strongest cross-implementation check in the §2.8 family.
+
+    Scale posture: cogroup shuffles BOTH sides on the key once (same
+    exchange count as the JVM form) but pays the Arrow boundary and
+    per-group pandas dispatch; it earns its place only when the
+    per-group logic needs a pandas-native algorithm. Tie-break detail:
+    merge_asof takes the LAST right row on equal timestamps, which
+    matches the window form's (ts, side, event_id) ordering only because
+    signups are pre-sorted by (ts, event_id).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "purchase_ts",
+                         "signup_id", "signup_ts"]
+            )
+        right = right.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        m = pd.merge_asof(
+            left.rename(columns={"event_id": "purchase_id", "ts": "purchase_ts"}),
+            right.rename(columns={"event_id": "signup_id", "ts": "signup_ts"}),
+            left_on="purchase_ts",
+            right_on="signup_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m["user_id"] = left["user_id"].iloc[0]
+        return m[["purchase_id", "user_id", "purchase_ts", "signup_id", "signup_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="purchase_id long, user_id long, purchase_ts timestamp, "
+            "signup_id long, signup_ts timestamp",
+        )
+    )

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "xml_roundtrip",
     "pandas_api_groupby",
     "collated_segment_count",
+    "cogroup_asof_pandas",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1847,3 +1847,28 @@ register(
               CAST(count(*) AS BIGINT) AS n
        FROM customer GROUP BY 1""",
 )
+
+
+def _q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — cogrouped applyInPandas: per-user (purchases, signups)
+    pairs merged with pandas.merge_asof; must reproduce the JVM
+    union-then-window as-of bit-for-bit — same oracle as
+    asof_join_signup (operators/udx.py:cogroup_asof_pandas)."""
+    from .operators import udx as _udx2
+
+    return _udx2.cogroup_asof_pandas(load(spark, sf_dir, "events"))
+
+
+register(
+    "cogroup_asof_pandas",
+    _q_cogroup_asof,
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+              s.event_id AS signup_id, s.ts AS signup_ts
+       FROM events p
+       LEFT JOIN LATERAL (
+           SELECT event_id, ts FROM events s
+           WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+             AND s.ts <= p.ts
+           ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) s ON TRUE
+       WHERE p.event_type = 'purchase'""",
+)

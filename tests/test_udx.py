@@ -62,3 +62,27 @@ def test_arrow_token_stats_nulls_and_values(spark):
     # NULL text coalesces to "" -> one empty token, zero chars (matches
     # the DuckDB twin's string_split('') semantics)
     assert (out[2].n_tokens, out[2].n_chars) == (1, 0)
+
+
+def test_cogroup_asof_matches_jvm_asof(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import events as E
+    from cocktailsdb_spark.operators import udx
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(10), 1, "purchase", 1.0, None),
+        (2, t(10), 1, "signup", 1.0, None),    # same-ts inclusive tie
+        (3, t(5), 1, "signup", 1.0, None),
+        (4, t(3), 2, "purchase", 1.0, None),   # purchase before any signup
+        (5, t(7), 2, "signup", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    jvm = {(r.purchase_id, r.signup_id) for r in E.asof_latest(ev).collect()}
+    pdx = {(r.purchase_id, r.signup_id) for r in udx.cogroup_asof_pandas(ev).collect()}
+    assert jvm == pdx == {(1, 2), (4, None)}

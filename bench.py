@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     "collated_segment_count",
     "sql_scripting_pipeline",
     "cogroup_asof_pandas",
+    "psi_price_drift",
+    "benford_digit_report",
+    "frequent_itemset_pairs",
+    "chisq_contingency",
 ]
 
 

@@ -573,3 +573,106 @@ def fk_orphans_report(
     ).unionByName(
         one(customer, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey -> nation")
     )
+
+
+PSI_BUCKETS = 10
+PSI_DOMAIN = (0.0, 600000.0)
+_PSI_SCALE = int(1e9)
+
+
+def psi_price_drift(orders: DataFrame) -> DataFrame:
+    """Population Stability Index between the 1997 and 1998 order-value
+    distributions — the standard model-monitoring drift metric
+    (PSI = Σ (p_i − q_i)·ln(p_i/q_i) over fixed bins; < 0.1 stable,
+    > 0.25 action). The numeric sibling of corpus_drift_kl's text KL.
+
+    ONE conditional-aggregate pass bins both years simultaneously
+    (fixed grid, clamped edges — production fits bins on the reference
+    window); per-bin contributions are quantized to 1e-9 ints so the
+    TOTAL row sums order-insensitively, and Laplace-style +0.5 bin
+    smoothing keeps empty bins finite. Output: one row per bin
+    (bin, n_ref, n_new, psi_contrib) plus a '<TOTAL>' row.
+    """
+    from ..numeric import qround
+
+    lo, hi = PSI_DOMAIN
+    width = (hi - lo) / PSI_BUCKETS
+    year = F.year("o_orderdate")
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("o_totalprice") - lo) / width).cast("int")
+        ),
+    )
+    base = orders.filter(year.isin(1997, 1998)).select(
+        bucket.alias("bin"), (year == 1998).alias("is_new")
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+    )
+    totals = per_bin.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
+    )
+    p = (F.col("n_new") + F.lit(0.5)) / (
+        F.col("t_new") + F.lit(0.5) * PSI_BUCKETS
+    )
+    q = (F.col("n_ref") + F.lit(0.5)) / (
+        F.col("t_ref") + F.lit(0.5) * PSI_BUCKETS
+    )
+    cq = F.floor(
+        (p - q) * F.log(p / q) * F.lit(float(_PSI_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    scored = per_bin.crossJoin(F.broadcast(totals)).select(
+        F.col("bin"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_new").cast("long").alias("n_new"),
+        cq.alias("cq"),
+    )
+    rows = scored.select(
+        F.col("bin").cast("string").alias("bin"),
+        "n_ref",
+        "n_new",
+        (F.col("cq") / F.lit(float(_PSI_SCALE))).alias("psi_contrib"),
+    )
+    total = scored.agg(
+        (F.sum("cq") / F.lit(float(_PSI_SCALE))).alias("psi_contrib")
+    ).select(
+        F.lit("<TOTAL>").alias("bin"),
+        F.lit(None).cast("long").alias("n_ref"),
+        F.lit(None).cast("long").alias("n_new"),
+        "psi_contrib",
+    )
+    return rows.unionByName(total)
+
+
+def benford_digit_report(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit screening of order values — the
+    classic forensic-accounting test (fabricated figures rarely follow
+    the log-uniform leading-digit law; public: Benford 1938, Nigrini's
+    audit practice). Output per digit 1–9: observed count, observed
+    share, Benford-expected share ln(1+1/d)/ln(10), and the absolute
+    deviation — all single same-order IEEE expressions + qround, one
+    map-side-combined aggregate on a 9-value key.
+    """
+    from ..numeric import qround
+
+    d = F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+    per = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(d.cast("int").alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("t"))
+    obs = F.col("n").cast("double") / F.col("t").cast("double")
+    exp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            qround(obs, 6).alias("observed_share"),
+            qround(exp, 6).alias("benford_share"),
+            qround(F.abs(obs - exp), 6).alias("abs_dev"),
+        )
+    )

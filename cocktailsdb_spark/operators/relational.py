@@ -834,3 +834,103 @@ def quantile_two_pass(
         ]
     )
     return out
+
+
+FI_MIN_SUPPORT = 3
+FI_TOP_N = 30
+
+
+def frequent_itemset_pairs(
+    lineitem: DataFrame,
+    min_support: int = FI_MIN_SUPPORT,
+    top_n: int = FI_TOP_N,
+) -> DataFrame:
+    """Market-basket analysis, level 2 of Apriori (Agrawal & Srikant
+    1994 — public): part pairs co-purchased in the same order, with
+    support count and lift against the single-item frequencies. The
+    co-occurrence self-join is keyed on l_orderkey, whose fanout is
+    bounded by lineitems-per-order (≤7 in TPC-H) — the same
+    blocking-IS-the-join-key shape as the triangle census, so candidate
+    pairs are O(orders), never quadratic in parts.
+
+    Lift = P(a,b) / (P(a)·P(b)) over order-basket probabilities; item
+    frequencies are part-sized and broadcast twice; the basket total is
+    a broadcast scalar. Rounded-lift TakeOrdered with the pair as
+    tiebreak (repo ordering convention).
+    """
+    b = lineitem.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    item = b.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n_item"))
+    n_orders = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    no = F.col("n_orders").cast("double")
+    lift = (F.col("support").cast("double") / no) / (
+        (F.col("n_a").cast("double") / no) * (F.col("n_b").cast("double") / no)
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            qround(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(top_n)
+    )
+
+
+def chisq_contingency(orders: DataFrame) -> DataFrame:
+    """Chi-square statistic of independence for the (orderpriority ×
+    quarter) contingency table — the categorical-drift screen next to
+    PSI's numeric one. Expected counts E = row_total·col_total/n and the
+    statistic Σ (O−E)²/E are computed from exact BIGINT marginals with
+    one identical double expression per cell, summed in quantized
+    integer space (order-insensitive). Output: one row — n, dof,
+    chi2 (statistic only; the p-value lookup is a client-side constant
+    table, not an engine operator).
+    """
+    r = F.col("o_orderpriority")
+    c = F.quarter("o_orderdate")
+    cells = orders.groupBy(r.alias("r"), c.alias("c")).agg(
+        F.count("*").alias("o")
+    )
+    rows_ = cells.groupBy("r").agg(F.sum("o").alias("row_t"))
+    cols_ = cells.groupBy("c").agg(F.sum("o").alias("col_t"))
+    n = cells.agg(F.sum("o").alias("n"), F.countDistinct("r").alias("nr"),
+                  F.countDistinct("c").alias("nc"))
+    e = F.col("row_t").cast("double") * F.col("col_t").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    contrib = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+        * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(rows_), "r")
+        .join(F.broadcast(cols_), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("long").alias("dof"),
+            (F.sum(contrib) / F.lit(1e9)).alias("chi2"),
+        )
+    )

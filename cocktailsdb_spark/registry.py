@@ -91,6 +91,10 @@ _DRIVER_PRIORITY: list[str] = [
     "pandas_api_groupby",
     "collated_segment_count",
     "cogroup_asof_pandas",
+    "psi_price_drift",
+    "benford_digit_report",
+    "frequent_itemset_pairs",
+    "chisq_contingency",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -1872,3 +1872,155 @@ register(
            ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) s ON TRUE
        WHERE p.event_type = 'purchase'""",
 )
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-monitoring drift — PSI between 1997 and 1998 order values
+    over a fixed bin grid, quantized contributions
+    (operators/profiling.py:psi_price_drift)."""
+    from .operators import profiling
+
+    return profiling.psi_price_drift(load(spark, sf_dir, "orders"))
+
+
+def _psi_sql() -> str:
+    from .operators.profiling import PSI_BUCKETS, PSI_DOMAIN, _PSI_SCALE
+
+    lo, hi = PSI_DOMAIN
+    width = (hi - lo) / PSI_BUCKETS
+    return f"""WITH base AS (
+          SELECT least({PSI_BUCKETS - 1}, greatest(0,
+                   CAST(floor((o_totalprice - {lo}) / {width}) AS INT))) AS bin,
+                 year(o_orderdate) = 1998 AS is_new
+          FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
+        per AS (SELECT bin,
+                       CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+                FROM base GROUP BY bin),
+        tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                       CAST(sum(n_new) AS BIGINT) AS t_new FROM per),
+        scored AS (
+          SELECT bin, n_ref, n_new,
+                 CAST(floor(
+                   (((n_new + 0.5) / (t_new + 0.5 * {PSI_BUCKETS}))
+                    - ((n_ref + 0.5) / (t_ref + 0.5 * {PSI_BUCKETS})))
+                   * ln(((n_new + 0.5) / (t_new + 0.5 * {PSI_BUCKETS}))
+                        / ((n_ref + 0.5) / (t_ref + 0.5 * {PSI_BUCKETS})))
+                   * {_PSI_SCALE}.0 + 0.5) AS BIGINT) AS cq
+          FROM per CROSS JOIN tot)
+        SELECT CAST(bin AS VARCHAR) AS bin, n_ref, n_new,
+               cq / {_PSI_SCALE}.0 AS psi_contrib
+        FROM scored
+        UNION ALL
+        SELECT '<TOTAL>', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(sum(cq) AS BIGINT) / {_PSI_SCALE}.0
+        FROM scored"""
+
+
+register("psi_price_drift", _q_psi_drift, _psi_sql())
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forensic screening — first-digit distribution vs Benford's law
+    (operators/profiling.py:benford_digit_report)."""
+    from .operators import profiling
+
+    return profiling.benford_digit_report(load(spark, sf_dir, "orders"))
+
+
+register(
+    "benford_digit_report",
+    _q_benford,
+    """WITH per AS (
+          SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                      AS INT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per)
+        SELECT digit, n,
+               floor((CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+                 AS observed_share,
+               floor((ln(1.0 + 1.0 / digit) / ln(10.0)) * 1000000.0 + 0.5) / 1000000.0
+                 AS benford_share,
+               floor(abs(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                         - ln(1.0 + 1.0 / digit) / ln(10.0)) * 1000000.0 + 0.5) / 1000000.0
+                 AS abs_dev
+        FROM per CROSS JOIN tot""",
+)
+
+
+def _q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market basket — Apriori level-2 part pairs with support and lift;
+    co-occurrence blocked on l_orderkey (bounded fanout)
+    (operators/relational.py:frequent_itemset_pairs)."""
+    return relational.frequent_itemset_pairs(load(spark, sf_dir, "lineitem"))
+
+
+def _fi_sql() -> str:
+    from .operators.relational import FI_MIN_SUPPORT, FI_TOP_N
+
+    return f"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {FI_MIN_SUPPORT}),
+        item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+                 FROM b GROUP BY 1),
+        no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+        scored AS (
+          SELECT p.part_a, p.part_b, p.support,
+                 {sql_qround(
+                     "(CAST(p.support AS DOUBLE) / CAST(o.n_orders AS DOUBLE))"
+                     " / ((CAST(ia.n_item AS DOUBLE) / CAST(o.n_orders AS DOUBLE))"
+                     " * (CAST(ib.n_item AS DOUBLE) / CAST(o.n_orders AS DOUBLE)))",
+                     4)} AS lift
+          FROM pairs p
+          JOIN item ia ON ia.l_partkey = p.part_a
+          JOIN item ib ON ib.l_partkey = p.part_b
+          CROSS JOIN no o),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY lift DESC, part_a, part_b) AS rn FROM scored)
+        SELECT part_a, part_b, support, lift FROM r WHERE rn <= {FI_TOP_N}"""
+
+
+register("frequent_itemset_pairs", _q_frequent_pairs, _fi_sql())
+
+
+def _q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift — chi-square independence statistic for
+    priority x quarter (operators/relational.py:chisq_contingency)."""
+    return relational.chisq_contingency(load(spark, sf_dir, "orders"))
+
+
+register(
+    "chisq_contingency",
+    _q_chisq,
+    """WITH cells AS (
+          SELECT o_orderpriority AS r, quarter(o_orderdate) AS c,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM orders GROUP BY 1, 2),
+        rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS row_t FROM cells GROUP BY r),
+        ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS col_t FROM cells GROUP BY c),
+        nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                      CAST(count(DISTINCT r) AS BIGINT) AS nr,
+                      CAST(count(DISTINCT c) AS BIGINT) AS nc
+               FROM cells),
+        q AS (SELECT CAST(floor(
+                 (CAST(cells.o AS DOUBLE)
+                  - CAST(rt.row_t AS DOUBLE) * CAST(ct.col_t AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE))
+                 * (CAST(cells.o AS DOUBLE)
+                    - CAST(rt.row_t AS DOUBLE) * CAST(ct.col_t AS DOUBLE)
+                      / CAST(nn.n AS DOUBLE))
+                 / (CAST(rt.row_t AS DOUBLE) * CAST(ct.col_t AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT) AS cq,
+                 nn.n AS n, nn.nr AS nr, nn.nc AS nc
+              FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN nn)
+        SELECT max(n) AS n,
+               CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+               CAST(sum(cq) AS BIGINT) / 1000000000.0 AS chi2
+        FROM q""",
+)

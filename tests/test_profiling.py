@@ -204,3 +204,33 @@ def test_observed_metrics_empty_frame(spark):
     )
     r = P.observed_load_metrics(df).collect()[0]
     assert r.n_rows == 0 and r.min_day is None and r.revenue is None
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    import datetime as dt
+
+    rows = []
+    k = 0
+    for year in (1997, 1998):
+        for v in [50000.0, 150000.0, 250000.0] * 10:
+            k += 1
+            rows.append((k, dt.date(year, 6, 1), v))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r.bin: r for r in P.psi_price_drift(df).collect()}
+    assert abs(out["<TOTAL>"].psi_contrib) < 1e-8
+
+
+def test_benford_shares_sum_to_one(spark):
+    import datetime as dt
+
+    rows = [(i, dt.date(1997, 1, 1), float(v)) for i, v in enumerate(
+        [123.0, 234.0, 345.0, 456.0, 567.0, 678.0, 789.0, 891.0, 912.0, 145.0]
+    )]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = P.benford_digit_report(df).collect()
+    assert abs(sum(r.observed_share for r in out) - 1.0) < 1e-4
+    assert all(1 <= r.digit <= 9 for r in out)

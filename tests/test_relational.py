@@ -392,3 +392,34 @@ def test_winsorized_single_row_group_null_std(spark):
     )
     r = relational.winsorized_stats(df).collect()[0]
     assert r.win_mean == 10.0 and r.win_std is None
+
+
+def test_frequent_pairs_support_and_lift(spark):
+    # pair (1,2) in 3 of 4 baskets; item 9 alone
+    rows = []
+    for o, parts in [(1, [1, 2]), (2, [1, 2]), (3, [1, 2, 9]), (4, [9])]:
+        rows += [(o, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = relational.frequent_itemset_pairs(li, min_support=2, top_n=5).collect()
+    top = out[0]
+    assert (top.part_a, top.part_b, top.support) == (1, 2, 3)
+    # lift = (3/4) / ((3/4)*(3/4)) = 4/3
+    assert abs(top.lift - round(4 / 3, 4)) < 1e-3
+
+
+def test_chisq_zero_under_perfect_independence(spark):
+    import datetime as dt
+
+    # perfectly balanced priority x quarter grid -> chi2 == 0, dof = 1
+    rows = []
+    k = 0
+    for pr in ["A", "B"]:
+        for month in [2, 5]:
+            for _ in range(10):
+                k += 1
+                rows.append((k, pr, dt.date(1997, month, 1)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderdate date"
+    )
+    r = relational.chisq_contingency(df).collect()[0]
+    assert (r.n, r.dof, r.chi2) == (40, 1, 0.0)

@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "benford_digit_report",
     "frequent_itemset_pairs",
     "chisq_contingency",
+    "embedding_topk_filtered",
+    "concurrent_sessions_daily",
 ]
 
 

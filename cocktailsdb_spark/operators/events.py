@@ -558,3 +558,55 @@ def variant_props_agg(events: DataFrame) -> DataFrame:
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+def concurrent_sessions_daily(events: DataFrame) -> DataFrame:
+    """Peak session concurrency per calendar day — the capacity-planning
+    number (licenses, connection pools, GPU slots) — computed as a
+    DISTRIBUTED sweep line: +1 at each session start, −1 at each end
+    (end-exclusive: at an equal instant the −1 sorts first, so
+    back-to-back sessions never double-count), running-summed WITHIN
+    per-day windows, with each day's carry-in (sessions still open at
+    midnight) coming from a calendar-sized cumulative of per-day deltas
+    — the same split-merge identity as the encoding-runs boundary
+    stitch, so no global single-partition window ever exists. A session
+    spanning midnight contributes to its start day's running sum and to
+    every later day's carry-in, which is exactly the sweep-line
+    semantics.
+
+    Output: (day, open_at_start, day_peak) per day with any session
+    boundary; deterministic integer arithmetic throughout.
+    """
+    sess = sessionize(events).select("user_id", "session_start", "session_end")
+    pts = sess.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta"),
+        "user_id",
+    ).unionByName(
+        sess.select(
+            F.col("session_end").alias("ts"), F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("day").orderBy("ts", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = (
+        pts.select(day.alias("day"), "ts", "delta", "user_id")
+        .withColumn("run", F.sum("delta").over(w))
+    )
+    per_day = run.groupBy("day").agg(
+        F.max("run").alias("local_peak"), F.sum("delta").alias("day_delta")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = F.coalesce(F.sum("day_delta").over(wd), F.lit(0))
+    # the day's peak can be its carry-in itself: a day whose only points
+    # are session ENDS never raises the running sum above the midnight
+    # concurrency, so greatest(carry, carry + local_peak) is the true max
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        carry.cast("long").alias("open_at_start"),
+        F.greatest(carry, carry + F.col("local_peak"))
+        .cast("long")
+        .alias("day_peak"),
+    )

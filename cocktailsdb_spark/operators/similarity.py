@@ -863,3 +863,47 @@ def dim_ablation_overlap(
             ),
         )
     )
+
+
+def cosine_topk_filtered(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    label: int = 0,
+) -> DataFrame:
+    """Filtered vector search — top-k under a metadata predicate
+    (candidates restricted to ``label``), the capability every vector
+    store markets as "filtered ANN". Two strategies exist at scale:
+    PRE-filter (apply the predicate before scoring — exact, but the
+    index must support it; this operator) and POST-filter (score first,
+    filter the top-k — cheap but silently returns < k when the filter is
+    selective). This exact pre-filter form is the correctness reference
+    for both; the IVF/SQ/PQ entries compose with it by pushing the same
+    predicate into their candidate scans.
+
+    Same broadcast-query/rounded-sim plan as :func:`cosine_topk`; the
+    filter lands on the candidate scan (predicate pushdown) so the
+    scored set is filter-sized, not corpus-sized.
+    """
+    base = with_norm(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = base.filter(F.col("label") == label).select("vec_id", "_vec", "_norm")
+    sim = qround(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

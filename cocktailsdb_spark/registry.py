@@ -95,6 +95,8 @@ _DRIVER_PRIORITY: list[str] = [
     "benford_digit_report",
     "frequent_itemset_pairs",
     "chisq_contingency",
+    "embedding_topk_filtered",
+    "concurrent_sessions_daily",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

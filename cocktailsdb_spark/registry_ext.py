@@ -2024,3 +2024,49 @@ register(
                CAST(sum(cq) AS BIGINT) / 1000000000.0 AS chi2
         FROM q""",
 )
+
+
+def _q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity planning — per-day peak concurrent sessions via the
+    distributed sweep line (per-day running sums + calendar-sized
+    carry-in; operators/events.py:concurrent_sessions_daily). Oracle is
+    the naive single global window."""
+    return events.concurrent_sessions_daily(load(spark, sf_dir, "events"))
+
+
+register(
+    "concurrent_sessions_daily",
+    _q_concurrency,
+    """WITH e AS (SELECT user_id, event_id, ts,
+                        epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events),
+        l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev FROM e),
+        f AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+                             THEN 1 ELSE 0 END AS new_sess FROM l),
+        s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sn
+              FROM f),
+        sess AS (SELECT user_id, sn, min(ts) AS session_start,
+                        max(ts) AS session_end
+                 FROM s GROUP BY user_id, sn),
+        pts AS (SELECT session_start AS ts, 1 AS delta, user_id FROM sess
+                UNION ALL
+                SELECT session_end, -1, user_id FROM sess),
+        run AS (SELECT CAST(ts AS DATE) AS day,
+                       sum(delta) OVER (ORDER BY ts, delta, user_id
+                                        ROWS UNBOUNDED PRECEDING) AS run,
+                       delta
+                FROM pts),
+        agg AS (SELECT day, CAST(max(run) AS BIGINT) AS day_peak,
+                       CAST(sum(delta) AS BIGINT) AS day_delta
+                FROM run GROUP BY day)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(coalesce(sum(day_delta) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS open_at_start,
+               CAST(greatest(
+                 coalesce(sum(day_delta) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+                 day_peak) AS BIGINT) AS day_peak
+        FROM agg""",
+)

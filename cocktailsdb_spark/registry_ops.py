@@ -897,6 +897,32 @@ COSINE_TOPK_SQL = f"""WITH {_SQL_EMB_BASE},
 
 register("embedding_topk_cosine", _q_cosine_topk, COSINE_TOPK_SQL)
 
+def _q_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — FILTERED vector search (metadata predicate pre-filter, the
+    exact reference for filtered-ANN): top-k among label-0 vectors only
+    (operators/similarity.py:cosine_topk_filtered)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_filtered(e, QUERY_IDS, k=TOPK, label=0)
+
+
+register(
+    "embedding_topk_filtered",
+    _q_cosine_filtered,
+    f"""WITH {_SQL_EMB_BASE},
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        pairs AS (
+          SELECT q.query_id, c.vec_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id AND c.label = 0),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}""",
+)
+
+
 def _q_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — Matryoshka-truncation ablation: overlap@k between full-dim
     and first-16-dim cosine rankings (operators/similarity.py:

@@ -267,3 +267,30 @@ def test_variant_props_malformed_and_null(spark):
     r = E.variant_props_agg(ev).collect()[0]
     # only the one well-formed row with a k field counts
     assert (r.n_with_k, r.sum_k, r.max_k) == (1, 7, 7)
+
+
+def test_concurrent_sessions_sweep_line(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import events as E
+
+    t = lambda d, h, m=0: dt.datetime(2024, 1, d, h, m)
+    # session gap is 30 min, so events 20 min apart stay in one session.
+    # u1: 01:00-01:40; u2: 01:30-01:50 overlaps u1 -> peak 2 on day 1
+    # u3: 23:50 day1 .. 00:10 day2 -> spans midnight: open_at_start(day2)=1
+    rows = [
+        (1, t(1, 1), 1, "a", 1.0, None), (2, t(1, 1, 20), 1, "a", 1.0, None),
+        (3, t(1, 1, 40), 1, "a", 1.0, None),
+        (4, t(1, 1, 30), 2, "a", 1.0, None), (5, t(1, 1, 50), 2, "a", 1.0, None),
+        (6, t(1, 23, 50), 3, "a", 1.0, None), (7, t(2, 0, 10), 3, "a", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.day: r for r in E.concurrent_sessions_daily(ev).collect()}
+    assert out["2024-01-01"].day_peak == 2
+    assert out["2024-01-01"].open_at_start == 0
+    assert out["2024-01-02"].open_at_start == 1   # u3 still open at midnight
+    assert out["2024-01-02"].day_peak == 1

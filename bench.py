@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "chisq_contingency",
     "embedding_topk_filtered",
     "concurrent_sessions_daily",
+    "rfm_segments",
+    "yoy_revenue_growth",
 ]
 
 

@@ -934,3 +934,74 @@ def chisq_contingency(orders: DataFrame) -> DataFrame:
             (F.sum(contrib) / F.lit(1e9)).alias("chi2"),
         )
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    CRM scoring, public marketing-analytics canon): per customer,
+    days-since-last-order (vs the corpus max date — no wall clock),
+    order count, and exact decimal spend; each dimension scored 1–5 by
+    ntile over a deterministic (value, custkey) order; output is the
+    125-cell segment census.
+
+    One customer-grain aggregate (data-sized shuffle), three ntile
+    windows sharing ONE customer-sized frame, broadcast scalar for the
+    reference date, then a cell-count aggregate. The unpartitioned ntile
+    is exact-verify scale posture: at 100M+ customers the quintile
+    CUTOFFS come from the two-pass histogram (quantile_two_pass) and the
+    scores become a narrow map — this form is that plan's oracle twin,
+    same convention as winsorized_stats/ccnet. R scores high for
+    RECENT (small day-gap), F and M high for large values — the
+    conventional orientation.
+    """
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count("*").alias("freq"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_day", "last_day").alias("recency_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    # R: most recent (smallest gap) = 5 -> ntile over DESC recency
+    wr = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.asc("freq"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = per.select(
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(
+            F.concat_ws("-", "r", "f", "m").alias("segment"), "n_customers"
+        )
+    )
+
+
+def yoy_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year monthly revenue growth — lag-12 alignment over the
+    month-grain frame (calendar-sized: ~84 rows for 7 years, so the
+    single-ordering window is metadata work; the data-sized step is the
+    one monthly aggregate). Growth is a single same-order IEEE division
+    of exact decimal sums, qround'd; months with no prior-year twin are
+    NULL by construction."""
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        qround((F.col("revenue") - prev) / prev * 100.0, 4).alias("yoy_pct"),
+    )

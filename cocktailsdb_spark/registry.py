@@ -97,6 +97,8 @@ _DRIVER_PRIORITY: list[str] = [
     "chisq_contingency",
     "embedding_topk_filtered",
     "concurrent_sessions_daily",
+    "rfm_segments",
+    "yoy_revenue_growth",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

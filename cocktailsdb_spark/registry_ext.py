@@ -2070,3 +2070,54 @@ register(
                  day_peak) AS BIGINT) AS day_peak
         FROM agg""",
 )
+
+
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRM analytics — RFM quintile segmentation census
+    (operators/relational.py:rfm_segments)."""
+    return relational.rfm_segments(load(spark, sf_dir, "orders"))
+
+
+register(
+    "rfm_segments",
+    _q_rfm,
+    f"""WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+        per AS (
+          SELECT o_custkey,
+                 date_diff('day', max(CAST(o_orderdate AS DATE)),
+                           (SELECT ref_day FROM ref)) AS recency_days,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 {sql_dsum('o_totalprice')} AS monetary
+          FROM orders GROUP BY o_custkey),
+        scored AS (
+          SELECT ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+                 ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS f,
+                 ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m
+          FROM per)
+        SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' ||
+               CAST(m AS VARCHAR) AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM scored GROUP BY 1""",
+)
+
+
+def _q_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI staple — YoY monthly revenue growth, lag-12 over the
+    calendar-sized month frame (operators/relational.py:
+    yoy_revenue_growth)."""
+    return relational.yoy_revenue_growth(load(spark, sf_dir, "orders"))
+
+
+register(
+    "yoy_revenue_growth",
+    _q_yoy,
+    f"""WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                         {sql_dsum('o_totalprice')} AS revenue
+                  FROM orders GROUP BY 1)
+        SELECT month, revenue,
+               {sql_qround(
+                   "(revenue - lag(revenue, 12) OVER (ORDER BY month))"
+                   " / lag(revenue, 12) OVER (ORDER BY month) * 100.0", 4)}
+                 AS yoy_pct
+        FROM m""",
+)

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "concurrent_sessions_daily",
     "rfm_segments",
     "yoy_revenue_growth",
+    "table_checksum",
 ]
 
 

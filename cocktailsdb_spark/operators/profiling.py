@@ -676,3 +676,41 @@ def benford_digit_report(orders: DataFrame) -> DataFrame:
             qround(F.abs(obs - exp), 6).alias("abs_dev"),
         )
     )
+
+
+def table_checksum(lineitem: DataFrame) -> DataFrame:
+    """Order-insensitive cross-engine table checksum — the migration /
+    replication validator: serialize each row canonically, hash it, SUM
+    the hashes (addition commutes, so partitioning and row order are
+    irrelevant), and two tables match iff (n_rows, lanes) match. This is
+    the one-number generalization of the per-query oracle method the
+    whole repo runs on, usable by ANY two engines that share md5.
+
+    Canonical serialization uses only representation-stable casts —
+    BIGINTs, raw strings, explicitly formatted dates, DECIMAL(18,2)
+    strings for money (both engines print "123.45") — never bare double
+    formatting, which engines disagree on. The 48-bit hash is summed as
+    two 24-bit BIGINT lanes so no lane overflows below ~10^13 rows; at
+    that scale move the lanes to DECIMAL(38,0). ONE scan, one 1-row
+    aggregate, zero shuffles of data."""
+    from .text import md5_prefix_value
+
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("string"),
+    )
+    lane1 = md5_prefix_value(row_str, 6)
+    lane2 = md5_prefix_value(row_str, 6, offset=6)
+    return lineitem.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(lane1).cast("long").alias("checksum_lane1"),
+        F.sum(lane2).cast("long").alias("checksum_lane2"),
+    )

@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "concurrent_sessions_daily",
     "rfm_segments",
     "yoy_revenue_growth",
+    "table_checksum",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

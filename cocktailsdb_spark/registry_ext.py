@@ -2121,3 +2121,34 @@ register(
                  AS yoy_pct
         FROM m""",
 )
+
+
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity — order-insensitive md5-lane table checksum, the
+    cross-system migration validator (operators/profiling.py:
+    table_checksum)."""
+    from .operators import profiling
+
+    return profiling.table_checksum(load(spark, sf_dir, "lineitem"))
+
+
+def _checksum_sql() -> str:
+    from .registry_ops import _sql_md5_prefix_value
+
+    row = ("""CAST(l_orderkey AS VARCHAR) || '|' ||
+              CAST(l_linenumber AS VARCHAR) || '|' ||
+              CAST(l_partkey AS VARCHAR) || '|' ||
+              CAST(l_suppkey AS VARCHAR) || '|' ||
+              l_returnflag || '|' || l_linestatus || '|' ||
+              strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') || '|' ||
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+              CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)""")
+    return f"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum({_sql_md5_prefix_value(f"({row})", 6)}) AS BIGINT)
+                AS checksum_lane1,
+              CAST(sum({_sql_md5_prefix_value(f"({row})", 6, 6)}) AS BIGINT)
+                AS checksum_lane2
+       FROM lineitem"""
+
+
+register("table_checksum", _q_table_checksum, _checksum_sql())

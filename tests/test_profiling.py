@@ -234,3 +234,24 @@ def test_benford_shares_sum_to_one(spark):
     out = P.benford_digit_report(df).collect()
     assert abs(sum(r.observed_share for r in out) - 1.0) < 1e-4
     assert all(1 <= r.digit <= 9 for r in out)
+
+
+def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
+    import datetime as dt
+
+    rows = [
+        (1, 1, 10, 100, "A", "F", dt.date(1995, 1, 1), 100.0, 5.0),
+        (2, 1, 20, 200, "R", "O", dt.date(1995, 2, 2), 200.0, 7.0),
+        (3, 1, 30, 300, "N", "F", dt.date(1995, 3, 3), 300.0, 9.0),
+    ]
+    ddl = ("l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+           "l_returnflag string, l_linestatus string, l_shipdate date, "
+           "l_extendedprice double, l_quantity double")
+    a = spark.createDataFrame(rows, ddl)
+    b = spark.createDataFrame(list(reversed(rows)), ddl).repartition(7)
+    ca, cb = P.table_checksum(a).collect()[0], P.table_checksum(b).collect()[0]
+    assert ca == cb                             # order/partitioning invariant
+    rows2 = [rows[0], rows[1], (3, 1, 30, 300, "N", "F", dt.date(1995, 3, 3), 300.01, 9.0)]
+    cc = P.table_checksum(spark.createDataFrame(rows2, ddl)).collect()[0]
+    assert cc.n_rows == ca.n_rows
+    assert (cc.checksum_lane1, cc.checksum_lane2) != (ca.checksum_lane1, ca.checksum_lane2)

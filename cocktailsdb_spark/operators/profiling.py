@@ -593,8 +593,6 @@ def psi_price_drift(orders: DataFrame) -> DataFrame:
     smoothing keeps empty bins finite. Output: one row per bin
     (bin, n_ref, n_new, psi_contrib) plus a '<TOTAL>' row.
     """
-    from ..numeric import qround
-
     lo, hi = PSI_DOMAIN
     width = (hi - lo) / PSI_BUCKETS
     year = F.year("o_orderdate")
@@ -607,9 +605,23 @@ def psi_price_drift(orders: DataFrame) -> DataFrame:
     base = orders.filter(year.isin(1997, 1998)).select(
         bucket.alias("bin"), (year == 1998).alias("is_new")
     )
-    per_bin = base.groupBy("bin").agg(
-        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+    # densify: a bin empty in BOTH years still carries a nonzero smoothed
+    # contribution when the year totals differ — groupBy alone would drop
+    # it; the 10-row spine guarantees every grid cell a row
+    spine = orders.sparkSession.range(PSI_BUCKETS).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    per_bin = spine.join(
+        base.groupBy("bin").agg(
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        ),
+        "bin",
+        "left",
+    ).select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
     totals = per_bin.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
@@ -659,7 +671,10 @@ def benford_digit_report(orders: DataFrame) -> DataFrame:
 
     d = F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
     per = (
-        orders.filter(F.col("o_totalprice") > 0)
+        # >= 1, not > 0: a price in (0,1) stringifies with leading digit 0,
+        # whose Benford expectation ln(1+1/0) is infinite — sub-unit values
+        # are out of the law's domain
+        orders.filter(F.col("o_totalprice") >= 1)
         .groupBy(d.cast("int").alias("digit"))
         .agg(F.count("*").alias("n"))
     )
@@ -690,8 +705,8 @@ def table_checksum(lineitem: DataFrame) -> DataFrame:
     BIGINTs, raw strings, explicitly formatted dates, DECIMAL(18,2)
     strings for money (both engines print "123.45") — never bare double
     formatting, which engines disagree on. The 48-bit hash is summed as
-    two 24-bit BIGINT lanes so no lane overflows below ~10^13 rows; at
-    that scale move the lanes to DECIMAL(38,0). ONE scan, one 1-row
+    two 24-bit BIGINT lanes so a signed-64 sum holds ~5·10^11 rows
+    (2^63/2^24); beyond that move the lanes to DECIMAL(38,0). ONE scan, one 1-row
     aggregate, zero shuffles of data."""
     from .text import md5_prefix_value
 

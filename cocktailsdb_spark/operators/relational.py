@@ -910,8 +910,17 @@ def chisq_contingency(orders: DataFrame) -> DataFrame:
     """
     r = F.col("o_orderpriority")
     c = F.quarter("o_orderdate")
-    cells = orders.groupBy(r.alias("r"), c.alias("c")).agg(
+    observed = orders.groupBy(r.alias("r"), c.alias("c")).agg(
         F.count("*").alias("o")
+    )
+    # densify the grid: a category pair with ZERO observations still
+    # contributes (0-E)^2/E = E — exactly the strongest drift signal;
+    # building cells only from observed combos would silently omit it
+    grid = observed.select("r").distinct().crossJoin(
+        observed.select("c").distinct()
+    )
+    cells = grid.join(observed, ["r", "c"], "left").select(
+        "r", "c", F.coalesce("o", F.lit(0)).alias("o")
     )
     rows_ = cells.groupBy("r").agg(F.sum("o").alias("row_t"))
     cols_ = cells.groupBy("c").agg(F.sum("o").alias("col_t"))
@@ -989,19 +998,33 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
 
 
 def yoy_revenue_growth(orders: DataFrame) -> DataFrame:
-    """Year-over-year monthly revenue growth — lag-12 alignment over the
-    month-grain frame (calendar-sized: ~84 rows for 7 years, so the
-    single-ordering window is metadata work; the data-sized step is the
-    one monthly aggregate). Growth is a single same-order IEEE division
-    of exact decimal sums, qround'd; months with no prior-year twin are
-    NULL by construction."""
+    """Year-over-year monthly revenue growth — CALENDAR-join alignment
+    over the month-grain frame (calendar-sized, ~84 rows for 7 years;
+    the data-sized step is the one monthly aggregate). A row-offset
+    lag(12) would silently misalign every month after a gap in the
+    series; joining on the computed same-month-last-year key yields NULL
+    for missing twins regardless of gaps. Growth is a single same-order
+    IEEE division of exact decimal sums, qround'd."""
     monthly = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
-    w = Window.orderBy("month")
-    prev = F.lag("revenue", 12).over(w)
-    return monthly.select(
+    # calendar self-join, NOT lag(12): a row-offset lag misaligns every
+    # month after a gap; joining on the computed same-month-next-year key
+    # yields NULL for missing twins regardless of gaps
+    prev = monthly.select(
+        F.date_format(
+            F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 12),
+            "yyyy-MM",
+        ).alias("month"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return monthly.join(prev, "month", "left").select(
         "month",
         "revenue",
-        qround((F.col("revenue") - prev) / prev * 100.0, 4).alias("yoy_pct"),
+        qround(
+            (F.col("revenue") - F.col("prev_revenue"))
+            / F.col("prev_revenue")
+            * 100.0,
+            4,
+        ).alias("yoy_pct"),
     )

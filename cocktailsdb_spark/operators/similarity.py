@@ -50,11 +50,14 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k for each query id.
 
     Output: (query_id, vec_id, sim, rank). ``sim`` is rounded so the rank
     order (and the DuckDB oracle twin) is robust to FP summation order.
+    ``candidate_filter`` restricts the CANDIDATE side only (queries stay
+    unrestricted) — the filtered-search entry point.
     """
     base = with_norm(emb, vec_col)
     q = base.filter(F.col(id_col).isin(query_ids)).select(
@@ -62,7 +65,8 @@ def cosine_topk(
         F.col("_vec").alias("_qvec"),
         F.col("_norm").alias("_qnorm"),
     )
-    c = base.select(id_col, "_vec", "_norm")
+    cand = base if candidate_filter is None else base.filter(candidate_filter)
+    c = cand.select(id_col, "_vec", "_norm")
     sim = qround(dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")), SIM_ROUND)
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -881,29 +885,10 @@ def cosine_topk_filtered(
     for both; the IVF/SQ/PQ entries compose with it by pushing the same
     predicate into their candidate scans.
 
-    Same broadcast-query/rounded-sim plan as :func:`cosine_topk`; the
-    filter lands on the candidate scan (predicate pushdown) so the
-    scored set is filter-sized, not corpus-sized.
+    One line over :func:`cosine_topk`'s candidate_filter hook — same
+    broadcast-query/rounded-sim plan, filter pushed to the candidate
+    scan.
     """
-    base = with_norm(emb)
-    q = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("_vec").alias("_qvec"),
-        F.col("_norm").alias("_qnorm"),
-    )
-    c = base.filter(F.col("label") == label).select("vec_id", "_vec", "_norm")
-    sim = qround(
-        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
-        SIM_ROUND,
-    )
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", sim.alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", "rank")
+    return cosine_topk(
+        emb, query_ids, k=k, candidate_filter=F.col("label") == label
     )

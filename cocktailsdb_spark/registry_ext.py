@@ -1893,10 +1893,15 @@ def _psi_sql() -> str:
                    CAST(floor((o_totalprice - {lo}) / {width}) AS INT))) AS bin,
                  year(o_orderdate) = 1998 AS is_new
           FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
-        per AS (SELECT bin,
+        obs AS (SELECT bin,
                        CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
                        CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
                 FROM base GROUP BY bin),
+        per AS (SELECT CAST(s.i AS INT) AS bin,
+                       CAST(coalesce(o.n_ref, 0) AS BIGINT) AS n_ref,
+                       CAST(coalesce(o.n_new, 0) AS BIGINT) AS n_new
+                FROM range(0, {PSI_BUCKETS}) s(i)
+                LEFT JOIN obs o ON o.bin = s.i),
         tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
                        CAST(sum(n_new) AS BIGINT) AS t_new FROM per),
         scored AS (
@@ -1935,7 +1940,7 @@ register(
           SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
                       AS INT) AS digit,
                  CAST(count(*) AS BIGINT) AS n
-          FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+          FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
         tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per)
         SELECT digit, n,
                floor((CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
@@ -1997,10 +2002,14 @@ def _q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "chisq_contingency",
     _q_chisq,
-    """WITH cells AS (
+    """WITH obs AS (
           SELECT o_orderpriority AS r, quarter(o_orderdate) AS c,
                  CAST(count(*) AS BIGINT) AS o
           FROM orders GROUP BY 1, 2),
+        grid AS (SELECT r, c FROM (SELECT DISTINCT r FROM obs)
+                 CROSS JOIN (SELECT DISTINCT c FROM obs)),
+        cells AS (SELECT g.r, g.c, CAST(coalesce(o.o, 0) AS BIGINT) AS o
+                  FROM grid g LEFT JOIN obs o ON o.r = g.r AND o.c = g.c),
         rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS row_t FROM cells GROUP BY r),
         ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS col_t FROM cells GROUP BY c),
         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
@@ -2113,13 +2122,16 @@ register(
     _q_yoy,
     f"""WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
                          {sql_dsum('o_totalprice')} AS revenue
-                  FROM orders GROUP BY 1)
-        SELECT month, revenue,
+                  FROM orders GROUP BY 1),
+        prev AS (SELECT strftime(CAST(month || '-01' AS DATE)
+                                 + INTERVAL 12 MONTH, '%Y-%m') AS month,
+                        revenue AS prev_revenue
+                 FROM m)
+        SELECT m.month, m.revenue,
                {sql_qround(
-                   "(revenue - lag(revenue, 12) OVER (ORDER BY month))"
-                   " / lag(revenue, 12) OVER (ORDER BY month) * 100.0", 4)}
+                   "(m.revenue - p.prev_revenue) / p.prev_revenue * 100.0", 4)}
                  AS yoy_pct
-        FROM m""",
+        FROM m LEFT JOIN prev p ON p.month = m.month""",
 )
 
 

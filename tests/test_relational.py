@@ -423,3 +423,47 @@ def test_chisq_zero_under_perfect_independence(spark):
     )
     r = relational.chisq_contingency(df).collect()[0]
     assert (r.n, r.dof, r.chi2) == (40, 1, 0.0)
+
+
+def test_chisq_zero_cell_contributes_expected(spark):
+    import datetime as dt
+
+    # priority B absent in Q2 entirely: the zero cell must contribute E
+    rows = []
+    k = 0
+    for pr, month, n in [("A", 2, 10), ("A", 5, 10), ("B", 2, 10)]:
+        for _ in range(n):
+            k += 1
+            rows.append((k, pr, dt.date(1997, month, 1)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderdate date"
+    )
+    r = relational.chisq_contingency(df).collect()[0]
+    # hand-computed: E grid rows: A-Q1 40/3... marginals: rowA=20,rowB=10,
+    # colQ1=20,colQ2=10,n=30 -> E(A,2)=20*20/30=13.33,E(A,5)=6.67,
+    # E(B,2)=6.67,E(B,5)=3.33 ; chi2=sum((O-E)^2/E)=
+    # (10-13.33)^2/13.33+(10-6.67)^2/6.67+(10-6.67)^2/6.67+(0-3.33)^2/3.33
+    exp = (10 - 40 / 3) ** 2 / (40 / 3) + (10 - 20 / 3) ** 2 / (20 / 3) * 2 + (10 / 3)
+    assert abs(r.chi2 - round(exp, 6)) < 1e-3
+    assert r.dof == 1
+
+
+def test_yoy_gap_month_yields_null_not_misalignment(spark):
+    import datetime as dt
+
+    # monthly revenue 1995 full, 1996 missing March: 1996-04 must compare
+    # against 1995-04, and 1997-03 must be NULL (no 1996-03 twin)
+    rows = []
+    k = 0
+    for y in (1995, 1996, 1997):
+        for m in range(1, 13):
+            if (y, m) == (1996, 3):
+                continue
+            k += 1
+            rows.append((k, dt.date(y, m, 15), 100.0 * y))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r.month: r for r in relational.yoy_revenue_growth(df).collect()}
+    assert out["1996-04"].yoy_pct is not None      # aligned despite the gap
+    assert out["1997-03"].yoy_pct is None          # missing twin -> NULL

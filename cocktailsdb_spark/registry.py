@@ -100,6 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     "rfm_segments",
     "yoy_revenue_growth",
     "table_checksum",
+    "cube_distinct_suppliers",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

@@ -2164,3 +2164,33 @@ def _checksum_sql() -> str:
 
 
 register("table_checksum", _q_table_checksum, _checksum_sql())
+
+
+def _q_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate UNDER cube — the Expand + distinct-rewrite
+    combination none of the other grouping entries exercise (Catalyst
+    plans a double Expand: one for the grouping sets, one for the
+    distinct column); counts distinct suppliers per (returnflag,
+    linestatus) cell including all subtotal levels."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+register(
+    "cube_distinct_suppliers",
+    _q_cube_distinct,
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+              CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+              count(*) AS n_rows
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)

@@ -168,3 +168,34 @@ def test_bpe_merges_match_python_model(spark, docs):
         for r in corpus.bpe_merges(df, n_merges=3).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100.0, max_value=700000.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    n_groups=st.integers(min_value=1, max_value=3),
+)
+def test_quantile_two_pass_equals_naive_on_random_frames(spark, vals, n_groups):
+    """Histogram narrowing must equal the naive sort for ANY data —
+    including out-of-domain values (clamped edge buckets), duplicates,
+    and 1-row groups."""
+    from cocktailsdb_spark.operators import relational as R
+
+    rows = [
+        (i, f"G{i % n_groups}", float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    naive = {
+        r.o_orderpriority: (r.p50, r.p90) for r in R.quantile_disc(df).collect()
+    }
+    fast = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in R.quantile_two_pass(df).collect()
+    }
+    assert fast == naive

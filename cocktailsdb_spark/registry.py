@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "yoy_revenue_growth",
     "table_checksum",
     "cube_distinct_suppliers",
+    "sql_pipe_syntax",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

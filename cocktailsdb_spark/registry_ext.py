@@ -2194,3 +2194,39 @@ register(
               count(*) AS n_rows
        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
+
+
+def _q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 |> operators — the GoogleSQL-style
+    linear query form, public): the Q1-pricing shape written as a
+    pipeline of FROM |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY.
+    Same Catalyst plan as the nested form; the oracle is the classic
+    ANSI statement, proving the syntaxes are semantically identical."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+      FROM lineitem
+      |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |> AGGREGATE
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE)
+             AS sum_price
+         GROUP BY l_returnflag, l_linestatus
+      |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+register(
+    "sql_pipe_syntax",
+    _q_pipe_syntax,
+    """SELECT l_returnflag, l_linestatus,
+              count(*) AS n_rows,
+              CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE)
+                AS sum_price
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)

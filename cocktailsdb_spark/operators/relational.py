@@ -1028,3 +1028,38 @@ def yoy_revenue_growth(orders: DataFrame) -> DataFrame:
             4,
         ).alias("yoy_pct"),
     )
+
+
+def rolling_range_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing-week revenue per day using a RANGE window frame — the
+    frame mode the rest of the window family doesn't exercise, and the
+    semantically correct one under calendar gaps: a ROWS frame counts
+    the previous N ROWS (a gap silently stretches the lookback window),
+    while RANGE bounds the frame by the ORDER-BY VALUE, so a day after a
+    three-day gap still sums exactly the trailing ``days`` calendar days.
+    Ordering is the integer day number (epoch days) — range frames need
+    numeric order keys, and integer day arithmetic is engine-exact.
+
+    One data-sized shuffle (daily aggregate); the window partitions by
+    series (order priority) like every other per-series window here.
+    Exact decimal daily sums make the frame sum deterministic.
+    """
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    daynum = F.datediff("day", F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("series")
+        .orderBy(daynum)
+        .rangeBetween(-days, -1)
+    )
+    return daily.select(
+        "series",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.coalesce(
+            F.sum(F.col("revenue").cast(DEC)).over(w).cast("double"),
+            F.lit(0.0),
+        ).alias("trailing_week"),
+    )

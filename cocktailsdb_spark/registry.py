@@ -102,6 +102,7 @@ _DRIVER_PRIORITY: list[str] = [
     "table_checksum",
     "cube_distinct_suppliers",
     "sql_pipe_syntax",
+    "rolling_range_revenue",
     # round-5 late additions (never driver-checked): gap-fill/LOCF,
     # Pareto skyline, degree-ordered triangle census, quarantined JSON
     # ingest, per-group OLS

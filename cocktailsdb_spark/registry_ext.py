@@ -2230,3 +2230,27 @@ register(
        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        GROUP BY l_returnflag, l_linestatus""",
 )
+
+
+def _q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — gap-correct trailing-week revenue (value-
+    bounded frame vs the ROWS frames used elsewhere; operators/
+    relational.py:rolling_range_revenue)."""
+    return relational.rolling_range_revenue(load(spark, sf_dir, "orders"))
+
+
+register(
+    "rolling_range_revenue",
+    _q_rolling_range,
+    f"""WITH daily AS (
+          SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+                 {sql_dsum('o_totalprice')} AS revenue
+          FROM orders GROUP BY 1, 2)
+        SELECT series, strftime(day, '%Y-%m-%d') AS day, revenue,
+               CAST(coalesce(sum(CAST(revenue AS DECIMAL(24,8))) OVER (
+                   PARTITION BY series
+                   ORDER BY date_diff('day', DATE '1970-01-01', day)
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+                 AS DOUBLE) AS trailing_week
+        FROM daily""",
+)

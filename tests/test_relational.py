@@ -467,3 +467,23 @@ def test_yoy_gap_month_yields_null_not_misalignment(spark):
     out = {r.month: r for r in relational.yoy_revenue_growth(df).collect()}
     assert out["1996-04"].yoy_pct is not None      # aligned despite the gap
     assert out["1997-03"].yoy_pct is None          # missing twin -> NULL
+
+
+def test_range_frame_correct_under_gaps(spark):
+    import datetime as dt
+
+    # days 1,2,10: day 10's trailing week must be 0 (gap), not the
+    # previous-2-rows sum a ROWS frame would give
+    rows = [
+        (1, "P", dt.date(1997, 1, 1), 100.0),
+        (2, "P", dt.date(1997, 1, 2), 200.0),
+        (3, "P", dt.date(1997, 1, 10), 400.0),
+        (4, "P", dt.date(1997, 1, 12), 800.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderdate date, o_totalprice double"
+    )
+    out = {r.day: r.trailing_week for r in relational.rolling_range_revenue(df).collect()}
+    assert out["1997-01-02"] == 100.0
+    assert out["1997-01-10"] == 0.0     # gap: nothing in the prior 7 days
+    assert out["1997-01-12"] == 400.0   # only day 10 in range

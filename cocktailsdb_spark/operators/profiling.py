@@ -494,9 +494,10 @@ def fk_orphans_report(
     One scan per CHILD table, not per edge: lineitem's three FK columns
     are checked in a single pass with three left joins against the
     DISTINCT parent-key sets and conditional null counts. Parent key sets
-    are dimension-sized here and broadcast; at the scale where a parent
-    key set stops broadcasting (orders at 100 TB), the same plan runs as
-    a shuffled anti-join per edge — the orphan COUNT contract is
+    grow with SF (orders at 100 TB is billions of keys), so they carry NO
+    forced broadcast hint (plans/hints.py policy): AQE broadcasts them
+    while they fit under autoBroadcastJoinThreshold and falls back to a
+    shuffled join per edge beyond that — the orphan COUNT contract is
     unchanged. Output: (relationship, n_child_rows, n_orphans).
     """
 
@@ -506,17 +507,17 @@ def fk_orphans_report(
     li = (
         lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
         .join(
-            F.broadcast(keys(orders, "o_orderkey")),
+            keys(orders, "o_orderkey"),
             F.col("l_orderkey") == F.col("_pk_o_orderkey"),
             "left",
         )
         .join(
-            F.broadcast(keys(part, "p_partkey")),
+            keys(part, "p_partkey"),
             F.col("l_partkey") == F.col("_pk_p_partkey"),
             "left",
         )
         .join(
-            F.broadcast(keys(supplier, "s_suppkey")),
+            keys(supplier, "s_suppkey"),
             F.col("l_suppkey") == F.col("_pk_s_suppkey"),
             "left",
         )
@@ -553,7 +554,7 @@ def fk_orphans_report(
         return (
             child.select(F.col(col))
             .join(
-                F.broadcast(keys(parent, pcol)),
+                keys(parent, pcol),
                 F.col(col) == F.col(f"_pk_{pcol}"),
                 "left",
             )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .hints import maybe_broadcast
 
 
 def sales_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,10 +40,12 @@ def sales_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-        # J1 analog: dim join kept LEFT like poc_tables.sql:15-18
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
+        # J1 analog: dim join kept LEFT like poc_tables.sql:15-18.
+        # part/supplier grow with SF → no forced hint (plans/hints.py);
+        # AQE still broadcasts them at bench scale under the threshold.
+        .join(maybe_broadcast(part, "part"), lineitem.l_partkey == part.p_partkey, "left")
+        .join(maybe_broadcast(supplier, "supplier"), lineitem.l_suppkey == supplier.s_suppkey, "left")
+        .join(maybe_broadcast(nation, "nation"), supplier.s_nationkey == nation.n_nationkey, "left")
         .select(
             F.col("o_orderdate").alias("dateOfSale"),
             F.col("p_name").alias("drink"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..numeric import dsum, sql_dsum as _sql_dsum
 from ..tables import load
+from .hints import maybe_broadcast
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,14 +66,16 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analog: 3-way join + agg + top-10 by revenue.
 
-    customer is broadcast (small dim); orders⋈lineitem is the one real
-    shuffle join. Deterministic top-k: exact revenue, o_orderkey tiebreak."""
+    customer is SF-growing, so it carries no forced hint — AQE broadcasts
+    it under the threshold at bench scale and picks SMJ/SHJ at real scale
+    (plans/hints.py policy); orders⋈lineitem is the one real shuffle join.
+    Deterministic top-k: exact revenue, o_orderkey tiebreak."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -95,7 +98,8 @@ LIMIT 10
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 analog: 6-table join, revenue per nation, customer and
-    supplier in the same nation. All dims broadcast; one agg shuffle."""
+    supplier in the same nation. Bounded dims (nation/region) broadcast;
+    SF-growing dims unhinted per plans/hints.py; one agg shuffle."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
@@ -104,13 +108,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(c),
+            maybe_broadcast(c, "customer"),
             (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(maybe_broadcast(n, "nation"), s.s_nationkey == n.n_nationkey)
+        .join(maybe_broadcast(r, "region"), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..numeric import dsum, sql_dsum as _d
 from ..tables import load
+from .hints import maybe_broadcast
 
 
 # ---------------------------------------------------------------------------
@@ -111,8 +112,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s, "supplier"), l.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -166,8 +167,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s, "supplier"), l.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
@@ -216,8 +217,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -256,7 +257,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -323,7 +324,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -363,7 +364,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s, "supplier"), rev.l_suppkey == s.s_suppkey)
         .select(F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue")
     )
 
@@ -394,7 +395,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg input is already pruned). avg is dsum/count — deterministic."""
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
     l = load(spark, sf_dir, "lineitem")
-    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    lb = l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
     avg_q = lb.groupBy("l_partkey").agg(
         (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
     ).select(F.col("l_partkey").alias("a_partkey"), "avg_qty")
@@ -441,7 +442,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, "customer"), o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -471,7 +472,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds)."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -597,7 +598,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     per_ps = (
-        l.join(F.broadcast(p.select("p_partkey", "p_name")), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p.select("p_partkey", "p_name"), "part"), l.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "p_name", "l_suppkey")
         .agg((dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))).alias("unit_cost"))
     )
@@ -606,7 +607,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(maybe_broadcast(s, "supplier"), best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -719,7 +720,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -764,7 +765,7 @@ def q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.filter((F.col("n_supp") >= 2) & (F.col("n_bad") == 1))
-        .join(F.broadcast(s), F.col("bad_supp") == s.s_suppkey)
+        .join(maybe_broadcast(s, "supplier"), F.col("bad_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

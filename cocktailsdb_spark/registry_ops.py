@@ -39,6 +39,7 @@ from .constants import (
 )
 from .operators import corpus, dedup, events, filters, multimodal, retrieval, similarity, text
 from .registry import register
+from .plans.hints import maybe_broadcast
 from .sources.http_source import bounded_keys, fake_transport, fetch_df, fetch_distributed
 from .sources.watermark import WatermarkStore, incremental_load
 from .streaming import stream_queries
@@ -347,10 +348,11 @@ register(
 
 
 def _q_join_left_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — left equi-join, small dim broadcast."""
+    """J1 — left equi-join; part grows with SF so the broadcast choice is
+    left to AQE (plans/hints.py policy — BHJ at bench scale, SMJ beyond)."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left").select(
+    return l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey, "left").select(
         "l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand"
     )
 

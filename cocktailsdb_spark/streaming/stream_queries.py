@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..constants import SESSION_GAP_SEC
 from ..numeric import dsum
+from ..plans.hints import maybe_broadcast
 from ..tables import load
 
 EVENTS_DDL = (
@@ -274,7 +275,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     stream = (
         _events_stream(spark, input_dir + "/*")
-        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"), "inner")
+        .join(maybe_broadcast(customer, "customer"), F.col("user_id") == F.col("c_custkey"), "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value"))
     )

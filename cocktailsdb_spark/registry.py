@@ -47,11 +47,14 @@ from . import registry_ext  # noqa: E402,F401
 
 # --- driver-sweep rotation --------------------------------------------------
 # The correctness driver checks ~50 entries in registration order per round.
-# Registration order follows module structure, so without rotation the same
-# long-green core gets re-checked every round while newer families never get
-# a driver row. This list puts the entries with no driver-green row yet (and
-# this round's new additions) first; everything else keeps registration order
-# behind them. Rotate per round as families accumulate driver-green rows.
+# Rotation rule (round-5 judge directive 2): priority = entries whose
+# implementation CHANGED since their last driver-green row ∪ entries NEVER
+# driver-checked, then everything else oldest-evidence-first. Change
+# detection hashes each entry's plan-function source transitively
+# (package-internal helpers + constants it references) against the hash
+# recorded in driver_evidence.json when its last driver row landed —
+# maintained by `python tools/driver_rotation.py refresh` after each round.
+# The static list below is the FALLBACK order when no evidence file exists.
 _DRIVER_PRIORITY: list[str] = [
     # round-5 session-2 additions (never driver-checked): BFS levels,
     # CCNet tertiles, PMI collocations, winsorized stats, distributed
@@ -194,9 +197,134 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
+def _collect_sources(fn, seen: set[int], depth: int = 0) -> list[str]:
+    """Source text of ``fn`` plus (transitively, depth ≤ 3) every
+    package-internal callable and simple constant it references — so a
+    rewrite of an operator helper re-prioritizes the registry entries that
+    call it, not just entries whose own wrapper changed."""
+    import inspect
+
+    try:
+        out = [inspect.getsource(fn)]
+    except (OSError, TypeError):
+        return [repr(fn)]
+    if depth >= 3:
+        return out
+    g = getattr(fn, "__globals__", {})
+    code = getattr(fn, "__code__", None)
+    names = list(code.co_names) if code is not None else []
+    # function-LOCAL imports (`from .operators import profiling` inside the
+    # body) bind nothing in __globals__ — resolve them from the source text
+    import importlib
+    import re
+
+    for m in re.finditer(r"from \.([\w.]*) import ([\w, ]+)", out[0]):
+        relmod, imported = m.groups()
+        try:
+            mod = importlib.import_module(
+                "cocktailsdb_spark" + ("." + relmod if relmod else "")
+            )
+        except ImportError:
+            continue
+        for nm in imported.split(","):
+            sub = getattr(mod, nm.strip().split(" as ")[0], None)
+            if inspect.ismodule(sub) and sub.__name__.startswith("cocktailsdb_spark"):
+                if id(sub) not in seen:
+                    seen.add(id(sub))
+                    out.extend(_module_members(sub, names, seen, depth))
+            elif (
+                callable(sub)
+                and (getattr(sub, "__module__", "") or "").startswith(
+                    "cocktailsdb_spark"
+                )
+                and id(sub) not in seen
+            ):
+                seen.add(id(sub))
+                out.extend(_collect_sources(sub, seen, depth + 1))
+    for name in names:
+        obj = g.get(name)
+        if obj is None:
+            continue
+        mod = getattr(obj, "__module__", None) or ""
+        if inspect.ismodule(obj) and obj.__name__.startswith("cocktailsdb_spark"):
+            out.extend(_module_members(obj, names, seen, depth))
+        elif callable(obj) and mod.startswith("cocktailsdb_spark"):
+            if id(obj) not in seen:
+                seen.add(id(obj))
+                out.extend(_collect_sources(obj, seen, depth + 1))
+        elif isinstance(obj, frozenset):
+            # sorted: set iteration order varies with hash randomization
+            out.append(f"{name}={sorted(map(repr, obj))!r}")
+        elif isinstance(obj, (str, int, float, tuple)):
+            out.append(f"{name}={obj!r}")
+    return out
+
+
+def _module_members(mod, names: list[str], seen: set[int], depth: int) -> list[str]:
+    """Resolve the referenced attribute names against a package-internal
+    module, following nested-module chains (``operators.profiling.fn``)."""
+    import inspect
+
+    out: list[str] = []
+    for attr in names:
+        sub = getattr(mod, attr, None)
+        if (
+            inspect.ismodule(sub)
+            and sub.__name__.startswith("cocktailsdb_spark")
+            and id(sub) not in seen
+        ):
+            seen.add(id(sub))
+            out.extend(_module_members(sub, names, seen, depth))
+        elif (
+            callable(sub)
+            and (getattr(sub, "__module__", "") or "").startswith("cocktailsdb_spark")
+            and id(sub) not in seen
+        ):
+            seen.add(id(sub))
+            out.extend(_collect_sources(sub, seen, depth + 1))
+    return out
+
+
+def entry_source_hash(name: str) -> str:
+    """Stable hash of an entry's implementation (plan fn + helpers +
+    constants + oracle SQL); drives the changed-since-last-driver-row
+    rotation in driver_evidence.json."""
+    import hashlib
+
+    parts = _collect_sources(QUERIES[name], seen=set())
+    parts.append(ORACLES.get(name, ""))
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
+def _evidence_order() -> list[str] | None:
+    """Order from driver_evidence.json: (1) changed-or-never-checked,
+    (2) the rest ascending by last driver-green round. None if the
+    evidence file is absent/unreadable (fall back to the static list)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "driver_evidence.json"
+    try:
+        evidence = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return None
+    front: list[str] = []
+    rest: list[tuple[int, str]] = []
+    for name in QUERIES:
+        rec = evidence.get(name)
+        if rec is None or rec.get("hash") != entry_source_hash(name):
+            front.append(name)  # never checked, or changed since checked
+        else:
+            rest.append((rec.get("last_round", 0), name))
+    rest.sort(key=lambda t: t[0])
+    return front + [n for _, n in rest]
+
+
 def _apply_driver_priority() -> None:
-    ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in set(ordered)]
+    ordered = _evidence_order()
+    if ordered is None:
+        ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+        ordered += [n for n in QUERIES if n not in set(ordered)]
     for mapping in (QUERIES, ORACLES):
         snapshot = {n: mapping[n] for n in ordered if n in mapping}
         mapping.clear()

@@ -22,3 +22,46 @@ def test_oracle_keys_subset_of_queries():
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 45
+
+
+# --- driver-sweep rotation (round-5 judge directive 2) ----------------------
+
+
+def test_rotation_prioritizes_changed_and_never_checked():
+    """Registry order must put entries with no driver evidence, or whose
+    implementation hash drifted from the recorded one, ahead of entries
+    with current driver-green rows; the green tail is oldest-round-first."""
+    import json
+    from pathlib import Path
+
+    from cocktailsdb_spark.registry import QUERIES, entry_source_hash
+
+    ev_path = Path(__file__).resolve().parent.parent / "driver_evidence.json"
+    evidence = json.loads(ev_path.read_text())
+    names = list(QUERIES)
+
+    def is_front(n):
+        rec = evidence.get(n)
+        return rec is None or rec.get("hash") != entry_source_hash(n)
+
+    flags = [is_front(n) for n in names]
+    # all front entries strictly precede all evidence-green ones
+    if True in flags and False in flags:
+        assert flags.index(False) > len([f for f in flags if f]) - 1 or (
+            False not in flags[: flags.index(False)]
+        )
+        first_green = flags.index(False)
+        assert not any(flags[first_green:]), (
+            "changed/never-checked entry sorted behind a green one: "
+            + str([n for n, f in zip(names[first_green:], flags[first_green:]) if f])
+        )
+        # green tail ascending by last driver round
+        rounds = [evidence[n]["last_round"] for n in names[first_green:]]
+        assert rounds == sorted(rounds)
+
+
+def test_entry_source_hash_is_deterministic():
+    from cocktailsdb_spark.registry import QUERIES, entry_source_hash
+
+    for name in list(QUERIES)[:10]:
+        assert entry_source_hash(name) == entry_source_hash(name)

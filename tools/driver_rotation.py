@@ -1,0 +1,86 @@
+"""Driver-sweep rotation evidence (round-5 judge directive 2).
+
+The correctness driver samples ~50 registry entries per round in
+registration order. The rotation rule is: priority goes to entries whose
+implementation CHANGED since their last driver-green row, plus entries
+NEVER driver-checked, then everything else oldest-evidence-first.
+
+"Changed" is detected by hashing each entry's plan-function source plus
+its oracle SQL. ``driver_evidence.json`` (committed at the repo root)
+records, per entry, the last driver round with a full-pass row and the
+source hash captured when that evidence was last refreshed. At import
+time ``cocktailsdb_spark.registry`` consults this file to order QUERIES.
+
+Regenerate after each round lands its CORRECTNESS_r{N}.json:
+
+    python tools/driver_rotation.py refresh
+
+which (a) bumps ``last_round`` for every entry with a full-pass row in
+the newest CORRECTNESS file and (b) re-captures the source hash for
+exactly those entries — so an entry edited after its last driver row
+keeps its OLD hash and sorts back to the front until the driver re-checks
+it.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+EVIDENCE = ROOT / "driver_evidence.json"
+
+sys.path.insert(0, str(ROOT))
+
+
+def current_hashes() -> dict[str, str]:
+    from cocktailsdb_spark.registry import entry_source_hash, QUERIES
+
+    return {name: entry_source_hash(name) for name in QUERIES}
+
+
+def full_pass(rec: dict) -> bool:
+    # rows-only-by-design entries (no DuckDB twin): the driver records
+    # err='no_oracle' with the produced row count — its strongest check
+    if rec.get("err") == "no_oracle":
+        return bool(rec.get("spark_rows"))
+    if rec.get("err"):
+        return False
+    return rec.get("hash_match") is True
+
+
+def refresh() -> None:
+    rounds = sorted(ROOT.glob("CORRECTNESS_r*.json"))
+    evidence: dict[str, dict] = (
+        json.loads(EVIDENCE.read_text()) if EVIDENCE.exists() else {}
+    )
+    hashes = current_hashes()
+    for path in rounds:
+        rno = int(re.search(r"r(\d+)", path.stem).group(1))
+        data = json.loads(path.read_text())
+        for name, rec in data.items():
+            if not full_pass(rec):
+                continue
+            prev = evidence.get(name, {})
+            if prev.get("last_round", 0) < rno:
+                evidence[name] = {
+                    "last_round": rno,
+                    # hash captured NOW: only correct when refresh runs
+                    # before the entry is edited again (i.e. right after a
+                    # round lands) — the usual workflow
+                    "hash": hashes.get(name, ""),
+                }
+    EVIDENCE.write_text(json.dumps(evidence, indent=1, sort_keys=True) + "\n")
+    checked = set(evidence)
+    allq = set(hashes)
+    print(f"evidence for {len(checked)}/{len(allq)} entries -> {EVIDENCE}")
+    print("never checked:", sorted(allq - checked))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "refresh":
+        refresh()
+    else:
+        print(__doc__)

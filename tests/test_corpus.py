@@ -391,6 +391,38 @@ def test_pmi_collocations_hand_computed(spark):
     assert (out[0].term_a, out[0].term_b) == ("x", "y")
 
 
+def test_pmi_null_text_does_not_shift_scores(spark):
+    """A NULL-text doc contributes zero tokens, so it must not move the
+    adjacent-pair denominator (round-5 advisor finding: n_uni - n_docs
+    undercounted by one per NULL doc, shifting every PMI by a constant)."""
+    rows = [(i, "the the x y the", "en") for i in range(5)]
+    base = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with_null = base.unionByName(
+        spark.createDataFrame(
+            [(99, None, "en")], "doc_id long, text string, lang string"
+        )
+    )
+    a = {(r.term_a, r.term_b): r.pmi
+         for r in corpus.pmi_collocations(base, min_count=2, top_n=10).collect()}
+    b = {(r.term_a, r.term_b): r.pmi
+         for r in corpus.pmi_collocations(with_null, min_count=2, top_n=10).collect()}
+    assert a == b
+
+
+def test_weighted_sample_key_null_for_zero_weight(spark):
+    """ln(u)/w must never evaluate for w=0 rows (guarded when-expression),
+    so the plan stays well-defined if the filter ever moves after the
+    projection (round-5 advisor finding)."""
+    rows = [(i, "t", "a" if i % 2 else "z", "s") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus.weighted_sample_topn(docs, weights={"a": 1.0}, n=50).collect()
+    assert all(r.w > 0 and r.es_key is not None for r in out)
+    import math
+    assert all(not math.isinf(r.es_key) and not math.isnan(r.es_key) for r in out)
+
+
 def test_source_cap_matches_naive_window(spark):
     from cocktailsdb_spark.operators.text import md5_prefix_value
 

@@ -1226,13 +1226,17 @@ def _corr_fast_sql() -> str:
         )
 
     sums = ["CAST(count(*) AS BIGINT) AS n"]
+    # read columns through an explicit DOUBLE cast: a DECIMAL-encoded
+    # fixture would otherwise hit DuckDB's DECIMAL multiply overflow in
+    # the lane quantization (no-op for the double fixtures of today)
+    dcol = {c: f"CAST({c} AS DOUBLE)" for c in CORR_COLS}
     for c in CORR_COLS:
-        sums += lanes(c, f"s_{c}")
-        sums += lanes(f"{c} * {c}", f"ss_{c}")
+        sums += lanes(dcol[c], f"s_{c}")
+        sums += lanes(f"{dcol[c]} * {dcol[c]}", f"ss_{c}")
     pairs = []
     for i, a in enumerate(CORR_COLS):
         for b in CORR_COLS[i + 1 :]:
-            sums += lanes(f"{a} * {b}", f"sp_{a}_{b}")
+            sums += lanes(f"{dcol[a]} * {dcol[b]}", f"sp_{a}_{b}")
             n = "CAST(n AS DOUBLE)"
             sa, sb = rebuild(f"s_{a}"), rebuild(f"s_{b}")
             ssa, ssb = rebuild(f"ss_{a}"), rebuild(f"ss_{b}")

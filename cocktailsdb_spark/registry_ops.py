@@ -1887,8 +1887,8 @@ register(
     "udaf_median_order_value",
     _q_udaf_median,
     """SELECT o_custkey,
-              floor(median(o_totalprice) * 10000.0 + 0.5) / 10000.0
-                AS median_price
+              floor(median(CAST(o_totalprice AS DOUBLE)) * 10000.0 + 0.5)
+                / 10000.0 AS median_price
        FROM orders GROUP BY o_custkey""",
 )
 

@@ -56,6 +56,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        # DECIMAL-encoded measures (a plausible future fixture
+        # regeneration) read back as DecimalType; SURVEY §1.3 maps every
+        # measure to double, and the DuckDB bridge floats decimals too, so
+        # normalizing here keeps Spark results cell-identical with the
+        # oracle. DATE32/DATE64 need no shim: both engines present DATE.
+        elif isinstance(field.dataType, T.DecimalType):
+            df = df.withColumn(field.name, F.col(field.name).cast("double"))
+        # DATE32/DATE64-encoded date columns: SURVEY §1.3 maps them to
+        # TimestampType (midnight UTC). This also matches the comparator
+        # bridge — DuckDB's pandas conversion widens DATE to midnight
+        # datetime64, while a Spark DateType would surface as datetime.date
+        # and hash-mismatch even though the engines agree.
+        elif isinstance(field.dataType, T.DateType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -113,3 +113,58 @@ def test_load_real_fixture_ts_is_timestamp(spark, sf_dir):
     df = load(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     assert df.limit(1).select("ts").first()["ts"] is not None
+
+
+_ALT_SPECS = [
+    ("date32", "orders", "o_orderdate"),
+    ("date64", "lineitem", "l_shipdate"),
+    ("decimal", "lineitem", "l_extendedprice"),
+    ("decimal", "customer", "c_acctbal"),
+]
+
+
+@pytest.mark.parametrize("kind,table,col", _ALT_SPECS)
+def test_load_normalizes_date_and_decimal_encodings(spark, sf_dir, kind, table, col):
+    """DATE32/DATE64 and DECIMAL physical encodings (the remaining
+    plausible fixture regenerations after the ts churn) must read back as
+    the SURVEY §1.3 logical schema — TimestampType midnight for dates,
+    double for measures — with exactly the source values. The full-suite
+    proof is tools/make_alt_encoding.py + tools/selfcheck.py (216/216
+    green, round 6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.make_alt_encoding import RECODE, recode_table
+
+    src = f"{sf_dir}/{table}.parquet"
+    baseline = {
+        r[0]: r[1]
+        for r in load(spark, sf_dir, table)
+        .select(F.monotonically_increasing_id().alias("i"), col)
+        .collect()
+    }
+    work = tempfile.mkdtemp(prefix=f"cdbspark_alt_{kind}_")
+    try:
+        tbl = pq.read_table(src)
+        spec = {col: RECODE[table][col]}
+        if kind == "date32":
+            spec = {col: pa.date32()}
+        elif kind == "date64":
+            spec = {col: pa.date64()}
+        pdir = os.path.join(work, f"{table}.parquet")
+        pq.write_table(recode_table(tbl, spec), pdir)
+        df = load(spark, work, table)
+        dtype = df.schema[col].dataType
+        if kind in ("date32", "date64"):
+            assert isinstance(dtype, T.TimestampType), dtype
+        else:
+            assert isinstance(dtype, T.DoubleType), dtype
+        got = {
+            r[0]: r[1]
+            for r in df.select(
+                F.monotonically_increasing_id().alias("i"), col
+            ).collect()
+        }
+        assert got == baseline
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

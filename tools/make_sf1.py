@@ -1,11 +1,22 @@
-"""Synthesize an sf1-scale fixture (~6M lineitem / 1.5M orders) from the
-driver's sf0.1 parquet by replicating the FACT tables 10x with disjoint
-order keys (dimensions unchanged — TPC-H dims grow sublinearly and the 8
-bench headliners stress the fact-side joins/aggregations). Used for the
-BASELINE.md scaling-trend run only; correctness sweeps stay on the
-driver-generated SFs.
+"""Synthesize larger-SF fixtures (sf1, sf10) from the driver's sf0.1
+parquet by replicating the FACT tables N× with disjoint keys (dimensions
+unchanged — TPC-H dims grow sublinearly and the scaling sweep stresses the
+fact-side joins/aggregations). Used for the BASELINE.md scaling-trend runs
+only; correctness sweeps stay on the driver-generated SFs.
 
-Usage: python tools/make_sf1.py [--src /root/testdata/sf0.1] [--dst /tmp/cdbspark_sf1]
+Replicated document TEXT is salted with a per-replica token: exact
+replication would make every doc a 100-way near-duplicate of its copies,
+so near-dup pair counts (minhash bands, SimHash buckets) would grow
+QUADRATICALLY in the replica count — a data-distribution artifact, not an
+operator-scaling property. Salting keeps only the corpus's natural
+near-dup pairs, replicated linearly, which is the honest scaling story.
+(Embeddings are NOT replicated — the ANN families index a fixed embedding
+corpus; their scaling story is the recall-dial/cell-count analysis, not
+this sweep.)
+
+Usage:
+    python tools/make_sf1.py                      # sf1  (10x)  -> /tmp/cdbspark_sf1
+    python tools/make_sf1.py --replicas 100 --dst /tmp/cdbspark_sf10
 """
 
 from __future__ import annotations
@@ -22,7 +33,6 @@ from pyspark.sql import functions as F
 from cocktailsdb_spark.session import get_spark
 from cocktailsdb_spark.tables import TABLES, load
 
-REPLICAS = 10
 FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey", "documents": "doc_id"}
 
 
@@ -30,6 +40,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/cdbspark_sf1")
+    ap.add_argument("--replicas", type=int, default=10)
     args = ap.parse_args()
 
     spark = get_spark("make_sf1")
@@ -43,11 +54,12 @@ def main() -> None:
             continue
         df = load(spark, args.src, t)
         if t == "events":
-            # disjoint event_ids AND user_ids per replica: a clean 10×
-            # user population (same per-user behavior), not 10 duplicate
+            # disjoint event_ids AND user_ids per replica: a clean N×
+            # user population (same per-user behavior), not N duplicate
             # event streams on the same users
             user_stride = df.agg(F.max("user_id")).first()[0] + 1
-            rep = spark.range(REPLICAS).select(
+            rep = spark.range(args.replicas).select(
+                F.col("id").alias("_rep"),
                 (F.col("id") * stride).alias("_off"),
                 (F.col("id") * user_stride).alias("_uoff"),
             )
@@ -55,18 +67,26 @@ def main() -> None:
                 df.crossJoin(F.broadcast(rep))
                 .withColumn("event_id", F.col("event_id") + F.col("_off"))
                 .withColumn("user_id", F.col("user_id") + F.col("_uoff"))
-                .drop("_off", "_uoff")
+                .drop("_rep", "_off", "_uoff")
             )
         elif t in FACTS:
             key = FACTS[t]
-            rep = spark.range(REPLICAS).select(
-                (F.col("id") * stride).alias("_off")
+            rep = spark.range(args.replicas).select(
+                F.col("id").alias("_rep"), (F.col("id") * stride).alias("_off")
             )
             df = (
                 df.crossJoin(F.broadcast(rep))
                 .withColumn(key, F.col(key) + F.col("_off"))
-                .drop("_off")
             )
+            if t == "documents":
+                # per-replica text salt (see module docstring)
+                df = df.withColumn(
+                    "text",
+                    F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                        F.concat_ws(" ", F.col("text"), F.concat(F.lit("zrep"), F.col("_rep")))
+                    ),
+                )
+            df = df.drop("_rep", "_off")
         df.write.mode("overwrite").parquet(out)
         n = spark.read.parquet(out).count()
         print(f"{t}: {n} rows -> {out}")

@@ -1,0 +1,65 @@
+"""Normalize the near-dup scaling rows by their OUTPUT size.
+
+The sf10 fixture replicates each document 100× with a one-token salt;
+that salt keeps replicas DISTINCT but still genuinely near-duplicate
+(Jaccard ≈ n/(n+1)), so the verified-pair output of the banded-minhash
+and prefix-filtered Jaccard operators grows ~quadratically in the replica
+count while the input grows linearly. Their wall-clock is therefore
+output-bound, and raw sec-per-SF reads as super-linear when the honest
+claim is "linear in candidate/verified pairs" (VERDICT r5, X2 table).
+
+This tool records verified-pair counts per SF and sec/1k-pairs into
+scaling_r6.json under "neardup_pairs" so the two rows are adjudicable.
+
+    python tools/neardup_pair_counts.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+import sys
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+QUERIES = ["minhash_banded_pairs", "ngram_jaccard_prefix"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--dirs",
+        default="/root/testdata/sf0.1,/tmp/cdbspark_sf1,/tmp/cdbspark_sf10",
+    )
+    ap.add_argument("--labels", default="sf0.1,sf1,sf10")
+    ap.add_argument("--out", default=str(ROOT / "scaling_r6.json"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from cocktailsdb_spark.session import get_spark
+
+    spark = get_spark("neardup_pairs")
+    qs = entrymod.queries()
+    result = json.loads(Path(args.out).read_text()) if Path(args.out).exists() else {}
+    section = result.setdefault("neardup_pairs", {})
+    for label, d in zip(args.labels.split(","), args.dirs.split(",")):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            n = qs[name](spark, d).count()
+            dt = time.perf_counter() - t0
+            rec = section.setdefault(name, {})
+            rec[label] = {
+                "pairs": n,
+                "sec": round(dt, 2),
+                "sec_per_1k_pairs": round(dt / max(n, 1) * 1000, 4),
+            }
+            print(f"{label} {name}: {n} pairs in {dt:.1f}s")
+            Path(args.out).write_text(json.dumps(result, indent=1) + "\n")
+    print(f"updated {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "rfm_segments",
     "yoy_revenue_growth",
     "table_checksum",
+    # round-6: DSIR hashed-bigram importance weighting (data selection)
+    "dsir_importance_weights",
     # round-6: the stateful/streaming family (judge directive 5) — each row
     # is an end-to-end micro-batch run over the sf events table (input
     # materialization + all micro-batches to completion + result read), so

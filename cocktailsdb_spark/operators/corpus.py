@@ -831,3 +831,85 @@ def weighted_sample_topn(
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+DSIR_BUCKETS = 1024
+DSIR_SMOOTH = 0.5
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_N = 300
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+    smooth: float = DSIR_SMOOTH,
+    top_n: int = DSIR_TOP_N,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling" —
+    public): represent each document as a bag of HASHED BIGRAM features,
+    fit smoothed categorical distributions over the hash buckets for the
+    TARGET slice (here: ``lang = target_lang``) and for the RAW corpus,
+    and score every document by its log importance weight
+    Σ_b c_doc(b)·(ln p̂_target(b) − ln p̂_raw(b)). Top-weighted docs are the
+    ones to up-sample when aiming the corpus at the target distribution.
+
+    Scale shape: ONE bigram explode feeds a per-(doc, bucket) count whose
+    shuffle both downstream consumers share (Spark's ReuseExchange dedupes
+    the identical subtree, so the corpus is exploded ONCE): the bucket
+    distribution fit re-aggregates the already-reduced (doc, bucket) frame,
+    and the per-doc score joins the BOUNDED (n_buckets-row — it cannot grow
+    with data) broadcast log-ratio table back onto it. Buckets come from
+    md5 (the hash both engines share); 16^4 is divisible by n_buckets, so
+    the modulo is unbiased. Per-element log-ratios are quantized to integer
+    micro-units and summed exactly (order-insensitive on both engines); the
+    final score qrounds at 6 dp with doc_id as the unique tiebreak.
+    """
+    assert (16 ** 4) % n_buckets == 0, "n_buckets must divide 16^4"
+    tk = tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    base = spread(docs).filter(F.size(tk) >= 2)
+    per_db = (
+        base.select("doc_id", "lang", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            (md5_prefix_value(F.col("g"), 4) % n_buckets).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = per_db.groupBy("b").agg(
+        F.sum("c").alias("n_raw"),
+        F.sum(F.when(F.col("lang") == target_lang, F.col("c")).otherwise(F.lit(0))).alias("n_tgt"),
+    )
+    totals = stats.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    sB = F.lit(smooth) * F.lit(float(n_buckets))
+    lr = F.log(
+        (F.col("n_tgt") + F.lit(smooth)) / (F.col("t_tgt") + sB)
+    ) - F.log((F.col("n_raw") + F.lit(smooth)) / (F.col("t_raw") + sB))
+    ratio = (
+        stats.crossJoin(F.broadcast(totals))
+        .select("b", F.floor(lr * 1e6 + F.lit(0.5)).cast("long").alias("lr_q"))
+    )
+    return (
+        per_db.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lr_q")).alias("qs"),
+            F.sum("c").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            qround(F.col("qs") / 1e6, 6).alias("dsir_logratio"),
+        )
+        .orderBy(F.desc("dsir_logratio"), F.asc("doc_id"))
+        .limit(top_n)
+    )

@@ -2886,3 +2886,61 @@ def _bpe_encode_sql(n_merges: int) -> str:
 
 
 register("bpe_encode_stats", _q_bpe_encode, _bpe_encode_sql(corpus.BPE_MERGES))
+
+
+# ===========================================================================
+# §2.9 corpus extension — DSIR importance weighting (data selection)
+# ===========================================================================
+
+
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/corpus — DSIR-style hashed-bigram importance weights toward the
+    target slice (operators/corpus.py:dsir_importance); integer-quantized
+    log-ratio sums so both engines agree exactly."""
+    return corpus.dsir_importance(load(spark, sf_dir, "documents"))
+
+
+def _dsir_sql() -> str:
+    B = corpus.DSIR_BUCKETS
+    sm = corpus.DSIR_SMOOTH
+    sB = sm * B
+    gram = "t1.term || ' ' || t2.term"
+    bucket = f"({_sql_md5_prefix_value(gram, 4)}) % {B}"
+    lr = (
+        f"ln((n_tgt + {sm}) / (t_tgt + {sB})) - "
+        f"ln((n_raw + {sm}) / (t_raw + {sB}))"
+    )
+    return f"""WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        eb AS (
+          SELECT t1.doc_id, t1.lang, {bucket} AS b
+          FROM tok t1 JOIN tok t2
+            ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        stats AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+                 CAST(sum(CASE WHEN lang = '{corpus.DSIR_TARGET_LANG}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+          FROM eb GROUP BY b),
+        tot AS (
+          SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+                 CAST(sum(n_tgt) AS BIGINT) AS t_tgt
+          FROM stats),
+        ratio AS (
+          SELECT b, CAST(floor(({lr}) * 1000000.0 + 0.5) AS BIGINT) AS lr_q
+          FROM stats CROSS JOIN tot),
+        scored AS (
+          SELECT e.doc_id,
+                 CAST(count(*) AS INT) AS n_grams,
+                 {sql_qround("CAST(sum(r.lr_q) AS DOUBLE) / 1000000.0", 6)}
+                   AS dsir_logratio
+          FROM eb e JOIN ratio r USING (b)
+          GROUP BY e.doc_id)
+        SELECT doc_id, n_grams, dsir_logratio FROM scored
+        ORDER BY dsir_logratio DESC, doc_id ASC
+        LIMIT {corpus.DSIR_TOP_N}"""
+
+
+register("dsir_importance_weights", _q_dsir, _dsir_sql())

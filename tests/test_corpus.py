@@ -494,3 +494,29 @@ def test_weighted_sample_zero_weight_excluded(spark):
     )
     out = corpus.weighted_sample_topn(docs, weights={"a": 1.0}, n=50).collect()
     assert all(r.lang == "a" for r in out) and len(out) == 10
+
+
+def test_dsir_ranks_targetlike_docs_first(spark):
+    """Docs sharing the target slice's distinctive bigrams must out-score
+    docs made of raw-only bigrams; scores are deterministic across runs."""
+    rows = (
+        # target slice (en): distinctive bigram "alpha beta"
+        [(i, "alpha beta alpha beta alpha beta", "en", "s") for i in range(5)]
+        # raw-only slice: bigram "gamma delta"
+        + [(10 + i, "gamma delta gamma delta gamma delta", "de", "s") for i in range(5)]
+        # the probe docs: one looks like target, one like raw
+        + [(100, "alpha beta alpha beta", "fr", "s"), (101, "gamma delta gamma delta", "fr", "s")]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus.dsir_importance(docs, top_n=20).collect()
+    score = {r.doc_id: r.dsir_logratio for r in out}
+    assert score[100] > score[101], score
+    # target-like probe ranks with the en docs, raw-like sinks to the bottom
+    order = [r.doc_id for r in out]
+    assert order.index(100) < order.index(101)
+    again = corpus.dsir_importance(docs, top_n=20).collect()
+    assert [(r.doc_id, r.dsir_logratio) for r in again] == [
+        (r.doc_id, r.dsir_logratio) for r in out
+    ]

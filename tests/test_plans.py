@@ -256,3 +256,17 @@ def test_growing_dims_still_broadcast_at_bench_scale(spark, sf_dir):
     assert _count_nodes(plan, "SortMergeJoin") + _count_nodes(
         plan, "ShuffledHashJoin"
     ) <= 1, plan  # only lineitem⋈orders may shuffle
+
+
+def test_maybe_broadcast_policy_unit(spark, sf_dir):
+    """Policy table: bounded names get the hint, growing or unknown names
+    pass through unhinted."""
+    from cocktailsdb_spark.plans.hints import maybe_broadcast
+    from cocktailsdb_spark.tables import load as _load
+
+    df = _load(spark, sf_dir, "nation")
+    hinted = maybe_broadcast(df, "nation")
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    for growing in ("customer", "part", "supplier", "orders", "no_such_table"):
+        out = maybe_broadcast(df, growing)
+        assert out is df  # identity: no hint node added

@@ -245,13 +245,15 @@ def main() -> None:
     # the full artifact is ALSO committed at the repo root: the driver's
     # recorded BENCH_r{N}.json has been truncated mid-stream before
     # (round 5), which loses the totals — bench_latest.json is the
-    # authoritative, complete copy (judge directive 7)
-    try:
-        (Path(__file__).resolve().parent / "bench_latest.json").write_text(
-            payload + "\n"
-        )
-    except OSError as exc:
-        print(f"bench: could not write bench_latest.json: {exc}", file=sys.stderr)
+    # authoritative, complete copy (judge directive 7). Subset runs
+    # (SPARK_GRAFT_BENCH_ONLY) must not clobber the full-run artifact.
+    if not only:
+        try:
+            (Path(__file__).resolve().parent / "bench_latest.json").write_text(
+                payload + "\n"
+            )
+        except OSError as exc:
+            print(f"bench: could not write bench_latest.json: {exc}", file=sys.stderr)
     print(payload)
 
 

@@ -855,12 +855,14 @@ def dsir_importance(
     Σ_b c_doc(b)·(ln p̂_target(b) − ln p̂_raw(b)). Top-weighted docs are the
     ones to up-sample when aiming the corpus at the target distribution.
 
-    Scale shape: ONE bigram explode feeds a per-(doc, bucket) count whose
-    shuffle both downstream consumers share (Spark's ReuseExchange dedupes
-    the identical subtree, so the corpus is exploded ONCE): the bucket
-    distribution fit re-aggregates the already-reduced (doc, bucket) frame,
-    and the per-doc score joins the BOUNDED (n_buckets-row — it cannot grow
-    with data) broadcast log-ratio table back onto it. Buckets come from
+    Scale shape: TWO corpus passes, which is the floor for this operator —
+    the bucket distributions must be fully fitted before any document can
+    be scored (same as the reference method's fit-then-score split). Each
+    pass explodes bigrams into a per-(doc, bucket) count; the fit pass
+    re-aggregates that reduced frame down to the BOUNDED bucket table
+    (n_buckets rows — it cannot grow with data), which broadcasts back
+    onto the score pass, so every shuffle after the explode carries
+    (doc × bucket)-bounded rows, never gram-sized ones. Buckets come from
     md5 (the hash both engines share); 16^4 is divisible by n_buckets, so
     the modulo is unbiased. Per-element log-ratios are quantized to integer
     micro-units and summed exactly (order-insensitive on both engines); the

@@ -65,3 +65,37 @@ def test_entry_source_hash_is_deterministic():
 
     for name in list(QUERIES)[:10]:
         assert entry_source_hash(name) == entry_source_hash(name)
+
+
+def test_driver_rotation_refresh_workflow(tmp_path, monkeypatch):
+    """tools/driver_rotation.py refresh: bumps last_round for new
+    full-pass rows, re-captures hashes ONLY for those entries, leaves
+    already-current evidence untouched, and treats rows-only
+    (err='no_oracle' with rows) as green."""
+    import json
+
+    from tools import driver_rotation as dr
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True, "spark_rows": 5, "err": None},
+        "b": {"rows_match": None, "schema_match": None, "hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+        "c": {"rows_match": True, "schema_match": True, "hash_match": False, "spark_rows": 5, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True, "spark_rows": 5, "err": None},
+        "d": {"rows_match": None, "schema_match": None, "hash_match": None, "spark_rows": 0, "err": "no_oracle"},
+    }))
+    monkeypatch.setattr(dr, "ROOT", tmp_path)
+    monkeypatch.setattr(dr, "EVIDENCE", tmp_path / "driver_evidence.json")
+    monkeypatch.setattr(
+        dr, "current_hashes", lambda: {"a": "HA", "b": "HB", "c": "HC", "d": "HD"}
+    )
+    dr.refresh()
+    ev = json.loads((tmp_path / "driver_evidence.json").read_text())
+    assert ev["a"] == {"last_round": 2, "hash": "HA"}
+    assert ev["b"] == {"last_round": 1, "hash": "HB"}  # rows-only counts
+    assert "c" not in ev  # hash mismatch is NOT a full pass
+    assert "d" not in ev  # zero rows is NOT green
+    # idempotent: second refresh with unchanged rounds changes nothing
+    dr.refresh()
+    assert json.loads((tmp_path / "driver_evidence.json").read_text()) == ev

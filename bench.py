@@ -246,8 +246,9 @@ def main() -> None:
     # recorded BENCH_r{N}.json has been truncated mid-stream before
     # (round 5), which loses the totals — bench_latest.json is the
     # authoritative, complete copy (judge directive 7). Subset runs
-    # (SPARK_GRAFT_BENCH_ONLY) must not clobber the full-run artifact.
-    if not only:
+    # (SPARK_GRAFT_BENCH_ONLY) and non-default-SF runs (scaling probes)
+    # must not clobber the full sf0.1 artifact.
+    if not only and sf == 0.1:
         try:
             (Path(__file__).resolve().parent / "bench_latest.json").write_text(
                 payload + "\n"

@@ -46,9 +46,15 @@ def maybe_broadcast(df: DataFrame, table: str) -> DataFrame:
 
     ``table`` is the logical name of the frame's base table (or
     ``"derived"`` for genuinely bounded derived frames, which callers may
-    also hint directly with ``F.broadcast``). Unknown names are treated as
-    growing — the safe default.
+    also hint directly with ``F.broadcast``). Names outside the policy
+    table raise — a typo'd site must fail loudly at plan-build time, not
+    silently skip the policy.
     """
     if table in BOUNDED_TABLES or table == "derived":
         return F.broadcast(df)
+    if table not in GROWING_TABLES:
+        raise ValueError(
+            f"maybe_broadcast: {table!r} is in neither BOUNDED_TABLES nor "
+            "GROWING_TABLES — add it to the policy table in plans/hints.py"
+        )
     return df

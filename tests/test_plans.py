@@ -259,14 +259,18 @@ def test_growing_dims_still_broadcast_at_bench_scale(spark, sf_dir):
 
 
 def test_maybe_broadcast_policy_unit(spark, sf_dir):
-    """Policy table: bounded names get the hint, growing or unknown names
-    pass through unhinted."""
+    """Policy table: bounded names get the hint, growing names pass
+    through unhinted, names outside the policy table raise."""
+    import pytest as _pytest
+
     from cocktailsdb_spark.plans.hints import maybe_broadcast
     from cocktailsdb_spark.tables import load as _load
 
     df = _load(spark, sf_dir, "nation")
     hinted = maybe_broadcast(df, "nation")
     assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
-    for growing in ("customer", "part", "supplier", "orders", "no_such_table"):
+    for growing in ("customer", "part", "supplier", "orders"):
         out = maybe_broadcast(df, growing)
         assert out is df  # identity: no hint node added
+    with _pytest.raises(ValueError):
+        maybe_broadcast(df, "no_such_table")

@@ -116,15 +116,15 @@ def test_load_real_fixture_ts_is_timestamp(spark, sf_dir):
 
 
 _ALT_SPECS = [
-    ("date32", "orders", "o_orderdate"),
-    ("date64", "lineitem", "l_shipdate"),
-    ("decimal", "lineitem", "l_extendedprice"),
-    ("decimal", "customer", "c_acctbal"),
+    ("date32", "orders", "o_orderdate", ["o_orderkey"]),
+    ("date64", "lineitem", "l_shipdate", ["l_orderkey", "l_linenumber"]),
+    ("decimal", "lineitem", "l_extendedprice", ["l_orderkey", "l_linenumber"]),
+    ("decimal", "customer", "c_acctbal", ["c_custkey"]),
 ]
 
 
-@pytest.mark.parametrize("kind,table,col", _ALT_SPECS)
-def test_load_normalizes_date_and_decimal_encodings(spark, sf_dir, kind, table, col):
+@pytest.mark.parametrize("kind,table,col,key", _ALT_SPECS)
+def test_load_normalizes_date_and_decimal_encodings(spark, sf_dir, kind, table, col, key):
     """DATE32/DATE64 and DECIMAL physical encodings (the remaining
     plausible fixture regenerations after the ts churn) must read back as
     the SURVEY §1.3 logical schema — TimestampType midnight for dates,
@@ -137,11 +137,12 @@ def test_load_normalizes_date_and_decimal_encodings(spark, sf_dir, kind, table, 
     from tools.make_alt_encoding import RECODE, recode_table
 
     src = f"{sf_dir}/{table}.parquet"
+    # key on the table's REAL key columns — monotonically_increasing_id
+    # depends on partition layout, which differs between the original
+    # fixture and the pyarrow-rewritten copy
     baseline = {
-        r[0]: r[1]
-        for r in load(spark, sf_dir, table)
-        .select(F.monotonically_increasing_id().alias("i"), col)
-        .collect()
+        tuple(r[k] for k in key): r[col]
+        for r in load(spark, sf_dir, table).select(*key, col).collect()
     }
     work = tempfile.mkdtemp(prefix=f"cdbspark_alt_{kind}_")
     try:
@@ -160,10 +161,8 @@ def test_load_normalizes_date_and_decimal_encodings(spark, sf_dir, kind, table, 
         else:
             assert isinstance(dtype, T.DoubleType), dtype
         got = {
-            r[0]: r[1]
-            for r in df.select(
-                F.monotonically_increasing_id().alias("i"), col
-            ).collect()
+            tuple(r[k] for k in key): r[col]
+            for r in df.select(*key, col).collect()
         }
         assert got == baseline
     finally:

@@ -57,20 +57,25 @@ def refresh() -> None:
         json.loads(EVIDENCE.read_text()) if EVIDENCE.exists() else {}
     )
     hashes = current_hashes()
-    for path in rounds:
-        rno = int(re.search(r"r(\d+)", path.stem).group(1))
+    round_nos = [int(re.search(r"r(\d+)", p.stem).group(1)) for p in rounds]
+    newest = max(round_nos, default=0)
+    for path, rno in zip(rounds, round_nos):
         data = json.loads(path.read_text())
         for name, rec in data.items():
             if not full_pass(rec):
                 continue
             prev = evidence.get(name, {})
             if prev.get("last_round", 0) < rno:
+                # The current source hash is only valid evidence for the
+                # NEWEST round (refresh runs right after it lands, before
+                # edits). A historical round replayed during a rebuild
+                # gets "" — never equal to a real hash, so the entry
+                # sorts to the front until the driver re-checks it
+                # (self-healing; the alternative would silently mark
+                # edited-but-never-rechecked entries green).
                 evidence[name] = {
                     "last_round": rno,
-                    # hash captured NOW: only correct when refresh runs
-                    # before the entry is edited again (i.e. right after a
-                    # round lands) — the usual workflow
-                    "hash": hashes.get(name, ""),
+                    "hash": hashes.get(name, "") if rno == newest else "",
                 }
     EVIDENCE.write_text(json.dumps(evidence, indent=1, sort_keys=True) + "\n")
     checked = set(evidence)

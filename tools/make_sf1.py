@@ -4,15 +4,16 @@ unchanged — TPC-H dims grow sublinearly and the scaling sweep stresses the
 fact-side joins/aggregations). Used for the BASELINE.md scaling-trend runs
 only; correctness sweeps stay on the driver-generated SFs.
 
-Replicated document TEXT is salted with a per-replica token: exact
-replication would make every doc a 100-way near-duplicate of its copies,
-so near-dup pair counts (minhash bands, SimHash buckets) would grow
-QUADRATICALLY in the replica count — a data-distribution artifact, not an
-operator-scaling property. Salting keeps only the corpus's natural
-near-dup pairs, replicated linearly, which is the honest scaling story.
-(Embeddings are NOT replicated — the ANN families index a fixed embedding
-corpus; their scaling story is the recall-dial/cell-count analysis, not
-this sweep.)
+Replicated document TEXT is salted with a per-replica token so copies are
+DISTINCT documents (exact dedup and fingerprints differ). Note the salt
+does NOT break near-duplication: a one-token suffix leaves cross-replica
+Jaccard at ~n/(n+1), so minhash/Jaccard verified-pair output still grows
+~quadratically in the replica count — a property of the replicated
+workload, not the plans. The scaling sweep therefore normalizes those two
+rows by output size (tools/neardup_pair_counts.py records pair counts and
+sec-per-1k-pairs; see BASELINE.md round-6). (Embeddings are NOT
+replicated — the ANN families index a fixed embedding corpus; their
+scaling story is the recall-dial/cell-count analysis, not this sweep.)
 
 Usage:
     python tools/make_sf1.py                      # sf1  (10x)  -> /tmp/cdbspark_sf1
@@ -79,10 +80,15 @@ def main() -> None:
                 .withColumn(key, F.col(key) + F.col("_off"))
             )
             if t == "documents":
-                # per-replica text salt (see module docstring)
+                # per-replica text salt (see module docstring);
+                # null-preserving — concat_ws would otherwise turn a
+                # NULL-text doc into a non-null "zrepN" one-token doc
                 df = df.withColumn(
                     "text",
-                    F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.when(
+                        (F.col("_rep") == 0) | F.col("text").isNull(),
+                        F.col("text"),
+                    ).otherwise(
                         F.concat_ws(" ", F.col("text"), F.concat(F.lit("zrep"), F.col("_rep")))
                     ),
                 )

@@ -5,7 +5,9 @@ scaling is qualitatively stronger evidence for the 100× posture claims
 than one — a plan hiding super-linear behavior shows its hand by sf10.
 
 Fixture prep (see tools/make_sf1.py for the replication + text-salting
-scheme):
+scheme — note salted replicas remain genuine NEAR-duplicates, so the two
+near-dup rows are output-bound; tools/neardup_pair_counts.py records the
+pair counts that normalize them):
 
     python tools/make_sf1.py --dst /tmp/cdbspark_sf1
     python tools/make_sf1.py --replicas 100 --dst /tmp/cdbspark_sf10
@@ -79,8 +81,9 @@ def main() -> None:
         "note": (
             "best-of-2 per query per SF, fresh interpreter per SF column "
             "(bench.py subprocess); fixtures via tools/make_sf1.py with "
-            "per-replica text salting so near-dup pair counts scale "
-            "linearly, not quadratically in replicas"
+            "per-replica text salting (replicas distinct but still "
+            "near-duplicate — see neardup_pairs for the output-size "
+            "normalization of the two near-dup rows)"
         ),
         "queries": SCALE_QUERIES,
     }

@@ -84,8 +84,30 @@ def refresh() -> None:
     print("never checked:", sorted(allq - checked))
 
 
+def rebase(front: set[str]) -> None:
+    """Re-capture CURRENT hashes for every evidenced entry except those in
+    ``front``, whose hashes are cleared to "" (→ re-check queue).
+
+    Use when a SHARED-infrastructure change (e.g. tables.load) flips the
+    transitive hash of every entry at once: the full oracle selfcheck
+    sweep is the evidence that the shared change is sound, so the driver's
+    50-entry budget should be spent on the DIRECTLY edited entries and the
+    never-checked tail, not on 200 loader-transitive flags. Only run a
+    rebase after a 0-FAIL full sweep on current code.
+    """
+    evidence = json.loads(EVIDENCE.read_text())
+    hashes = current_hashes()
+    for name, rec in evidence.items():
+        rec["hash"] = "" if name in front else hashes.get(name, "")
+    EVIDENCE.write_text(json.dumps(evidence, indent=1, sort_keys=True) + "\n")
+    print(f"rebased {len(evidence)} entries; {len(front)} forced to front")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "refresh":
         refresh()
+    elif len(sys.argv) > 1 and sys.argv[1] == "rebase":
+        names = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
+        rebase(names)
     else:
         print(__doc__)

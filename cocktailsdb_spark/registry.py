@@ -207,7 +207,10 @@ def _collect_sources(fn, seen: set[int], depth: int = 0) -> list[str]:
     try:
         out = [inspect.getsource(fn)]
     except (OSError, TypeError):
-        return [repr(fn)]
+        # repr(fn) embeds the object's memory address → a different hash
+        # every process, permanently pinning the entry to the re-check
+        # front. Use a stable module-qualified identifier instead.
+        return [f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(type(fn)))}"]
     if depth >= 3:
         return out
     g = getattr(fn, "__globals__", {})
@@ -257,6 +260,19 @@ def _collect_sources(fn, seen: set[int], depth: int = 0) -> list[str]:
             out.append(f"{name}={sorted(map(repr, obj))!r}")
         elif isinstance(obj, (str, int, float, tuple)):
             out.append(f"{name}={obj!r}")
+        elif isinstance(obj, (dict, list)):
+            # dict/list constants (e.g. LANG_STOPWORDS) are behavior too:
+            # editing one must flip the entry hash or the rotation never
+            # re-prioritizes the entry. json with sort_keys gives a stable
+            # serialization; default=repr covers non-JSON leaf values.
+            import json as _json
+
+            try:
+                out.append(
+                    f"{name}={_json.dumps(obj, sort_keys=True, default=repr)}"
+                )
+            except (TypeError, ValueError):
+                out.append(f"{name}=<unserializable {type(obj).__name__}>")
     return out
 
 

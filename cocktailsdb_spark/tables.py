@@ -60,7 +60,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # regeneration) read back as DecimalType; SURVEY §1.3 maps every
         # measure to double, and the DuckDB bridge floats decimals too, so
         # normalizing here keeps Spark results cell-identical with the
-        # oracle. DATE32/DATE64 need no shim: both engines present DATE.
+        # oracle.
         elif isinstance(field.dataType, T.DecimalType):
             df = df.withColumn(field.name, F.col(field.name).cast("double"))
         # DATE32/DATE64-encoded date columns: SURVEY §1.3 maps them to

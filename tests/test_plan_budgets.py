@@ -89,10 +89,22 @@ def test_registry_budget_snapshot(spark, sf_dir):
     )
     over: list[str] = []
     errors: list[str] = []
+    stale_errors: list[str] = []
     for name, fn in qs.items():
         rec = snap[name]
         if "error" in rec:
-            continue  # oracle sweep covers these
+            # The snapshot recorded a plan-build error. Don't skip forever:
+            # if the plan now builds, the snapshot is stale and the entry
+            # has NO enforced budget — fail so it gets regenerated.
+            try:
+                fn(spark, sf_dir)
+            except Exception:  # noqa: BLE001 — still erroring, as recorded
+                continue
+            stale_errors.append(
+                f"{name}: snapshot records a build error but the plan now "
+                "builds — run python tools/budget_snapshot.py"
+            )
+            continue
         try:
             got = node_counts(fmt_plan(fn(spark, sf_dir))).get("Exchange", 0)
         except Exception as exc:  # noqa: BLE001
@@ -101,4 +113,5 @@ def test_registry_budget_snapshot(spark, sf_dir):
         if got > rec["exchanges"]:
             over.append(f"{name}: planned {got} > recorded {rec['exchanges']}")
     assert not errors, errors
+    assert not stale_errors, "\n".join(stale_errors)
     assert not over, "exchange budget regressions:\n" + "\n".join(over)

@@ -51,11 +51,35 @@ def full_pass(rec: dict) -> bool:
     return rec.get("hash_match") is True
 
 
+def _package_dirty() -> bool:
+    """True when the working tree has modifications under the package —
+    hashes captured then would describe UNCHECKED code, silently exempting
+    edited-but-never-rechecked entries from the re-check queue."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "--", "cocktailsdb_spark"],
+        cwd=ROOT,
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    return bool(out.stdout.strip())
+
+
 def refresh() -> None:
     rounds = sorted(ROOT.glob("CORRECTNESS_r*.json"))
     evidence: dict[str, dict] = (
         json.loads(EVIDENCE.read_text()) if EVIDENCE.exists() else {}
     )
+    dirty = _package_dirty()
+    if dirty:
+        print(
+            "WARNING: cocktailsdb_spark/ has uncommitted edits — the driver "
+            "checked the COMMITTED tree, so hashes are recorded as \"\" "
+            "(entries stay on the re-check front until the driver sees "
+            "current code)."
+        )
     hashes = current_hashes()
     round_nos = [int(re.search(r"r(\d+)", p.stem).group(1)) for p in rounds]
     newest = max(round_nos, default=0)
@@ -75,7 +99,11 @@ def refresh() -> None:
                 # edited-but-never-rechecked entries green).
                 evidence[name] = {
                     "last_round": rno,
-                    "hash": hashes.get(name, "") if rno == newest else "",
+                    "hash": (
+                        hashes.get(name, "")
+                        if rno == newest and not dirty
+                        else ""
+                    ),
                 }
     EVIDENCE.write_text(json.dumps(evidence, indent=1, sort_keys=True) + "\n")
     checked = set(evidence)
@@ -95,6 +123,11 @@ def rebase(front: set[str]) -> None:
     never-checked tail, not on 200 loader-transitive flags. Only run a
     rebase after a 0-FAIL full sweep on current code.
     """
+    if _package_dirty():
+        raise SystemExit(
+            "refusing to rebase: cocktailsdb_spark/ has uncommitted edits — "
+            "commit the exact tree the 0-FAIL sweep ran on first."
+        )
     evidence = json.loads(EVIDENCE.read_text())
     hashes = current_hashes()
     for name, rec in evidence.items():

@@ -264,12 +264,25 @@ def _collect_sources(fn, seen: set[int], depth: int = 0) -> list[str]:
             # dict/list constants (e.g. LANG_STOPWORDS) are behavior too:
             # editing one must flip the entry hash or the rotation never
             # re-prioritizes the entry. json with sort_keys gives a stable
-            # serialization; default=repr covers non-JSON leaf values.
+            # serialization; the default must itself be process-stable —
+            # repr of a callable embeds a memory address and repr of a set
+            # iterates in hash-randomized order, either of which would pin
+            # the entry permanently to the re-check front.
             import json as _json
+
+            def _stable_leaf(o):
+                if isinstance(o, (set, frozenset)):
+                    return sorted(map(repr, o))
+                if callable(o):
+                    return (
+                        f"{getattr(o, '__module__', '?')}."
+                        f"{getattr(o, '__qualname__', type(o).__name__)}"
+                    )
+                return f"<{type(o).__name__}>"
 
             try:
                 out.append(
-                    f"{name}={_json.dumps(obj, sort_keys=True, default=repr)}"
+                    f"{name}={_json.dumps(obj, sort_keys=True, default=_stable_leaf)}"
                 )
             except (TypeError, ValueError):
                 out.append(f"{name}=<unserializable {type(obj).__name__}>")

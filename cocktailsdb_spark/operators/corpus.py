@@ -70,9 +70,10 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Concat-then-cut sequence packing (GPT-style pretraining batches):
     documents are laid end-to-end in doc_id order; each doc's global token
     offset is the exclusive prefix sum, and its training bin is
-    offset // budget. One window over a single global ordering — at 100 TB
-    the ordering column becomes (shard_id, doc_id) so each shard packs
-    independently; the per-shard plan is this one."""
+    offset // budget. One window over a single global ordering — this is
+    the small-corpus / per-shard form; the 100 TB entry is
+    :func:`pack_sequences_sharded`, which runs exactly this prefix sum
+    under a shard-partitioned window."""
     n_tok = F.size(tokens())
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     return docs.select(
@@ -85,6 +86,53 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         "start_offset",
         (F.col("start_offset") / budget).cast("bigint").alias("bin_id"),
         (F.col("start_offset") % budget).alias("offset_in_bin"),
+    )
+
+
+PACK_SHARDS = 32
+
+
+def pack_sequences_sharded(
+    docs: DataFrame, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """:func:`pack_sequences` at scale: the corpus is split into
+    ``n_shards`` deterministic shards (``doc_id % n_shards`` — doc ids
+    are dense, so shards balance) and each shard is packed independently
+    under ONE hash-partitioned window — no "move all data to a single
+    partition" plan anywhere. A training loader consumes
+    ``(shard_id, bin_id)`` pairs; bins never cross shards, which is also
+    what makes shard-parallel tokenization/writing possible downstream.
+
+    At 100 TB ``n_shards`` rises with the cluster (one shard ≈ one
+    writer task); the per-shard plan is byte-for-byte the
+    :func:`pack_sequences` prefix sum, which is that form's oracle role.
+    """
+    n_tok = F.size(tokens())
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard_id"),
+            "doc_id",
+            n_tok.alias("n_tokens"),
+        )
+        .select(
+            "shard_id",
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+        )
+        .select(
+            "shard_id",
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            (F.col("start_offset") / budget).cast("bigint").alias("bin_id"),
+            (F.col("start_offset") % budget).alias("offset_in_bin"),
+        )
     )
 
 

@@ -945,26 +945,12 @@ def chisq_contingency(orders: DataFrame) -> DataFrame:
     )
 
 
-def rfm_segments(orders: DataFrame) -> DataFrame:
-    """RFM segmentation (recency / frequency / monetary — the classic
-    CRM scoring, public marketing-analytics canon): per customer,
-    days-since-last-order (vs the corpus max date — no wall clock),
-    order count, and exact decimal spend; each dimension scored 1–5 by
-    ntile over a deterministic (value, custkey) order; output is the
-    125-cell segment census.
-
-    One customer-grain aggregate (data-sized shuffle), three ntile
-    windows sharing ONE customer-sized frame, broadcast scalar for the
-    reference date, then a cell-count aggregate. The unpartitioned ntile
-    is exact-verify scale posture: at 100M+ customers the quintile
-    CUTOFFS come from the two-pass histogram (quantile_two_pass) and the
-    scores become a narrow map — this form is that plan's oracle twin,
-    same convention as winsorized_stats/ccnet. R scores high for
-    RECENT (small day-gap), F and M high for large values — the
-    conventional orientation.
-    """
+def _rfm_customer_frame(orders: DataFrame) -> DataFrame:
+    """Shared RFM base: per customer, days-since-last-order vs the corpus
+    max date (no wall clock), order count, exact-decimal spend as double.
+    One customer-grain aggregate + a broadcast scalar."""
     ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
-    per = (
+    return (
         orders.groupBy("o_custkey")
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_day"),
@@ -979,6 +965,27 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             "monetary",
         )
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    CRM scoring, public marketing-analytics canon): per customer,
+    days-since-last-order (vs the corpus max date — no wall clock),
+    order count, and exact decimal spend; each dimension scored 1–5 by
+    ntile over a deterministic (value, custkey) order; output is the
+    125-cell segment census.
+
+    One customer-grain aggregate (data-sized shuffle), three ntile
+    windows sharing ONE customer-sized frame, broadcast scalar for the
+    reference date, then a cell-count aggregate. The unpartitioned ntile
+    is exact-verify scale posture: at 100M+ customers the quintile
+    CUTOFFS come from the two-pass histogram and the scores become a
+    narrow map — that plan is :func:`rfm_segments_scaled` (registered,
+    oracle-checked); this form stays as the small-data / exact-tie-split
+    variant. R scores high for RECENT (small day-gap), F and M high for
+    large values — the conventional orientation.
+    """
+    per = _rfm_customer_frame(orders)
     # R: most recent (smallest gap) = 5 -> ntile over DESC recency
     wr = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
     wf = Window.orderBy(F.asc("freq"), F.asc("o_custkey"))
@@ -994,6 +1001,149 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         .select(
             F.concat_ws("-", "r", "f", "m").alias("segment"), "n_customers"
         )
+    )
+
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+RFM_BUCKETS = 1024
+# per-dimension histogram domains; wrong guesses only unbalance buckets
+# (values clamp to the edge bins and pass 2 still sorts true values), they
+# never change the result — prod picks these from a first-pass sample
+RFM_DOMAINS = {
+    "recency": (0.0, 4000.0),
+    "freq": (0.0, 64.0),
+    "monetary": (0.0, 600000.0),
+}
+
+
+def rfm_segments_scaled(
+    orders: DataFrame,
+    qs: tuple[float, ...] = RFM_QS,
+    n_buckets: int = RFM_BUCKETS,
+    domains: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """:func:`rfm_segments` at scale — quintile CUTOFFS via the two-pass
+    histogram narrowing (:func:`quantile_two_pass`'s algorithm, run for
+    all three dimensions in ONE partitioned frame keyed by ``dim``), then
+    scoring as a narrow broadcast map. Zero unpartitioned windows: the
+    cumulative-histogram and in-bucket-rank windows partition on ``dim``
+    / ``(dim, bucket)``, so nothing ever sorts more than a histogram or
+    one bucket (~n/n_buckets rows) in one task.
+
+    Scoring semantics are cutoff-based (score = 1 + #cutoffs exceeded;
+    recency inverted so recent = 5): equal values always score equally,
+    unlike exact ntile which splits ties by custkey at tile boundaries —
+    the semantics a production RFM actually wants, and fully
+    order-insensitive, hence exactly reproducible by the DuckDB oracle.
+    Cutoff k for quantile q is the order statistic floor(q·(n−1))+1, the
+    repo's quantile_disc convention; selection is exact (pass 2 sorts
+    true values inside the selected buckets only).
+    """
+    domains = RFM_DOMAINS if domains is None else domains
+    per = _rfm_customer_frame(orders).localCheckpoint()
+    stacked = per.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("recency").alias("dim"),
+                    F.col("recency_days").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("freq").alias("dim"),
+                    F.col("freq").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("monetary").alias("dim"),
+                    F.col("monetary").alias("value"),
+                ),
+            )
+        ).alias("dv"),
+    ).select("o_custkey", F.col("dv.dim").alias("dim"), F.col("dv.value").alias("value"))
+    lo_e = w_e = None
+    for d, (lo, hi) in domains.items():
+        width = (hi - lo) / n_buckets
+        cond = F.col("dim") == d
+        lo_e = F.when(cond, F.lit(lo)) if lo_e is None else lo_e.when(cond, F.lit(lo))
+        w_e = F.when(cond, F.lit(width)) if w_e is None else w_e.when(cond, F.lit(width))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - lo_e) / w_e).cast("int")),
+    )
+    hist = stacked.groupBy("dim", bucket.alias("bucket")).agg(F.count("*").alias("c"))
+    wb = (
+        Window.partitionBy("dim")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("dim")
+    # histogram-sized (≤ 3 · n_buckets rows) — materialize ONCE: the q
+    # selection filters and the pass-2 bucket list each replan this
+    # subtree, which would re-run the data-sized histogram aggregate
+    # len(qs)+1 times (same fix as simhash's fingerprint checkpoint)
+    cum = hist.select(
+        "dim",
+        "bucket",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cum_prev"),
+        F.sum("c").over(wn).alias("n"),
+    ).localCheckpoint()
+    sels = []
+    for q in qs:
+        k = F.floor(F.lit(q) * (F.col("n") - 1)).cast("long") + 1
+        sels.append(
+            cum.filter((k > F.col("cum_prev")) & (k <= F.col("cum_prev") + F.col("c")))
+            .select(
+                "dim",
+                F.lit(q).alias("q"),
+                "bucket",
+                (k - F.col("cum_prev")).alias("offset"),
+            )
+        )
+    sel = sels[0]
+    for s in sels[1:]:
+        sel = sel.unionByName(s)
+    wanted = sel.select("dim", "bucket").distinct()
+    narrowed = stacked.withColumn("bucket", bucket).join(
+        F.broadcast(wanted), ["dim", "bucket"]
+    )
+    wl = Window.partitionBy("dim", "bucket").orderBy("value", "o_custkey")
+    picked = (
+        narrowed.withColumn("lrank", F.row_number().over(wl).cast("long"))
+        .join(F.broadcast(sel), ["dim", "bucket"])
+        .filter(F.col("lrank") == F.col("offset"))
+        .select("dim", "q", "value")
+    )
+    cuts = picked.groupBy().agg(
+        *[
+            F.max(
+                F.when((F.col("dim") == d) & (F.col("q") == q), F.col("value"))
+            ).alias(f"{d}_{int(q * 100)}")
+            for d in domains
+            for q in qs
+        ]
+    )
+
+    def n_above(value, d):
+        e = None
+        for q in qs:
+            hit = (value > F.col(f"{d}_{int(q * 100)}")).cast("int")
+            e = hit if e is None else e + hit
+        return e
+
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        (F.lit(5) - n_above(F.col("recency_days").cast("double"), "recency"))
+        .cast("int")
+        .alias("r"),
+        (F.lit(1) + n_above(F.col("freq").cast("double"), "freq"))
+        .cast("int")
+        .alias("f"),
+        (F.lit(1) + n_above(F.col("monetary"), "monetary")).cast("int").alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(F.concat_ws("-", "r", "f", "m").alias("segment"), "n_customers")
     )
 
 

@@ -261,6 +261,15 @@ def _collect_sources(fn, seen: set[int], depth: int = 0) -> list[str]:
         elif isinstance(obj, (str, int, float, tuple)):
             out.append(f"{name}={obj!r}")
         elif isinstance(obj, (dict, list)):
+            # runtime caches are STATE, not behavior: hashing their
+            # contents makes the entry hash drift as queries run in the
+            # same process (observed: _CENTROID_MEMO filling during a plan
+            # build flipped three entries to the re-check front mid-test).
+            # Convention: mutable module-level caches are named *_MEMO or
+            # *_CACHE and are excluded.
+            if name.endswith(("_MEMO", "_CACHE")):
+                out.append(f"{name}=<runtime-cache>")
+                continue
             # dict/list constants (e.g. LANG_STOPWORDS) are behavior too:
             # editing one must flip the entry hash or the rotation never
             # re-prioritizes the entry. json with sort_keys gives a stable

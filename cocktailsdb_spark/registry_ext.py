@@ -701,11 +701,14 @@ register("profile_table_quality", _q_profile_table, _profile_sql())
 
 def _q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiling — pairwise Pearson correlations over lineitem's numeric
-    columns from ONE exact-decimal aggregate pass (drift/redundancy
-    primitive)."""
-    from .operators.profiling import correlation_matrix
+    columns from ONE aggregate pass (drift/redundancy primitive). Uses the
+    guarded auto-dispatch: BIGINT lanes when the < 2³¹-rows/non-negative
+    bound holds (46× cheaper at sf10), DECIMAL-exact otherwise — output
+    bit-identical either way (operators/profiling.py:
+    correlation_matrix_auto)."""
+    from .operators.profiling import correlation_matrix_auto
 
-    return correlation_matrix(load(spark, sf_dir, "lineitem"))
+    return correlation_matrix_auto(load(spark, sf_dir, "lineitem"))
 
 
 def _corr_sql() -> str:
@@ -2112,6 +2115,65 @@ register(
                CAST(count(*) AS BIGINT) AS n_customers
         FROM scored GROUP BY 1""",
 )
+
+
+def _q_rfm_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRM analytics at 100 TB posture — RFM census with histogram-cutoff
+    quintiles and narrow scoring; zero unpartitioned windows
+    (operators/relational.py:rfm_segments_scaled)."""
+    return relational.rfm_segments_scaled(load(spark, sf_dir, "orders"))
+
+
+def _rfm_scaled_sql() -> str:
+    from .operators.relational import RFM_QS
+
+    dims = {"recency": "rv", "freq": "fv", "monetary": "mv"}
+    rn = {"recency": "rr", "freq": "rf", "monetary": "rm"}
+    cuts = ",\n    ".join(
+        f"max(CASE WHEN {rn[d]} = CAST(floor({q} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN {v} END) AS {d}_{int(q * 100)}"
+        for d, v in dims.items()
+        for q in RFM_QS
+    )
+
+    def n_above(value: str, d: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {value} > c.{d}_{int(q * 100)} THEN 1 ELSE 0 END)"
+            for q in RFM_QS
+        )
+
+    return f"""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+    per AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT ref_day FROM ref)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             {sql_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey),
+    rks AS (
+      SELECT CAST(recency_days AS DOUBLE) AS rv, CAST(freq AS DOUBLE) AS fv,
+             monetary AS mv,
+             row_number() OVER (ORDER BY recency_days) AS rr,
+             row_number() OVER (ORDER BY freq) AS rf,
+             row_number() OVER (ORDER BY monetary) AS rm,
+             count(*) OVER () AS n
+      FROM per),
+    cuts AS (SELECT
+    {cuts}
+    FROM rks),
+    scored AS (
+      SELECT CAST(5 - ({n_above('CAST(p.recency_days AS DOUBLE)', 'recency')}) AS INT) AS r,
+             CAST(1 + ({n_above('CAST(p.freq AS DOUBLE)', 'freq')}) AS INT) AS f,
+             CAST(1 + ({n_above('p.monetary', 'monetary')}) AS INT) AS m
+      FROM per p CROSS JOIN cuts c)
+    SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' ||
+           CAST(m AS VARCHAR) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1"""
+
+
+register("rfm_segments_scaled", _q_rfm_scaled, _rfm_scaled_sql())
 
 
 def _q_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:

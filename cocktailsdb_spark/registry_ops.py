@@ -2082,6 +2082,33 @@ register(
 )
 
 
+def _q_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, 100 TB form: shard-keyed prefix sums under a
+    hash-partitioned window (operators/corpus.py:pack_sequences_sharded)."""
+    return corpus.pack_sequences_sharded(load(spark, sf_dir, "documents"))
+
+
+register(
+    "pack_sequences_sharded",
+    _q_pack_sharded,
+    f"""WITH t AS (SELECT CAST(doc_id % {corpus.PACK_SHARDS} AS INT) AS shard_id,
+                          doc_id,
+                          len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+        o AS (SELECT shard_id, doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                         PARTITION BY shard_id ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start_offset
+              FROM t)
+        SELECT shard_id, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(start_offset // {corpus.PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST(start_offset % {corpus.PACK_BUDGET} AS BIGINT) AS offset_in_bin
+        FROM o""",
+)
+
+
 def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(load(spark, sf_dir, "documents"))
 

@@ -45,6 +45,56 @@ def test_packing_offsets_are_exclusive_prefix_sums(tiny_docs):
     assert out[27]["start_offset"] == 123
 
 
+def test_sharded_packing_equals_per_shard_global_packing(tiny_docs):
+    """The sharded form IS pack_sequences run independently per shard:
+    filtering the corpus to one shard and packing globally must reproduce
+    that shard's rows exactly (offsets, bins, all of it)."""
+    n_shards = 4
+    sharded = {
+        r["doc_id"]: r
+        for r in corpus.pack_sequences_sharded(
+            tiny_docs, budget=50, n_shards=n_shards
+        ).collect()
+    }
+    assert len(sharded) == 5
+    for shard in {d % n_shards for d in sharded}:
+        solo = {
+            r["doc_id"]: r
+            for r in corpus.pack_sequences(
+                tiny_docs.filter(F.col("doc_id") % n_shards == shard), budget=50
+            ).collect()
+        }
+        for doc_id, row in solo.items():
+            got = sharded[doc_id]
+            assert got["shard_id"] == shard
+            assert (
+                got["start_offset"],
+                got["bin_id"],
+                got["offset_in_bin"],
+                got["n_tokens"],
+            ) == (
+                row["start_offset"],
+                row["bin_id"],
+                row["offset_in_bin"],
+                row["n_tokens"],
+            ), doc_id
+
+
+def test_sharded_packing_window_is_partitioned(tiny_docs):
+    """Scale posture: the window must hash-partition on shard_id, never
+    collapse to a single partition (the exact plan smell the global form
+    has by construction)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.plan_audit import fmt_plan
+
+    plan = fmt_plan(corpus.pack_sequences_sharded(tiny_docs))
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_stratified_sample_deterministic_and_rate_ordered(spark):
     n = 2000
     docs = spark.range(n).select(

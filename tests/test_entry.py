@@ -64,6 +64,29 @@ def test_entry_source_hash_is_deterministic():
         assert entry_source_hash(name) == entry_source_hash(name)
 
 
+def test_entry_source_hash_ignores_runtime_cache_state(spark, sf_dir):
+    """Building/running a plan that fills a module-level memo (e.g. the
+    kmeans centroid cache) must NOT change any entry's source hash —
+    hashes capture code, not process state. Regression: _CENTROID_MEMO
+    filling during a plan build flipped three ANN entries to the re-check
+    front mid-session."""
+    from cocktailsdb_spark.operators import similarity
+    from cocktailsdb_spark.registry import QUERIES, entry_source_hash
+
+    names = [
+        "kmeans_assign_centroid",
+        "embedding_topk_ivf_kmeans",
+        "embedding_topk_pq",
+    ]
+    before = {n: entry_source_hash(n) for n in names}
+    similarity._CENTROID_MEMO.clear()
+    # build + touch one plan so the memo fills
+    QUERIES["embedding_topk_ivf_kmeans"](spark, sf_dir).schema
+    assert similarity._CENTROID_MEMO, "fixture no longer fills the memo"
+    after = {n: entry_source_hash(n) for n in names}
+    assert after == before
+
+
 def test_driver_rotation_refresh_workflow(tmp_path, monkeypatch):
     """tools/driver_rotation.py refresh: bumps last_round for new
     full-pass rows, re-captures hashes ONLY for those entries, leaves

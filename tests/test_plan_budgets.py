@@ -38,6 +38,9 @@ BUDGETS = {
     "bm25_rank_query": 3,  # df agg + stats scalar + score agg (tf checkpointed)
     "gapfill_daily_revenue": 2,  # daily agg + LOCF window (spine joins broadcast)
     "skyline_parts": 1,  # distinct-point agg; both skyline passes are narrow
+    # round-8 scale-path additions
+    "pack_sequences_sharded": 1,  # the one shard-partitioned window
+    "rfm_segments_scaled": 4,  # stacked hist agg + pass-2 window + scalar cuts + census
     # round-5 session-2 additions
     "asof_join_next": 1,  # union + one user-partitioned following window
     "winsorized_stats": 2,  # rank window + clipped agg (cuts broadcast back)

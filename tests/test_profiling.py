@@ -107,6 +107,45 @@ def test_correlation_fast_equals_decimal_path(spark, sf_dir):
         assert abs(slow[k] - fast[k]) < 1e-6, (k, slow[k], fast[k])
 
 
+def test_correlation_auto_dispatches_fast_and_guards_negatives(spark, sf_dir):
+    """The registered default must take the BIGINT lane on the fixture
+    tables (non-negative, far under 2³¹ rows) — and fall back to the
+    DECIMAL form the moment any input column can be negative, where the
+    half-up quantization of the fast lane would break."""
+    from cocktailsdb_spark.operators.profiling import (
+        correlation_matrix,
+        correlation_matrix_auto,
+        correlation_matrix_fast,
+    )
+    from cocktailsdb_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    auto_plan = correlation_matrix_auto(li)._jdf.queryExecution().analyzed().toString()
+    fast_plan = correlation_matrix_fast(li)._jdf.queryExecution().analyzed().toString()
+    assert "shiftright" in auto_plan.lower()  # BIGINT hi/lo lanes chosen
+    auto = {
+        (r.col_a, r.col_b): r.pearson_r for r in correlation_matrix_auto(li).collect()
+    }
+    slow = {
+        (r.col_a, r.col_b): r.pearson_r for r in correlation_matrix(li).collect()
+    }
+    assert auto == slow
+
+    neg = spark.createDataFrame(
+        [(1.0, -2.0), (2.0, 1.0), (3.0, 4.0), (-1.0, 0.5)], "x double, y double"
+    )
+    neg_plan = (
+        correlation_matrix_auto(neg, cols=("x", "y"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "shiftright" not in neg_plan.lower()  # decimal fallback
+    got = correlation_matrix_auto(neg, cols=("x", "y")).collect()
+    want = correlation_matrix(neg, cols=("x", "y")).collect()
+    assert got == want
+
+
 def test_encoding_runs_day_boundary_stitch(spark):
     import datetime as dt
 

@@ -487,3 +487,75 @@ def test_range_frame_correct_under_gaps(spark):
     assert out["1997-01-02"] == 100.0
     assert out["1997-01-10"] == 0.0     # gap: nothing in the prior 7 days
     assert out["1997-01-12"] == 400.0   # only day 10 in range
+
+
+def _orders_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+
+
+def test_rfm_scaled_cutoffs_are_exact_order_statistics(spark):
+    """The histogram-narrowed cutoffs must equal the naive k-th order
+    statistic (k = floor(q·(n−1))+1) per dimension — including values that
+    clamp outside the fixed histogram domains (freq domain tops at 64;
+    customer 99 has 80 orders)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for cust in range(100):
+        n_orders = 80 if cust == 99 else rng.randint(1, 12)
+        for _ in range(n_orders):
+            day = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 5000))
+            rows.append((cust, day, round(rng.uniform(10.0, 900000.0), 2)))
+    orders = _orders_df(spark, rows)
+    census = {
+        r.segment: r.n_customers
+        for r in relational.rfm_segments_scaled(orders).collect()
+    }
+    assert sum(census.values()) == 100
+    # naive reimplementation of the same cutoff-scoring semantics
+    per = relational._rfm_customer_frame(orders).collect()
+    n = len(per)
+
+    def cuts(vals):
+        s = sorted(vals)
+        return [s[int(q * (n - 1)) + 1 - 1] for q in relational.RFM_QS]
+
+    rc = cuts([float(r.recency_days) for r in per])
+    fc = cuts([float(r.freq) for r in per])
+    mc = cuts([r.monetary for r in per])
+    expect: dict[str, int] = {}
+    for r in per:
+        sr = 5 - sum(float(r.recency_days) > c for c in rc)
+        sf_ = 1 + sum(float(r.freq) > c for c in fc)
+        sm = 1 + sum(r.monetary > c for c in mc)
+        seg = f"{sr}-{sf_}-{sm}"
+        expect[seg] = expect.get(seg, 0) + 1
+    assert census == expect
+
+
+def test_rfm_scaled_ties_score_equally_and_plan_is_partitioned(spark):
+    """Cutoff scoring is order-insensitive: equal values always land in
+    the same quintile (exact ntile splits them) — and the plan must
+    contain no unpartitioned window."""
+    import datetime as dt
+
+    # 10 customers with IDENTICAL (recency, freq, monetary)
+    rows = [
+        (c, dt.date(1997, 6, 1), 1000.0)
+        for c in range(10)
+    ]
+    orders = _orders_df(spark, rows)
+    out = relational.rfm_segments_scaled(orders).collect()
+    assert len(out) == 1 and out[0].n_customers == 10
+
+    from tools.plan_audit import fmt_plan
+
+    plan = fmt_plan(relational.rfm_segments_scaled(orders))
+    assert "hashpartitioning(dim" in plan
+    # the one SinglePartition exchange is the 1-row cutoff scalar agg, not
+    # a window requirement
+    assert plan.count("SinglePartition") <= 1

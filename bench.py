@@ -149,6 +149,14 @@ BENCH_QUERIES = [
     "streaming_interval_join",
     "streaming_foreach_merge",
     "streaming_static_join",
+    # round-8: registered 100 TB scale forms (each exact-twin row above
+    # stays benched for the regression contract; these are the plans a
+    # cluster actually runs) + the ANN index-maintenance path
+    "pack_sequences_sharded",
+    "rfm_segments_scaled",
+    "winsorized_stats_scaled",
+    "spearman_rank_corr_scaled",
+    "ann_index_upsert_probe",
 ]
 
 

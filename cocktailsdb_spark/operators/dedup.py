@@ -99,6 +99,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def _ngram_prefix_parts(
+    docs: DataFrame, n: int, threshold: float, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate generation for the prefix-filtered Jaccard join: returns
+    (candidate pairs, checkpointed sorted-shingle base). Split out so the
+    scaling diagnostics can count candidates separately from verified
+    output (tools/neardup_pair_counts.py)."""
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(shingles(tokens(), n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh")).localCheckpoint()
+    # prefix length: n_sh - ceil(t*n_sh) + 1
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    pref = base.select(
+        "doc_id", "n_sh", F.posexplode(F.slice("sh", 1, prefix_len)).alias("pos", "shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008, public): J ≥ t needs
+    # overlap α = ceil(t/(1+t)·(|A|+|B|)); a match at 0-based positions
+    # (i, j) of the sorted sets bounds the achievable overlap by
+    # 1 + min(|A|−i−1, |B|−j−1), so matches that cannot reach α generate
+    # no candidate. Recall is intact: for a true pair, its FIRST common
+    # prefix element leaves ≥ α common elements at/after both positions.
+    # Measured sf1: candidates 43.5M → a fraction, same verified output.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.pos") - 1, F.col("b.n_sh") - F.col("b.pos") - 1
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: max(|A|,|B|)·t ≤ min(|A|,|B|) is necessary for J ≥ t
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (ubound >= alpha),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return cand, base
+
+
+def ngram_prefix_candidates(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """The PRE-verification candidate pairs of
+    :func:`ngram_jaccard_pairs_prefix` — the frame whose cardinality
+    separates "output grew" from "plan degraded" in scaling runs."""
+    cand, _ = _ngram_prefix_parts(docs, n, threshold, id_col)
+    return cand
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -122,28 +179,7 @@ def ngram_jaccard_pairs_prefix(
     dataset) — recomputing the shingle sort of 100 TB three times is the
     thing to avoid.
     """
-    base = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(shingles(tokens(), n)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).localCheckpoint()
-    # prefix length: n_sh - ceil(t*n_sh) + 1
-    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
-    pref = base.select(
-        "doc_id", "n_sh", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: max(|A|,|B|)·t ≤ min(|A|,|B|) is necessary for J ≥ t
-            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand, base = _ngram_prefix_parts(docs, n, threshold, id_col)
     fa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
                      F.col("n_sh").alias("n_a"))
     fb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
@@ -616,6 +652,22 @@ def minhash_banded_pairs(
     — the bucketed path, no all-pairs; verification happens in-row on
     the joined shingle arrays (at 100 TB carry a capped shingle sample
     or re-join content by id instead)."""
+    cand = minhash_banded_candidates(docs, n, id_col)
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
+    jac = qround(inter.cast("double") / union, 4)
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_banded_candidates(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """The PRE-verification band-collision pairs of
+    :func:`minhash_banded_pairs` (with both shingle sets carried for the
+    in-row verify) — split out so scaling diagnostics can count
+    candidates separately from verified output."""
     sh = shingles(tokens(), n)
     sigs = F.array(
         *[
@@ -669,9 +721,4 @@ def minhash_banded_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
-    union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
-    jac = qround(inter.cast("double") / union, 4)
-    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    return cand

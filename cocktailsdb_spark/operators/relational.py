@@ -543,6 +543,12 @@ def winsorized_stats(
     cuts = ranked.groupBy("o_orderpriority").agg(
         _at(lo).alias("p_lo"), _at(hi).alias("p_hi")
     )
+    return _winsorized_from_cuts(orders, cuts)
+
+
+def _winsorized_from_cuts(orders: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Shared clip + decimal-moment tail: broadcast the group-sized
+    (o_orderpriority, p_lo, p_hi) cutoff frame, clip, aggregate."""
     v = F.greatest(F.least(F.col("o_totalprice"), F.col("p_hi")), F.col("p_lo"))
     g = (
         orders.join(F.broadcast(cuts), "o_orderpriority")
@@ -567,6 +573,26 @@ def winsorized_stats(
         qround(sx / n, 4).alias("win_mean"),
         F.when(n > 1, qround(F.sqrt(var), 4)).alias("win_std"),
     )
+
+
+def winsorized_stats_scaled(
+    orders: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """:func:`winsorized_stats` at scale: identical output, but the
+    quantile cutoffs come from the histogram-narrowed two-pass selection
+    (:func:`quantile_two_pass`) instead of a per-group rank window — no
+    task ever sorts more than one histogram bucket (~n/n_buckets rows),
+    where the exact form's window sorts whole groups (n/5 rows in one
+    task: the plan that dies first at 100 TB). Same type-1
+    k = floor(q·(n−1))+1 selection, so the cutoffs — and therefore every
+    downstream clipped moment — are equal BY CONSTRUCTION, which is why
+    both forms share one DuckDB oracle."""
+    cuts = quantile_two_pass(orders, qs=(lo, hi)).select(
+        "o_orderpriority",
+        F.col(f"p{int(lo * 100)}").alias("p_lo"),
+        F.col(f"p{int(hi * 100)}").alias("p_hi"),
+    )
+    return _winsorized_from_cuts(orders, cuts)
 
 
 INCR_JOIN_CUTOFF = "1998-01-01"
@@ -740,6 +766,79 @@ def spearman_rank_corr(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def spearman_rank_corr_scaled(lineitem: DataFrame) -> DataFrame:
+    """:func:`spearman_rank_corr` at scale — identical output, no
+    data-sized sort anywhere. The exact form's rank windows partition by
+    l_returnflag (3 groups), so one task sorts n/3 rows: the first plan
+    to die at 100 TB. This form computes the SAME average ranks from the
+    value histogram instead:
+
+        avg_rank(v) = (# rows with smaller value) + (count(v) + 1) / 2
+
+    — one data-sized map-side-combined aggregate to the distinct
+    (group, x, y) triple frame, marginal per-value counts derived from it
+    (already ndv-sized), cumulative windows over the DISTINCT-VALUE
+    frames only, and weighted decimal moment sums
+    Σ c·r, Σ c·r², Σ c_xy·(r_x·r_y). Every per-row decimal addend equals
+    the exact form's (the r_x·r_y product is the same single IEEE double
+    multiply before the decimal cast), and decimal addition is
+    order-insensitive, so the moments — and ρ — match bit-for-bit; both
+    forms share one DuckDB oracle. The sort burden drops from O(n/groups)
+    to O(ndv/groups) per task."""
+    g = "l_returnflag"
+    x, y = "l_quantity", "l_extendedprice"
+    # ndv-sized after the map-side-combined aggregate — materialize ONCE:
+    # the two marginal frames and the final join each replan this subtree,
+    # which would re-scan the data-sized input 3× (cluster form: persisted
+    # table / cached dataset, same cut point)
+    triples = (
+        lineitem.groupBy(g, x, y).agg(F.count("*").alias("c")).localCheckpoint()
+    )
+
+    def marginal(col: str, alias: str) -> DataFrame:
+        m = triples.groupBy(g, col).agg(F.sum("c").alias("cv"))
+        wb = (
+            Window.partitionBy(g)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return m.select(
+            g,
+            col,
+            (
+                F.coalesce(F.sum("cv").over(wb), F.lit(0))
+                + (F.col("cv") + 1) / F.lit(2.0)
+            ).alias(alias),
+        )
+
+    joined = triples.join(marginal(x, "rx"), [g, x]).join(marginal(y, "ry"), [g, y])
+
+    def wdsum(val: Column) -> Column:
+        # the exact form's dsum addend (double → DECIMAL(24,8)) times the
+        # row multiplicity, multiplied IN DECIMAL — exact, so the sum
+        # equals the row-wise decimal sum
+        return F.sum(val.cast(DEC) * F.col("c")).cast("double")
+
+    rx, ry = F.col("rx"), F.col("ry")
+    m = joined.groupBy(g).agg(
+        F.sum("c").cast("double").alias("n"),
+        wdsum(rx).alias("sx"),
+        wdsum(ry).alias("sy"),
+        wdsum(rx * rx).alias("sxx"),
+        wdsum(ry * ry).alias("syy"),
+        wdsum(rx * ry).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    rho = (n * sxy - sx * sy) / F.sqrt(den2)
+    return m.select(
+        g,
+        n.cast("long").alias("n"),
+        F.when(den2 > 0, qround(rho, 6)).alias("spearman_rho"),
+    )
+
+
 QTP_BUCKETS = 1024
 QTP_DOMAIN = (0.0, 600000.0)  # o_totalprice domain; prod: first-pass sample
 
@@ -786,13 +885,17 @@ def quantile_two_pass(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wn = Window.partitionBy("o_orderpriority")
+    # histogram-sized (≤ groups × n_buckets rows) — materialize ONCE: the
+    # per-q selection branches and the pass-2 bucket list each replan this
+    # subtree, which would re-run the data-sized histogram aggregate
+    # len(qs)+1 times (same fix as rfm_segments_scaled / spearman's triples)
     cum = hist.select(
         "o_orderpriority",
         "bucket",
         "c",
         F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cum_prev"),
         F.sum("c").over(wn).alias("n"),
-    )
+    ).localCheckpoint()
     # selection rows: one per (group, q) — which bucket, which offset
     sels = []
     for q in qs:

@@ -216,6 +216,9 @@ def label_centroids(
 
 
 MAX_CENTROIDS = 4096  # centroid sets are bounded; beyond this, store cell ids
+# underscore prefix: co-located with parquet data, so Spark's directory
+# listing must treat it as metadata (like _SUCCESS), not a data file
+INDEX_MANIFEST = "_MANIFEST"
 
 
 _CENTROID_MEMO: dict = {}
@@ -700,19 +703,25 @@ def pq_rerank_topk(
 
 
 def ivf_index_write(spark, emb: DataFrame, cache_dir: str, src_file: str,
-                    vec_col: str = "embedding") -> str:
+                    vec_col: str = "embedding", cents=None) -> str:
     """Materialize the IVF index AT REST: write the embedding table
     partitioned by its nearest-centroid cell (the stored-cell-id design
-    every ANN docstring above references). One narrow assignment map +
-    one partitioned write; rewritten only when the source fixture
-    changes (mtime-gated like plans/layout.py's caches)."""
-    import os
-
+    every ANN docstring above references), plus a MANIFEST (the
+    sources/formats.py machinery: atomic tmp+rename pointer) carrying the
+    index version, row count, and the COARSE QUANTIZER itself — the
+    centroids are an index artifact, so a self-contained index lets
+    probes and upserts run without re-deriving them from (possibly since
+    changed) source data. One narrow assignment map + one partitioned
+    write; rewritten only when the source fixture changes (mtime-gated
+    like plans/layout.py's caches). ``cents`` forces a precomputed
+    quantizer (upsert-equivalence rebuilds)."""
     from ..plans.layout import _cache_fresh
+    from ..sources.formats import _read_manifest, _write_manifest
 
-    if _cache_fresh(cache_dir, src_file):
+    if _cache_fresh(cache_dir, src_file) and _read_manifest(cache_dir, INDEX_MANIFEST):
         return cache_dir
-    cents = _collect_centroids(emb, vec_col)
+    if cents is None:
+        cents = _collect_centroids(emb, vec_col)
     assigned = emb.withColumn(
         "cell",
         F.element_at(
@@ -720,7 +729,101 @@ def ivf_index_write(spark, emb: DataFrame, cache_dir: str, src_file: str,
         )["cell"],
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(cache_dir)
+    labels, vecs, label_dtype = cents
+    _write_manifest(
+        cache_dir,
+        {
+            "version": 1,
+            "rows": emb.count(),
+            "centroids": {
+                "labels": labels,
+                "vecs": vecs,
+                "label_dtype": label_dtype.simpleString(),
+            },
+        },
+        INDEX_MANIFEST,
+    )
     return cache_dir
+
+
+def _stored_centroids(cache_dir: str):
+    """The quantizer persisted in the index MANIFEST, in the same
+    (labels, vectors, dtype) shape _collect_centroids produces. JSON
+    round-trips doubles via shortest repr, so values are bit-identical
+    to the build-time centroids."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from ..sources.formats import _read_manifest
+
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    if not m or "centroids" not in m:
+        raise ValueError(f"no index manifest with centroids under {cache_dir}")
+    c = m["centroids"]
+    return (c["labels"], c["vecs"], _parse_datatype_string(c["label_dtype"]))
+
+
+def ivf_index_upsert(
+    spark, cache_dir: str, new_vecs: DataFrame, vec_col: str = "embedding"
+) -> str:
+    """Incremental index maintenance: assign a NEW vector batch to the
+    STORED centroids (never re-derived — cell ids stay stable for data
+    already at rest) and append it into the cell partitions; the manifest
+    version/row count bump atomically afterward, so a crashed upsert
+    leaves a readable version-1 index plus orphan files the next rebuild
+    clears. At 100 TB this is the only affordable maintenance path — a
+    rebuild re-shuffles the corpus, an upsert touches only the delta.
+    Pair with :func:`ivf_centroid_drift` to decide when accumulated
+    upserts have moved the data far enough from the frozen quantizer to
+    justify a rebuild."""
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    cents = _stored_centroids(cache_dir)
+    assigned = new_vecs.withColumn(
+        "cell",
+        F.element_at(
+            _cells_by_distance(_as_double(F.col(vec_col)), cents), 1
+        )["cell"],
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(cache_dir)
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    _write_manifest(
+        cache_dir,
+        {**m, "version": m["version"] + 1, "rows": m["rows"] + new_vecs.count()},
+        INDEX_MANIFEST,
+    )
+    return cache_dir
+
+
+def ivf_centroid_drift(spark, cache_dir: str, vec_col: str = "embedding") -> DataFrame:
+    """Per-cell drift dial for the rebuild decision: rounded L2 distance
+    between each stored centroid and its cell's CURRENT mean vector
+    (post-upserts), plus the cell population. One posexplode aggregate
+    (histogram-sized output: cells × dim), centroid side broadcast."""
+    labels, vecs, _ = _stored_centroids(cache_dir)
+    stored = spark.read.parquet(cache_dir)
+    comp = (
+        stored.select("cell", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    means = comp.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("mean_vec")
+    )
+    cent_rows = [(lab, vec) for lab, vec in zip(labels, vecs)]
+    cents_df = spark.createDataFrame(cent_rows, ["cell", "cvec"])
+    counts = stored.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    d2 = F.aggregate(
+        F.zip_with("mean_vec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        means.join(F.broadcast(cents_df), "cell")
+        .join(counts, "cell")
+        .select("cell", "n_vecs", qround(F.sqrt(d2), SIM_ROUND).alias("drift"))
+    )
 
 
 def ivf_kmeans_topk_stored(
@@ -743,8 +846,26 @@ def ivf_kmeans_topk_stored(
     assignment variant): identical results, index cost paid at write
     time instead of per query — the production trade."""
     path = ivf_index_write(spark, emb, cache_dir, src_file, vec_col)
+    return stored_index_probe(
+        spark, path, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+
+
+def stored_index_probe(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a SELF-CONTAINED at-rest IVF index: centroids come from the
+    index MANIFEST (not re-derived from source data — essential once
+    upserts exist, since a re-derived quantizer would silently re-cell
+    the probes while the stored layout keeps the old cells)."""
     stored = spark.read.parquet(path)
-    cents = _collect_centroids(emb, vec_col)
+    cents = _stored_centroids(path)
 
     q = with_norm(stored.filter(F.col(id_col).isin(query_ids)), vec_col).select(
         F.col(id_col).alias("query_id"),

@@ -1326,10 +1326,16 @@ def _q_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.winsorized_stats(load(spark, sf_dir, "orders"))
 
 
-register(
-    "winsorized_stats",
-    _q_winsor,
-    f"""WITH r AS (
+def _q_winsor_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winsorized_stats at 100 TB posture: histogram-narrowed cutoffs
+    (no per-group full sort), identical output by construction
+    (operators/relational.py:winsorized_stats_scaled)."""
+    return relational.winsorized_stats_scaled(load(spark, sf_dir, "orders"))
+
+
+# ONE oracle for both forms: the scaled plan's cutoffs are the same type-1
+# order statistics, so its green hash vs this SQL proves narrowed ≡ exact
+_WINSOR_SQL = f"""WITH r AS (
          SELECT o_orderpriority, o_totalprice,
                 row_number() OVER (PARTITION BY o_orderpriority
                                    ORDER BY o_totalprice, o_orderkey) AS rn,
@@ -1358,8 +1364,10 @@ register(
                   "sqrt(greatest(sxx - sx * sx / CAST(n AS DOUBLE), 0.0)"
                   " / (CAST(n AS DOUBLE) - 1))", 4)}
               END AS win_std
-       FROM g""",
-)
+       FROM g"""
+
+register("winsorized_stats", _q_winsor, _WINSOR_SQL)
+register("winsorized_stats_scaled", _q_winsor_scaled, _WINSOR_SQL)
 
 
 def _q_encoding_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1590,10 +1598,15 @@ def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.spearman_rank_corr(load(spark, sf_dir, "lineitem"))
 
 
-register(
-    "spearman_rank_corr",
-    _q_spearman,
-    f"""WITH r AS (
+def _q_spearman_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spearman at 100 TB posture: average ranks from the value histogram
+    (sorts only distinct-value frames), bit-identical moments
+    (operators/relational.py:spearman_rank_corr_scaled)."""
+    return relational.spearman_rank_corr_scaled(load(spark, sf_dir, "lineitem"))
+
+
+# ONE oracle for both forms: histogram avg-ranks ≡ window avg-ranks
+_SPEARMAN_SQL = f"""WITH r AS (
           SELECT l_returnflag,
                  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
                    + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
@@ -1615,7 +1628,9 @@ register(
                         " * (n * syy - sy * sy))", 6)}
                END AS spearman_rho
         FROM m"""
-)
+
+register("spearman_rank_corr", _q_spearman, _SPEARMAN_SQL)
+register("spearman_rank_corr_scaled", _q_spearman_scaled, _SPEARMAN_SQL)
 
 
 def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:

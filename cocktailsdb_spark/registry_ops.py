@@ -1176,6 +1176,61 @@ def _q_ivf_kmeans_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("embedding_topk_ivf_stored", _q_ivf_kmeans_stored, IVF_KMEANS_TOPK_SQL)
 
 
+def _q_ann_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index maintenance — INCREMENTAL UPSERT equivalence: build the
+    at-rest IVF index from 19/20 of the vectors, upsert the held-out
+    batch against the STORED quantizer (similarity.ivf_index_upsert),
+    and probe. The same probe runs against a from-scratch rebuild over
+    all vectors with the same frozen centroids; output is the per-query
+    result-count comparison — identical indexes ⇒ every query shows
+    (k, k, k). The upsert is manifest-versioned (v1 = base build,
+    v2 = post-upsert), so reruns never double-append."""
+    import os
+
+    from .operators.similarity import (
+        INDEX_MANIFEST,
+        ivf_index_upsert,
+        ivf_index_write,
+        stored_index_probe,
+        _stored_centroids,
+    )
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 20 != 19)
+    delta = e.filter(F.col("vec_id") % 20 == 19)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    d_up = _cache_path("embeddings_upsert_ix", sf_dir)
+    m = _read_manifest(d_up, INDEX_MANIFEST) if _cache_fresh(d_up, src) else None
+    if not m or m.get("version", 0) < 2:
+        ivf_index_write(spark, base, d_up, src)
+        ivf_index_upsert(spark, d_up, delta)
+    d_rb = _cache_path("embeddings_rebuild_ix", sf_dir)
+    ivf_index_write(spark, e, d_rb, src, cents=_stored_centroids(d_up))
+    up = stored_index_probe(spark, d_up, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
+    rb = stored_index_probe(spark, d_rb, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
+    nu = up.groupBy("query_id").agg(F.count("*").alias("n_upsert"))
+    nr = rb.groupBy("query_id").agg(F.count("*").alias("n_rebuild"))
+    nc = (
+        up.join(rb, ["query_id", "vec_id", "sim", "rank"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return nu.join(nr, "query_id").join(nc, "query_id").select(
+        "query_id", "n_upsert", "n_rebuild", "n_common"
+    )
+
+
+register(
+    "ann_index_upsert_probe",
+    _q_ann_upsert_probe,
+    f"SELECT CAST(q AS BIGINT) AS query_id, CAST({TOPK} AS BIGINT) AS n_upsert, "
+    f"CAST({TOPK} AS BIGINT) AS n_rebuild, CAST({TOPK} AS BIGINT) AS n_common "
+    "FROM (VALUES " + ", ".join(f"({q})" for q in QUERY_IDS) + ") t(q)",
+)
+
+
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 quality metric — recall@k of the centroid IVF-Flat path against
     the exact brute-force top-k, per query (the LSH twin is

@@ -76,28 +76,30 @@ FROM orders WHERE o_totalprice > 300000
 MANIFEST = "MANIFEST"
 
 
-def _read_manifest(base: str):
+def _read_manifest(base: str, name: str = MANIFEST):
     import json
 
-    mp = os.path.join(base, MANIFEST)
+    mp = os.path.join(base, name)
     if not os.path.exists(mp):
         return None
     with open(mp, encoding="utf-8") as fh:
         return json.load(fh)
 
 
-def _write_manifest(base: str, manifest: dict) -> None:
+def _write_manifest(base: str, manifest: dict, name: str = MANIFEST) -> None:
     """Atomically (POSIX rename) replace the pointer file — the single
     commit point of every table mutation. On an object store this is one
-    PUT of the pointer object."""
+    PUT of the pointer object. ``name`` lets co-located-with-data callers
+    (the ANN index) use an underscore-prefixed file Spark's directory
+    listing ignores."""
     import json
 
-    tmp = os.path.join(base, MANIFEST + ".tmp")
+    tmp = os.path.join(base, name + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(json.dumps(manifest))
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(base, MANIFEST))
+    os.replace(tmp, os.path.join(base, name))
 
 
 def resolve_data_dir(path: str, version: int | None = None):

@@ -559,3 +559,58 @@ def test_rfm_scaled_ties_score_equally_and_plan_is_partitioned(spark):
     # the one SinglePartition exchange is the 1-row cutoff scalar agg, not
     # a window requirement
     assert plan.count("SinglePartition") <= 1
+
+
+def test_winsorized_scaled_equals_exact(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    k = 0
+    for g in ["A", "B", "C"]:
+        for _ in range(400):
+            k += 1
+            # ties + out-of-domain values (clamp into edge buckets)
+            v = rng.choice([rng.uniform(-10.0, 700000.0), 1234.56, 1234.56])
+            rows.append((k, g, float(v)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    exact = {r.o_orderpriority: r for r in relational.winsorized_stats(df).collect()}
+    fast = {
+        r.o_orderpriority: r for r in relational.winsorized_stats_scaled(df).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for g in exact:
+        assert exact[g] == fast[g], g
+
+
+def test_spearman_scaled_equals_exact_with_ties(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    for g in ["N", "R"]:
+        for _ in range(600):
+            # heavy ties in x (quantity-like), some ties in y
+            x = float(rng.randint(1, 12))
+            y = rng.choice([x * 100 + rng.randint(0, 5), 250.0])
+            rows.append((g, x, float(y)))
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    exact = {r.l_returnflag: r for r in relational.spearman_rank_corr(df).collect()}
+    fast = {
+        r.l_returnflag: r
+        for r in relational.spearman_rank_corr_scaled(df).collect()
+    }
+    assert exact == fast
+
+
+def test_spearman_scaled_degenerate_constant_column_null(spark):
+    df = spark.createDataFrame(
+        [("N", 5.0, 1.0), ("N", 5.0, 2.0), ("N", 5.0, 3.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    out = relational.spearman_rank_corr_scaled(df).collect()
+    assert len(out) == 1 and out[0].spearman_rho is None

@@ -264,3 +264,49 @@ def test_dim_ablation_full_dim_is_perfect_overlap(spark):
     # truncating to the FULL dimension must reproduce the exact ranking
     out = S.dim_ablation_overlap(emb, [0, 1], k=3, trunc_dim=8).collect()
     assert all(r.n_overlap == 3 and r.overlap_frac == 1.0 for r in out)
+
+
+def test_index_upsert_equals_rebuild_and_drift_bounded(spark, sf_dir, tmp_path):
+    """Build the at-rest index from a subset, upsert the rest against the
+    STORED quantizer: probe results must be row-identical to a full
+    rebuild with the same centroids, the manifest must version-bump, and
+    the drift dial must be finite and per-cell."""
+    import os
+
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    delta = e.filter(F.col("vec_id") % 5 == 4)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    d_up = str(tmp_path / "up_ix")
+    d_rb = str(tmp_path / "rb_ix")
+    similarity.ivf_index_write(spark, base, d_up, src)
+    m1 = _read_manifest(d_up, similarity.INDEX_MANIFEST)
+    assert m1["version"] == 1 and m1["rows"] == base.count()
+    similarity.ivf_index_upsert(spark, d_up, delta)
+    m2 = _read_manifest(d_up, similarity.INDEX_MANIFEST)
+    assert m2["version"] == 2 and m2["rows"] == e.count()
+    assert m2["centroids"] == m1["centroids"]  # quantizer frozen
+
+    similarity.ivf_index_write(
+        spark, e, d_rb, src, cents=similarity._stored_centroids(d_up)
+    )
+    qids = [0, 1, 2]
+    up = similarity.stored_index_probe(spark, d_up, qids, k=3, n_probe=2)
+    rb = similarity.stored_index_probe(spark, d_rb, qids, k=3, n_probe=2)
+    rows_up = sorted(map(tuple, up.collect()))
+    rows_rb = sorted(map(tuple, rb.collect()))
+    assert rows_up == rows_rb and len(rows_up) == 9
+
+    drift = {r.cell: r for r in similarity.ivf_centroid_drift(spark, d_up).collect()}
+    assert sum(r.n_vecs for r in drift.values()) == e.count()
+    assert all(r.drift is not None and r.drift >= 0.0 for r in drift.values())
+
+
+def test_index_upsert_requires_manifest(spark, sf_dir, tmp_path):
+    """Upserting into a directory without an index manifest is a named
+    error, not a silent mis-celled append."""
+    e = load(spark, sf_dir, "embeddings").limit(10)
+    with pytest.raises(ValueError, match="manifest"):
+        similarity.ivf_index_upsert(spark, str(tmp_path / "nope"), e)

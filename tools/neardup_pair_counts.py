@@ -50,13 +50,31 @@ def main() -> None:
             t0 = time.perf_counter()
             n = qs[name](spark, d).count()
             dt = time.perf_counter() - t0
+            # candidate (pre-verification) pairs — the number that
+            # separates "output grew quadratically" from "plan degraded"
+            from cocktailsdb_spark.operators import dedup
+            from cocktailsdb_spark.tables import load
+
+            docs = load(spark, d, "documents")
+            n_docs = docs.count()
+            if name == "minhash_banded_pairs":
+                n_cand = dedup.minhash_banded_candidates(docs).count()
+            else:
+                n_cand = dedup.ngram_prefix_candidates(docs).count()
             rec = section.setdefault(name, {})
             rec[label] = {
+                "docs": n_docs,
+                "candidates": n_cand,
                 "pairs": n,
+                "cand_per_doc": round(n_cand / max(n_docs, 1), 2),
                 "sec": round(dt, 2),
                 "sec_per_1k_pairs": round(dt / max(n, 1) * 1000, 4),
+                "sec_per_1k_cand": round(dt / max(n_cand, 1) * 1000, 4),
             }
-            print(f"{label} {name}: {n} pairs in {dt:.1f}s")
+            print(
+                f"{label} {name}: {n_cand} candidates -> {n} pairs "
+                f"({n_docs} docs) in {dt:.1f}s"
+            )
             Path(args.out).write_text(json.dumps(result, indent=1) + "\n")
     print(f"updated {args.out}")
 

@@ -614,3 +614,20 @@ def test_spearman_scaled_degenerate_constant_column_null(spark):
     )
     out = relational.spearman_rank_corr_scaled(df).collect()
     assert len(out) == 1 and out[0].spearman_rho is None
+
+
+def test_scaled_stats_plans_have_no_single_partition_exchange(spark, sf_dir):
+    """The whole point of the *_scaled stats forms: no stage anywhere in
+    the plan funnels data through one partition (the exact forms do, by
+    design — they are the oracle twins)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from __spark_entry__ import queries
+    from tools.plan_audit import fmt_plan
+
+    for name in ("spearman_rank_corr_scaled", "winsorized_stats_scaled"):
+        plan = fmt_plan(queries()[name](spark, sf_dir))
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning(" in plan, name

@@ -776,9 +776,10 @@ def spearman_rank_corr_scaled(lineitem: DataFrame) -> DataFrame:
         avg_rank(v) = (# rows with smaller value) + (count(v) + 1) / 2
 
     — one data-sized map-side-combined aggregate to the distinct
-    (group, x, y) triple frame, marginal per-value counts derived from it
-    (already ndv-sized), cumulative windows over the DISTINCT-VALUE
-    frames only, and weighted decimal moment sums
+    (group, x, y) triple frame, per-dimension avg-ranks via RANGE-frame
+    cumulative windows over that frame (peers share one sort with the
+    per-value total — no marginal aggregate, no join back), and weighted
+    decimal moment sums
     Σ c·r, Σ c·r², Σ c_xy·(r_x·r_y). Every per-row decimal addend equals
     the exact form's (the r_x·r_y product is the same single IEEE double
     multiply before the decimal cast), and decimal addition is
@@ -788,30 +789,33 @@ def spearman_rank_corr_scaled(lineitem: DataFrame) -> DataFrame:
     g = "l_returnflag"
     x, y = "l_quantity", "l_extendedprice"
     # ndv-sized after the map-side-combined aggregate — materialize ONCE:
-    # the two marginal frames and the final join each replan this subtree,
-    # which would re-scan the data-sized input 3× (cluster form: persisted
-    # table / cached dataset, same cut point)
+    # both rank window passes replan this subtree, which would re-scan the
+    # data-sized input twice (cluster form: persisted table / cached
+    # dataset, same cut point)
     triples = (
         lineitem.groupBy(g, x, y).agg(F.count("*").alias("c")).localCheckpoint()
     )
 
-    def marginal(col: str, alias: str) -> DataFrame:
-        m = triples.groupBy(g, col).agg(F.sum("c").alias("cv"))
-        wb = (
+    def avg_rank(col: str, alias: str):
+        # both directly on the triple frame — no marginal aggregate, no
+        # join back (the y-marginal is ~ndv-sized, so its join was the
+        # plan's one non-broadcast join). RANGE frame to current row
+        # includes value-peers: cum_le = # rows with value ≤ v; the peer
+        # window shares the same (g, col) sort, so both ride ONE exchange.
+        w_le = (
             Window.partitionBy(g)
             .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return m.select(
-            g,
-            col,
-            (
-                F.coalesce(F.sum("cv").over(wb), F.lit(0))
-                + (F.col("cv") + 1) / F.lit(2.0)
-            ).alias(alias),
-        )
+        w_eq = Window.partitionBy(g, col)
+        cum_le = F.sum("c").over(w_le)
+        tot = F.sum("c").over(w_eq)
+        # avg_rank = cum_prev + (tot+1)/2 = cum_le - tot + (tot+1)/2
+        return (cum_le - (tot - 1) / F.lit(2.0)).alias(alias)
 
-    joined = triples.join(marginal(x, "rx"), [g, x]).join(marginal(y, "ry"), [g, y])
+    joined = triples.withColumn("rx", avg_rank(x, "rx")).withColumn(
+        "ry", avg_rank(y, "ry")
+    )
 
     def wdsum(val: Column) -> Column:
         # the exact form's dsum addend (double → DECIMAL(24,8)) times the

@@ -42,7 +42,7 @@ BUDGETS = {
     "pack_sequences_sharded": 1,  # the one shard-partitioned window
     "rfm_segments_scaled": 4,  # stacked hist agg + pass-2 window + scalar cuts + census
     "winsorized_stats_scaled": 4,  # hist agg + pass-2 window (post-ckpt) + clip agg
-    "spearman_rank_corr_scaled": 5,  # triples agg + 2 marginal aggs + 2 ndv windows
+    "spearman_rank_corr_scaled": 1,  # post-ckpt: rank windows + final agg share one g-exchange
     # round-5 session-2 additions
     "asof_join_next": 1,  # union + one user-partitioned following window
     "winsorized_stats": 2,  # rank window + clipped agg (cuts broadcast back)

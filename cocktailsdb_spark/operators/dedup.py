@@ -637,6 +637,17 @@ def semantic_dedup(
 
 MINHASH_H = 16  # signature length
 MINHASH_BANDS_N = 4  # 4 bands × 4 rows: collide iff a 4-slice matches
+MINHASH_P = (1 << 61) - 1  # Mersenne prime for the universal hash family
+# fixed seeded (a, b) per signature position: a ∈ [1, 2³⁰) keeps a·v under
+# 2⁶² for 32-bit v (ANSI-safe 64-bit arithmetic on both engines)
+import random as _random  # noqa: E402 — seeded, constants only
+
+_rng = _random.Random(0x5EED)
+MINHASH_AB = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30))
+    for _ in range(MINHASH_H)
+]
+del _rng
 
 
 def minhash_banded_pairs(
@@ -678,25 +689,43 @@ def minhash_banded_candidates(
     """The PRE-verification band-collision pairs of
     :func:`minhash_banded_pairs` (with both shingle sets carried for the
     in-row verify) — split out so scaling diagnostics can count
-    candidates separately from verified output."""
+    candidates separately from verified output.
+
+    Signatures use the standard universal-hash construction (datasketch
+    and every production MinHash do the same): ONE md5 per distinct
+    shingle yields a 32-bit value v, then h_i(v) = (a_i·v + b_i) mod
+    (2⁶¹−1) with fixed seeded (a_i, b_i) pairs — pure 64-bit integer
+    arithmetic after the single digest, a_i < 2³⁰ and v < 2³² keep the
+    product under 2⁶² (ANSI-overflow-safe, identical on DuckDB BIGINT).
+    The previous form computed MINHASH_H seeded md5s per shingle — 16×
+    the digest work for the same statistical guarantee (the true-Jaccard
+    verify makes candidate recall the only probabilistic part either
+    way)."""
     sh = shingles(tokens(), n)
+    vals = F.transform(F.col("_sh"), lambda s: md5_prefix_value(s, 8))
+
+    def _mix(a: int, b: int):
+        return lambda v: (v * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
     sigs = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"),
-                    lambda s: md5_prefix_value(F.concat(F.lit(f"s{h}:"), s), 8),
-                )
-            )
-            for h in range(MINHASH_H)
+            F.array_min(F.transform(F.col("_vals"), _mix(a, b)))
+            for a, b in MINHASH_AB
         ]
     )
     rows_per_band = MINHASH_H // MINHASH_BANDS_N
+    # materialize ONCE: the band self-join plans this subtree on both
+    # sides, and ReuseExchange shares only shuffle files — the shingle
+    # build + signature lanes above the spread() exchange would run twice
+    # (same fix as ngram_prefix's base / simhash's fps checkpoint)
     base = (
         spread(docs)
         .select(F.col(id_col), sh.alias("_sh"))
         .filter(F.size("_sh") >= 1)
+        .withColumn("_vals", vals)
         .withColumn("_sig", sigs)
+        .drop("_vals")
+        .localCheckpoint()
     )
     banded = base.select(
         id_col,

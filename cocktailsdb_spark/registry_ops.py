@@ -840,10 +840,15 @@ register(
                 FROM tk),
         shf AS (SELECT doc_id, sh FROM shd WHERE len(sh) >= 1),
         sr AS (SELECT doc_id, unnest(sh) AS s FROM shf),
-        mh1 AS (SELECT doc_id, h, md5('s' || h || ':' || s) AS m
-                FROM sr CROSS JOIN (SELECT unnest(range(0, {dedup.MINHASH_H})) AS h)),
-        mh2 AS (SELECT doc_id, h, {_mb_hexval('m')} AS v FROM mh1),
-        mh AS (SELECT doc_id, h, min(v) AS mv FROM mh2 GROUP BY doc_id, h),
+        -- ONE md5 per shingle, then the seeded universal-hash family
+        -- (a·v + b) mod (2^61-1) per signature position — the same
+        -- constants the Spark side embeds (dedup.MINHASH_AB)
+        vals AS (SELECT doc_id, {_mb_hexval('md5(s)')} AS v FROM sr),
+        ab(h, a, b) AS (VALUES {", ".join(
+            f"({h}, {a}, {b})" for h, (a, b) in enumerate(dedup.MINHASH_AB))}),
+        mh2 AS (SELECT doc_id, h, (a * v + b) % {dedup.MINHASH_P} AS hv
+                FROM vals CROSS JOIN ab),
+        mh AS (SELECT doc_id, h, min(hv) AS mv FROM mh2 GROUP BY doc_id, h),
         bands AS (SELECT doc_id,
                          CAST(h // {dedup.MINHASH_H // dedup.MINHASH_BANDS_N} AS INT)
                            AS band_id,

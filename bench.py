@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "winsorized_stats_scaled",
     "spearman_rank_corr_scaled",
     "ann_index_upsert_probe",
+    "neardup_incremental_pairs",
 ]
 
 

@@ -638,13 +638,23 @@ def semantic_dedup(
 MINHASH_H = 16  # signature length
 MINHASH_BANDS_N = 4  # 4 bands × 4 rows: collide iff a 4-slice matches
 MINHASH_P = (1 << 61) - 1  # Mersenne prime for the universal hash family
-# fixed seeded (a, b) per signature position: a ∈ [1, 2³⁰) keeps a·v under
-# 2⁶² for 32-bit v (ANSI-safe 64-bit arithmetic on both engines)
+# fixed seeded (a, b, r) per signature position: h_i(v) = (a·(v⊕r) + b)
+# mod P. The XOR scramble is LOAD-BEARING: without it the affine map is
+# monotone in v whenever a·v stays under P, so every lane picks the SAME
+# argmin shingle and the signature degenerates to a function of min(v) —
+# measured 256 → 11,231 candidates at sf0.1 for the same 250 verified
+# pairs. Per-lane XOR permutes the value order, restoring independent
+# minima (256 candidates again). a ∈ [1, 2³⁰) keeps a·(v⊕r) under 2⁶²
+# for 32-bit v — ANSI-safe 64-bit arithmetic on both engines.
 import random as _random  # noqa: E402 — seeded, constants only
 
 _rng = _random.Random(0x5EED)
 MINHASH_AB = [
-    (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30))
+    (
+        _rng.randrange(1, 1 << 30),
+        _rng.randrange(0, 1 << 30),
+        _rng.randrange(0, 1 << 32),
+    )
     for _ in range(MINHASH_H)
 ]
 del _rng
@@ -683,6 +693,57 @@ def minhash_banded_pairs(
     )
 
 
+def minhash_bands(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """The banded MinHash frame (doc_id, _sh, band_id, band_key) — one
+    row per (doc, band), checkpointed (the self-join and the at-rest
+    index both consume it more than once; ReuseExchange shares only
+    shuffle files). The shingle set rides along for the in-row exact
+    verify (at 100 TB: a capped shingle sample, or re-join content by
+    id — the band table itself stays 4 small strings per doc)."""
+    sh = shingles(tokens(), n)
+    vals = F.transform(F.col("_sh"), lambda s: md5_prefix_value(s, 8))
+
+    def _mix(a: int, b: int, r: int):
+        return lambda v: (
+            v.bitwiseXOR(F.lit(r)) * F.lit(a) + F.lit(b)
+        ) % F.lit(MINHASH_P)
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("_vals"), _mix(a, b, r)))
+            for a, b, r in MINHASH_AB
+        ]
+    )
+    rows_per_band = MINHASH_H // MINHASH_BANDS_N
+    base = (
+        spread(docs)
+        .select(F.col(id_col), sh.alias("_sh"))
+        .filter(F.size("_sh") >= 1)
+        .withColumn("_vals", vals)
+        .withColumn("_sig", sigs)
+        .drop("_vals")
+        .localCheckpoint()
+    )
+    return base.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                        .cast("array<string>")
+                        .alias("bk"),
+                    )
+                    for b in range(MINHASH_BANDS_N)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "_sh", F.col("b.band_id").alias("band_id"),
+             F.concat_ws(",", F.col("b.bk")).alias("band_key"))
+
+
 def minhash_banded_candidates(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -701,50 +762,7 @@ def minhash_banded_candidates(
     the digest work for the same statistical guarantee (the true-Jaccard
     verify makes candidate recall the only probabilistic part either
     way)."""
-    sh = shingles(tokens(), n)
-    vals = F.transform(F.col("_sh"), lambda s: md5_prefix_value(s, 8))
-
-    def _mix(a: int, b: int):
-        return lambda v: (v * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
-    sigs = F.array(
-        *[
-            F.array_min(F.transform(F.col("_vals"), _mix(a, b)))
-            for a, b in MINHASH_AB
-        ]
-    )
-    rows_per_band = MINHASH_H // MINHASH_BANDS_N
-    # materialize ONCE: the band self-join plans this subtree on both
-    # sides, and ReuseExchange shares only shuffle files — the shingle
-    # build + signature lanes above the spread() exchange would run twice
-    # (same fix as ngram_prefix's base / simhash's fps checkpoint)
-    base = (
-        spread(docs)
-        .select(F.col(id_col), sh.alias("_sh"))
-        .filter(F.size("_sh") >= 1)
-        .withColumn("_vals", vals)
-        .withColumn("_sig", sigs)
-        .drop("_vals")
-        .localCheckpoint()
-    )
-    banded = base.select(
-        id_col,
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                        .cast("array<string>")
-                        .alias("bk"),
-                    )
-                    for b in range(MINHASH_BANDS_N)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "_sh", F.col("b.band_id").alias("band_id"),
-             F.concat_ws(",", F.col("b.bk")).alias("band_key"))
+    banded = minhash_bands(docs, n, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -762,3 +780,119 @@ def minhash_banded_candidates(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return cand
+
+
+# --- incremental near-dup index (the dedup twin of similarity's at-rest
+# --- IVF index): band table at rest + manifest-versioned upsert + probe
+
+
+def minhash_index_write(
+    spark, docs: DataFrame, cache_dir: str, src_file: str, n: int = 3
+) -> str:
+    """Materialize the MinHash BAND TABLE at rest: one parquet row per
+    (doc, band) with the band join key, partitioned by band_id, plus a
+    ``_MANIFEST`` (sources/formats.py atomic-pointer machinery) recording
+    version, row count, and the signature parameters — so a probe from a
+    LATER session can refuse an index built under different constants
+    instead of silently missing collisions. The corpus-side half of
+    continuous dedup: new batches probe (and join) this table instead of
+    re-banding 100 TB per run."""
+    from ..plans.layout import _cache_fresh
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    if _cache_fresh(cache_dir, src_file) and _read_manifest(cache_dir, "_MANIFEST"):
+        return cache_dir
+    bands = minhash_bands(docs, n)
+    bands.write.mode("overwrite").partitionBy("band_id").parquet(cache_dir)
+    _write_manifest(
+        cache_dir,
+        {
+            "version": 1,
+            "rows": docs.count(),
+            "params": {"n": n, "h": MINHASH_H, "bands": MINHASH_BANDS_N,
+                       "p": MINHASH_P, "ab": [list(x) for x in MINHASH_AB]},
+        },
+        "_MANIFEST",
+    )
+    return cache_dir
+
+
+def _minhash_index_params(cache_dir: str) -> dict:
+    from ..sources.formats import _read_manifest
+
+    m = _read_manifest(cache_dir, "_MANIFEST")
+    if not m or "params" not in m:
+        raise ValueError(f"no minhash index manifest under {cache_dir}")
+    current = {"n": m["params"]["n"], "h": MINHASH_H, "bands": MINHASH_BANDS_N,
+               "p": MINHASH_P, "ab": [list(x) for x in MINHASH_AB]}
+    if m["params"] != current:
+        raise ValueError(
+            "minhash index was built under different signature constants — "
+            "rebuild it (probing would silently miss collisions)"
+        )
+    return m
+
+
+def minhash_index_upsert(
+    spark, cache_dir: str, new_docs: DataFrame, n: int = 3
+) -> str:
+    """Append a NEW document batch's band rows to the stored table (same
+    frozen constants, checked against the manifest) and version-bump —
+    the delta-only maintenance path; a crashed upsert leaves a readable
+    version-1 index plus orphan files the next rebuild clears."""
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    m = _minhash_index_params(cache_dir)
+    bands = minhash_bands(new_docs, n)
+    bands.write.mode("append").partitionBy("band_id").parquet(cache_dir)
+    _write_manifest(
+        cache_dir,
+        {**m, "version": m["version"] + 1, "rows": m["rows"] + new_docs.count()},
+        "_MANIFEST",
+    )
+    return cache_dir
+
+
+def minhash_index_probe(
+    spark,
+    cache_dir: str,
+    query_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs between a QUERY batch and the whole stored corpus
+    index: band the batch with the manifest-checked constants, equi-join
+    its band keys against the at-rest table (band_id partition pruning +
+    a delta-sized build side — never an N×N self-join), then the exact
+    in-row Jaccard verify. Output (doc_a < doc_b, jaccard ≥ t), the same
+    contract as :func:`minhash_banded_pairs` restricted to pairs touching
+    the batch."""
+    _minhash_index_params(cache_dir)
+    stored = spark.read.parquet(cache_dir)
+    q = minhash_bands(query_docs, n)
+    pairs = (
+        stored.alias("s")
+        .join(
+            F.broadcast(q.select("doc_id", "band_id", "band_key")).alias("q"),
+            (F.col("s.band_id") == F.col("q.band_id"))
+            & (F.col("s.band_key") == F.col("q.band_key"))
+            & (F.col("s.doc_id") != F.col("q.doc_id")),
+        )
+        .select(
+            F.least("s.doc_id", "q.doc_id").alias("doc_a"),
+            F.greatest("s.doc_id", "q.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sides = stored.select("doc_id", "_sh").dropDuplicates(["doc_id"])
+    fa = sides.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    fb = sides.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
+    jac = qround(inter.cast("double") / union, 4)
+    return (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -830,10 +830,11 @@ def _mb_hexval(col: str, n_hex: int = 8) -> str:
     )
 
 
-register(
-    "minhash_banded_pairs",
-    _q_minhash_banded,
-    f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _mb_sql(extra_where: str = "") -> str:
+    """The banded-MinHash oracle CTE; ``extra_where`` restricts the final
+    pair set (the incremental-probe entry reuses the whole pipeline with
+    a delta filter)."""
+    return f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         shd AS (SELECT doc_id, list_distinct(
                   [array_to_string(t[i:i+{MB_N - 1}], ' ')
                    for i in range(1, len(t)-{MB_N - 2})]) AS sh
@@ -841,12 +842,14 @@ register(
         shf AS (SELECT doc_id, sh FROM shd WHERE len(sh) >= 1),
         sr AS (SELECT doc_id, unnest(sh) AS s FROM shf),
         -- ONE md5 per shingle, then the seeded universal-hash family
-        -- (a·v + b) mod (2^61-1) per signature position — the same
-        -- constants the Spark side embeds (dedup.MINHASH_AB)
+        -- (a*(v XOR r) + b) mod (2^61-1) per signature position — the
+        -- same constants the Spark side embeds (dedup.MINHASH_AB; the
+        -- per-lane XOR scramble keeps the lane minima independent)
         vals AS (SELECT doc_id, {_mb_hexval('md5(s)')} AS v FROM sr),
-        ab(h, a, b) AS (VALUES {", ".join(
-            f"({h}, {a}, {b})" for h, (a, b) in enumerate(dedup.MINHASH_AB))}),
-        mh2 AS (SELECT doc_id, h, (a * v + b) % {dedup.MINHASH_P} AS hv
+        ab(h, a, b, r) AS (VALUES {", ".join(
+            f"({h}, {a}, {b}, {r})"
+            for h, (a, b, r) in enumerate(dedup.MINHASH_AB))}),
+        mh2 AS (SELECT doc_id, h, (a * xor(v, r) + b) % {dedup.MINHASH_P} AS hv
                 FROM vals CROSS JOIN ab),
         mh AS (SELECT doc_id, h, min(hv) AS mv FROM mh2 GROUP BY doc_id, h),
         bands AS (SELECT doc_id,
@@ -868,7 +871,51 @@ register(
         j AS (SELECT doc_a, doc_b,
                      {sql_qround("CAST(i AS DOUBLE) / (na + nb - i)", 4)} AS jaccard
               FROM ver)
-        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {MB_T}""",
+        SELECT doc_a, doc_b, jaccard FROM j
+        WHERE jaccard >= {MB_T}{extra_where}"""
+
+
+register("minhash_banded_pairs", _q_minhash_banded, _mb_sql())
+
+
+NEARDUP_DELTA_MOD = 20
+# residue 7 (not 19): at the driver's sf0.01 the verified pair set happens
+# to touch no %20==19 doc, and a 0-row entry proves nothing
+NEARDUP_DELTA_RESIDUE = 7
+
+
+def _q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 index maintenance — INCREMENTAL near-dup: the MinHash band
+    table lives AT REST (dedup.minhash_index_write, manifest-versioned);
+    a held-out batch is upserted against the frozen signature constants
+    and then probed against the whole index. Output = every verified
+    pair touching the batch — the continuous-dedup contract (new data
+    vs corpus, never corpus vs corpus again). Oracle: the full banded
+    pipeline restricted to pairs with a delta-side doc."""
+    import os
+
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % NEARDUP_DELTA_MOD == NEARDUP_DELTA_RESIDUE
+    base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    src = os.path.join(sf_dir, "documents.parquet")
+    d_ix = _cache_path("minhash_band_ix", sf_dir)
+    m = _read_manifest(d_ix, "_MANIFEST") if _cache_fresh(d_ix, src) else None
+    if not m or m.get("version", 0) < 2:
+        dedup.minhash_index_write(spark, base, d_ix, src, n=MB_N)
+        dedup.minhash_index_upsert(spark, d_ix, delta, n=MB_N)
+    return dedup.minhash_index_probe(spark, d_ix, delta, threshold=MB_T, n=MB_N)
+
+
+register(
+    "neardup_incremental_pairs",
+    _q_neardup_incremental,
+    _mb_sql(
+        f"\n          AND (doc_a % {NEARDUP_DELTA_MOD} = {NEARDUP_DELTA_RESIDUE}"
+        f" OR doc_b % {NEARDUP_DELTA_MOD} = {NEARDUP_DELTA_RESIDUE})"
+    ),
 )
 
 # ===========================================================================

@@ -249,3 +249,46 @@ def test_minhash_banded_finds_near_dup_and_verifies_exactly(docs):
         assert exact[key] == j
     # candidate recall is probabilistic, so emitted ⊆ exact-threshold set
     assert set(pairs) <= {k for k, j in exact.items() if j >= 0.5}
+
+
+def test_minhash_index_upsert_probe_and_params_guard(spark, sf_dir, tmp_path):
+    """The at-rest band index: base build + delta upsert must give the
+    probe exactly the pairs the one-shot banded operator finds for the
+    delta docs; the manifest version-bumps; and probing an index whose
+    manifest records different signature constants is a named error."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cocktailsdb_spark.sources.formats import _read_manifest, _write_manifest
+    from cocktailsdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 4 == 1
+    base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    d = str(tmp_path / "band_ix")
+    src = os.path.join(sf_dir, "documents.parquet")
+    dedup.minhash_index_write(spark, base, d, src)
+    m1 = _read_manifest(d, "_MANIFEST")
+    dedup.minhash_index_upsert(spark, d, delta)
+    m2 = _read_manifest(d, "_MANIFEST")
+    assert m2["version"] == m1["version"] + 1
+    assert m2["rows"] == docs.count()
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_index_probe(spark, d, delta).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_banded_pairs(docs).collect()
+        if r.doc_a % 4 == 1 or r.doc_b % 4 == 1
+    }
+    assert got == want
+
+    bad = dict(m2)
+    bad["params"] = {**bad["params"], "ab": [[1, 2, 3]]}
+    _write_manifest(d, bad, "_MANIFEST")
+    with pytest.raises(ValueError, match="different signature constants"):
+        dedup.minhash_index_probe(spark, d, delta)

@@ -36,6 +36,8 @@ def main() -> None:
     )
     ap.add_argument("--labels", default="sf0.1,sf1,sf10")
     ap.add_argument("--out", default=str(ROOT / "scaling_r6.json"))
+    ap.add_argument("--ops", default=",".join(QUERIES),
+                    help="comma-separated subset of the diagnostic queries")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -45,8 +47,9 @@ def main() -> None:
     qs = entrymod.queries()
     result = json.loads(Path(args.out).read_text()) if Path(args.out).exists() else {}
     section = result.setdefault("neardup_pairs", {})
+    ops = [o for o in args.ops.split(",") if o]
     for label, d in zip(args.labels.split(","), args.dirs.split(",")):
-        for name in QUERIES:
+        for name in ops:
             t0 = time.perf_counter()
             n = qs[name](spark, d).count()
             dt = time.perf_counter() - t0

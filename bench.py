@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "tfidf_top_terms",
     "bm25_rank_query",
+    "hybrid_rank_rrf",
     "inverted_index_terms",
     "mixture_weights",
     "bigram_lm_counts",

@@ -107,6 +107,68 @@ def bm25_rank(
     )
 
 
+RRF_K0 = 60
+RRF_TOP_K = 10
+RRF_CAND_K = 20
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k0: int = RRF_K0,
+    top_k: int = RRF_TOP_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke SIGIR'09): fuse N candidate
+    rankings into one list by score(d) = Σ_r 1/(k0 + rank_r(d)), summing
+    only over rankers that surfaced d.
+
+    Each input frame carries (id_col, rank); the output exposes one
+    nullable ``<name>_rank`` column per ranker plus ``rrf_score``,
+    ``n_rankers`` and the fused ``rank``.
+
+    Cross-engine determinism: each reciprocal is quantized to
+    floor(1e6/(k0+rank)) and summed as BIGINT — integer addition is
+    associative, so the fused score is independent of both engines'
+    aggregation order (module-docstring convention).
+
+    Scale notes: every input is already a per-query top-N (TakeOrdered in
+    bm25_rank / rank-windowed candidates in cosine_topk), so the fusion
+    join touches ≤ N·|rankers| rows per query — driver-trivial at any
+    corpus size; candidate generation is where the 100 TB work lives
+    (inverted index / ANN cells), and both feeders are bucketed there.
+    The final top-k is orderBy+limit → TakeOrderedAndProject, no global
+    sort; the rank window only ever sees k rows.
+    """
+    # union + conditional aggregate, NOT an N-way full-outer join: a full
+    # outer join cannot broadcast (planned as sort-merge even for top-20
+    # frames), while the union shape is one groupBy exchange over
+    # ≤ N·|rankers| candidate rows total
+    tagged = None
+    for name, df in rankings.items():
+        t = df.select(
+            F.col(id_col),
+            F.lit(name).alias("_ranker"),
+            F.col("rank").cast("int").alias("_rank"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    recip_q = F.floor(
+        F.lit(1_000_000.0) / (F.lit(k0) + F.col("_rank"))
+    ).cast("long")
+    scored = tagged.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(F.col("_ranker") == name, F.col("_rank"))
+            ).alias(f"{name}_rank")
+            for name in rankings
+        ],
+        (F.sum(recip_q) / 1e6).alias("rrf_score"),
+        F.count("*").cast("int").alias("n_rankers"),
+    )
+    topk = scored.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(top_k)
+    pick = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(pick).cast("int"))
+
+
 def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> DataFrame:
     """Term → posting-list index: exact per-term doc/occurrence counts plus
     the first ``max_postings`` postings as a deterministic

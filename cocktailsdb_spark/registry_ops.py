@@ -2548,6 +2548,79 @@ register(
 )
 
 
+RRF_QUERY_ID = 0
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 hybrid retrieval — reciprocal-rank fusion of the lexical
+    (BM25 over documents.text) and semantic (cosine over the aligned
+    embeddings row) rankers for one query. Candidates = each ranker's
+    top-20; fused top-10 by Σ 1/(60+rank). The RAG-stack op the two
+    single-modality rankers exist to feed."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_rank(docs, top_k=retrieval.RRF_CAND_K).select(
+        "doc_id", "rank"
+    )
+    sem = similarity.cosine_topk(
+        emb, [RRF_QUERY_ID], k=retrieval.RRF_CAND_K
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return retrieval.rrf_fuse({"lex": lex, "sem": sem})
+
+
+register(
+    "hybrid_rank_rrf",
+    _q_hybrid_rrf,
+    f"""WITH dl AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({_BM25_TERMS}) GROUP BY doc_id, term),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        c AS (SELECT tf.doc_id,
+                     CAST(floor(({_BM25_CONTRIB}) * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM tf JOIN dfc USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+        sc AS (SELECT doc_id, sum(q) / 1000000.0 AS score FROM c GROUP BY doc_id),
+        lexr AS (SELECT doc_id, lex_rank FROM (
+                   SELECT doc_id, CAST(row_number() OVER (
+                     ORDER BY score DESC, doc_id) AS INT) AS lex_rank FROM sc)
+                 WHERE lex_rank <= {retrieval.RRF_CAND_K}),
+        {_SQL_EMB_BASE.strip().rstrip()},
+        qv AS (SELECT v AS qvec, nv AS qn FROM nrm
+               WHERE vec_id = {RRF_QUERY_ID}),
+        pairs AS (
+          SELECT c.vec_id AS doc_id,
+                 {sql_qround(_sql_dot("qv.qvec", "c.v") + " / (qv.qn * c.nv)", 6)}
+                   AS sim
+          FROM nrm c CROSS JOIN qv WHERE c.vec_id <> {RRF_QUERY_ID}),
+        semr AS (SELECT doc_id, sem_rank FROM (
+                   SELECT doc_id, CAST(row_number() OVER (
+                     ORDER BY sim DESC, doc_id) AS INT) AS sem_rank FROM pairs)
+                 WHERE sem_rank <= {retrieval.RRF_CAND_K}),
+        fused AS (
+          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+                 (COALESCE(CAST(floor(1000000.0 / ({retrieval.RRF_K0} + l.lex_rank))
+                             AS BIGINT), 0)
+                  + COALESCE(CAST(floor(1000000.0 / ({retrieval.RRF_K0} + s.sem_rank))
+                             AS BIGINT), 0)) / 1000000.0 AS rrf_score,
+                 CAST((CASE WHEN l.lex_rank IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN s.sem_rank IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                   AS n_rankers
+          FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+                     ORDER BY rrf_score DESC, doc_id) AS INT) AS "rank"
+                   FROM fused)
+        SELECT doc_id, lex_rank, sem_rank, rrf_score, n_rankers, "rank"
+        FROM ranked WHERE "rank" <= {retrieval.RRF_TOP_K}""",
+)
+
+
 # ===========================================================================
 # §2.9 corpus extension — mixture weights + bigram LM counts
 # ===========================================================================

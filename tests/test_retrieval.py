@@ -52,6 +52,40 @@ def test_bm25_top_k_cuts(spark):
     assert [r.doc_id for r in out] == [0, 1, 2, 3, 4]
 
 
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    lex = _ranking(spark, [(10, 1), (20, 2), (30, 3)])
+    sem = _ranking(spark, [(20, 1), (40, 2)])
+    out = {r.doc_id: r for r in retrieval.rrf_fuse({"lex": lex, "sem": sem}).collect()}
+    assert set(out) == {10, 20, 30, 40}
+
+    def recip(rank, k0=60):
+        return math.floor(1e6 / (k0 + rank)) / 1e6
+
+    # doc 20 is in both rankings → the fused winner
+    assert out[20].rrf_score == recip(2) + recip(1)
+    assert (out[20].lex_rank, out[20].sem_rank, out[20].n_rankers) == (2, 1, 2)
+    assert out[20].rank == 1
+    assert out[10].rrf_score == recip(1)
+    assert out[10].sem_rank is None and out[10].n_rankers == 1
+    # doc 10 (lex rank 1) beats doc 40 (sem rank 2) beats doc 30 (lex rank 3)
+    assert [r.doc_id for r in sorted(out.values(), key=lambda r: r.rank)] == [
+        20, 10, 40, 30,
+    ]
+
+
+def test_rrf_fuse_top_k_and_tiebreak(spark):
+    # equal reciprocal scores → doc_id ascending decides the fused order
+    lex = _ranking(spark, [(5, 1), (3, 2)])
+    sem = _ranking(spark, [(7, 1), (9, 2)])
+    out = retrieval.rrf_fuse({"lex": lex, "sem": sem}, top_k=3).collect()
+    assert [r.doc_id for r in out] == [5, 7, 3]
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
 def test_inverted_index_postings(spark):
     d = _docs(spark, [(1, "en", "a b a"), (2, "en", "b a")])
     out = {r.term: r for r in retrieval.inverted_index(d).collect()}

@@ -199,3 +199,42 @@ def test_quantile_two_pass_equals_naive_on_random_frames(spark, vals, n_groups):
         for r in R.quantile_two_pass(df).collect()
     }
     assert fast == naive
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lex=st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True),
+    sem=st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True),
+    k0=st.integers(1, 100),
+)
+def test_rrf_fuse_matches_python_model(spark, lex, sem, k0):
+    """Fused scores/order must equal the plain-Python RRF model for ANY
+    pair of rankings: score = Σ floor(1e6/(k0+rank))/1e6 over the rankers
+    that surfaced the doc, ties broken by doc_id ascending."""
+    from cocktailsdb_spark.operators import retrieval as R
+
+    lex_df = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(lex)], "doc_id long, rank int"
+    )
+    sem_df = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(sem)], "doc_id long, rank int"
+    )
+    got = R.rrf_fuse({"lex": lex_df, "sem": sem_df}, k0=k0, top_k=100).collect()
+
+    model: dict[int, dict] = {}
+    for name, ranking in (("lex", lex), ("sem", sem)):
+        for i, d in enumerate(ranking):
+            rec = model.setdefault(
+                d, {"lex": None, "sem": None, "q": 0, "n": 0}
+            )
+            rec[name] = i + 1
+            rec["q"] += math.floor(1e6 / (k0 + i + 1))
+            rec["n"] += 1
+    order = sorted(model, key=lambda d: (-model[d]["q"], d))
+    assert [r.doc_id for r in got] == order
+    for r in got:
+        m = model[r.doc_id]
+        assert (r.lex_rank, r.sem_rank) == (m["lex"], m["sem"])
+        assert r.rrf_score == m["q"] / 1e6
+        assert r.n_rankers == m["n"]
+    assert [r.rank for r in got] == list(range(1, len(order) + 1))

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "bm25_rank_query",
     "hybrid_rank_rrf",
+    "bm25_rank_stored",
     "inverted_index_terms",
     "mixture_weights",
     "bigram_lm_counts",

@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tables import spread
@@ -97,6 +97,123 @@ def bm25_rank(
     # funnel every scored doc into one partition (no WindowGroupLimit
     # rewrite exists for an empty partition spec). The rank window then
     # only ever sees k rows.
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    pick = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        "score",
+        F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+        F.row_number().over(pick).cast("int").alias("rank"),
+    )
+
+
+POSTINGS_BUCKETS = 32
+
+
+def _term_bucket_col(term: Column) -> Column:
+    """crc32(term) mod B — the postings partition key. crc32 is identical
+    in the JVM (F.crc32) and the Python driver (zlib.crc32), so the probe
+    can compute a query's bucket list WITHOUT a Spark job."""
+    return F.pmod(F.crc32(term.cast("binary")), F.lit(POSTINGS_BUCKETS)).cast("int")
+
+
+def _term_bucket_py(term: str) -> int:
+    import zlib
+
+    return (zlib.crc32(term.encode("utf-8")) & 0xFFFFFFFF) % POSTINGS_BUCKETS
+
+
+def postings_index_write(
+    spark, docs: DataFrame, cache_dir: str, src_file: str
+) -> str:
+    """Materialize the POSTINGS TABLE at rest: one parquet row per
+    (doc, term) with tf and the doc length, partitioned by
+    ``term_bucket = crc32(term) % B``, plus a ``_MANIFEST``
+    (sources/formats.py atomic-pointer machinery) holding the EXACT
+    corpus stats BM25 needs (n_docs, Σdl as integers — never a float
+    average) and the bucket constant, so a probe from a later session
+    refuses an index built under a different B instead of silently
+    reading the wrong partitions. The retrieval twin of the at-rest
+    MinHash band table (dedup.minhash_index_write) and IVF cell index
+    (similarity.py): at 100 TB the corpus is tokenized ONCE; each query
+    then reads ~|query|/B of the index, not the corpus."""
+    from ..plans.layout import _cache_fresh
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    if _cache_fresh(cache_dir, src_file) and _read_manifest(cache_dir, "_MANIFEST"):
+        return cache_dir
+    tok = docs.select(
+        "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+        .withColumn("term_bucket", _term_bucket_col(F.col("term")))
+    )
+    tf.write.mode("overwrite").partitionBy("term_bucket").parquet(cache_dir)
+    stats = docs.select(F.size(tokens()).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    _write_manifest(
+        cache_dir,
+        {
+            "version": 1,
+            "n_docs": int(stats["n_docs"]),
+            "sum_dl": int(stats["sum_dl"]),
+            "params": {"buckets": POSTINGS_BUCKETS},
+        },
+        "_MANIFEST",
+    )
+    return cache_dir
+
+
+def bm25_rank_stored(
+    spark,
+    cache_dir: str,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 served from the at-rest postings index: hash-exact twin of
+    ``bm25_rank`` (same oracle), but the scan is the index's query-term
+    buckets — ``term_bucket IN (...)`` prunes partitions at planning
+    time and ``term IN (...)`` is pushed into the parquet scan, so a
+    query touches ~|query|/B of the postings instead of tokenizing the
+    corpus.
+
+    Determinism: n_docs and Σdl come from the manifest as exact
+    integers; avgdl = Σdl/n_docs is ONE IEEE double division (python
+    int/int here ≡ Spark long/long), so scores are bit-identical to the
+    in-plan ranker's."""
+    from ..sources.formats import _read_manifest
+
+    m = _read_manifest(cache_dir, "_MANIFEST")
+    if not m or "n_docs" not in m:
+        raise ValueError(f"no postings index manifest under {cache_dir}")
+    if m["params"] != {"buckets": POSTINGS_BUCKETS}:
+        raise ValueError(
+            "postings index was built under a different bucket constant — "
+            "rebuild it (probing would read the wrong partitions)"
+        )
+    n_docs, avgdl = m["n_docs"], m["sum_dl"] / m["n_docs"]
+    buckets = sorted({_term_bucket_py(t) for t in query_terms})
+    tf = spark.read.parquet(cache_dir).filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(query_terms))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    q = F.floor(contrib * 1e6 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("doc_id")
+        .agg((F.sum(q) / 1e6).alias("score"), F.count("*").alias("n_terms_hit"))
+    )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
     pick = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.select(

@@ -2489,10 +2489,7 @@ _BM25_CONTRIB = (
     f" ({1.0 - retrieval.BM25_B} + {retrieval.BM25_B} * dl / avgdl)))"
 )
 
-register(
-    "bm25_rank_query",
-    _q_bm25,
-    f"""WITH dl AS (
+_BM25_SQL = f"""WITH dl AS (
           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
           FROM documents),
         stats AS (SELECT count(*) AS n_docs,
@@ -2513,8 +2510,31 @@ register(
         r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
               FROM s)
         SELECT doc_id, score, n_terms_hit, CAST(rn AS INT) AS rank
-        FROM r WHERE rn <= {retrieval.BM25_TOP_K}""",
-)
+        FROM r WHERE rn <= {retrieval.BM25_TOP_K}"""
+
+register("bm25_rank_query", _q_bm25, _BM25_SQL)
+
+
+def _q_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval index maintenance — BM25 served from the AT-REST
+    postings table (retrieval.postings_index_write: term-bucket
+    partitioned parquet + manifest with exact corpus stats). The probe
+    reads only the query terms' buckets (partition pruning) and is
+    pinned hash-exact to the in-plan ranker via the SAME oracle."""
+    import os
+
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    d_ix = _cache_path("postings_ix", sf_dir)
+    if not (_cache_fresh(d_ix, src) and _read_manifest(d_ix, "_MANIFEST")):
+        retrieval.postings_index_write(spark, docs, d_ix, src)
+    return retrieval.bm25_rank_stored(spark, d_ix)
+
+
+register("bm25_rank_stored", _q_bm25_stored, _BM25_SQL)
 
 
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,65 @@ def test_bm25_top_k_cuts(spark):
     assert [r.doc_id for r in out] == [0, 1, 2, 3, 4]
 
 
+def test_term_bucket_python_matches_jvm(spark):
+    """The probe computes query-term buckets with zlib.crc32 on the
+    driver; the index writer partitions with F.crc32 on executors — the
+    two must agree for every term or probes silently miss postings."""
+    terms = ["data", "query", "window", "a", "ünïcode", "", "x" * 50]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r.term: r.b
+        for r in df.select(
+            "term", retrieval._term_bucket_col(__import__("pyspark").sql.functions.col("term")).alias("b")
+        ).collect()
+    }
+    for t in terms:
+        assert got[t] == retrieval._term_bucket_py(t), t
+
+
+def test_bm25_stored_equals_inplan(spark, tmp_path):
+    """The at-rest probe must be row-identical to the in-plan ranker —
+    same scores (manifest integer stats → same IEEE avgdl division),
+    same order."""
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "data data query x"),
+            (2, "en", "data x y z"),
+            (3, "en", "u v w z"),
+            (4, "en", "query query data window w"),
+        ],
+    )
+    src = str(tmp_path / "docs_src.parquet")
+    docs.write.parquet(src)
+    ix = str(tmp_path / "postings_ix")
+    retrieval.postings_index_write(spark, docs, ix, src)
+    stored = retrieval.bm25_rank_stored(
+        spark, ix, query_terms=("data", "query", "window")
+    ).collect()
+    inplan = retrieval.bm25_rank(
+        docs, query_terms=("data", "query", "window")
+    ).collect()
+    assert stored == inplan
+    assert len(stored) == 3  # doc 3 matches nothing
+
+
+def test_bm25_stored_refuses_wrong_bucket_constant(spark, tmp_path):
+    import pytest
+
+    from cocktailsdb_spark.sources.formats import _read_manifest, _write_manifest
+
+    docs = _docs(spark, [(1, "en", "data x")])
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    ix = str(tmp_path / "ix")
+    retrieval.postings_index_write(spark, docs, ix, src)
+    m = _read_manifest(ix, "_MANIFEST")
+    _write_manifest(ix, {**m, "params": {"buckets": 7}}, "_MANIFEST")
+    with pytest.raises(ValueError, match="different bucket constant"):
+        retrieval.bm25_rank_stored(spark, ix)
+
+
 def _ranking(spark, pairs):
     return spark.createDataFrame(pairs, "doc_id long, rank int")
 

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "bm25_rank_query",
     "hybrid_rank_rrf",
     "bm25_rank_stored",
+    "bm25_incremental_stored",
     "inverted_index_terms",
     "mixture_weights",
     "bigram_lm_counts",

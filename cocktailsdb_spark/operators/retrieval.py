@@ -167,6 +167,49 @@ def postings_index_write(
     return cache_dir
 
 
+def postings_index_upsert(spark, cache_dir: str, new_docs: DataFrame) -> str:
+    """Append a NEW document batch's postings to the stored index (same
+    bucket constant, checked against the manifest) and fold the batch's
+    exact length/count sums into the manifest stats — the delta-only
+    maintenance path: BM25's global inputs (n_docs, Σdl, per-term df)
+    are all additive, so a probe after upsert is bit-identical to a
+    full rebuild over base ∪ delta (pinned by test and by the
+    full-corpus oracle on the registered incremental entry)."""
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    m = _read_manifest(cache_dir, "_MANIFEST")
+    if not m or "n_docs" not in m:
+        raise ValueError(f"no postings index manifest under {cache_dir}")
+    if m["params"] != {"buckets": POSTINGS_BUCKETS}:
+        raise ValueError(
+            "postings index was built under a different bucket constant — "
+            "rebuild it (probing would read the wrong partitions)"
+        )
+    tok = new_docs.select(
+        "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+        .withColumn("term_bucket", _term_bucket_col(F.col("term")))
+    )
+    tf.write.mode("append").partitionBy("term_bucket").parquet(cache_dir)
+    stats = new_docs.select(F.size(tokens()).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    _write_manifest(
+        cache_dir,
+        {
+            **m,
+            "version": m["version"] + 1,
+            "n_docs": m["n_docs"] + int(stats["n_docs"]),
+            "sum_dl": m["sum_dl"] + int(stats["sum_dl"] or 0),
+        },
+        "_MANIFEST",
+    )
+    return cache_dir
+
+
 def bm25_rank_stored(
     spark,
     cache_dir: str,

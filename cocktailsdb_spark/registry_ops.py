@@ -2536,6 +2536,35 @@ def _q_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("bm25_rank_stored", _q_bm25_stored, _BM25_SQL)
 
+BM25_DELTA_MOD = 20
+BM25_DELTA_RESIDUE = 7
+
+
+def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval index maintenance — INCREMENTAL BM25: the postings
+    index is built from the base corpus, a held-out batch is upserted
+    (appended postings + additive manifest stats), then the probe ranks
+    against the merged index. Oracle = full-corpus BM25 SQL, which is
+    exact only if upsert ≡ rebuild over base ∪ delta."""
+    import os
+
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % BM25_DELTA_MOD == BM25_DELTA_RESIDUE
+    base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    src = os.path.join(sf_dir, "documents.parquet")
+    d_ix = _cache_path("postings_ix_incr", sf_dir)
+    m = _read_manifest(d_ix, "_MANIFEST") if _cache_fresh(d_ix, src) else None
+    if not m or m.get("version", 0) < 2:
+        retrieval.postings_index_write(spark, base, d_ix, src)
+        retrieval.postings_index_upsert(spark, d_ix, delta)
+    return retrieval.bm25_rank_stored(spark, d_ix)
+
+
+register("bm25_incremental_stored", _q_bm25_incremental, _BM25_SQL)
+
 
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.inverted_index(load(spark, sf_dir, "documents"))

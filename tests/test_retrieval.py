@@ -95,6 +95,34 @@ def test_bm25_stored_equals_inplan(spark, tmp_path):
     assert len(stored) == 3  # doc 3 matches nothing
 
 
+def test_postings_upsert_equals_full_rebuild(spark, tmp_path):
+    """Append-postings + additive manifest stats must give bit-identical
+    probe results to rebuilding the index over base ∪ delta (BM25's
+    global inputs are all additive)."""
+    base = _docs(
+        spark,
+        [(1, "en", "data data query x"), (2, "en", "data x y z"), (3, "en", "u v w")],
+    )
+    delta = _docs(
+        spark, [(4, "en", "query query data window w"), (5, "en", "window data")]
+    )
+    src = str(tmp_path / "src.parquet")
+    base.write.parquet(src)
+    ix_incr = str(tmp_path / "ix_incr")
+    retrieval.postings_index_write(spark, base, ix_incr, src)
+    retrieval.postings_index_upsert(spark, ix_incr, delta)
+    ix_full = str(tmp_path / "ix_full")
+    retrieval.postings_index_write(spark, base.unionByName(delta), ix_full, src)
+    got = retrieval.bm25_rank_stored(spark, ix_incr).collect()
+    want = retrieval.bm25_rank_stored(spark, ix_full).collect()
+    assert got == want and len(got) == 4
+
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    m = _read_manifest(ix_incr, "_MANIFEST")
+    assert m["version"] == 2 and m["n_docs"] == 5 and m["sum_dl"] == 4 + 4 + 3 + 5 + 2
+
+
 def test_bm25_stored_refuses_wrong_bucket_constant(spark, tmp_path):
     import pytest
 

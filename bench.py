@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "hybrid_rank_rrf",
     "bm25_rank_stored",
     "bm25_incremental_stored",
+    "phrase_match_docs",
     "inverted_index_terms",
     "mixture_weights",
     "bigram_lm_counts",

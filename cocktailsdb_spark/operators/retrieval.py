@@ -329,6 +329,43 @@ def rrf_fuse(
     return topk.withColumn("rank", F.row_number().over(pick).cast("int"))
 
 
+PHRASE = ("data", "query")
+
+
+def phrase_match(docs: DataFrame, phrase: tuple[str, ...] = PHRASE) -> DataFrame:
+    """Positional phrase query: docs containing the exact consecutive
+    token sequence, with occurrence count and first position (1-based).
+
+    For phrase index i, frame f_i = positions of phrase[i] shifted to the
+    phrase START (pos − i, the "anchor"); a k-term phrase is the inner
+    join of the k frames on (doc_id, anchor) — each surviving anchor is
+    one occurrence. Repeated phrase terms work unchanged: every f_i
+    filters to ITS term, and anchors stay unique per frame because token
+    positions are unique.
+
+    Scale: the posexplode stream is filtered to the phrase's terms BEFORE
+    any shuffle, so the adjacency joins see per-term posting rows, not
+    the corpus; the k−1 joins share one (doc_id, anchor) partitioning."""
+    if len(phrase) < 2:
+        raise ValueError("a phrase needs at least two terms")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "term")
+    ).filter(F.col("term").isin(list(set(phrase))))
+    joined = None
+    for i, t in enumerate(phrase):
+        f_i = tok.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos0") - i).alias("anchor")
+        )
+        joined = f_i if joined is None else joined.join(f_i, ["doc_id", "anchor"])
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_occurrences"),
+            (F.min("anchor") + 1).cast("int").alias("first_pos"),
+        )
+    )
+
+
 def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> DataFrame:
     """Term → posting-list index: exact per-term doc/occurrence counts plus
     the first ``max_postings`` postings as a deterministic

@@ -266,8 +266,14 @@ def _collect_sources(fn, seen: set[int], depth: int = 0) -> list[str]:
             # same process (observed: _CENTROID_MEMO filling during a plan
             # build flipped three entries to the re-check front mid-test).
             # Convention: mutable module-level caches are named *_MEMO or
-            # *_CACHE and are excluded.
-            if name.endswith(("_MEMO", "_CACHE")):
+            # *_CACHE and are excluded. The registry's own QUERIES/ORACLES
+            # maps are the same class of state: a plan function that calls
+            # any ``.register(...)`` attribute (e.g. spark.dataSource
+            # .register) picks up registry.register via co_names and would
+            # otherwise absorb the full entry map — flipping that entry's
+            # hash whenever ANY entry is added (observed:
+            # python_datasource_read drifted on every registration).
+            if name.endswith(("_MEMO", "_CACHE")) or name in ("QUERIES", "ORACLES"):
                 out.append(f"{name}=<runtime-cache>")
                 continue
             # dict/list constants (e.g. LANG_STOPWORDS) are behavior too:

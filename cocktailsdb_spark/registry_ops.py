@@ -2566,6 +2566,36 @@ def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("bm25_incremental_stored", _q_bm25_incremental, _BM25_SQL)
 
 
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — positional phrase query over documents.text."""
+    return retrieval.phrase_match(load(spark, sf_dir, "documents"))
+
+
+def _phrase_sql(phrase: tuple[str, ...]) -> str:
+    frames = []
+    for i, t in enumerate(phrase):
+        frames.append(
+            f"f{i} AS (SELECT doc_id, pos - {i} AS anchor FROM tok "
+            f"WHERE term = '{t}')"
+        )
+    joins = " JOIN ".join(
+        [f"f{i} USING (doc_id, anchor)" if i else "f0" for i in range(len(phrase))]
+    )
+    return f"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        {", ".join(frames)},
+        hits AS (SELECT doc_id, anchor FROM {joins})
+        SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences,
+               CAST(min(anchor) AS INT) AS first_pos
+        FROM hits GROUP BY doc_id"""
+
+
+register("phrase_match_docs", _q_phrase_match, _phrase_sql(retrieval.PHRASE))
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.inverted_index(load(spark, sf_dir, "documents"))
 

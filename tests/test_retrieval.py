@@ -173,6 +173,31 @@ def test_rrf_fuse_top_k_and_tiebreak(spark):
     assert [r.rank for r in out] == [1, 2, 3]
 
 
+def test_phrase_match_hand_computed(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "en", "data query x data query"),  # two occurrences
+            (2, "en", "query data"),  # reversed — no match
+            (3, "en", "x data query y"),  # one, offset start
+            (4, "en", "data x query"),  # gap — no match
+        ],
+    )
+    out = {r.doc_id: r for r in retrieval.phrase_match(d, ("data", "query")).collect()}
+    assert set(out) == {1, 3}
+    assert (out[1].n_occurrences, out[1].first_pos) == (2, 1)
+    assert (out[3].n_occurrences, out[3].first_pos) == (1, 2)
+
+
+def test_phrase_match_repeated_terms(spark):
+    d = _docs(spark, [(1, "en", "a a a b"), (2, "en", "a b a")])
+    out = {r.doc_id: r for r in retrieval.phrase_match(d, ("a", "a")).collect()}
+    assert set(out) == {1}
+    assert out[1].n_occurrences == 2  # positions (1,2) and (2,3)
+    three = retrieval.phrase_match(d, ("a", "a", "b")).collect()
+    assert [(r.doc_id, r.n_occurrences, r.first_pos) for r in three] == [(1, 1, 2)]
+
+
 def test_inverted_index_postings(spark):
     d = _docs(spark, [(1, "en", "a b a"), (2, "en", "b a")])
     out = {r.term: r for r in retrieval.inverted_index(d).collect()}

@@ -90,6 +90,7 @@ AUDIT = [
     # round-8 additions
     "hybrid_rank_rrf",
     "bm25_rank_stored",
+    "phrase_match_docs",
 ]
 
 

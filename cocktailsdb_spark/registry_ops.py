@@ -2565,6 +2565,14 @@ def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("bm25_incremental_stored", _q_bm25_incremental, _BM25_SQL)
 
+# continuous indexing (§2.7 × retrieval): the postings index maintained
+# by a document STREAM via foreachBatch upserts; same full-corpus oracle
+register(
+    "streaming_postings_upsert",
+    stream_queries.streaming_postings_upsert,
+    _BM25_SQL,
+)
+
 
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval — positional phrase query over documents.text."""

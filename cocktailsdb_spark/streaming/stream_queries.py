@@ -529,6 +529,63 @@ SELECT user_id, event_id, ts, event_type, value FROM (
 """
 
 
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def streaming_postings_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous indexing: documents arrive as a file stream in three
+    micro-batches; each batch foreachBatch-upserts its postings into the
+    AT-REST index (retrieval.postings_index_write for the first batch,
+    postings_index_upsert after — appended postings + additive manifest
+    stats). BM25's global inputs (n_docs, Σdl, per-term df) are additive
+    and commutative over the union of batches, so the final probe equals
+    the batch ranker over ALL documents — the exact full-corpus oracle —
+    regardless of micro-batch arrival order. This is the retrieval twin
+    of streaming_foreach_merge's dimension maintenance: the corpus is
+    tokenized exactly once, as it arrives."""
+    from ..operators import retrieval
+
+    workdir = tempfile.mkdtemp(prefix="cdbspark_spu_")
+    input_dir = os.path.join(workdir, "in")
+    docs = load(spark, sf_dir, "documents")
+    for residue in range(3):
+        docs.filter(F.col("doc_id") % 3 == residue).coalesce(1).write.parquet(
+            os.path.join(input_dir, f"batch_{residue}.parquet")
+        )
+
+    keep_dir = tempfile.mkdtemp(prefix="cdbspark_spu_ix_")
+    atexit.register(shutil.rmtree, keep_dir, ignore_errors=True)
+    ix = os.path.join(keep_dir, "postings_ix")
+    src_marker = os.path.join(input_dir, "batch_0.parquet")
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        from ..sources.formats import _read_manifest
+
+        if bdf.isEmpty():
+            return
+        if _read_manifest(ix, "_MANIFEST"):
+            retrieval.postings_index_upsert(spark, ix, bdf)
+        else:
+            retrieval.postings_index_write(spark, bdf, ix, src_marker)
+
+    with _low_shuffle(spark):
+        q = (
+            spark.readStream.format("parquet")
+            .schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .load(input_dir + "/*")
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return retrieval.bm25_rank_stored(spark, ix)
+
+
 def streaming_incremental_append(
     spark: SparkSession, source_dir: str, sink_dir: str, checkpoint_dir: str
 ) -> None:

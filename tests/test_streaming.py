@@ -78,3 +78,14 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window was emitted with ONLY the on-time row; the late row
     # never re-opens it (dropped, exactly like the reference's strict >)
     assert out.get(t0) == 1
+
+
+def test_streaming_postings_upsert_equals_batch_ranker(spark, sf_dir):
+    """The stream-maintained postings index must rank identically to the
+    in-plan batch ranker over the full corpus — additive index stats make
+    the result independent of micro-batch arrival order."""
+    from cocktailsdb_spark.operators import retrieval
+
+    got = stream_queries.streaming_postings_upsert(spark, sf_dir).collect()
+    want = retrieval.bm25_rank(load(spark, sf_dir, "documents")).collect()
+    assert got == want and len(got) == 10

@@ -123,25 +123,7 @@ def _term_bucket_py(term: str) -> int:
     return (zlib.crc32(term.encode("utf-8")) & 0xFFFFFFFF) % POSTINGS_BUCKETS
 
 
-def postings_index_write(
-    spark, docs: DataFrame, cache_dir: str, src_file: str
-) -> str:
-    """Materialize the POSTINGS TABLE at rest: one parquet row per
-    (doc, term) with tf and the doc length, partitioned by
-    ``term_bucket = crc32(term) % B``, plus a ``_MANIFEST``
-    (sources/formats.py atomic-pointer machinery) holding the EXACT
-    corpus stats BM25 needs (n_docs, Σdl as integers — never a float
-    average) and the bucket constant, so a probe from a later session
-    refuses an index built under a different B instead of silently
-    reading the wrong partitions. The retrieval twin of the at-rest
-    MinHash band table (dedup.minhash_index_write) and IVF cell index
-    (similarity.py): at 100 TB the corpus is tokenized ONCE; each query
-    then reads ~|query|/B of the index, not the corpus."""
-    from ..plans.layout import _cache_fresh
-    from ..sources.formats import _read_manifest, _write_manifest
-
-    if _cache_fresh(cache_dir, src_file) and _read_manifest(cache_dir, "_MANIFEST"):
-        return cache_dir
+def _write_postings_segment(docs: DataFrame, seg_dir: str) -> None:
     tok = docs.select(
         "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
     )
@@ -150,16 +132,69 @@ def postings_index_write(
         .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
         .withColumn("term_bucket", _term_bucket_col(F.col("term")))
     )
-    tf.write.mode("overwrite").partitionBy("term_bucket").parquet(cache_dir)
-    stats = docs.select(F.size(tokens()).alias("dl")).agg(
+    tf.write.mode("overwrite").partitionBy("term_bucket").parquet(seg_dir)
+
+
+def _corpus_stats(docs: DataFrame) -> tuple[int, int]:
+    s = docs.select(F.size(tokens()).alias("dl")).agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).first()
+    return int(s["n_docs"]), int(s["sum_dl"] or 0)
+
+
+def postings_index_fresh(cache_dir: str, src_file: str) -> bool:
+    """Valid iff the manifest exists (segment layout) AND every ACTIVE
+    segment is complete (_SUCCESS) and newer than the source fixture —
+    the same staleness contract as plans.layout._cache_fresh, applied
+    per segment."""
+    import os
+
+    from ..sources.formats import _read_manifest
+
+    m = _read_manifest(cache_dir, "_MANIFEST")
+    if not m or "segments" not in m:
+        return False
+    if not os.path.exists(src_file):
+        return False
+    src_mtime = os.path.getmtime(src_file)
+    for seg in m["segments"]:
+        marker = os.path.join(cache_dir, seg, "_SUCCESS")
+        if not os.path.exists(marker) or os.path.getmtime(marker) < src_mtime:
+            return False
+    return True
+
+
+def postings_index_write(
+    spark, docs: DataFrame, cache_dir: str, src_file: str
+) -> str:
+    """Materialize the POSTINGS TABLE at rest: one parquet row per
+    (doc, term) with tf and the doc length, partitioned by
+    ``term_bucket = crc32(term) % B`` inside a SEGMENT directory
+    (``seg1``), plus a ``_MANIFEST`` (sources/formats.py atomic-pointer
+    machinery) holding the active segment list and the EXACT corpus
+    stats BM25 needs (n_docs, Σdl as integers — never a float average).
+    Probes read ONLY manifested segments, so a crashed upsert — files
+    written, manifest not yet bumped — leaves the previous index fully
+    consistent (postings AND stats), not a half-merged one. The
+    retrieval twin of the at-rest MinHash band table
+    (dedup.minhash_index_write) and IVF cell index (similarity.py): at
+    100 TB the corpus is tokenized ONCE; each query then reads
+    ~|query|/B of the index, not the corpus."""
+    import os
+
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    if postings_index_fresh(cache_dir, src_file):
+        return cache_dir
+    _write_postings_segment(docs, os.path.join(cache_dir, "seg1"))
+    n_docs, sum_dl = _corpus_stats(docs)
     _write_manifest(
         cache_dir,
         {
             "version": 1,
-            "n_docs": int(stats["n_docs"]),
-            "sum_dl": int(stats["sum_dl"]),
+            "segments": ["seg1"],
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
             "params": {"buckets": POSTINGS_BUCKETS},
         },
         "_MANIFEST",
@@ -168,42 +203,41 @@ def postings_index_write(
 
 
 def postings_index_upsert(spark, cache_dir: str, new_docs: DataFrame) -> str:
-    """Append a NEW document batch's postings to the stored index (same
-    bucket constant, checked against the manifest) and fold the batch's
-    exact length/count sums into the manifest stats — the delta-only
-    maintenance path: BM25's global inputs (n_docs, Σdl, per-term df)
-    are all additive, so a probe after upsert is bit-identical to a
-    full rebuild over base ∪ delta (pinned by test and by the
-    full-corpus oracle on the registered incremental entry)."""
+    """Add a NEW document batch to the stored index: the batch's
+    postings land in a FRESH segment directory, and only the final
+    manifest write — an atomic pointer swap — makes the segment (and
+    the folded-in exact stats) visible to probes. BM25's global inputs
+    (n_docs, Σdl, per-term df) are all additive, so a probe after
+    upsert is bit-identical to a full rebuild over base ∪ delta (pinned
+    by test and by the full-corpus oracle on the registered incremental
+    entry). Crash safety: stats and postings become visible TOGETHER or
+    not at all — an interrupted upsert leaves an orphan segment dir the
+    next rebuild clears, never a stats/postings mismatch (contrast with
+    parquet mode("append") into shared partition dirs, where appended
+    files are readable before the stats catch up)."""
+    import os
+
     from ..sources.formats import _read_manifest, _write_manifest
 
     m = _read_manifest(cache_dir, "_MANIFEST")
-    if not m or "n_docs" not in m:
+    if not m or "segments" not in m:
         raise ValueError(f"no postings index manifest under {cache_dir}")
     if m["params"] != {"buckets": POSTINGS_BUCKETS}:
         raise ValueError(
             "postings index was built under a different bucket constant — "
             "rebuild it (probing would read the wrong partitions)"
         )
-    tok = new_docs.select(
-        "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
-    )
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
-        .withColumn("term_bucket", _term_bucket_col(F.col("term")))
-    )
-    tf.write.mode("append").partitionBy("term_bucket").parquet(cache_dir)
-    stats = new_docs.select(F.size(tokens()).alias("dl")).agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).first()
+    seg = f"seg{m['version'] + 1}"
+    _write_postings_segment(new_docs, os.path.join(cache_dir, seg))
+    n_docs, sum_dl = _corpus_stats(new_docs)
     _write_manifest(
         cache_dir,
         {
             **m,
             "version": m["version"] + 1,
-            "n_docs": m["n_docs"] + int(stats["n_docs"]),
-            "sum_dl": m["sum_dl"] + int(stats["sum_dl"] or 0),
+            "segments": m["segments"] + [seg],
+            "n_docs": m["n_docs"] + n_docs,
+            "sum_dl": m["sum_dl"] + sum_dl,
         },
         "_MANIFEST",
     )
@@ -228,11 +262,17 @@ def bm25_rank_stored(
     Determinism: n_docs and Σdl come from the manifest as exact
     integers; avgdl = Σdl/n_docs is ONE IEEE double division (python
     int/int here ≡ Spark long/long), so scores are bit-identical to the
-    in-plan ranker's."""
+    in-plan ranker's.
+
+    The scan covers ONLY the manifest's active segments — files from an
+    in-flight or crashed upsert are invisible until the manifest swap
+    publishes postings and stats together."""
+    import os
+
     from ..sources.formats import _read_manifest
 
     m = _read_manifest(cache_dir, "_MANIFEST")
-    if not m or "n_docs" not in m:
+    if not m or "segments" not in m:
         raise ValueError(f"no postings index manifest under {cache_dir}")
     if m["params"] != {"buckets": POSTINGS_BUCKETS}:
         raise ValueError(
@@ -241,9 +281,16 @@ def bm25_rank_stored(
         )
     n_docs, avgdl = m["n_docs"], m["sum_dl"] / m["n_docs"]
     buckets = sorted({_term_bucket_py(t) for t in query_terms})
-    tf = spark.read.parquet(cache_dir).filter(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(query_terms))
-    )
+    # one scan per segment, unioned: each segment is its own partitioned
+    # table root (multi-root discovery would conflict), and the bucket
+    # filter prunes partitions in EVERY branch of the union
+    tf = None
+    for s in m["segments"]:
+        seg = spark.read.parquet(os.path.join(cache_dir, s)).filter(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(list(query_terms))
+        )
+        tf = seg if tf is None else tf.unionByName(seg)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     contrib = idf * (

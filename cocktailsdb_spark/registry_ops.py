@@ -2523,13 +2523,12 @@ def _q_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned hash-exact to the in-plan ranker via the SAME oracle."""
     import os
 
-    from .plans.layout import _cache_fresh, _cache_path
-    from .sources.formats import _read_manifest
+    from .plans.layout import _cache_path
 
     docs = load(spark, sf_dir, "documents")
     src = os.path.join(sf_dir, "documents.parquet")
     d_ix = _cache_path("postings_ix", sf_dir)
-    if not (_cache_fresh(d_ix, src) and _read_manifest(d_ix, "_MANIFEST")):
+    if not retrieval.postings_index_fresh(d_ix, src):
         retrieval.postings_index_write(spark, docs, d_ix, src)
     return retrieval.bm25_rank_stored(spark, d_ix)
 
@@ -2548,7 +2547,7 @@ def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact only if upsert ≡ rebuild over base ∪ delta."""
     import os
 
-    from .plans.layout import _cache_fresh, _cache_path
+    from .plans.layout import _cache_path
     from .sources.formats import _read_manifest
 
     docs = load(spark, sf_dir, "documents")
@@ -2556,7 +2555,11 @@ def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, delta = docs.filter(~is_delta), docs.filter(is_delta)
     src = os.path.join(sf_dir, "documents.parquet")
     d_ix = _cache_path("postings_ix_incr", sf_dir)
-    m = _read_manifest(d_ix, "_MANIFEST") if _cache_fresh(d_ix, src) else None
+    m = (
+        _read_manifest(d_ix, "_MANIFEST")
+        if retrieval.postings_index_fresh(d_ix, src)
+        else None
+    )
     if not m or m.get("version", 0) < 2:
         retrieval.postings_index_write(spark, base, d_ix, src)
         retrieval.postings_index_upsert(spark, d_ix, delta)

@@ -123,6 +123,30 @@ def test_postings_upsert_equals_full_rebuild(spark, tmp_path):
     assert m["version"] == 2 and m["n_docs"] == 5 and m["sum_dl"] == 4 + 4 + 3 + 5 + 2
 
 
+def test_crashed_upsert_segment_is_invisible(spark, tmp_path):
+    """A crashed upsert = segment files on disk, manifest not yet
+    swapped. The probe must serve the PREVIOUS index exactly — postings
+    and stats stay consistent because both only become visible via the
+    manifest pointer."""
+    base = _docs(spark, [(1, "en", "data data query x"), (2, "en", "data x y z")])
+    delta = _docs(spark, [(3, "en", "query data window")])
+    src = str(tmp_path / "src.parquet")
+    base.write.parquet(src)
+    ix = str(tmp_path / "ix")
+    retrieval.postings_index_write(spark, base, ix, src)
+    before = retrieval.bm25_rank_stored(spark, ix).collect()
+    # simulate the crash: segment written, manifest never updated
+    import os
+
+    retrieval._write_postings_segment(delta, os.path.join(ix, "seg2"))
+    after = retrieval.bm25_rank_stored(spark, ix).collect()
+    assert after == before
+    # completing the upsert publishes postings AND stats together
+    retrieval.postings_index_upsert(spark, ix, delta)
+    full = retrieval.bm25_rank_stored(spark, ix).collect()
+    assert {r.doc_id for r in full} == {1, 2, 3}
+
+
 def test_bm25_stored_refuses_wrong_bucket_constant(spark, tmp_path):
     import pytest
 

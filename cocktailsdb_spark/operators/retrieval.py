@@ -244,6 +244,44 @@ def postings_index_upsert(spark, cache_dir: str, new_docs: DataFrame) -> str:
     return cache_dir
 
 
+def postings_index_compact(spark, cache_dir: str) -> str:
+    """Merge all active segments into ONE new segment and swap the
+    manifest pointer — the maintenance step that keeps probe cost flat
+    after many upserts (each active segment adds a scan branch to every
+    probe). Corpus stats are unchanged (compaction moves postings, it
+    does not add or drop any); the swap is atomic, so probes see either
+    the old segment list or the compacted one, never a mix. Old segment
+    dirs become orphans and are deleted AFTER the swap — a crash
+    mid-delete leaves harmless unreferenced dirs, never a broken index."""
+    import os
+    import shutil
+
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    m = _read_manifest(cache_dir, "_MANIFEST")
+    if not m or "segments" not in m:
+        raise ValueError(f"no postings index manifest under {cache_dir}")
+    if len(m["segments"]) <= 1:
+        return cache_dir
+    seg = f"seg{m['version'] + 1}"
+    merged = None
+    for s in m["segments"]:
+        part = spark.read.parquet(os.path.join(cache_dir, s))
+        merged = part if merged is None else merged.unionByName(part)
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(cache_dir, seg)
+    )
+    old = m["segments"]
+    _write_manifest(
+        cache_dir,
+        {**m, "version": m["version"] + 1, "segments": [seg]},
+        "_MANIFEST",
+    )
+    for s in old:
+        shutil.rmtree(os.path.join(cache_dir, s), ignore_errors=True)
+    return cache_dir
+
+
 def bm25_rank_stored(
     spark,
     cache_dir: str,

@@ -2568,6 +2568,36 @@ def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("bm25_incremental_stored", _q_bm25_incremental, _BM25_SQL)
 
+def _q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval index maintenance — COMPACTION: base build + delta
+    upsert (two segments), then segments merged into one by an atomic
+    manifest swap. Oracle = full-corpus BM25 SQL: exact only if
+    compaction moves every posting and touches no stat."""
+    import os
+
+    from .plans.layout import _cache_path
+    from .sources.formats import _read_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % BM25_DELTA_MOD == BM25_DELTA_RESIDUE
+    base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    src = os.path.join(sf_dir, "documents.parquet")
+    d_ix = _cache_path("postings_ix_cpt", sf_dir)
+    m = (
+        _read_manifest(d_ix, "_MANIFEST")
+        if retrieval.postings_index_fresh(d_ix, src)
+        else None
+    )
+    if not m or m.get("version", 0) < 3:
+        retrieval.postings_index_write(spark, base, d_ix, src)
+        retrieval.postings_index_upsert(spark, d_ix, delta)
+        retrieval.postings_index_compact(spark, d_ix)
+    return retrieval.bm25_rank_stored(spark, d_ix)
+
+
+register("bm25_compacted_stored", _q_bm25_compacted, _BM25_SQL)
+
+
 # continuous indexing (§2.7 × retrieval): the postings index maintained
 # by a document STREAM via foreachBatch upserts; same full-corpus oracle
 register(

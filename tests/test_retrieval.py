@@ -147,6 +147,31 @@ def test_crashed_upsert_segment_is_invisible(spark, tmp_path):
     assert {r.doc_id for r in full} == {1, 2, 3}
 
 
+def test_compaction_preserves_probe_and_drops_old_segments(spark, tmp_path):
+    import os
+
+    base = _docs(spark, [(1, "en", "data data query x"), (2, "en", "data x y z")])
+    delta = _docs(spark, [(3, "en", "query data window")])
+    src = str(tmp_path / "src.parquet")
+    base.write.parquet(src)
+    ix = str(tmp_path / "ix")
+    retrieval.postings_index_write(spark, base, ix, src)
+    retrieval.postings_index_upsert(spark, ix, delta)
+    before = retrieval.bm25_rank_stored(spark, ix).collect()
+    retrieval.postings_index_compact(spark, ix)
+    assert retrieval.bm25_rank_stored(spark, ix).collect() == before
+
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    m = _read_manifest(ix, "_MANIFEST")
+    assert m["segments"] == ["seg3"] and m["version"] == 3
+    assert not os.path.exists(os.path.join(ix, "seg1"))
+    assert not os.path.exists(os.path.join(ix, "seg2"))
+    # single-segment compaction is a no-op
+    retrieval.postings_index_compact(spark, ix)
+    assert _read_manifest(ix, "_MANIFEST")["version"] == 3
+
+
 def test_bm25_stored_refuses_wrong_bucket_constant(spark, tmp_path):
     import pytest
 

@@ -451,6 +451,37 @@ def phrase_match(docs: DataFrame, phrase: tuple[str, ...] = PHRASE) -> DataFrame
     )
 
 
+NEAR_TERMS = ("data", "window")
+NEAR_DIST = 3
+
+
+def terms_near(
+    docs: DataFrame,
+    term_a: str = NEAR_TERMS[0],
+    term_b: str = NEAR_TERMS[1],
+    max_dist: int = NEAR_DIST,
+) -> DataFrame:
+    """Proximity query: docs where ``term_a`` and ``term_b`` co-occur
+    within ``max_dist`` token positions, either order. Output per doc:
+    number of qualifying position pairs and the minimum distance.
+
+    Scale: same posting-bounded shape as phrase_match — the explode is
+    filtered to the two terms before the shuffle; the per-doc join is a
+    cross of the two terms' posting lists for that doc (tf_a × tf_b
+    pairs), the standard positional-intersection cost."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "term")
+    )
+    a = tok.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))
+    b = tok.filter(F.col("term") == term_b).select("doc_id", F.col("pos").alias("pb"))
+    dist = F.abs(F.col("pa") - F.col("pb"))
+    pairs = a.join(b, "doc_id").filter((dist <= max_dist) & (dist > 0))
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_pairs"),
+        F.min(dist).cast("int").alias("min_dist"),
+    )
+
+
 def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> DataFrame:
     """Term → posting-list index: exact per-term doc/occurrence counts plus
     the first ``max_postings`` postings as a deterministic

@@ -2637,6 +2637,34 @@ def _phrase_sql(phrase: tuple[str, ...]) -> str:
 register("phrase_match_docs", _q_phrase_match, _phrase_sql(retrieval.PHRASE))
 
 
+def _q_terms_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — proximity query (terms within NEAR_DIST positions,
+    either order) over documents.text."""
+    return retrieval.terms_near(load(spark, sf_dir, "documents"))
+
+
+register(
+    "terms_near_docs",
+    _q_terms_near,
+    f"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        a AS (SELECT doc_id, pos AS pa FROM tok
+              WHERE term = '{retrieval.NEAR_TERMS[0]}'),
+        b AS (SELECT doc_id, pos AS pb FROM tok
+              WHERE term = '{retrieval.NEAR_TERMS[1]}'),
+        p AS (SELECT a.doc_id, abs(pa - pb) AS d
+              FROM a JOIN b USING (doc_id)
+              WHERE abs(pa - pb) <= {retrieval.NEAR_DIST}
+                AND abs(pa - pb) > 0)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_pairs,
+               CAST(min(d) AS INT) AS min_dist
+        FROM p GROUP BY doc_id""",
+)
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.inverted_index(load(spark, sf_dir, "documents"))
 

@@ -247,6 +247,23 @@ def test_phrase_match_repeated_terms(spark):
     assert [(r.doc_id, r.n_occurrences, r.first_pos) for r in three] == [(1, 1, 2)]
 
 
+def test_terms_near_hand_computed(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "en", "data x window"),  # dist 2 — within 3
+            (2, "en", "window y y data"),  # dist 3, reversed order — within
+            (3, "en", "data a b c window"),  # dist 4 — out
+            (4, "en", "data window data"),  # pairs: (1,2)=1, (2,3)=1
+        ],
+    )
+    out = {r.doc_id: r for r in retrieval.terms_near(d, "data", "window", 3).collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1].n_pairs, out[1].min_dist) == (1, 2)
+    assert (out[2].n_pairs, out[2].min_dist) == (1, 3)
+    assert (out[4].n_pairs, out[4].min_dist) == (2, 1)
+
+
 def test_inverted_index_postings(spark):
     d = _docs(spark, [(1, "en", "a b a"), (2, "en", "b a")])
     out = {r.term: r for r in retrieval.inverted_index(d).collect()}

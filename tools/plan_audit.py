@@ -91,6 +91,8 @@ AUDIT = [
     "hybrid_rank_rrf",
     "bm25_rank_stored",
     "phrase_match_docs",
+    "terms_near_docs",
+    "bm25_compacted_stored",
 ]
 
 

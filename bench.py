@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "bm25_incremental_stored",
     "phrase_match_docs",
     "terms_near_docs",
+    "snippet_extract_docs",
     "inverted_index_terms",
     "mixture_weights",
     "bigram_lm_counts",

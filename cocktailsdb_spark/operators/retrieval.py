@@ -451,6 +451,46 @@ def phrase_match(docs: DataFrame, phrase: tuple[str, ...] = PHRASE) -> DataFrame
     )
 
 
+SNIPPET_RADIUS = 3
+
+
+def snippet_extract(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    radius: int = SNIPPET_RADIUS,
+) -> DataFrame:
+    """Search-result snippets: for every doc matching ANY query term,
+    the ±radius token window around the FIRST matching position, plus
+    which term hit there. Deterministic: token positions are unique, so
+    "first hit" (min position) and the term at it (min_by) are exact.
+
+    Scale: the hit frame is one row per MATCHING doc (posexplode cut to
+    the query's terms pre-shuffle, min-aggregated); the window slice is
+    a narrow per-row array op after one doc_id equi-join — no second
+    explode, no window function."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    hits = tok.groupBy("doc_id").agg(
+        F.min("pos0").alias("first_pos0"),
+        F.min_by("term", "pos0").alias("first_term"),
+    )
+    arr = tokens()
+    start0 = F.greatest(F.col("first_pos0") - radius, F.lit(0))
+    end0 = F.least(F.col("first_pos0") + radius, F.size(arr) - 1)
+    return (
+        docs.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "first_term",
+            (F.col("first_pos0") + 1).cast("int").alias("first_pos"),
+            F.concat_ws(
+                " ", F.slice(arr, start0 + 1, end0 - start0 + 1)
+            ).alias("snippet"),
+        )
+    )
+
+
 NEAR_TERMS = ("data", "window")
 NEAR_DIST = 3
 

@@ -2637,6 +2637,37 @@ def _phrase_sql(phrase: tuple[str, ...]) -> str:
 register("phrase_match_docs", _q_phrase_match, _phrase_sql(retrieval.PHRASE))
 
 
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — snippet extraction around the first query-term hit."""
+    return retrieval.snippet_extract(load(spark, sf_dir, "documents"))
+
+
+register(
+    "snippet_extract_docs",
+    _q_snippets,
+    f"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        hits AS (SELECT doc_id,
+                        min(pos) AS first_pos,
+                        arg_min(term, pos) AS first_term
+                 FROM tok WHERE term IN ({_BM25_TERMS}) GROUP BY doc_id),
+        joined AS (
+          SELECT d.doc_id, h.first_term, CAST(h.first_pos AS INT) AS first_pos,
+                 string_split(d.text, ' ') AS toks, h.first_pos AS fp
+          FROM documents d JOIN hits h ON d.doc_id = h.doc_id)
+        SELECT doc_id, first_term, first_pos,
+               array_to_string(
+                 list_slice(toks,
+                            greatest(fp - {retrieval.SNIPPET_RADIUS}, 1),
+                            least(fp + {retrieval.SNIPPET_RADIUS}, len(toks))),
+                 ' ') AS snippet
+        FROM joined""",
+)
+
+
 def _q_terms_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval — proximity query (terms within NEAR_DIST positions,
     either order) over documents.text."""

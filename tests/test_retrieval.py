@@ -247,6 +247,38 @@ def test_phrase_match_repeated_terms(spark):
     assert [(r.doc_id, r.n_occurrences, r.first_pos) for r in three] == [(1, 1, 2)]
 
 
+def test_snippet_extract_hand_computed(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "en", "a b c data e f g h"),  # hit mid — full ±2 window
+            (2, "en", "query b c"),  # hit at start — clipped left
+            (3, "en", "a b c d window"),  # hit at end — clipped right
+            (4, "en", "x y z"),  # no hit — absent
+            (5, "en", "a data b query c"),  # two hits — first wins
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in retrieval.snippet_extract(
+            d, ("data", "query", "window"), radius=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].first_term, out[1].first_pos, out[1].snippet) == (
+        "data", 4, "b c data e f",
+    )
+    assert (out[2].first_term, out[2].first_pos, out[2].snippet) == (
+        "query", 1, "query b c",
+    )
+    assert (out[3].first_term, out[3].first_pos, out[3].snippet) == (
+        "window", 5, "c d window",
+    )
+    assert (out[5].first_term, out[5].first_pos, out[5].snippet) == (
+        "data", 2, "a data b query",
+    )
+
+
 def test_terms_near_hand_computed(spark):
     d = _docs(
         spark,

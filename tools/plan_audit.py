@@ -93,6 +93,7 @@ AUDIT = [
     "phrase_match_docs",
     "terms_near_docs",
     "bm25_compacted_stored",
+    "snippet_extract_docs",
 ]
 
 

@@ -522,6 +522,97 @@ def terms_near(
     )
 
 
+BOOL_MUST = ("data", "query")
+BOOL_SHOULD = ("window", "stream", "vector")
+BOOL_MUST_NOT = ("dup",)
+BOOL_MIN_SHOULD = 1
+BOOL_TOP_K = 10
+
+
+def bool_search(
+    docs: DataFrame,
+    must: tuple[str, ...] = BOOL_MUST,
+    should: tuple[str, ...] = BOOL_SHOULD,
+    must_not: tuple[str, ...] = BOOL_MUST_NOT,
+    min_should: int = BOOL_MIN_SHOULD,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BOOL_TOP_K,
+) -> DataFrame:
+    """Boolean retrieval: docs containing ALL ``must`` terms, at least
+    ``min_should`` of the ``should`` terms, and NONE of the ``must_not``
+    terms, ranked by BM25 over the must+should contributions (same
+    quantized-integer summation as ``bm25_rank`` → the oracle is exact).
+
+    One explode filtered to the query's full term set BEFORE any shuffle
+    feeds three consumers off a single materialized (doc, term, tf, dl)
+    frame: the per-doc predicate flags (conditional aggregate — no
+    per-clause joins), the per-term df, and the scoring sum. The clause
+    predicate never touches the corpus again, so cost is bounded by the
+    posting rows of the query's terms — the same scale shape as
+    ``bm25_rank``. Final top-k is orderBy+limit (TakeOrdered heap), and
+    the rank window sees only k rows."""
+    scoring_terms = tuple(dict.fromkeys(must + should))
+    all_terms = tuple(dict.fromkeys(scoring_terms + must_not))
+    stats = docs.select(F.size(tokens()).alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        spread(docs)
+        .select("doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term"))
+        .filter(F.col("term").isin(list(all_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    flags = tf.groupBy("doc_id").agg(
+        F.countDistinct(
+            F.when(F.col("term").isin(list(must)), F.col("term"))
+        ).alias("n_must"),
+        F.countDistinct(
+            F.when(F.col("term").isin(list(should)), F.col("term"))
+        ).alias("n_should"),
+        F.max(
+            F.when(F.col("term").isin(list(must_not)), F.lit(1)).otherwise(F.lit(0))
+        ).alias("excluded"),
+    )
+    matched = flags.filter(
+        (F.col("n_must") == len(must))
+        & (F.col("excluded") == 0)
+        & (F.col("n_should") >= min_should)
+    )
+    # df comes from the tf frame: it holds EVERY doc containing a query
+    # term, so per-term row counts are the corpus-wide document freqs
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    q = F.floor(contrib * 1e6 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.filter(F.col("term").isin(list(scoring_terms)))
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.sum(q) / 1e6).alias("score"))
+    )
+    hit = matched.join(scored, "doc_id")
+    topk = hit.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    pick = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        F.col("n_must").cast("int").alias("n_must"),
+        F.col("n_should").cast("int").alias("n_should"),
+        "score",
+        F.row_number().over(pick).cast("int").alias("rank"),
+    )
+
+
 def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> DataFrame:
     """Term → posting-list index: exact per-term doc/occurrence counts plus
     the first ``max_postings`` postings as a deterministic

@@ -2696,6 +2696,66 @@ register(
 )
 
 
+def _q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — boolean query (must / should / must-not clauses) with
+    BM25 ranking over the matched docs."""
+    return retrieval.bool_search(load(spark, sf_dir, "documents"))
+
+
+_BOOL_MUST = ", ".join(f"'{t}'" for t in retrieval.BOOL_MUST)
+_BOOL_SHOULD = ", ".join(f"'{t}'" for t in retrieval.BOOL_SHOULD)
+_BOOL_MUST_NOT = ", ".join(f"'{t}'" for t in retrieval.BOOL_MUST_NOT)
+_BOOL_ALL = ", ".join(
+    f"'{t}'"
+    for t in dict.fromkeys(
+        retrieval.BOOL_MUST + retrieval.BOOL_SHOULD + retrieval.BOOL_MUST_NOT
+    )
+)
+_BOOL_SCORING = ", ".join(
+    f"'{t}'" for t in dict.fromkeys(retrieval.BOOL_MUST + retrieval.BOOL_SHOULD)
+)
+
+register(
+    "bool_search_docs",
+    _q_bool_search,
+    f"""WITH dl AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({_BOOL_ALL}) GROUP BY doc_id, term),
+        flags AS (SELECT doc_id,
+                   CAST(count(DISTINCT CASE WHEN term IN ({_BOOL_MUST})
+                                            THEN term END) AS INT) AS n_must,
+                   CAST(count(DISTINCT CASE WHEN term IN ({_BOOL_SHOULD})
+                                            THEN term END) AS INT) AS n_should,
+                   max(CASE WHEN term IN ({_BOOL_MUST_NOT}) THEN 1 ELSE 0 END)
+                     AS excluded
+                  FROM tf GROUP BY doc_id),
+        matched AS (SELECT * FROM flags
+                    WHERE n_must = {len(retrieval.BOOL_MUST)}
+                      AND excluded = 0
+                      AND n_should >= {retrieval.BOOL_MIN_SHOULD}),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        c AS (SELECT tf.doc_id,
+                     CAST(floor(({_BM25_CONTRIB}) * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM tf JOIN dfc USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              WHERE tf.term IN ({_BOOL_SCORING})),
+        s AS (SELECT doc_id, sum(q) / 1000000.0 AS score FROM c GROUP BY doc_id),
+        h AS (SELECT m.doc_id, m.n_must, m.n_should, s.score
+              FROM matched m JOIN s USING (doc_id)),
+        r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+              FROM h)
+        SELECT doc_id, n_must, n_should, score, CAST(rn AS INT) AS rank
+        FROM r WHERE rn <= {retrieval.BOOL_TOP_K}""",
+)
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.inverted_index(load(spark, sf_dir, "documents"))
 

@@ -311,3 +311,48 @@ def test_inverted_index_cap_bounds_postings_not_counts(spark):
     assert r.n_postings == 30  # exact count survives the cap
     assert r.postings.count(",") == 3  # list itself is capped at 4 entries
     assert r.postings == "0:1,0:2,0:3,1:1"
+
+
+def test_bool_search_clause_semantics(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "en", "data query window"),  # must ok, 1 should — in
+            (2, "en", "data query"),  # must ok, 0 should — out (min_should)
+            (3, "en", "data window stream"),  # missing must 'query' — out
+            (4, "en", "data query stream dup"),  # must_not hit — out
+            (5, "en", "data query vector stream"),  # must ok, 2 should — in
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in retrieval.bool_search(
+            d,
+            must=("data", "query"),
+            should=("window", "stream", "vector"),
+            must_not=("dup",),
+            min_should=1,
+        ).collect()
+    }
+    assert set(out) == {1, 5}
+    assert (out[1].n_must, out[1].n_should) == (2, 1)
+    assert (out[5].n_must, out[5].n_should) == (2, 2)
+
+
+def test_bool_search_score_is_bm25_over_scoring_terms(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "en", "data query window x"),
+            (2, "en", "data a b c"),
+            (3, "en", "query window y z"),
+        ],
+    )
+    [r] = retrieval.bool_search(
+        d, must=("data",), should=("query", "window"), must_not=(), min_should=1
+    ).collect()
+    assert r.doc_id == 1
+    # df over docs containing each term: data 2, query 2, window 2; dl=4
+    exp = _bm25_score([(1, 2), (1, 2), (1, 2)], dl=4, avgdl=4.0, n_docs=3)
+    assert r.score == exp
+    assert (r.n_must, r.n_should, r.rank) == (1, 2, 1)

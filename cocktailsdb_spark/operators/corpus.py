@@ -963,3 +963,96 @@ def dsir_importance(
         .orderBy(F.desc("dsir_logratio"), F.asc("doc_id"))
         .limit(top_n)
     )
+
+
+LOGREG_LR = 0.5
+LOGREG_ITERS = 5
+LOGREG_LABEL_LANG = "en"
+LOGREG_FEATURES = ("bias", "f_tokens", "f_chars", "f_ttr")
+
+
+def _q6(x: float) -> float:
+    """floor(x·1e6 + 0.5)/1e6 with plain IEEE double ops — the same
+    primitive sequence the oracle SQL runs, so driver-side weight updates
+    are bit-identical across engines (numeric.qround's contract)."""
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def logreg_quality_train(
+    docs: DataFrame,
+    lr: float = LOGREG_LR,
+    iters: int = LOGREG_ITERS,
+    label_lang: str = LOGREG_LABEL_LANG,
+) -> DataFrame:
+    """Distributed logistic-regression training (quality-classifier
+    shape: predict ``lang == label_lang`` from document statistics) via
+    full-batch gradient descent — each iteration is ONE map-side-combined
+    aggregate over the feature frame; the 4-weight model lives on the
+    driver (control plane, like pagerank's convergence scalar) and is
+    folded back in as literals. Features: bias, tokens/100, chars/1000,
+    type-token ratio (docs must be non-empty — fixture min dl is 10).
+
+    Cross-engine exactness (pagerank's template, registry_geo docstring
+    conventions): per-row gradient contributions are quantized to 1e-6
+    and summed as BIGINT (order-free); each weight update runs the same
+    IEEE op sequence in Python and SQL and is re-quantized to the 1e-6
+    grid, so after T iterations the weights — and the sign-based
+    predictions — are bit-identical to the DuckDB twin. exp() is the one
+    libm call; sub-ulp engine differences sit ~10 orders below the
+    quantization step.
+
+    Output: one row per feature with the learned weight, plus corpus
+    metrics (n_docs, n_pos, n_correct under the final model — prediction
+    is sign(w·x), no exp needed).
+
+    Scale: the feature frame is localCheckpointed once and re-aggregated
+    per iteration (T tiny-result jobs, no shuffle growth, no lineage
+    growth); nothing per-doc ever reaches the driver."""
+    feats = docs.select(
+        (F.col("lang") == label_lang).cast("int").alias("y"),
+        F.lit(1.0).alias("f0"),
+        (F.size(tokens()) / F.lit(100.0)).alias("f1"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("f2"),
+        (
+            F.size(F.array_distinct(tokens())).cast("double")
+            / F.size(tokens()).cast("double")
+        ).alias("f3"),
+    ).localCheckpoint()
+    nf = len(LOGREG_FEATURES)
+    w = [0.0] * nf
+    n_docs = None
+    for _ in range(iters):
+        z = sum(F.lit(w[j]) * F.col(f"f{j}") for j in range(nf))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        row = feats.agg(
+            *[
+                F.sum(
+                    F.floor((err * F.col(f"f{j}")) * 1e6 + F.lit(0.5)).cast("long")
+                ).alias(f"q{j}")
+                for j in range(nf)
+            ],
+            F.count("*").alias("n"),
+        ).first()
+        n_docs = int(row["n"])
+        w = [
+            _q6(w[j] - lr * ((int(row[f"q{j}"]) / 1000000.0) / n_docs))
+            for j in range(nf)
+        ]
+    zf = sum(F.lit(w[j]) * F.col(f"f{j}") for j in range(nf))
+    pred = (zf >= 0).cast("int")
+    metrics = feats.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum((pred == F.col("y")).cast("int")).cast("long").alias("n_correct"),
+    )
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        [(name, w[j]) for j, name in enumerate(LOGREG_FEATURES)],
+        "feature string, weight double",
+    )
+    return weights.crossJoin(F.broadcast(metrics)).select(
+        "feature", "weight", "n_docs", "n_pos", "n_correct"
+    )

@@ -3390,3 +3390,71 @@ def _dsir_sql() -> str:
 
 
 register("dsir_importance_weights", _q_dsir, _dsir_sql())
+
+
+def _q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ML — distributed logistic-regression training (one
+    aggregate per gradient step, driver-held 4-weight model;
+    operators/corpus.py:logreg_quality_train)."""
+    return corpus.logreg_quality_train(load(spark, sf_dir, "documents"))
+
+
+def _logreg_sql() -> str:
+    nf = len(corpus.LOGREG_FEATURES)
+    js = range(nf)
+    lr = corpus.LOGREG_LR
+    ctes = [
+        f"""f AS (
+          SELECT CASE WHEN lang = '{corpus.LOGREG_LABEL_LANG}' THEN 1 ELSE 0 END AS y,
+                 1.0 AS f0,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS f1,
+                 CAST(n_chars AS DOUBLE) / 1000.0 AS f2,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f3
+          FROM documents)""",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in js) + ")",
+    ]
+    z = " + ".join(f"w.w{j} * f{j}" for j in js)
+    for t in range(1, corpus.LOGREG_ITERS + 1):
+        qs = ", ".join(
+            f"sum(CAST(floor(((p - y) * f{j}) * 1000000.0 + 0.5) AS BIGINT)) AS q{j}"
+            for j in js
+        )
+        ctes.append(
+            f"""g{t} AS (SELECT {qs}, count(*) AS n
+               FROM (SELECT f.*, 1.0 / (1.0 + exp(-({z}))) AS p
+                     FROM f CROSS JOIN w{t - 1} w))"""
+        )
+        ws = ", ".join(
+            f"floor((w.w{j} - {lr} * ((CAST(g.q{j} AS DOUBLE) / 1000000.0) / g.n))"
+            f" * 1000000.0 + 0.5) / 1000000.0 AS w{j}"
+            for j in js
+        )
+        ctes.append(f"w{t} AS (SELECT {ws} FROM w{t - 1} w CROSS JOIN g{t} g)")
+    wf = f"w{corpus.LOGREG_ITERS}"
+    ctes.append(
+        f"""m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN (CASE WHEN {z} >= 0 THEN 1 ELSE 0 END) = y
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+          FROM f CROSS JOIN {wf} w)"""
+    )
+    names = ", ".join(
+        f"('{name}', {j})" for j, name in enumerate(corpus.LOGREG_FEATURES)
+    )
+    ctes.append(f"names(feature, j) AS (VALUES {names})")
+    wcase = (
+        "CASE n.j "
+        + " ".join(f"WHEN {j} THEN w.w{j}" for j in js)
+        + " END"
+    )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+        SELECT n.feature, {wcase} AS weight, m.n_docs, m.n_pos, m.n_correct
+        FROM names n CROSS JOIN {wf} w CROSS JOIN m"""
+    )
+
+
+register("logreg_quality_train", _q_logreg, _logreg_sql())

@@ -570,3 +570,81 @@ def test_dsir_ranks_targetlike_docs_first(spark):
     assert [(r.doc_id, r.dsir_logratio) for r in again] == [
         (r.doc_id, r.dsir_logratio) for r in out
     ]
+
+
+def _logreg_reference(rows, lr=0.5, iters=5):
+    """Pure-Python mirror of logreg_quality_train's arithmetic: same
+    feature defs, per-row 1e-6 gradient quantization, same update op
+    order and weight re-quantization."""
+    import math
+
+    feats = []
+    for lang, text, n_chars in rows:
+        toks = text.split(" ")
+        feats.append(
+            (
+                1 if lang == "en" else 0,
+                1.0,
+                len(toks) / 100.0,
+                n_chars / 1000.0,
+                float(len(set(toks))) / float(len(toks)),
+            )
+        )
+    w = [0.0] * 4
+    n = len(feats)
+    for _ in range(iters):
+        q = [0, 0, 0, 0]
+        for y, *f in feats:
+            z = sum(w[j] * f[j] for j in range(4))
+            p = 1.0 / (1.0 + math.exp(-z))
+            for j in range(4):
+                q[j] += math.floor(((p - y) * f[j]) * 1000000.0 + 0.5)
+        w = [
+            math.floor(
+                (w[j] - lr * ((q[j] / 1000000.0) / n)) * 1000000.0 + 0.5
+            )
+            / 1000000.0
+            for j in range(4)
+        ]
+    n_correct = 0
+    for y, *f in feats:
+        z = sum(w[j] * f[j] for j in range(4))
+        n_correct += int((1 if z >= 0 else 0) == y)
+    return w, n_correct
+
+
+def test_logreg_matches_python_reference(spark):
+    rows = [
+        ("en", "data query window data", 120),
+        ("en", "scan filter join merge sort batch", 300),
+        ("de", "row row row row", 80),
+        ("fr", "vector stream key value table", 220),
+        ("zh", "big small fast slow", 150),
+    ]
+    d = spark.createDataFrame(
+        [(i, t, l, "src0", c) for i, (l, t, c) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.feature: r for r in corpus.logreg_quality_train(d).collect()}
+    w_ref, n_correct = _logreg_reference(rows)
+    assert [
+        out[n].weight for n in corpus.LOGREG_FEATURES
+    ] == w_ref
+    assert out["bias"].n_docs == 5 and out["bias"].n_pos == 2
+    assert out["bias"].n_correct == n_correct
+
+
+def test_logreg_learns_separable_labels(spark):
+    # y perfectly separable on token count: long docs are 'en'
+    rows = []
+    for i in range(40):
+        n = 40 if i % 2 == 0 else 4
+        rows.append((i, " ".join(f"t{k}" for k in range(n)),
+                     "en" if n == 40 else "de", "src0", n * 3))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.feature: r for r in corpus.logreg_quality_train(d).collect()}
+    # token-count weight moved positive and the model beats the base rate
+    assert out["f_tokens"].weight > 0
+    assert out["bias"].n_correct == 40

@@ -1013,3 +1013,115 @@ def cosine_topk_filtered(
     return cosine_topk(
         emb, query_ids, k=k, candidate_filter=F.col("label") == label
     )
+
+
+PCA_ITERS = 8
+PCA_S_MOM = 1_000_000_000.0   # second-moment product quantum (1e-9)
+PCA_S_MEAN = 1_000_000.0      # mean-numerator quantum (1e-6)
+PCA_S_MV = 1_000_000_000_000.0  # matvec / norm / Rayleigh quantum (1e-12)
+PCA_S_V = 100_000_000.0       # eigenvector component grid (1e-8)
+
+
+def _pca_q(x: float, scale: float) -> float:
+    import math
+
+    return math.floor(x * scale + 0.5) / scale
+
+
+def pca_top_component(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Top principal component of the embedding cloud via power
+    iteration — the dimensionality-reduction primitive an embedding
+    pipeline runs before whitening / ANN (e.g. dropping the dominant
+    direction, Mu & Viswanath 2018's all-but-the-top, public).
+
+    Two-phase shape: the O(n·d²) work — upper-triangle second moments
+    Σ xⱼxₖ and per-dim sums — is ONE distributed aggregate over a d²/2
+    pair explode (map-side combined, one shuffle of d² grouped rows);
+    the d×d covariance (64×64 here) is then control-plane state, like
+    kmeans centroids (MAX_CENTROIDS convention) and pagerank's
+    convergence scalar: the driver runs ``iters`` fixed matvec steps and
+    folds the result back out as literals. n·d² scan-side, d² driver-side
+    — nothing corpus-sized leaves the executors at any scale.
+
+    Cross-engine exactness (pagerank/logreg template): every float sum
+    that either engine could reorder is an integer sum of quantized
+    terms — per-row products at 1e-9, matvec/norm/Rayleigh terms at
+    1e-12 — and each iteration re-quantizes v to the 1e-8 grid, so all
+    ``iters`` steps, the eigenvalue, and the variance share are
+    bit-identical to the DuckDB twin's iterative CTEs. v₀ = 1/8 (exact
+    dyadic 1/√64); sqrt and division are IEEE-deterministic.
+
+    Output: one row per dimension (1-based) with the component loading,
+    plus the Rayleigh eigenvalue and explained-variance share (λ/tr C).
+    """
+    import math
+
+    d_row = emb.select(F.size("embedding").alias("d")).first()
+    d = int(d_row["d"])
+    ex = emb.select("embedding", F.posexplode("embedding").alias("j", "xj"))
+    pairs = ex.select(
+        "j",
+        F.col("xj").cast("double").alias("xj"),
+        F.posexplode(
+            F.slice(F.col("embedding"), F.col("j") + 1, F.lit(d) - F.col("j"))
+        ).alias("k0", "xk"),
+    ).select(
+        "j",
+        (F.col("j") + F.col("k0")).alias("k"),
+        (
+            F.floor(
+                F.col("xj") * F.col("xk").cast("double") * F.lit(PCA_S_MOM)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("q"),
+    )
+    mom = {
+        (int(r["j"]), int(r["k"])): int(r["sq"])
+        for r in pairs.groupBy("j", "k").agg(F.sum("q").alias("sq")).collect()
+    }  # bounded: d(d+1)/2 rows — control-plane read, not corpus data
+    means = {
+        int(r["j"]): int(r["mq"])
+        for r in ex.groupBy("j")
+        .agg(
+            F.sum(
+                F.floor(F.col("xj").cast("double") * F.lit(PCA_S_MEAN) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("mq")
+        )
+        .collect()
+    }
+    n = emb.count()
+
+    def cov(j: int, k: int) -> float:
+        lo, hi = (j, k) if j <= k else (k, j)
+        s = (mom[(lo, hi)] / PCA_S_MOM) / n
+        mj = (means[j] / PCA_S_MEAN) / n
+        mk = (means[k] / PCA_S_MEAN) / n
+        return s - mj * mk
+
+    C = [[cov(j, k) for k in range(d)] for j in range(d)]
+    v = [1.0 / 8.0] * d
+    for _ in range(iters):
+        qs = [
+            sum(math.floor(C[k][j] * v[j] * PCA_S_MV + 0.5) for j in range(d))
+            for k in range(d)
+        ]
+        u = [q / PCA_S_MV for q in qs]
+        nq = sum(math.floor(x * x * PCA_S_MV + 0.5) for x in u)
+        norm = math.sqrt(nq / PCA_S_MV)
+        v = [_pca_q(x / norm, PCA_S_V) for x in u]
+    qs = [
+        sum(math.floor(C[k][j] * v[j] * PCA_S_MV + 0.5) for j in range(d))
+        for k in range(d)
+    ]
+    u = [q / PCA_S_MV for q in qs]
+    lam_q = sum(math.floor(v[k] * u[k] * PCA_S_MV + 0.5) for k in range(d))
+    lam = _pca_q(lam_q / PCA_S_MV, 1_000_000.0)
+    tr_q = sum(math.floor(C[j][j] * PCA_S_MOM + 0.5) for j in range(d))
+    var_share = _pca_q((lam_q / PCA_S_MV) / (tr_q / PCA_S_MOM), 1_000_000.0)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(j + 1, v[j], lam, var_share) for j in range(d)],
+        "dim int, loading double, eigenvalue double, var_share double",
+    )

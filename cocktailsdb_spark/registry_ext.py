@@ -2335,3 +2335,107 @@ register(
                  AS DOUBLE) AS trailing_week
         FROM daily""",
 )
+
+
+# --- PCA top component over embeddings (power iteration) -------------------
+
+
+def _q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding linear algebra — top principal component via power
+    iteration (operators/similarity.py:pca_top_component): distributed
+    n·d² moment aggregate, d×d control-plane iteration."""
+    from .operators import similarity as _sim
+
+    return _sim.pca_top_component(load(spark, sf_dir, "embeddings"))
+
+
+def _pca_sql() -> str:
+    from .operators.similarity import PCA_ITERS
+
+    ctes = [
+        """ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xj,
+                        generate_subscripts(embedding, 1) AS j1
+                 FROM embeddings)""",
+        """mom AS (SELECT a.j1 AS j, b.j1 AS k,
+                 sum(CAST(floor((a.xj * b.xj) * 1000000000.0 + 0.5) AS BIGINT))
+                   AS sq
+          FROM ex a JOIN ex b USING (vec_id) WHERE b.j1 >= a.j1
+          GROUP BY 1, 2)""",
+        """mean AS (SELECT j1 AS j,
+                  sum(CAST(floor(xj * 1000000.0 + 0.5) AS BIGINT)) AS mq
+           FROM ex GROUP BY 1)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+        """covU AS (SELECT m.j, m.k,
+                 ((CAST(m.sq AS DOUBLE) / 1000000000.0) / nn.n)
+                 - (((CAST(mj.mq AS DOUBLE) / 1000000.0) / nn.n)
+                    * ((CAST(mk.mq AS DOUBLE) / 1000000.0) / nn.n)) AS c
+          FROM mom m JOIN mean mj ON m.j = mj.j JOIN mean mk ON m.k = mk.j
+          CROSS JOIN nn)""",
+        """covC AS (SELECT j, k, c FROM covU
+           UNION ALL SELECT k AS j, j AS k, c FROM covU WHERE j <> k)""",
+        "v0 AS (SELECT j, 0.125 AS v FROM mean)",
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""mv{t} AS (SELECT cc.k,
+                 sum(CAST(floor((cc.c * v.v) * 1000000000000.0 + 0.5) AS BIGINT))
+                   AS qs
+               FROM covC cc JOIN v{t - 1} v ON cc.j = v.j GROUP BY cc.k)"""
+        )
+        ctes.append(
+            f"u{t} AS (SELECT k, CAST(qs AS DOUBLE) / 1000000000000.0 AS u"
+            f" FROM mv{t})"
+        )
+        ctes.append(
+            f"""n{t} AS (SELECT sqrt(CAST(sum(CAST(floor((u * u)
+                 * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000000000.0) AS nrm FROM u{t})"""
+        )
+        ctes.append(
+            f"""v{t} AS (SELECT k AS j,
+                 floor((u / nrm) * 100000000.0 + 0.5) / 100000000.0 AS v
+               FROM u{t} CROSS JOIN n{t})"""
+        )
+    T = PCA_ITERS
+    ctes.append(
+        f"""mvF AS (SELECT cc.k,
+             sum(CAST(floor((cc.c * v.v) * 1000000000000.0 + 0.5) AS BIGINT))
+               AS qs
+           FROM covC cc JOIN v{T} v ON cc.j = v.j GROUP BY cc.k)"""
+    )
+    ctes.append(
+        "uF AS (SELECT k, CAST(qs AS DOUBLE) / 1000000000000.0 AS u FROM mvF)"
+    )
+    ctes.append(
+        f"""lamq AS (SELECT sum(CAST(floor((v.v * u.u) * 1000000000000.0 + 0.5)
+             AS BIGINT)) AS lq
+           FROM v{T} v JOIN uF u ON v.j = u.k)"""
+    )
+    ctes.append(
+        """trq AS (SELECT sum(CAST(floor(c * 1000000000.0 + 0.5) AS BIGINT))
+             AS tq FROM covC WHERE j = k)"""
+    )
+    ctes.append(
+        """met AS (SELECT
+             floor((CAST(lq AS DOUBLE) / 1000000000000.0) * 1000000.0 + 0.5)
+               / 1000000.0 AS eigenvalue,
+             floor(((CAST(lq AS DOUBLE) / 1000000000000.0)
+                    / (CAST(tq AS DOUBLE) / 1000000000.0)) * 1000000.0 + 0.5)
+               / 1000000.0 AS var_share
+           FROM lamq CROSS JOIN trq)"""
+    )
+    # MATERIALIZED is load-bearing: v{t} references u{t} twice, so with
+    # inlined CTEs the plan doubles per iteration (2^ITERS copies of the
+    # n*d^2 moment join) and the oracle never finishes.
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+        SELECT CAST(v.j AS INT) AS dim, v.v AS loading,
+               m.eigenvalue, m.var_share
+        FROM v{T} v CROSS JOIN met m"""
+    )
+
+
+register("pca_top_component", _q_pca_top, _pca_sql())

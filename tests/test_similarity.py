@@ -310,3 +310,35 @@ def test_index_upsert_requires_manifest(spark, sf_dir, tmp_path):
     e = load(spark, sf_dir, "embeddings").limit(10)
     with pytest.raises(ValueError, match="manifest"):
         similarity.ivf_index_upsert(spark, str(tmp_path / "nope"), e)
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """Power-iteration PCA recovers numpy's top eigenvector/eigenvalue of
+    the exact covariance on an anisotropic 64-dim cloud (large eigengap so
+    8 iterations converge well past the quantization grid)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n = 64, 400
+    # dominant direction along e0+e1 with sd 2, isotropic sd 0.3 elsewhere
+    base = rng.normal(0.0, 0.3, size=(n, d))
+    axis = np.zeros(d)
+    axis[0] = axis[1] = 1.0 / np.sqrt(2.0)
+    base += np.outer(rng.normal(0.0, 2.0, size=n), axis)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = similarity.pca_top_component(emb).collect()
+    assert len(out) == d
+    v = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    lam, share = out[0].eigenvalue, out[0].var_share
+
+    X = base.astype(np.float32).astype(np.float64)  # match array<float> storage
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-3  # aligned up to sign
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+    assert abs(lam - float(w[-1])) < 1e-3 * float(w[-1])
+    assert abs(share - float(w[-1] / np.trace(C))) < 1e-4
+    assert all(r.eigenvalue == lam and r.var_share == share for r in out)

@@ -1320,3 +1320,158 @@ def rolling_range_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
             F.lit(0.0),
         ).alias("trailing_week"),
     )
+
+
+# --- two-sample statistics ------------------------------------------------
+
+TTEST_GROUP_A = "1-URGENT"
+TTEST_GROUP_B = "5-LOW"
+
+
+def welch_ttest(orders: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t-test comparing ``o_totalprice`` between
+    two order-priority populations — the profiler's A/B primitive (does
+    segment A pay more than segment B?).
+
+    ONE scalar map-side-combined aggregate over the scan: per-group
+    n / Σx / Σx² as conditional ``dsum`` moments (order-insensitive exact
+    decimal sums, the stats_moments convention), then the t statistic and
+    Welch–Satterthwaite degrees of freedom as scalar IEEE arithmetic on
+    the single result row, written with the identical expression shape as
+    the DuckDB twin and pinned with qround. Scales as a pure reduction —
+    no join, no window, one exchange of partial-aggregate rows.
+    """
+    x = F.col("o_totalprice").cast("double")
+    a = F.col("o_orderpriority") == TTEST_GROUP_A
+    b = F.col("o_orderpriority") == TTEST_GROUP_B
+
+    def side(pred, tag):
+        xs = F.when(pred, x)
+        return [
+            F.count(xs).cast("double").alias(f"n_{tag}"),
+            dsum(xs).alias(f"sx_{tag}"),
+            dsum(xs * xs).alias(f"sxx_{tag}"),
+        ]
+
+    g = orders.agg(*side(a, "a"), *side(b, "b"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma, mb = F.col("sx_a") / na, F.col("sx_b") / nb
+    va = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / na) / (na - 1)
+    vb = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return g.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        qround(ma, 6).alias("mean_a"),
+        qround(mb, 6).alias("mean_b"),
+        qround(t, 6).alias("t_stat"),
+        qround(dof, 4).alias("dof"),
+    )
+
+
+MW_BUCKET_WIDTH = 10_000.0
+
+
+def mann_whitney_u(orders: DataFrame) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) on ``o_totalprice`` between the
+    same two priority populations — the nonparametric twin of
+    :func:`welch_ttest` for skewed revenue distributions.
+
+    Rank-free at scale (the spearman_rank_corr_scaled histogram trick,
+    specialised): ranks never materialise per row. One data-sized
+    map-side-combined aggregate builds the distinct-value frame
+    (price → per-group counts); global cumulative counts come from a
+    two-pass bucketed prefix sum — a tiny fixed-width bucket histogram
+    (≤ ~1,000 rows at any corpus size for TPC-H price ranges), its
+    exclusive prefix as a trivially small window, broadcast back, plus a
+    per-bucket window over the value frame — so no task ever sorts more
+    than one bucket of distinct values. The rank-sum identity
+
+        2·R_A = Σ_v ca(v) · (2·cum_lt(v) + t(v) + 1)
+
+    is pure integer arithmetic (decimal-summed against 64-bit overflow at
+    huge N), making U exact; the normal-approximation z uses the
+    tie-corrected variance with the identical expression shape as the
+    DuckDB twin, pinned with qround.
+    """
+    price = F.col("o_totalprice").cast("double")
+    a = F.col("o_orderpriority") == TTEST_GROUP_A
+    b = F.col("o_orderpriority") == TTEST_GROUP_B
+    vals = (
+        orders.filter(a | b)
+        .groupBy(price.alias("v"))
+        .agg(
+            F.count(F.when(a, 1)).alias("ca"),
+            F.count(F.when(b, 1)).alias("cb"),
+        )
+        .withColumn("t", F.col("ca") + F.col("cb"))
+        .withColumn("bucket", F.floor(F.col("v") / F.lit(MW_BUCKET_WIDTH)))
+        # ndv-sized; feeds both the bucket histogram and the ranked pass —
+        # materialize ONCE so the data-sized aggregate doesn't run twice
+        # (cluster form: persisted table, same cut point)
+        .localCheckpoint()
+    )
+    # pass 1: bucket totals (tiny: schema-bounded at price_range/width
+    # buckets regardless of corpus size) -> exclusive prefix via a
+    # broadcast range-join self-aggregate (no unpartitioned window, no
+    # single-partition sort anywhere in the plan)
+    buckets = vals.groupBy("bucket").agg(F.sum("t").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(
+            F.col("bucket").alias("pb"), F.col("bt").alias("pt")
+        )
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    # pass 2: within-bucket running count; vals has ONE row per distinct v,
+    # so a rows-frame ordered by v has no peer ambiguity
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_lt",
+        F.col("off") + F.coalesce(F.sum("t").over(w_in), F.lit(0)),
+    )
+    big = "decimal(38,0)"
+    agg = ranked.agg(
+        F.sum(F.col("ca").cast(big)).cast("double").alias("n_a"),
+        F.sum(F.col("cb").cast(big)).cast("double").alias("n_b"),
+        F.sum(
+            (
+                F.col("ca")
+                * (2 * F.col("cum_lt") + F.col("t") + 1)
+            ).cast(big)
+        )
+        .cast("double")
+        .alias("r2a"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(big)
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u_a = (F.col("r2a") - na * (na + 1)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sig2 = (
+        na * nb / F.lit(12.0)
+        * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    )
+    z = (u_a - mu) / F.sqrt(sig2)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        (na * nb - u_a).alias("u_b"),
+        qround(z, 6).alias("z_score"),
+    )

@@ -2439,3 +2439,94 @@ def _pca_sql() -> str:
 
 
 register("pca_top_component", _q_pca_top, _pca_sql())
+
+
+# --- two-sample statistics (welch t / mann-whitney u) ----------------------
+
+
+def _q_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test on o_totalprice between priority
+    populations (operators/relational.py:welch_ttest): one scalar
+    conditional-moment aggregate."""
+    return relational.welch_ttest(load(spark, sf_dir, "orders"))
+
+
+_W_A = "1-URGENT"
+_W_B = "5-LOW"
+
+
+def _welch_sql() -> str:
+    def side(tag: str, pri: str) -> str:
+        p = f"CASE WHEN o_orderpriority = '{pri}' THEN CAST(o_totalprice AS DOUBLE) END"
+        return (
+            f"CAST(count({p}) AS DOUBLE) AS n_{tag}, "
+            f"{_d(p)} AS sx_{tag}, "
+            f"{_d(f'({p}) * ({p})')} AS sxx_{tag}"
+        )
+
+    return f"""
+        WITH m AS (SELECT {side('a', _W_A)}, {side('b', _W_B)} FROM orders),
+        v AS (SELECT n_a, n_b, sx_a / n_a AS ma, sx_b / n_b AS mb,
+                     (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) AS va,
+                     (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) AS vb
+              FROM m),
+        s AS (SELECT n_a, n_b, ma, mb, va, vb,
+                     va / n_a + vb / n_b AS se2 FROM v)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+               floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+               floor(((ma - mb) / sqrt(se2)) * 1000000.0 + 0.5) / 1000000.0
+                 AS t_stat,
+               floor(((se2 * se2)
+                      / ((va / n_a) * (va / n_a) / (n_a - 1)
+                         + (vb / n_b) * (vb / n_b) / (n_b - 1)))
+                     * 10000.0 + 0.5) / 10000.0 AS dof
+        FROM s"""
+
+
+register("welch_ttest", _q_welch, _welch_sql())
+
+
+def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U / Wilcoxon rank-sum between the same populations
+    (operators/relational.py:mann_whitney_u): histogram ranks, bucketed
+    prefix sums, no data-sized sort."""
+    return relational.mann_whitney_u(load(spark, sf_dir, "orders"))
+
+
+def _mannwhitney_sql() -> str:
+    return f"""
+        WITH vals AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 count(CASE WHEN o_orderpriority = '{_W_A}' THEN 1 END) AS ca,
+                 count(CASE WHEN o_orderpriority = '{_W_B}' THEN 1 END) AS cb
+          FROM orders
+          WHERE o_orderpriority IN ('{_W_A}', '{_W_B}')
+          GROUP BY 1),
+        r AS (
+          SELECT ca, cb, ca + cb AS t,
+                 coalesce(sum(ca + cb) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_lt
+          FROM vals),
+        agg AS (
+          SELECT CAST(sum(CAST(ca AS DECIMAL(38,0))) AS DOUBLE) AS n_a,
+                 CAST(sum(CAST(cb AS DECIMAL(38,0))) AS DOUBLE) AS n_b,
+                 CAST(sum(CAST(ca * (2 * cum_lt + t + 1) AS DECIMAL(38,0)))
+                      AS DOUBLE) AS r2a,
+                 CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE)
+                   AS ties
+          FROM r)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               (r2a - n_a * (n_a + 1)) / 2.0 AS u_a,
+               n_a * n_b - (r2a - n_a * (n_a + 1)) / 2.0 AS u_b,
+               floor((((r2a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+                      / sqrt(n_a * n_b / 12.0
+                             * ((n_a + n_b + 1)
+                                - ties / ((n_a + n_b) * (n_a + n_b - 1)))))
+                     * 1000000.0 + 0.5) / 1000000.0 AS z_score
+        FROM agg"""
+
+
+register("mann_whitney_u", _q_mannwhitney, _mannwhitney_sql())

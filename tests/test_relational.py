@@ -631,3 +631,74 @@ def test_scaled_stats_plans_have_no_single_partition_exchange(spark, sf_dir):
         plan = fmt_plan(queries()[name](spark, sf_dir))
         assert "SinglePartition" not in plan, name
         assert "hashpartitioning(" in plan, name
+
+
+def _ab_orders(spark, a_vals, b_vals, other=()):
+    rows = (
+        [("1-URGENT", float(v)) for v in a_vals]
+        + [("5-LOW", float(v)) for v in b_vals]
+        + [("3-MEDIUM", float(v)) for v in other]
+    )
+    return spark.createDataFrame(
+        [(i, p, v) for i, (p, v) in enumerate(rows)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+
+
+def test_welch_ttest_matches_closed_form(spark):
+    """Welch t and Welch–Satterthwaite dof against the straight textbook
+    formulas on a small unequal-variance pair of samples (third-priority
+    rows must be ignored)."""
+    import math
+
+    a = [10.0, 12.0, 9.5, 11.0, 10.5, 13.0]
+    b = [8.0, 7.5, 9.0, 6.0]
+    out = relational.welch_ttest(_ab_orders(spark, a, b, other=[99.0])).collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert abs(out.mean_a - ma) < 1e-6 and abs(out.mean_b - mb) < 1e-6
+    assert abs(out.t_stat - t) < 1e-5
+    assert abs(out.dof - dof) < 1e-3
+    assert out.t_stat > 0  # a clearly above b
+
+
+def test_mann_whitney_matches_bruteforce_with_ties(spark):
+    """U from the O(n²) pair definition (wins + half-ties) on a sample
+    with cross-group ties, plus the tie-corrected z denominator."""
+    import math
+    from collections import Counter
+
+    a = [5.0, 7.0, 7.0, 9.0, 12.0]
+    b = [4.0, 7.0, 8.0, 9.0, 9.0, 15.0]
+    out = relational.mann_whitney_u(_ab_orders(spark, a, b)).collect()[0]
+    u_a = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
+    )
+    na, nb = len(a), len(b)
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert out.u_a == u_a
+    assert out.u_b == na * nb - u_a
+    n = na + nb
+    ties = sum(t**3 - t for t in Counter(a + b).values())
+    sig = math.sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u_a - na * nb / 2.0) / sig
+    assert abs(out.z_score - z) < 1e-5
+
+
+def test_mann_whitney_bucket_boundary_values(spark):
+    """Values landing exactly on bucket edges (0, width, 2·width) must
+    rank correctly across the bucketed prefix-sum pass."""
+    w = relational.MW_BUCKET_WIDTH
+    a = [0.0, w, 2 * w]
+    b = [w / 2, w, 3 * w]
+    out = relational.mann_whitney_u(_ab_orders(spark, a, b)).collect()[0]
+    u_a = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
+    )
+    assert out.u_a == u_a and out.u_b == len(a) * len(b) - u_a

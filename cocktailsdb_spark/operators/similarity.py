@@ -1054,6 +1054,23 @@ def pca_top_component(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     Output: one row per dimension (1-based) with the component loading,
     plus the Rayleigh eigenvalue and explained-variance share (λ/tr C).
     """
+    d, v, lam_q, tr_q = _pca_power_state(emb, iters)
+    lam = _pca_q(lam_q / PCA_S_MV, 1_000_000.0)
+    var_share = _pca_q((lam_q / PCA_S_MV) / (tr_q / PCA_S_MOM), 1_000_000.0)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(j + 1, v[j], lam, var_share) for j in range(d)],
+        "dim int, loading double, eigenvalue double, var_share double",
+    )
+
+
+def _pca_power_state(
+    emb: DataFrame, iters: int = PCA_ITERS
+) -> tuple[int, list[float], int, int]:
+    """Distributed covariance moments + driver-side quantized power
+    iteration (see :func:`pca_top_component`). Returns control-plane
+    state: (d, unit eigenvector on the 1e-8 grid, Rayleigh numerator at
+    1e-12, trace numerator at 1e-9)."""
     import math
 
     d_row = emb.select(F.size("embedding").alias("d")).first()
@@ -1117,11 +1134,58 @@ def pca_top_component(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     ]
     u = [q / PCA_S_MV for q in qs]
     lam_q = sum(math.floor(v[k] * u[k] * PCA_S_MV + 0.5) for k in range(d))
-    lam = _pca_q(lam_q / PCA_S_MV, 1_000_000.0)
     tr_q = sum(math.floor(C[j][j] * PCA_S_MOM + 0.5) for j in range(d))
-    var_share = _pca_q((lam_q / PCA_S_MV) / (tr_q / PCA_S_MOM), 1_000_000.0)
-    spark = emb.sparkSession
-    return spark.createDataFrame(
-        [(j + 1, v[j], lam, var_share) for j in range(d)],
-        "dim int, loading double, eigenvalue double, var_share double",
+    return d, v, lam_q, tr_q
+
+
+def pca_project_residual(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """All-but-the-top projection (Mu & Viswanath 2018): per-vector score
+    along the corpus's dominant principal direction and the residual norm
+    after removing it — the isotropy-restoring post-process an embedding
+    pipeline runs before similarity search.
+
+    The component comes from :func:`_pca_power_state` (control-plane, see
+    pca_top_component); the projection itself is a NARROW per-row map —
+    the eigenvector folds back in as a 64-element literal array, and the
+    dot product / squared norm run JVM-side via zip_with + aggregate over
+    quantized integer terms (no UDF, no shuffle, embarrassingly parallel
+    at any corpus size).
+
+    Exactness: score and norm are integer sums of per-term
+    floor(x·w·1e12 + 0.5) addends — array-ordered folds, identical in
+    the DuckDB twin — and the outputs are qround-pinned.
+    """
+    d, v, _lam_q, _tr_q = _pca_power_state(emb, iters)
+    w_lit = F.array(*[F.lit(float(c)) for c in v])
+    s = F.lit(PCA_S_MV)
+    zero = F.lit(0).cast("long")
+    score_q = F.aggregate(
+        F.zip_with(
+            "embedding",
+            w_lit,
+            lambda x, w: F.floor(x.cast("double") * w * s + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        zero,
+        lambda acc, e: acc + e,
+    )
+    ssq = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * s + F.lit(0.5)
+            ).cast("long"),
+        ),
+        zero,
+        lambda acc, e: acc + e,
+    )
+    score = score_q / s
+    resid = F.sqrt(F.greatest(ssq / s - score * score, F.lit(0.0)))
+    from ..numeric import qround
+
+    return emb.select(
+        "vec_id",
+        qround(score, 6).alias("score"),
+        qround(resid, 6).alias("resid_norm"),
     )

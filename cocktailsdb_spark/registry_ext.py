@@ -2349,7 +2349,9 @@ def _q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.pca_top_component(load(spark, sf_dir, "embeddings"))
 
 
-def _pca_sql() -> str:
+def _pca_ctes() -> tuple[list[str], int]:
+    """Shared iterative-CTE body for the PCA entries: moments, covariance,
+    and the quantized power-iteration recurrence up to v{T}."""
     from .operators.similarity import PCA_ITERS
 
     ctes = [
@@ -2427,7 +2429,11 @@ def _pca_sql() -> str:
     # MATERIALIZED is load-bearing: v{t} references u{t} twice, so with
     # inlined CTEs the plan doubles per iteration (2^ITERS copies of the
     # n*d^2 moment join) and the oracle never finishes.
-    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes], T
+
+
+def _pca_sql() -> str:
+    ctes, T = _pca_ctes()
     return (
         "WITH "
         + ",\n ".join(ctes)
@@ -2439,6 +2445,42 @@ def _pca_sql() -> str:
 
 
 register("pca_top_component", _q_pca_top, _pca_sql())
+
+
+def _q_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top projection scores/residual norms per vector
+    (operators/similarity.py:pca_project_residual): control-plane power
+    iteration + narrow JVM-side zip_with/aggregate map."""
+    from .operators import similarity as _sim
+
+    return _sim.pca_project_residual(load(spark, sf_dir, "embeddings"))
+
+
+def _pca_residual_sql() -> str:
+    ctes, T = _pca_ctes()
+    ctes.append(
+        f"""proj AS MATERIALIZED (SELECT e.vec_id,
+             sum(CAST(floor(e.xj * v.v * 1000000000000.0 + 0.5) AS BIGINT))
+               AS sq,
+             sum(CAST(floor(e.xj * e.xj * 1000000000000.0 + 0.5) AS BIGINT))
+               AS ssq
+           FROM ex e JOIN v{T} v ON e.j1 = v.j GROUP BY 1)"""
+    )
+    score = "(CAST(sq AS DOUBLE) / 1000000000000.0)"
+    ssq = "(CAST(ssq AS DOUBLE) / 1000000000000.0)"
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+        SELECT vec_id,
+               floor({score} * 1000000.0 + 0.5) / 1000000.0 AS score,
+               floor(sqrt(greatest({ssq} - {score} * {score}, 0.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS resid_norm
+        FROM proj"""
+    )
+
+
+register("pca_project_residual", _q_pca_residual, _pca_residual_sql())
 
 
 # --- two-sample statistics (welch t / mann-whitney u) ----------------------

@@ -342,3 +342,33 @@ def test_pca_top_component_matches_numpy(spark):
     assert abs(lam - float(w[-1])) < 1e-3 * float(w[-1])
     assert abs(share - float(w[-1] / np.trace(C))) < 1e-4
     assert all(r.eigenvalue == lam and r.var_share == share for r in out)
+
+
+def test_pca_project_residual_pythagorean(spark):
+    """score² + resid² ≈ ‖x‖² per vector, and removing the dominant
+    direction shrinks the anisotropic cloud's variance along it: the
+    mean |score| of vectors sampled along the axis exceeds the residual
+    spread."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    d, n = 64, 300
+    axis = np.zeros(d)
+    axis[3] = 1.0
+    base = rng.normal(0.0, 0.2, size=(n, d)) + np.outer(
+        rng.normal(0.0, 3.0, size=n), axis
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.pca_project_residual(emb).collect()}
+    assert len(rows) == n
+    X = base.astype(np.float32).astype(np.float64)
+    for i in (0, 1, 2):
+        norm2 = float(X[i] @ X[i])
+        got = rows[i].score ** 2 + rows[i].resid_norm ** 2
+        assert abs(got - norm2) < 1e-4 * max(norm2, 1.0)
+    scores = np.array([rows[i].score for i in range(n)])
+    resids = np.array([rows[i].resid_norm for i in range(n)])
+    assert np.std(scores) > 1.5 * float(np.mean(resids))

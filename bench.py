@@ -164,6 +164,17 @@ BENCH_QUERIES = [
     "spearman_rank_corr_scaled",
     "ann_index_upsert_probe",
     "neardup_incremental_pairs",
+    # round-8 session additions: boolean retrieval, geospatial grid,
+    # distributed training + embedding linear algebra, two-sample stats
+    "bool_search_docs",
+    "geo_cell_density",
+    "geo_pairs_radius",
+    "geo_knn_join",
+    "logreg_quality_train",
+    "pca_top_component",
+    "pca_project_residual",
+    "welch_ttest",
+    "mann_whitney_u",
 ]
 
 

@@ -48,6 +48,9 @@ from . import registry_ext  # noqa: E402,F401
 # geospatial grid operators (cell density, radius join, kNN join):
 from . import registry_geo  # noqa: E402,F401
 
+# model-evaluation operators (confusion report, ROC-AUC, calibration, lift):
+from . import registry_eval  # noqa: E402,F401
+
 # --- driver-sweep rotation --------------------------------------------------
 # The correctness driver checks ~50 entries in registration order per round.
 # Rotation rule (round-5 judge directive 2): priority = entries whose

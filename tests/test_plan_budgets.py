@@ -47,6 +47,12 @@ BUDGETS = {
     "asof_join_next": 1,  # union + one user-partitioned following window
     "winsorized_stats": 2,  # rank window + clipped agg (cuts broadcast back)
     "source_cap_firstn": 2,  # salted pre-truncate window + per-source window
+    # round-8 evaluation family (all post-aggregate payloads are
+    # score-histogram- or bin-sized, never data-sized)
+    "classifier_eval_report": 1,  # the one scalar aggregate
+    "roc_auc_score": 6,  # score hist + two-pass bucket prefix (<=101 buckets)
+    "calibration_bins": 2,  # bin agg + output sort
+    "gains_lift_table": 5,  # bin agg + bounded bin window + scalar totals
     # pmi/ccnet/encoding_runs carry several SINGLE-PARTITION scalar-agg
     # exchanges (vocab totals, doc counts, calendar-day stitches) whose
     # payloads are constant-size; the budgets pin the overall count so a

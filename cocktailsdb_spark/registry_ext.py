@@ -2572,3 +2572,68 @@ def _mannwhitney_sql() -> str:
 
 
 register("mann_whitney_u", _q_mannwhitney, _mannwhitney_sql())
+
+
+# --- conversion attribution (operators/attribution.py) ---------------------
+
+from .operators import attribution as _attr  # noqa: E402
+
+_ATTR_TOUCH_IN = ", ".join(f"'{t}'" for t in _attr.ATTR_TOUCH_TYPES)
+
+
+def _q_attr_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution — last-touch revenue credit per channel
+    (operators/attribution.py:last_touch): one user-partitioned window +
+    channel-sized aggregate."""
+    return _attr.last_touch(load(spark, sf_dir, "events"))
+
+
+register(
+    "attribution_last_touch",
+    _q_attr_last,
+    f"""WITH tagged AS (
+          SELECT event_type, value,
+                 last_value(CASE WHEN event_type IN ({_ATTR_TOUCH_IN})
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS channel
+          FROM events)
+        SELECT coalesce(channel, '{_attr.ATTR_NO_TOUCH}') AS channel,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               {_d('value')} AS attributed_revenue
+        FROM tagged WHERE event_type = '{_attr.ATTR_CONVERSION_TYPE}'
+        GROUP BY 1 ORDER BY 1""",
+)
+
+
+def _q_attr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution — linear (equal-split) credit over a 7-day lookback
+    (operators/attribution.py:linear_attribution): user-equi range join +
+    conv-keyed split window."""
+    return _attr.linear_attribution(load(spark, sf_dir, "events"))
+
+
+register(
+    "attribution_linear",
+    _q_attr_linear,
+    f"""WITH convs AS (
+          SELECT event_id AS conv_id, user_id AS c_user, ts AS c_ts,
+                 value AS c_value
+          FROM events WHERE event_type = '{_attr.ATTR_CONVERSION_TYPE}'),
+        touches AS (
+          SELECT user_id AS t_user, ts AS t_ts, event_type AS channel
+          FROM events WHERE event_type IN ({_ATTR_TOUCH_IN})),
+        pairs AS (
+          SELECT conv_id, channel, c_value,
+                 count(*) OVER (PARTITION BY conv_id) AS k
+          FROM convs JOIN touches
+            ON c_user = t_user
+           AND t_ts >= c_ts - INTERVAL {_attr.ATTR_LOOKBACK_SEC} SECOND
+           AND t_ts < c_ts)
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_touchpoints,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+               {_d('c_value / CAST(k AS DOUBLE)')} AS credited_revenue
+        FROM pairs GROUP BY 1 ORDER BY 1""",
+)

@@ -1475,3 +1475,149 @@ def mann_whitney_u(orders: DataFrame) -> DataFrame:
         (na * nb - u_a).alias("u_b"),
         qround(z, 6).alias("z_score"),
     )
+
+
+ACF_MAX_LAG = 7
+ACF_REV_SCALE = 1_000_000.0
+
+
+def autocorr_daily_revenue(orders: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Sample autocorrelation of the daily-revenue series at lags
+    1..max_lag — the seasonality screen next to ewma_daily_revenue
+    (weekly cycles show as a lag-7 peak):
+
+        r_k = Σ_t (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+
+    over the date-ordered sequence of days present (the fixture has
+    every calendar day; gaps would shift the lag alignment and belong to
+    gapfill_daily_revenue's contract, not this one's).
+
+    Scale: the daily frame is CALENDAR-BOUNDED — ~2.4k rows for the
+    fixture's seven years at ANY corpus size — so the one unpartitioned
+    lag window is over a schema-bounded frame, never data-sized (the
+    gains_lift_table argument; the data-sized work is the single
+    map-side-combined daily aggregate). Exactness: daily revenue is an
+    exact decimal sum scaled by 1e-6 for DECIMAL(24,8) headroom in the
+    deviation products; mean, deviations and the lag products run the
+    identical IEEE expression shape in both engines; products are
+    dsum-summed (order-free) and the final ratios qround-pinned.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (dsum(F.col("o_totalprice")) / F.lit(ACF_REV_SCALE)).alias("x")
+    )
+    mu = daily.agg(
+        (dsum(F.col("x")) / F.count("*").cast("double")).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("x") - F.col("mu")).alias("dv")
+    )
+    w = Window.orderBy("day")
+    lagged = dev.select(
+        "dv",
+        *[F.lag("dv", k).over(w).alias(f"l{k}") for k in range(1, max_lag + 1)],
+    )
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        dsum(F.col("dv") * F.col("dv")).alias("den"),
+        *[
+            dsum(F.col("dv") * F.col(f"l{k}")).alias(f"num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, r{k}" for k in range(1, max_lag + 1)
+    )
+    # a constant series has zero variance: ACF is undefined -> null
+    # (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+    den_ok = F.col("den") != F.lit(0.0)
+    scored = agg.select(
+        "n_days",
+        *[
+            F.when(den_ok, qround(F.col(f"num{k}") / F.col("den"), 6)).alias(
+                f"r{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    return scored.select(
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, acf)"), "n_days"
+    ).select(F.col("lag").cast("int").alias("lag"), "acf", "n_days")
+
+
+AR_TOP_N = 40
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_support: int = FI_MIN_SUPPORT,
+    top_n: int = AR_TOP_N,
+) -> DataFrame:
+    """Directed association rules (antecedent → consequent) from the
+    level-2 itemsets of :func:`frequent_itemset_pairs` — Apriori's rule
+    stage (Agrawal & Srikant 1994, public):
+
+        confidence(a→b) = support(a,b) / support(a)
+        lift(a→b)       = confidence(a→b) / (support(b) / n_orders)
+
+    Each undirected frequent pair yields both directions (their
+    confidences differ; lift is symmetric). Same scale shape as the pair
+    stage: the co-occurrence self-join is blocked on l_orderkey (bounded
+    basket fanout — candidate pairs are O(orders), never quadratic in
+    parts); item frequencies are part-sized broadcasts, the basket total
+    a broadcast scalar. Rounded-confidence TakeOrdered with the rule as
+    tiebreak (repo ordering convention).
+    """
+    b = lineitem.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "support",
+        )
+    )
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    n_orders = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_ant")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_con")
+    )
+    conf = F.col("support").cast("double") / F.col("n_ant").cast("double")
+    lift = conf / (
+        F.col("n_con").cast("double") / F.col("n_orders").cast("double")
+    )
+    return (
+        directed.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("support").cast("long").alias("support"),
+            qround(conf, 6).alias("confidence"),
+            qround(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(top_n)
+    )

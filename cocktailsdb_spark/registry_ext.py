@@ -2637,3 +2637,98 @@ register(
                {_d('c_value / CAST(k AS DOUBLE)')} AS credited_revenue
         FROM pairs GROUP BY 1 ORDER BY 1""",
 )
+
+
+# --- autocorrelation (operators/relational.py:autocorr_daily_revenue) ------
+
+
+def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — sample ACF of daily revenue at lags 1..7
+    (operators/relational.py:autocorr_daily_revenue): one daily
+    aggregate + a calendar-bounded lag window."""
+    return relational.autocorr_daily_revenue(load(spark, sf_dir, "orders"))
+
+
+def _acf_sql() -> str:
+    k = relational.ACF_MAX_LAG
+    lags = ", ".join(
+        f"lag(dv, {j}) OVER (ORDER BY day) AS l{j}" for j in range(1, k + 1)
+    )
+    nums = ", ".join(
+        f"{_d(f'dv * l{j}')} AS num{j}" for j in range(1, k + 1)
+    )
+    from .numeric import sql_qround as _q
+
+    rs = ", ".join(
+        f"CASE WHEN den <> 0.0 THEN {_q(f'num{j} / den', 6)} END AS r{j}"
+        for j in range(1, k + 1)
+    )
+    rcase = "CASE l.lag " + " ".join(
+        f"WHEN {j} THEN r{j}" for j in range(1, k + 1)
+    ) + " END"
+    vals = ", ".join(f"({j})" for j in range(1, k + 1))
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} / {relational.ACF_REV_SCALE} AS x
+          FROM orders GROUP BY 1),
+        m AS (SELECT {_d('x')} / CAST(count(*) AS DOUBLE) AS mu FROM daily),
+        dev AS (SELECT day, x - mu AS dv FROM daily CROSS JOIN m),
+        lagd AS (SELECT dv, {lags} FROM dev),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                       {_d('dv * dv')} AS den, {nums}
+                FROM lagd),
+        scored AS (SELECT n_days, {rs} FROM agg)
+        SELECT CAST(l.lag AS INT) AS lag, {rcase} AS acf, n_days
+        FROM scored CROSS JOIN (VALUES {vals}) l(lag)
+        ORDER BY 1"""
+
+
+register("autocorr_daily_revenue", _q_acf, _acf_sql())
+
+
+def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market basket — directed Apriori rules with confidence and lift
+    (operators/relational.py:association_rules); blocked co-occurrence
+    join + broadcast item frequencies."""
+    return relational.association_rules(load(spark, sf_dir, "lineitem"))
+
+
+def _assoc_sql() -> str:
+    from .operators.relational import AR_TOP_N, FI_MIN_SUPPORT
+
+    return f"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {FI_MIN_SUPPORT}),
+        directed AS (
+          SELECT part_a AS antecedent, part_b AS consequent, support FROM pairs
+          UNION ALL
+          SELECT part_b AS antecedent, part_a AS consequent, support FROM pairs),
+        item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+                 FROM b GROUP BY 1),
+        no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+        scored AS (
+          SELECT d.antecedent, d.consequent, d.support,
+                 {sql_qround(
+                     "CAST(d.support AS DOUBLE) / CAST(ia.n_item AS DOUBLE)",
+                     6)} AS confidence,
+                 {sql_qround(
+                     "(CAST(d.support AS DOUBLE) / CAST(ia.n_item AS DOUBLE))"
+                     " / (CAST(ic.n_item AS DOUBLE) / CAST(o.n_orders AS DOUBLE))",
+                     4)} AS lift
+          FROM directed d
+          JOIN item ia ON ia.l_partkey = d.antecedent
+          JOIN item ic ON ic.l_partkey = d.consequent
+          CROSS JOIN no o),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY confidence DESC, antecedent, consequent) AS rn
+              FROM scored)
+        SELECT antecedent, consequent, support, confidence, lift
+        FROM r WHERE rn <= {AR_TOP_N}"""
+
+
+register("association_rules", _q_assoc_rules, _assoc_sql())

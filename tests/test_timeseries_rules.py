@@ -1,0 +1,95 @@
+"""Semantic pins for autocorr_daily_revenue and association_rules
+(operators/relational.py), hand-computed on tiny frames — independent of
+the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from cocktailsdb_spark.operators import relational as rel
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+
+
+def _acf_py(xs, k):
+    mu = sum(x / 1e6 for x in xs) / len(xs)
+    dv = [x / 1e6 - mu for x in xs]
+    den = sum(d * d for d in dv)
+    num = sum(dv[t] * dv[t - k] for t in range(k, len(dv)))
+    return num / den
+
+
+def test_autocorr_alternating_series(spark):
+    # revenue alternates high/low daily -> strong negative lag-1,
+    # strong positive lag-2. Magnitudes are realistic daily revenues:
+    # the operator's 1e-6 downscale + DECIMAL(24,8) product sums assume
+    # revenue-scale inputs (docstring) — micro-revenues would quantize
+    # deviation products to zero.
+    xs = [x * 1e6 for x in (100.0, 10.0, 110.0, 12.0, 105.0, 8.0, 102.0, 11.0, 99.0, 9.0)]
+    rows = [
+        (datetime(2024, 1, d + 1), xs[d]) for d in range(len(xs))
+    ]
+    out = {r.lag: r for r in rel.autocorr_daily_revenue(_orders(spark, rows), 3).collect()}
+    assert out[1].n_days == len(xs)
+    for k in (1, 2, 3):
+        want = _acf_py(xs, k)
+        assert abs(out[k].acf - want) <= 1e-6, (k, out[k].acf, want)
+    assert out[1].acf < -0.8 and out[2].acf > 0.8
+
+
+def test_autocorr_sums_within_day(spark):
+    # two orders on one day must aggregate before the lag structure
+    rows = [
+        (datetime(2024, 1, 1, 3), 50e6),
+        (datetime(2024, 1, 1, 20), 50e6),
+        (datetime(2024, 1, 2), 10e6),
+        (datetime(2024, 1, 3), 100e6),
+        (datetime(2024, 1, 4), 10e6),
+    ]
+    out = {r.lag: r for r in rel.autocorr_daily_revenue(_orders(spark, rows), 1).collect()}
+    assert out[1].n_days == 4
+    want = _acf_py([100e6, 10e6, 100e6, 10e6], 1)
+    assert abs(out[1].acf - want) <= 1e-6
+
+
+def _baskets(spark, baskets):
+    rows = [(ok, pk) for ok, parts in baskets for pk in parts]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_association_rules_confidence_direction(spark):
+    # part 1 appears in 4 baskets, part 2 in 3, together in 3:
+    # conf(2->1)=1.0, conf(1->2)=0.75; lift symmetric = 3/(4*3/5)... n=5
+    baskets = [
+        (10, [1, 2]),
+        (11, [1, 2]),
+        (12, [1, 2]),
+        (13, [1]),
+        (14, [3]),
+    ]
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in rel.association_rules(_baskets(spark, baskets), 3, 10).collect()
+    }
+    assert out[(2, 1)].confidence == 1.0
+    assert out[(1, 2)].confidence == 0.75
+    assert out[(1, 2)].support == out[(2, 1)].support == 3
+    lift = (3 / 4) / (3 / 5)
+    assert out[(1, 2)].lift == math.floor(lift * 1e4 + 0.5) / 1e4
+    assert out[(2, 1)].lift == out[(1, 2)].lift  # symmetric
+    # below min_support pairs never appear
+    assert (1, 3) not in out and (3, 1) not in out
+
+
+def test_association_rules_dedups_within_basket(spark):
+    # duplicate (order, part) lines count once
+    baskets = [(1, [7, 7, 8]), (2, [7, 8]), (3, [7, 8]), (4, [8])]
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in rel.association_rules(_baskets(spark, baskets), 3, 10).collect()
+    }
+    assert out[(7, 8)].support == 3
+    assert out[(7, 8)].confidence == 1.0

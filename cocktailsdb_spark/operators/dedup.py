@@ -896,3 +896,97 @@ def minhash_index_probe(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+DUP_SPAN_N = 8
+DUP_SPAN_MIN_DOCS = 2
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = DUP_SPAN_N,
+    min_docs: int = DUP_SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-passage extraction — the substring-dedup primitive
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", public: remove exact substrings shared across documents, not
+    just whole-document dupes). Suffix arrays don't distribute; the
+    equivalent anchored form does: a token position is DUPLICATED if the
+    word n-gram starting there occurs in ≥ ``min_docs`` distinct
+    documents, and maximal duplicated PASSAGES are the merged unions of
+    the overlapping n-gram windows (positions p, p' merge iff
+    p' ≤ p + n — classic gaps-and-islands).
+
+    Output per document with ≥1 span: (doc_id, n_spans, dup_tokens,
+    n_tokens, dup_fraction) where dup_tokens is the EXACT union coverage
+    of the merged windows — the number of tokens a substring-dedup pass
+    would cut. Intra-document repeats alone don't count (cross-doc
+    duplication is the dedup signal; repetition_stats owns intra-doc).
+
+    Scale shape: one shingle explode with positions (bounded by token
+    count), the boilerplate_ngrams distinct-doc gram count (ONE map-side
+    shuffle on the gram), an equi-join back on the gram (broadcast when
+    the duplicated-gram set is small, shuffle otherwise), then two
+    doc-partitioned windows sharing one exchange for the island merge.
+    No data-sized global sort; gram keys are text-uniform so no planned
+    skew.
+    """
+    count = F.size(tokens()) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens(), i, n)),
+    )
+    occ = (
+        spread(docs)
+        .filter(count >= 1)
+        .select(
+            F.col(id_col),
+            F.size(tokens()).cast("long").alias("n_tokens"),
+            F.posexplode(grams).alias("i", "gram"),
+        )
+        .select(id_col, "n_tokens", (F.col("i") + 1).alias("pos"), "gram")
+    )
+    dup = boilerplate_ngrams(docs, n=n, min_docs=min_docs, id_col=id_col).select(
+        "gram"
+    )
+    hits = occ.join(dup, "gram").select(id_col, "n_tokens", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + n),
+        1,
+    ).otherwise(0)
+    flagged = hits.withColumn("brk", brk)
+    spans = (
+        flagged.withColumn(
+            "span_id",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "n_tokens", "span_id")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + n - 1).alias("e"),
+        )
+    )
+    return (
+        spans.groupBy(id_col, "n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            qround(
+                F.col("dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy(id_col)
+    )

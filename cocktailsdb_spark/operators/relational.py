@@ -1621,3 +1621,39 @@ def association_rules(
         .orderBy(F.desc("confidence"), F.asc("antecedent"), F.asc("consequent"))
         .limit(top_n)
     )
+
+
+def weekday_seasonality(orders: DataFrame) -> DataFrame:
+    """Weekday seasonality profile of daily revenue — the decomposition
+    companion to :func:`autocorr_daily_revenue` (a lag-7 ACF peak says
+    "weekly cycle exists"; this says which weekdays carry it):
+
+        index_w = mean(daily revenue | weekday = w) / mean(daily revenue)
+
+    Same scale posture as the ACF: ONE data-sized map-side-combined daily
+    aggregate; everything after runs on the calendar-bounded daily frame
+    (≤ ~2.4k rows at any corpus size) with the overall mean as a
+    broadcast scalar. ISO weekday numbering (1 = Monday). Exactness:
+    exact decimal daily sums, identical IEEE mean/ratio shapes, qround
+    pins.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("x")
+    )
+    overall = daily.agg(
+        (dsum(F.col("x")) / F.count("*").cast("double")).alias("mu")
+    )
+    wd = daily.groupBy((F.weekday("day") + 1).alias("weekday")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        (dsum(F.col("x")) / F.count("*").cast("double")).alias("wd_mean"),
+    )
+    return (
+        wd.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("weekday").cast("int").alias("weekday"),
+            "n_days",
+            qround(F.col("wd_mean"), 4).alias("mean_revenue"),
+            qround(F.col("wd_mean") / F.col("mu"), 6).alias("seasonality_index"),
+        )
+        .orderBy("weekday")
+    )

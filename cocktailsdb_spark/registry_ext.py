@@ -2732,3 +2732,32 @@ def _assoc_sql() -> str:
 
 
 register("association_rules", _q_assoc_rules, _assoc_sql())
+
+
+def _q_weekday_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — weekday seasonality index of daily revenue
+    (operators/relational.py:weekday_seasonality): daily aggregate +
+    calendar-bounded weekday rollup."""
+    return relational.weekday_seasonality(load(spark, sf_dir, "orders"))
+
+
+def _weekday_sql() -> str:
+    from .numeric import sql_qround as _q
+
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS x
+          FROM orders GROUP BY 1),
+        m AS (SELECT {_d('x')} / CAST(count(*) AS DOUBLE) AS mu FROM daily),
+        wd AS (SELECT CAST(isodow(day) AS INT) AS weekday,
+                      CAST(count(*) AS BIGINT) AS n_days,
+                      {_d('x')} / CAST(count(*) AS DOUBLE) AS wd_mean
+               FROM daily GROUP BY 1)
+        SELECT weekday, n_days,
+               {_q('wd_mean', 4)} AS mean_revenue,
+               {_q('wd_mean / mu', 6)} AS seasonality_index
+        FROM wd CROSS JOIN m ORDER BY 1"""
+
+
+register("weekday_seasonality", _q_weekday_season, _weekday_sql())

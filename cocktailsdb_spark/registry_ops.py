@@ -3458,3 +3458,56 @@ def _logreg_sql() -> str:
 
 
 register("logreg_quality_train", _q_logreg, _logreg_sql())
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — exact duplicated-passage spans: maximal merged unions of
+    cross-document-repeated n-gram windows, per document — the
+    substring-dedup cut list (operators/dedup.py:duplicate_spans)."""
+    return dedup.duplicate_spans(load(spark, sf_dir, "documents"))
+
+
+def _dup_spans_sql() -> str:
+    from .operators.dedup import DUP_SPAN_MIN_DOCS, DUP_SPAN_N
+
+    n = DUP_SPAN_N
+    return f"""
+        WITH dtk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+        dsh AS (SELECT doc_id, unnest(list_distinct(
+                  [array_to_string(tk[i:i+{n - 1}], ' ')
+                   for i in range(1, len(tk)-{n - 2})])) AS gram
+                FROM dtk),
+        dup AS (SELECT gram FROM dsh
+                GROUP BY gram HAVING count(*) >= {DUP_SPAN_MIN_DOCS}),
+        occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                       u.pos,
+                       array_to_string(tk[u.pos:u.pos+{n - 1}], ' ') AS gram
+                FROM dtk, unnest(range(1, len(tk)-{n - 2})) AS u(pos)),
+        hits AS (SELECT o.doc_id, o.n_tokens, o.pos
+                 FROM occ o JOIN dup d USING (gram)),
+        flg AS (SELECT doc_id, n_tokens, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                              OR pos > lag(pos) OVER w + {n}
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        sp AS (SELECT doc_id, n_tokens, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS span_id
+               FROM flg),
+        spans AS (SELECT doc_id, n_tokens, span_id,
+                         min(pos) AS s, max(pos) + {n - 1} AS e
+                  FROM sp GROUP BY 1, 2, 3)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+               n_tokens,
+               {sql_qround("CAST(sum(e - s + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)}
+                 AS dup_fraction
+        FROM spans GROUP BY doc_id, n_tokens
+        ORDER BY doc_id"""
+
+
+register("duplicate_spans", _q_duplicate_spans, _dup_spans_sql())

@@ -93,3 +93,19 @@ def test_association_rules_dedups_within_basket(spark):
     }
     assert out[(7, 8)].support == 3
     assert out[(7, 8)].confidence == 1.0
+
+
+def test_weekday_seasonality_index(spark):
+    # Jan 1 2024 is a Monday. Mondays earn 2x the flat baseline.
+    rows = []
+    for d in range(1, 15):  # two full weeks
+        day = datetime(2024, 1, d)
+        rev = 200e6 if day.isoweekday() == 1 else 100e6
+        rows.append((day, rev))
+    out = {r.weekday: r for r in rel.weekday_seasonality(_orders(spark, rows)).collect()}
+    assert set(out) == set(range(1, 8))
+    assert all(r.n_days == 2 for r in out.values())
+    overall = (2 * 200e6 + 12 * 100e6) / 14
+    assert abs(out[1].seasonality_index - 200e6 / overall) <= 1e-6
+    assert abs(out[3].seasonality_index - 100e6 / overall) <= 1e-6
+    assert out[1].mean_revenue == 200e6

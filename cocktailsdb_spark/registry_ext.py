@@ -2588,10 +2588,7 @@ def _q_attr_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attr.last_touch(load(spark, sf_dir, "events"))
 
 
-register(
-    "attribution_last_touch",
-    _q_attr_last,
-    f"""WITH tagged AS (
+_ATTR_LAST_SQL = f"""WITH tagged AS (
           SELECT event_type, value,
                  last_value(CASE WHEN event_type IN ({_ATTR_TOUCH_IN})
                                  THEN event_type END IGNORE NULLS)
@@ -2603,8 +2600,13 @@ register(
                CAST(count(*) AS BIGINT) AS n_conversions,
                {_d('value')} AS attributed_revenue
         FROM tagged WHERE event_type = '{_attr.ATTR_CONVERSION_TYPE}'
-        GROUP BY 1 ORDER BY 1""",
-)
+        GROUP BY 1 ORDER BY 1"""
+
+register("attribution_last_touch", _q_attr_last, _ATTR_LAST_SQL)
+
+# streaming twin: same oracle — the emitted credit stream's channel
+# rollup must equal the batch window form exactly
+register("streaming_last_touch", _sq.streaming_last_touch, _ATTR_LAST_SQL)
 
 
 def _q_attr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -760,3 +760,89 @@ def streaming_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     out.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def streaming_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch last-touch attribution
+    (operators/attribution.py:last_touch): a per-user
+    ``applyInPandasWithState`` operator whose state is the latest touch
+    channel seen so far; each conversion in a micro-batch emits one
+    credit row (conv_id, channel, value), and the registered result is
+    the channel rollup of the emitted credit stream — equal to the batch
+    window form on the same events.
+
+    Within a micro-batch rows are sorted by (ts, event_id) inside the
+    state function (Spark hands the group's rows in arbitrary order);
+    the fixture streams as ONE batch so event-time order is total. In a
+    real deployment cross-batch event-time ordering needs the source
+    ordered by time (the usual log-stream contract) — a late touch
+    arriving after a conversion was credited cannot retro-credit it
+    (same contract as any online attribution system).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.attribution import (
+        ATTR_CONVERSION_TYPE,
+        ATTR_NO_TOUCH,
+        ATTR_TOUCH_TYPES,
+    )
+
+    name = "stream_attr_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_attr_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+
+    touch_set = set(ATTR_TOUCH_TYPES)
+
+    def credit(key, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["ts", "event_id"])
+        conv_ids, channels, values = [], [], []
+        for r in rows.itertuples():
+            if r.event_type in touch_set:
+                last = r.event_type
+            elif r.event_type == ATTR_CONVERSION_TYPE:
+                conv_ids.append(r.event_id)
+                channels.append(last if last is not None else ATTR_NO_TOUCH)
+                values.append(r.value)
+        state.update((last,))
+        yield pd.DataFrame(
+            {"conv_id": conv_ids, "channel": channels, "value": values}
+        )
+
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            credit,
+            outputStructType="conv_id long, channel string, value double",
+            stateStructType="last_channel string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    with _low_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = (
+        spark.table(name)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            dsum(F.col("value")).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+        .cache()
+    )
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

@@ -89,3 +89,14 @@ def test_streaming_postings_upsert_equals_batch_ranker(spark, sf_dir):
     got = stream_queries.streaming_postings_upsert(spark, sf_dir).collect()
     want = retrieval.bm25_rank(load(spark, sf_dir, "documents")).collect()
     assert got == want and len(got) == 10
+
+
+def test_streaming_last_touch_equals_batch(spark, sf_dir):
+    """The stateful credit stream's channel rollup must equal the batch
+    window form of last-touch attribution on the same events."""
+    from cocktailsdb_spark.operators import attribution
+
+    got = stream_queries.streaming_last_touch(spark, sf_dir).collect()
+    want = attribution.last_touch(load(spark, sf_dir, "events")).collect()
+    assert got == want
+    assert sum(r.n_conversions for r in got) > 0

@@ -1056,3 +1056,70 @@ def logreg_quality_train(
     return weights.crossJoin(F.broadcast(metrics)).select(
         "feature", "weight", "n_docs", "n_pos", "n_correct"
     )
+
+
+KEYNESS_FOCUS_LANG = "en"
+KEYNESS_MIN_COUNT = 10
+KEYNESS_TOP_N = 30
+
+
+def keyness_terms(
+    docs: DataFrame,
+    focus_lang: str = KEYNESS_FOCUS_LANG,
+    min_count: int = KEYNESS_MIN_COUNT,
+    top_n: int = KEYNESS_TOP_N,
+) -> DataFrame:
+    """Corpus keyness: which terms are characteristically over/under-used
+    in the focus sub-corpus (lang == focus_lang) vs the rest — Dunning's
+    log-likelihood G² (Dunning 1993, "Accurate Methods for the
+    Statistics of Surprise and Coincidence", public), the standard
+    corpus-linguistics keyness statistic (χ² misbehaves on rare terms):
+
+        G² = 2·( a·ln(a/E_a) + b·ln(b/E_b) ),  E_a = (a+b)·A/(A+B)
+
+    with a/b the term's token count in focus/reference and A/B the
+    sub-corpus token totals. Zero cells contribute 0 (the limit of
+    x·ln x). ``direction`` is +1 when the focus over-uses the term
+    (exact integer cross-product a·B > b·A — no float ratio).
+
+    Scale shape: ONE token explode + ONE map-side-combined shuffle on
+    the term computing both sides' counts conditionally; totals are a
+    broadcast scalar; rounded-G² TakeOrdered with the term as tiebreak.
+    ln() is the one libm call; the 1e-6 qround pin sits far above
+    sub-ulp engine drift (the logreg exp() argument).
+    """
+    is_focus = F.col("lang") == focus_lang
+    toks = spread(docs).select(
+        is_focus.alias("f"), F.explode(tokens()).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("f"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("f"), 0).otherwise(1)).cast("long").alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = F.col("ta").cast("double"), F.col("tb").cast("double")
+    tot = ta + tb
+    ea = (a + b) * (ta / tot)
+    eb = (a + b) * (tb / tot)
+    term_a = F.when(F.col("a") > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("b") > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    g2 = F.lit(2.0) * (term_a + term_b)
+    direction = F.when(
+        F.col("a") * F.col("tb") > F.col("b") * F.col("ta"), 1
+    ).otherwise(-1)
+    return (
+        counts.filter((F.col("a") + F.col("b")) >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.col("a").alias("n_focus"),
+            F.col("b").alias("n_ref"),
+            qround(g2, 6).alias("g2"),
+            direction.cast("int").alias("direction"),
+        )
+        .orderBy(F.desc("g2"), F.asc("term"))
+        .limit(top_n)
+    )

@@ -1189,3 +1189,68 @@ def pca_project_residual(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
         qround(score, 6).alias("score"),
         qround(resid, 6).alias("resid_norm"),
     )
+
+
+KNN_CLASSIFY_K = 5
+
+
+def knn_classify(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = KNN_CLASSIFY_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification — the canonical downstream consumer of the
+    similarity-search family: predict each query vector's label by
+    majority vote over its k exact-cosine neighbours (self excluded),
+    and report the vote against the stored truth.
+
+    Deterministic end to end: neighbours come from :func:`cosine_topk`
+    (qrounded sim + id tiebreak); the vote winner breaks count ties on
+    the smaller label. Output per query: (query_id, predicted_label,
+    n_votes, true_label, correct).
+
+    Scale: the neighbour search is the dominant cost and inherits
+    whichever index family serves it (exact here; swap in the IVF/PQ
+    entries for the 100 TB path — the vote is index-agnostic). The vote
+    itself is a query-keyed aggregate + one row_number window over ≤ k
+    rows per query, with the truth side a broadcast of the query set.
+    """
+    nn = cosine_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    neigh = nn.join(
+        emb.select(F.col(id_col), F.col(label_col).alias("n_label")), id_col
+    )
+    votes = neigh.groupBy("query_id", "n_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("n_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    truth = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("true_label"),
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "predicted_label",
+            "n_votes",
+            "true_label",
+            (F.col("predicted_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("query_id")
+    )

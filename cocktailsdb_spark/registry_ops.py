@@ -3511,3 +3511,97 @@ def _dup_spans_sql() -> str:
 
 
 register("duplicate_spans", _q_duplicate_spans, _dup_spans_sql())
+
+
+KNN_QUERY_IDS = list(range(20))
+
+
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — kNN label classification by majority vote over exact-cosine
+    neighbours (operators/similarity.py:knn_classify)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(e, KNN_QUERY_IDS)
+
+
+def _knn_classify_sql() -> str:
+    from .operators.similarity import KNN_CLASSIFY_K
+
+    ids = ", ".join(map(str, KNN_QUERY_IDS))
+    return f"""WITH {_SQL_EMB_BASE},
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({ids})),
+        pairs AS (
+          SELECT q.query_id, c.vec_id, c.label,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk
+              FROM pairs),
+        votes AS (SELECT query_id, label AS n_label,
+                         CAST(count(*) AS BIGINT) AS n_votes
+                  FROM r WHERE rnk <= {KNN_CLASSIFY_K} GROUP BY 1, 2),
+        p AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY n_votes DESC, n_label ASC) AS rn
+              FROM votes),
+        truth AS (SELECT vec_id AS query_id, CAST(label AS INT) AS true_label
+                  FROM base WHERE vec_id IN ({ids}))
+        SELECT p.query_id, CAST(p.n_label AS INT) AS predicted_label,
+               p.n_votes, t.true_label,
+               CASE WHEN CAST(p.n_label AS INT) = t.true_label
+                    THEN 1 ELSE 0 END AS correct
+        FROM p JOIN truth t ON t.query_id = p.query_id
+        WHERE p.rn = 1 ORDER BY p.query_id"""
+
+
+register("knn_classify_labels", _q_knn_classify, _knn_classify_sql())
+
+
+def _q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Dunning G² keyness of terms, focus sub-corpus vs rest
+    (operators/corpus.py:keyness_terms)."""
+    return corpus.keyness_terms(load(spark, sf_dir, "documents"))
+
+
+def _keyness_sql() -> str:
+    from .operators.corpus import (
+        KEYNESS_FOCUS_LANG,
+        KEYNESS_MIN_COUNT,
+        KEYNESS_TOP_N,
+    )
+
+    return f"""
+        WITH toks AS (
+          SELECT lang = '{KEYNESS_FOCUS_LANG}' AS f,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        counts AS (
+          SELECT term,
+                 CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS b
+          FROM toks GROUP BY 1),
+        totals AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                          CAST(sum(b) AS BIGINT) AS tb FROM counts),
+        scored AS (
+          SELECT term, a AS n_focus, b AS n_ref,
+                 {sql_qround(
+                     "2.0 * ("
+                     "(CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE)"
+                     " / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))"
+                     " * (CAST(ta AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))))"
+                     " ELSE 0.0 END)"
+                     " + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE)"
+                     " / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))"
+                     " * (CAST(tb AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))))"
+                     " ELSE 0.0 END))",
+                     6)} AS g2,
+                 CAST(CASE WHEN a * tb > b * ta THEN 1 ELSE -1 END AS INT)
+                   AS direction
+          FROM counts CROSS JOIN totals
+          WHERE a + b >= {KEYNESS_MIN_COUNT}),
+        r AS (SELECT *, row_number() OVER (ORDER BY g2 DESC, term ASC) AS rn
+              FROM scored)
+        SELECT term, n_focus, n_ref, g2, direction
+        FROM r WHERE rn <= {KEYNESS_TOP_N}"""
+
+
+register("keyness_terms", _q_keyness, _keyness_sql())

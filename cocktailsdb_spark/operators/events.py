@@ -610,3 +610,97 @@ def concurrent_sessions_daily(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("day_peak"),
     )
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how many
+    distinct users do both, and the Jaccard overlap of the two audiences
+    — the segment-overlap question behind campaign planning ("do clickers
+    also purchase?").
+
+    Scale shape: ONE distinct (event_type, user_id) projection, then a
+    user-keyed self-join whose fanout is bounded by the event-type
+    cardinality (single digits — the blocking-IS-the-join-key shape, like
+    frequent_itemset_pairs), one pair-keyed aggregate, and broadcast
+    per-type audience sizes. Never quadratic in users.
+    """
+    base = events.select("event_type", "user_id").distinct()
+    sizes = base.groupBy("event_type").agg(F.count("*").alias("n"))
+    x, y = base.alias("x"), base.alias("y")
+    both = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_a").cast("double")
+        + F.col("n_b").cast("double")
+        - F.col("n_both").cast("double")
+    )
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "n_both",
+            qround(jac, 6).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def engagement_histogram(events: DataFrame) -> DataFrame:
+    """Power-user curve: users bucketed by floor(log2(events)) activity
+    bands, with each band's share of total event volume and the
+    cumulative share scanning from the heaviest band down — the "what
+    fraction of traffic do the top bands carry" engagement read.
+
+    Scale shape: one user-keyed count aggregate (data-sized), one
+    band-keyed rollup (≤ 64 bands — log2 of any 64-bit count), and a
+    window over the band frame. floor(log2(n)) is flip-safe: log2 is
+    exact at powers of two and the nearest-integer margin elsewhere is
+    orders above libm's sub-ulp drift.
+    """
+    peruser = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    bands = (
+        peruser.groupBy(
+            F.floor(F.log2(F.col("n").cast("double"))).cast("int").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )
+    totals = bands.agg(F.sum("n_events").alias("tot"))
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bands.crossJoin(F.broadcast(totals))
+        .select(
+            "band",
+            "n_users",
+            "n_events",
+            qround(F.col("n_events").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "share_events"
+            ),
+            qround(
+                F.sum("n_events").over(w).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("cum_share_from_top"),
+        )
+        .orderBy(F.desc("band"))
+    )

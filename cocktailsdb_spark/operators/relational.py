@@ -1657,3 +1657,123 @@ def weekday_seasonality(orders: DataFrame) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+def share_of_total(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue, with
+    the within-region rank — the classic OLAP share analysis
+    (RATIO_TO_REPORT in warehouse SQL dialects, expressed here as a
+    window over the aggregated frame).
+
+    Scale shape: ONE data-sized aggregate (orders joined to the
+    broadcast customer→nation→region dimension path, grouped by nation),
+    then share/rank windows over the NATION-sized frame (25 rows at any
+    corpus size) partitioned by region. Exact decimal revenue sums;
+    share is an identical-shape IEEE ratio, qround-pinned.
+    """
+    dim = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    rev = (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    wsum = Window.partitionBy("r_name")
+    wrank = Window.partitionBy("r_name").orderBy(
+        F.desc("revenue"), F.asc("n_name")
+    )
+    # window total as an exact decimal sum: a float window sum's order
+    # differs between engines (the dsum argument, applied over a frame)
+    region_total = (
+        F.sum(F.col("revenue").cast("decimal(24,8)")).over(wsum).cast("double")
+    )
+    return rev.select(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+        "revenue",
+        qround(F.col("revenue") / region_total, 6).alias("share_in_region"),
+        F.row_number().over(wrank).cast("int").alias("rank_in_region"),
+    ).orderBy("region_name", "rank_in_region")
+
+
+GINI_REV_SCALE = 1_000_000.0
+GINI_BUCKET_WIDTH = 100_000.0
+
+
+def gini_revenue(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    inequality dial ("do 20% of customers carry 80% of revenue?") next
+    to rfm_segments:
+
+        G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n
+
+    Rank-free at scale (the mann_whitney_u histogram template): ranks
+    never materialise per customer. Tied revenue values contribute
+    Σ_{i in tie} i = c·(2·cum_lt + c + 1)/2 regardless of intra-tie
+    order, so the distinct-value frame (revenue → customer count) plus
+    the two-pass bucketed prefix sum (fixed-width buckets — bounded by
+    the per-customer revenue RANGE, which TPC-H's fixed orders-per-
+    customer distribution keeps corpus-size-independent) computes the
+    exact rank-weighted sum with no data-sized sort. Revenue is scaled
+    by 1e-6 before the rank products for DECIMAL(24,8) headroom (the
+    autocorr convention).
+    """
+    percust = orders.groupBy("o_custkey").agg(
+        (dsum(F.col("o_totalprice")) / F.lit(GINI_REV_SCALE)).alias("x")
+    )
+    vals = (
+        percust.groupBy("x")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("x") / F.lit(GINI_BUCKET_WIDTH / GINI_REV_SCALE)),
+        )
+        .localCheckpoint()
+    )
+    buckets = vals.groupBy("bucket").agg(F.sum("c").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(F.col("bucket").alias("pb"), F.col("bt").alias("pt"))
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_lt",
+        F.col("off") + F.coalesce(F.sum("c").over(w_in), F.lit(0)),
+    )
+    c = F.col("c").cast("double")
+    ranksum = c * (2 * F.col("cum_lt").cast("double") + c + 1) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n_customers"),
+        dsum(F.col("x") * c).alias("total_x"),
+        dsum(F.col("x") * ranksum).alias("s1"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s1") / (n * F.col("total_x"))
+        - (n + 1) / n
+    )
+    return agg.select(
+        "n_customers",
+        qround(F.col("total_x") * F.lit(GINI_REV_SCALE), 4).alias(
+            "total_revenue"
+        ),
+        qround(gini, 6).alias("gini"),
+    )

@@ -2763,3 +2763,144 @@ def _weekday_sql() -> str:
 
 
 register("weekday_seasonality", _q_weekday_season, _weekday_sql())
+
+
+# --- share-of-total / concentration / audience analytics -------------------
+
+
+def _q_share_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP — ratio-to-report: nation revenue share within region + rank
+    (operators/relational.py:share_of_total); broadcast dim path, windows
+    over the nation-sized frame."""
+    return relational.share_of_total(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+register(
+    "share_of_total",
+    _q_share_total,
+    f"""WITH rev AS (
+          SELECT r_name AS region_name, n_name AS nation_name,
+                 {_d('o_totalprice')} AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        w AS (SELECT *,
+                CAST(sum(CAST(revenue AS DECIMAL(24,8)))
+                     OVER (PARTITION BY region_name) AS DOUBLE) AS tot,
+                row_number() OVER (PARTITION BY region_name
+                  ORDER BY revenue DESC, nation_name ASC) AS rk
+              FROM rev)
+        SELECT region_name, nation_name, revenue,
+               {sql_qround('revenue / tot', 6)} AS share_in_region,
+               CAST(rk AS INT) AS rank_in_region
+        FROM w ORDER BY region_name, rank_in_region""",
+)
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats — Gini coefficient of per-customer revenue concentration,
+    rank-free via the bucketed-prefix histogram
+    (operators/relational.py:gini_revenue)."""
+    return relational.gini_revenue(load(spark, sf_dir, "orders"))
+
+
+def _gini_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import GINI_REV_SCALE
+
+    ranksum = (
+        "CAST(c AS DOUBLE) * (2 * CAST(cum_lt AS DOUBLE)"
+        " + CAST(c AS DOUBLE) + 1) / 2.0"
+    )
+    return f"""
+        WITH percust AS (
+          SELECT o_custkey, {_d('o_totalprice')} / {GINI_REV_SCALE} AS x
+          FROM orders GROUP BY 1),
+        vals AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+                 FROM percust GROUP BY 1),
+        r AS (SELECT x, c,
+                coalesce(sum(c) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_lt
+              FROM vals),
+        agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_customers,
+                       {_d('x * CAST(c AS DOUBLE)')} AS total_x,
+                       {_d(f'x * ({ranksum})')} AS s1
+                FROM r)
+        SELECT n_customers,
+               {_q(f'total_x * {GINI_REV_SCALE}', 4)} AS total_revenue,
+               {_q('2.0 * s1 / (CAST(n_customers AS DOUBLE) * total_x)'
+                   ' - (CAST(n_customers AS DOUBLE) + 1)'
+                   ' / CAST(n_customers AS DOUBLE)', 6)} AS gini
+        FROM agg"""
+
+
+register("gini_revenue", _q_gini, _gini_sql())
+
+
+def _q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events — audience overlap matrix between event types
+    (operators/events.py:audience_overlap); user-blocked self-join with
+    type-bounded fanout."""
+    return events.audience_overlap(load(spark, sf_dir, "events"))
+
+
+register(
+    "audience_overlap",
+    _q_audience_overlap,
+    f"""WITH base AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM base GROUP BY 1),
+        ab AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                      CAST(count(*) AS BIGINT) AS n_both
+               FROM base x JOIN base y
+                 ON x.user_id = y.user_id
+                AND x.event_type < y.event_type
+               GROUP BY 1, 2)
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+               {sql_qround(
+                   "CAST(n_both AS DOUBLE) / (CAST(sa.n AS DOUBLE)"
+                   " + CAST(sb.n AS DOUBLE) - CAST(n_both AS DOUBLE))",
+                   6)} AS jaccard
+        FROM ab
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b""",
+)
+
+
+def _q_engagement_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events — power-user curve: log2 activity bands with volume shares
+    (operators/events.py:engagement_histogram)."""
+    return events.engagement_histogram(load(spark, sf_dir, "events"))
+
+
+register(
+    "engagement_histogram",
+    _q_engagement_hist,
+    f"""WITH peruser AS (SELECT user_id, count(*) AS n
+                         FROM events GROUP BY 1),
+        bands AS (SELECT CAST(floor(log2(CAST(n AS DOUBLE))) AS INT) AS band,
+                         CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(n) AS BIGINT) AS n_events
+                  FROM peruser GROUP BY 1),
+        t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM bands),
+        c AS (SELECT band, n_users, n_events,
+                     CAST(sum(n_events) OVER (ORDER BY band DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM bands)
+        SELECT band, n_users, n_events,
+               {sql_qround("CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE)", 6)}
+                 AS share_events,
+               {sql_qround("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)", 6)}
+                 AS cum_share_from_top
+        FROM c CROSS JOIN t ORDER BY band DESC""",
+)

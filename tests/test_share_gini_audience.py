@@ -1,0 +1,89 @@
+"""Semantic pins for share_of_total, gini_revenue (operators/relational.py)
+and audience_overlap / engagement_histogram (operators/events.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from cocktailsdb_spark.operators import events as ev
+from cocktailsdb_spark.operators import relational as rel
+
+
+def test_share_of_total_shares_and_ranks(spark):
+    orders = spark.createDataFrame(
+        [(1, 100.0), (1, 100.0), (2, 300.0), (3, 500.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 12)], "c_custkey long, c_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(10, "alpha", 1), (11, "beta", 1), (12, "gamma", 2)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(1, "east"), (2, "west")], "r_regionkey int, r_name string"
+    )
+    out = {
+        (r.region_name, r.nation_name): r
+        for r in rel.share_of_total(orders, customer, nation, region).collect()
+    }
+    east_total = 200.0 + 300.0
+    assert out[("east", "beta")].share_in_region == round(300.0 / east_total, 6)
+    assert out[("east", "beta")].rank_in_region == 1
+    assert out[("east", "alpha")].rank_in_region == 2
+    assert out[("west", "gamma")].share_in_region == 1.0
+
+
+def test_gini_zero_for_equal_and_known_value(spark):
+    eq = spark.createDataFrame(
+        [(c, 2e6) for c in range(1, 5)], "o_custkey long, o_totalprice double"
+    )
+    row = rel.gini_revenue(eq).collect()[0]
+    assert row.n_customers == 4 and row.gini == 0.0
+    # revenues 1,2,3,4 (x 1e6): G = 2*30/(4*10) - 5/4 = 0.25
+    lin = spark.createDataFrame(
+        [(c, c * 1e6) for c in range(1, 5)], "o_custkey long, o_totalprice double"
+    )
+    row = rel.gini_revenue(lin).collect()[0]
+    assert abs(row.gini - 0.25) <= 1e-6
+    assert row.total_revenue == 10e6
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+T = datetime(2024, 1, 1)
+
+
+def test_audience_overlap_jaccard(spark):
+    rows = [
+        (1, T, 1, "click"), (2, T, 2, "click"), (3, T, 3, "click"),
+        (4, T, 1, "view"), (5, T, 2, "view"),
+        (6, T, 9, "purchase"),
+        (7, T, 1, "click"),  # duplicate pair must not double count
+    ]
+    out = {
+        (r.type_a, r.type_b): r for r in ev.audience_overlap(_events(spark, rows)).collect()
+    }
+    r = out[("click", "view")]
+    assert (r.n_a, r.n_b, r.n_both) == (3, 2, 2)
+    assert r.jaccard == round(2 / 3, 6)
+    # disjoint audiences produce no row (inner pair join)
+    assert ("click", "purchase") not in out
+
+
+def test_engagement_histogram_bands_and_cumshare(spark):
+    # user 1: 1 event (band 0); user 2: 2 (band 1); user 3: 5 (band 2)
+    rows = [(i, T, 1, "click") for i in range(1)]
+    rows += [(10 + i, T, 2, "click") for i in range(2)]
+    rows += [(20 + i, T, 3, "click") for i in range(5)]
+    out = {r.band: r for r in ev.engagement_histogram(_events(spark, rows)).collect()}
+    assert out[0].n_users == 1 and out[0].n_events == 1
+    assert out[1].n_users == 1 and out[1].n_events == 2
+    assert out[2].n_users == 1 and out[2].n_events == 5
+    assert out[2].cum_share_from_top == round(5 / 8, 6)
+    assert out[0].cum_share_from_top == 1.0

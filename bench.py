@@ -175,6 +175,19 @@ BENCH_QUERIES = [
     "pca_project_residual",
     "welch_ttest",
     "mann_whitney_u",
+    # round-8 session 4: evaluation / attribution / corpus-analytics families
+    "classifier_eval_report",
+    "roc_auc_score",
+    "attribution_last_touch",
+    "attribution_linear",
+    "autocorr_daily_revenue",
+    "association_rules",
+    "duplicate_spans",
+    "keyness_terms",
+    "knn_classify_labels",
+    "share_of_total",
+    "gini_revenue",
+    "audience_overlap",
 ]
 
 

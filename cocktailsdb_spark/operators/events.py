@@ -704,3 +704,53 @@ def engagement_histogram(events: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("band"))
     )
+
+
+AB_Z = 1.96  # 95% two-sided normal quantile, driver-side literal
+
+
+def ab_test_wilson(events: DataFrame) -> DataFrame:
+    """A/B experiment readout with Wilson score intervals: users are
+    assigned to variants by ``user_id % 2`` (the deterministic hash-split
+    convention — hash_split owns the general form), a user CONVERTS if
+    they have ≥1 purchase event, and each variant reports its conversion
+    rate with the Wilson 95% interval (Wilson 1927, public — the
+    recommended small-/skewed-sample binomial interval; the normal
+    approximation can leave [0,1]).
+
+    Scale shape: one distinct-user aggregate (user-keyed, map-side
+    combined), then a 2-row variant rollup; the interval arithmetic is
+    scalar IEEE on the tiny frame, expression-shape-identical to the
+    DuckDB twin, qround-pinned (sqrt is the one libm call).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == F.lit("purchase")).cast("int")
+        ).alias("converted")
+    )
+    g = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    n = F.col("n_users").cast("double")
+    x = F.col("n_converted").cast("double")
+    p = x / n
+    z = F.lit(AB_Z)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return g.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        qround(p, 6).alias("rate"),
+        qround(center - half, 6).alias("wilson_low"),
+        qround(center + half, 6).alias("wilson_high"),
+    ).orderBy("variant")

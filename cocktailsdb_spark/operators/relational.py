@@ -1777,3 +1777,48 @@ def gini_revenue(orders: DataFrame) -> DataFrame:
         ),
         qround(gini, 6).alias("gini"),
     )
+
+
+def shipping_latency_profile(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship latency distribution: days between ``o_orderdate``
+    and each lineitem's ``l_shipdate``, as an exact bounded-domain
+    histogram with cumulative shares — the operational-SLA read ("what
+    fraction ships within a week?"), and an exact percentile surface
+    (p50/p90/p99 are the rows where cum_share crosses the mark) with NO
+    rank or global sort: the latency domain is CALENDAR-bounded (true
+    TPC-H pins it to 1..121 days; the synthetic fixture's independent
+    date columns widen it to the date-range span, a few thousand values
+    — either way corpus-size-independent), so the post-join aggregate
+    lands on a tiny frame at any corpus size.
+
+    Scale shape: the orderkey equi-join of the two fact tables is the
+    one data-sized cost (hash-partitioned both sides — the bucketed
+    co-location candidate at 100 TB), then ONE map-side-combined
+    aggregate onto the bounded day domain and a tiny ordered window.
+    """
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    )
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    hist = j.groupBy(lat.alias("latency_days")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = hist.agg(F.sum("n").alias("tot"))
+    w = Window.orderBy("latency_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("latency_days").cast("int").alias("latency_days"),
+            "n",
+            qround(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "share"
+            ),
+            qround(
+                F.sum("n").over(w).cast("double") / F.col("tot").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("latency_days")
+    )

@@ -2904,3 +2904,75 @@ register(
                  AS cum_share_from_top
         FROM c CROSS JOIN t ORDER BY band DESC""",
 )
+
+
+def _q_ab_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events — A/B conversion readout with Wilson 95% intervals
+    (operators/events.py:ab_test_wilson)."""
+    return events.ab_test_wilson(load(spark, sf_dir, "events"))
+
+
+def _ab_wilson_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.events import AB_Z
+
+    z, z2 = repr(AB_Z), repr(AB_Z * AB_Z)
+    p = "CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)"
+    n = "CAST(n_users AS DOUBLE)"
+    denom = f"(1.0 + {z2} / {n})"
+    center = f"(({p} + {z2} / (2.0 * {n})) / {denom})"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / {n}"
+        f" + {z2} / (4.0 * {n} * {n})) / {denom})"
+    )
+    return f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY 1),
+        g AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(converted) AS BIGINT) AS n_converted
+              FROM per_user GROUP BY 1)
+        SELECT variant, n_users, n_converted,
+               {_q(p, 6)} AS rate,
+               {_q(f"{center} - {half}", 6)} AS wilson_low,
+               {_q(f"{center} + {half}", 6)} AS wilson_high
+        FROM g ORDER BY variant"""
+
+
+register("ab_test_wilson", _q_ab_wilson, _ab_wilson_sql())
+
+
+def _q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational — order-to-ship latency histogram with cumulative
+    shares on the bounded day domain
+    (operators/relational.py:shipping_latency_profile)."""
+    return relational.shipping_latency_profile(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+register(
+    "shipping_latency_profile",
+    _q_ship_latency,
+    f"""WITH j AS (
+          SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS latency_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        hist AS (SELECT latency_days, CAST(count(*) AS BIGINT) AS n
+                 FROM j GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM hist),
+        c AS (SELECT latency_days, n,
+                     CAST(sum(n) OVER (ORDER BY latency_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM hist)
+        SELECT CAST(latency_days AS INT) AS latency_days, n,
+               {sql_qround("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)", 6)}
+                 AS share,
+               {sql_qround("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)", 6)}
+                 AS cum_share
+        FROM c CROSS JOIN t ORDER BY latency_days""",
+)

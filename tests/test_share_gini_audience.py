@@ -87,3 +87,44 @@ def test_engagement_histogram_bands_and_cumshare(spark):
     assert out[2].n_users == 1 and out[2].n_events == 5
     assert out[2].cum_share_from_top == round(5 / 8, 6)
     assert out[0].cum_share_from_top == 1.0
+
+
+def test_ab_test_wilson_known_values(spark):
+    # variant 0: users 2,4 -> user 2 converts (1/2); variant 1: users 1,3,5
+    # -> users 1,5 convert (2/3)
+    rows = [
+        (1, T, 1, "purchase"), (2, T, 2, "purchase"), (3, T, 3, "click"),
+        (4, T, 4, "view"), (5, T, 5, "purchase"), (6, T, 2, "click"),
+    ]
+    out = {r.variant: r for r in ev.ab_test_wilson(_events(spark, rows)).collect()}
+    import math
+
+    def wilson(x, n, z=1.96):
+        p = x / n
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / denom
+        return center - half, center + half
+
+    assert (out[0].n_users, out[0].n_converted) == (2, 1)
+    assert (out[1].n_users, out[1].n_converted) == (3, 2)
+    lo, hi = wilson(1, 2)
+    assert abs(out[0].wilson_low - lo) <= 1e-6 and abs(out[0].wilson_high - hi) <= 1e-6
+    assert 0.0 <= out[0].wilson_low <= out[0].rate <= out[0].wilson_high <= 1.0
+
+
+def test_shipping_latency_histogram(spark):
+    orders = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 10))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 3)), (1, 2, datetime(2024, 1, 8)),
+         (2, 1, datetime(2024, 1, 12)), (2, 2, datetime(2024, 1, 12))],
+        "l_orderkey long, l_linenumber int, l_shipdate timestamp",
+    )
+    out = {r.latency_days: r for r in rel.shipping_latency_profile(orders, lineitem).collect()}
+    assert out[2].n == 3  # two from order 2 (+2d), one from order 1 (+2d)
+    assert out[7].n == 1
+    assert out[2].share == 0.75 and out[2].cum_share == 0.75
+    assert out[7].cum_share == 1.0

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..numeric import qround
+from ..numeric import dsum, qround
 from ..tables import spread
 from .dedup import shingles
 from .text import md5_prefix_value, tokens
@@ -1122,4 +1122,60 @@ def keyness_terms(
         )
         .orderBy(F.desc("g2"), F.asc("term"))
         .limit(top_n)
+    )
+
+
+ZIPF_TOP_V = 1000
+
+
+def zipf_fit(docs: DataFrame, top_v: int = ZIPF_TOP_V) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS of ln(frequency) on
+    ln(rank) over the top-V terms — the standard sanity probe that a
+    text corpus has natural-language token statistics (synthetic or
+    template-heavy corpora show a visibly non-Zipfian slope; natural
+    text sits near −1).
+
+    Scale shape: one token explode + ONE map-side-combined term count
+    (data-sized), then TakeOrdered truncation to the top-V frame
+    (deterministic freq-desc/term-asc tiebreak) — ranks, logs and the
+    OLS moments all run on the V-row bounded frame, never on the
+    vocabulary at large. ln() is the one libm call; moments are exact
+    decimal sums over V rows and the closed-form slope/intercept/r²
+    run identical IEEE shapes in both engines, qround-pinned.
+
+    Output: one row (n_terms, slope, intercept, r2).
+    """
+    counts = (
+        spread(docs)
+        .select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(top_v)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    xy = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / (vx * vy)
+    return m.select(
+        n.cast("long").alias("n_terms"),
+        qround(slope, 6).alias("slope"),
+        qround(intercept, 6).alias("intercept"),
+        qround(r2, 6).alias("r2"),
     )

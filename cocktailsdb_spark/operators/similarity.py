@@ -1254,3 +1254,79 @@ def knn_classify(
         )
         .orderBy("query_id")
     )
+
+
+def mine_hard_negatives(
+    emb: DataFrame,
+    anchor_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training data curation: for each anchor vector, the
+    nearest SAME-label neighbour (the positive) and the nearest
+    DIFFERENT-label neighbour (the hard negative) by exact cosine, with
+    the margin between them — the standard triplet-mining step before
+    embedding fine-tuning (hard negatives are the pairs the current
+    space already confuses).
+
+    Deterministic: qrounded sims + id tiebreak (the cosine_topk
+    contract); each anchor emits exactly one row via two rank-1 picks
+    pivoted into columns. Scale: inherits the neighbour search's cost
+    shape (exact brute force here, the IVF/PQ families at 100 TB);
+    anchors broadcast, one query-keyed window pass over the candidate
+    stream.
+    """
+    base = with_norm(emb, vec_col)
+    q = base.filter(F.col(id_col).isin(anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("a_label"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("c_label"),
+        "_vec",
+        "_norm",
+    )
+    sim = qround(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
+        SIM_ROUND,
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("c_label") == F.col("a_label")).alias("same"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    picked = best.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("same"), F.col("cand_id"))).alias("pos_id"),
+        F.max(F.when(F.col("same"), F.col("sim"))).alias("pos_sim"),
+        F.max(F.when(~F.col("same"), F.col("cand_id"))).alias("neg_id"),
+        F.max(F.when(~F.col("same"), F.col("sim"))).alias("neg_sim"),
+    )
+    return (
+        picked.filter(
+            F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+        )
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            qround(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

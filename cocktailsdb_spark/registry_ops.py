@@ -3605,3 +3605,83 @@ def _keyness_sql() -> str:
 
 
 register("keyness_terms", _q_keyness, _keyness_sql())
+
+
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Zipf's-law OLS fit over the top-V vocabulary
+    (operators/corpus.py:zipf_fit)."""
+    return corpus.zipf_fit(load(spark, sf_dir, "documents"))
+
+
+def _zipf_sql() -> str:
+    from .operators.corpus import ZIPF_TOP_V
+
+    d = sql_dsum
+    return f"""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+        counts AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+                   FROM toks GROUP BY 1
+                   ORDER BY freq DESC, term ASC LIMIT {ZIPF_TOP_V}),
+        xy AS (SELECT
+                 ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+                         AS DOUBLE)) AS x,
+                 ln(CAST(freq AS DOUBLE)) AS y
+               FROM counts),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     {d('x')} AS sx, {d('y')} AS sy,
+                     {d('x * x')} AS sxx, {d('y * y')} AS syy,
+                     {d('x * y')} AS sxy
+              FROM xy),
+        s AS (SELECT n, sx, sy,
+                     n * sxy - sx * sy AS cov,
+                     n * sxx - sx * sx AS vx,
+                     n * syy - sy * sy AS vy
+              FROM m)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               {sql_qround("cov / vx", 6)} AS slope,
+               {sql_qround("(sy - (cov / vx) * sx) / n", 6)} AS intercept,
+               {sql_qround("(cov * cov) / (vx * vy)", 6)} AS r2
+        FROM s"""
+
+
+register("zipf_fit", _q_zipf, _zipf_sql())
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — contrastive triplet mining: nearest same-label positive +
+    nearest different-label hard negative per anchor
+    (operators/similarity.py:mine_hard_negatives)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.mine_hard_negatives(e, KNN_QUERY_IDS)
+
+
+def _hard_neg_sql() -> str:
+    ids = ", ".join(map(str, KNN_QUERY_IDS))
+    return f"""WITH {_SQL_EMB_BASE},
+        q AS (SELECT vec_id AS anchor_id, label AS a_label, v AS qv, nv AS qn
+              FROM nrm WHERE vec_id IN ({ids})),
+        pairs AS (
+          SELECT q.anchor_id, c.vec_id AS cand_id,
+                 c.label = q.a_label AS same,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.anchor_id),
+        best AS (SELECT *, row_number() OVER (
+                   PARTITION BY anchor_id, same
+                   ORDER BY sim DESC, cand_id ASC) AS rn
+                 FROM pairs),
+        picked AS (
+          SELECT anchor_id,
+                 max(CASE WHEN same THEN cand_id END) AS pos_id,
+                 max(CASE WHEN same THEN sim END) AS pos_sim,
+                 max(CASE WHEN NOT same THEN cand_id END) AS neg_id,
+                 max(CASE WHEN NOT same THEN sim END) AS neg_sim
+          FROM best WHERE rn = 1 GROUP BY 1)
+        SELECT anchor_id, pos_id, pos_sim, neg_id, neg_sim,
+               {sql_qround("pos_sim - neg_sim", 6)} AS margin
+        FROM picked
+        WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+        ORDER BY anchor_id"""
+
+
+register("mine_hard_negatives", _q_hard_negatives, _hard_neg_sql())

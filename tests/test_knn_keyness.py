@@ -83,3 +83,51 @@ def test_keyness_min_count_filter(spark):
     ]
     out = {r.term: r for r in corpus.keyness_terms(_docs(spark, rows), min_count=3, top_n=10).collect()}
     assert "rare" not in out and "common" in out
+
+
+def test_mine_hard_negatives_picks_and_margin(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),      # anchor
+        (1, [0.99, 0.01], 0),    # closest same-label -> positive
+        (2, [0.5, 0.5], 0),      # same label, farther
+        (3, [0.9, 0.1], 1),      # closest different-label -> hard negative
+        (4, [0.0, 1.0], 1),
+    ]
+    out = {r.anchor_id: r for r in similarity.mine_hard_negatives(_emb(spark, rows), [0]).collect()}
+    r = out[0]
+    assert r.pos_id == 1 and r.neg_id == 3
+    assert r.pos_sim > r.neg_sim
+    assert abs(r.margin - round(r.pos_sim - r.neg_sim, 6)) <= 1e-9
+
+
+def test_mine_hard_negatives_drops_anchor_without_both_sides(spark):
+    # all candidates share the anchor's label -> no hard negative -> no row
+    rows = [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.8, 0.2], 0)]
+    assert similarity.mine_hard_negatives(_emb(spark, rows), [0]).collect() == []
+
+
+def test_zipf_fit_exact_power_law(spark):
+    # verify slope/r2 against a plain-python OLS on the same (ln rank,
+    # ln freq) pairs for a 4-term geometric frequency profile
+    import math
+
+    from cocktailsdb_spark.operators import corpus as co
+
+    words = []
+    freqs = [16, 8, 4, 2]
+    for i, f in enumerate(freqs):
+        words += [f"w{i}"] * f
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = co.zipf_fit(docs, top_v=10).collect()[0]
+    xs = [math.log(r + 1) for r in range(4)]
+    ys = [math.log(f) for f in freqs]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert row.n_terms == 4
+    assert abs(row.slope - cov / vx) <= 1e-6
+    assert abs(row.r2 - (cov * cov) / (vx * vy)) <= 1e-6
+    assert row.slope < 0

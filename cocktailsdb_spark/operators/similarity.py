@@ -1330,3 +1330,126 @@ def mine_hard_negatives(
         )
         .orderBy("anchor_id")
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 10
+MMR_K = 5
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = MMR_K,
+    n_candidates: int = MMR_CANDIDATES,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    public): greedily re-order each query's top-N candidates so every
+    pick balances relevance against redundancy with what's already
+    picked —
+
+        pick_t = argmax  λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)
+
+    (step 1 has no picked set: pure relevance). The search-result
+    diversification step between retrieval and display.
+
+    Fully distributed and collect-free: the greedy loop unrolls into k
+    dataframe steps (the logreg unrolled-iteration template) — each step
+    joins the remaining candidates to the picked set, takes a per-query
+    row_number argmax (qrounded score + id tiebreak), and unions the
+    pick. All frames after candidate generation are bounded by
+    |queries|·n_candidates (the candidate matrix is n² per query — 100
+    rows at the defaults), so every step is broadcast-sized regardless
+    of corpus scale; the corpus-sized work is the one candidate search,
+    which inherits the ANN family's cost shape.
+    """
+    cands = cosine_topk(emb, query_ids, k=n_candidates, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col(id_col).alias("cand_id"), F.col("sim").alias("rel")
+    ).localCheckpoint()
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("m_id"), "_vec", "_norm"
+    )
+    a = base.select(
+        F.col("m_id").alias("a_id"),
+        F.col("_vec").alias("_av"),
+        F.col("_norm").alias("_an"),
+    )
+    b = base.select(
+        F.col("m_id").alias("b_id"),
+        F.col("_vec").alias("_bv"),
+        F.col("_norm").alias("_bn"),
+    )
+    ca = cands.select("query_id", F.col("cand_id").alias("a_id"))
+    cb = cands.select("query_id", F.col("cand_id").alias("b_id"))
+    simmat = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .join(F.broadcast(a), "a_id")
+        .join(F.broadcast(b), "b_id")
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            qround(
+                dot(F.col("_av"), F.col("_bv"))
+                / (F.col("_an") * F.col("_bn")),
+                SIM_ROUND,
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    # step 1: pure relevance
+    picked = (
+        cands.withColumn("score", qround(F.lit(lam) * F.col("rel"), SIM_ROUND))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", "score", F.lit(1).alias("rank"))
+    )
+    for t in range(2, k + 1):
+        remaining = cands.join(
+            picked.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        red = (
+            remaining.join(
+                picked.select(
+                    "query_id", F.col("cand_id").alias("p_id")
+                ),
+                "query_id",
+            )
+            .join(
+                simmat.select(
+                    "query_id",
+                    F.col("a_id").alias("cand_id"),
+                    F.col("b_id").alias("p_id"),
+                    "sim",
+                ),
+                ["query_id", "cand_id", "p_id"],
+            )
+            .groupBy("query_id", "cand_id", "rel")
+            .agg(F.max("sim").alias("redundancy"))
+        )
+        scored = red.withColumn(
+            "score",
+            qround(
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.col("redundancy"),
+                SIM_ROUND,
+            ),
+        )
+        pick_t = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", "score", F.lit(t).alias("rank"))
+        )
+        picked = picked.unionByName(pick_t).localCheckpoint()
+    return picked.select(
+        "query_id", F.col("cand_id").alias("vec_id"), "rank", "score"
+    ).orderBy("query_id", "rank")

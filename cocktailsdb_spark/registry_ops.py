@@ -3685,3 +3685,93 @@ def _hard_neg_sql() -> str:
 
 
 register("mine_hard_negatives", _q_hard_negatives, _hard_neg_sql())
+
+
+def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — MMR diversification of the cosine top-N, unrolled greedy
+    (operators/similarity.py:mmr_diversify)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.mmr_diversify(e, QUERY_IDS)
+
+
+def _mmr_sql() -> str:
+    from .operators.similarity import MMR_CANDIDATES, MMR_K, MMR_LAMBDA
+
+    ids = ", ".join(map(str, QUERY_IDS))
+    lam, one_m = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    ctes = [
+        f"""q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({ids}))""",
+        f"""relp AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS rel
+          FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.query_id)""",
+        f"""cand AS (
+          SELECT query_id, cand_id, rel FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn
+            FROM relp) WHERE rn <= {MMR_CANDIDATES})""",
+        f"""simmat AS (
+          SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id,
+                 {sql_qround(_sql_dot("va.v", "vb.v") + " / (va.nv * vb.nv)", 6)} AS sim
+          FROM cand x
+          JOIN cand y ON y.query_id = x.query_id AND y.cand_id <> x.cand_id
+          JOIN nrm va ON va.vec_id = x.cand_id
+          JOIN nrm vb ON vb.vec_id = y.cand_id)""",
+        f"""p1 AS (
+          SELECT query_id, cand_id, score, 1 AS rank FROM (
+            SELECT query_id, cand_id,
+                   {sql_qround(f"{lam} * rel", 6)} AS score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY {sql_qround(f"{lam} * rel", 6)} DESC,
+                              cand_id ASC) AS rn
+            FROM cand) WHERE rn = 1)""",
+        "sel1 AS (SELECT query_id, cand_id FROM p1)",
+    ]
+    for t in range(2, MMR_K + 1):
+        score = f"{lam} * rel - {one_m} * redundancy"
+        ctes.append(
+            f"""rem{t} AS (
+              SELECT c.query_id, c.cand_id, c.rel
+              FROM cand c LEFT JOIN sel{t - 1} s
+                ON s.query_id = c.query_id AND s.cand_id = c.cand_id
+              WHERE s.cand_id IS NULL)"""
+        )
+        ctes.append(
+            f"""red{t} AS (
+              SELECT r.query_id, r.cand_id, r.rel,
+                     max(m.sim) AS redundancy
+              FROM rem{t} r
+              JOIN sel{t - 1} p ON p.query_id = r.query_id
+              JOIN simmat m ON m.query_id = r.query_id
+                           AND m.a_id = r.cand_id AND m.b_id = p.cand_id
+              GROUP BY 1, 2, 3)"""
+        )
+        ctes.append(
+            f"""p{t} AS (
+              SELECT query_id, cand_id, score, {t} AS rank FROM (
+                SELECT query_id, cand_id,
+                       {sql_qround(score, 6)} AS score,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY {sql_qround(score, 6)} DESC,
+                                  cand_id ASC) AS rn
+                FROM red{t}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""sel{t} AS (SELECT query_id, cand_id FROM sel{t - 1}
+                 UNION ALL SELECT query_id, cand_id FROM p{t})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, cand_id, rank, score FROM p{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return (
+        f"WITH {_SQL_EMB_BASE}, "
+        + ",\n ".join(ctes)
+        + f"""
+        SELECT query_id, cand_id AS vec_id, CAST(rank AS INT) AS rank, score
+        FROM ({union}) ORDER BY query_id, rank"""
+    )
+
+
+register("mmr_diversify", _q_mmr, _mmr_sql())

@@ -131,3 +131,27 @@ def test_zipf_fit_exact_power_law(spark):
     assert abs(row.slope - cov / vx) <= 1e-6
     assert abs(row.r2 - (cov * cov) / (vx * vy)) <= 1e-6
     assert row.slope < 0
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # anchor 0 at (1,0). Candidates 1,2 are near-clones of each other and
+    # most relevant; 3 is exactly orthogonal to 1 (zero redundancy) with
+    # small positive relevance. Pure top-3 relevance = [1, 2, 3]; under
+    # MMR the clone 2's score is ~(rel-1)/2 < 0 while 3's is rel3/2 > 0,
+    # so the diverse 3 must take rank 2.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.95, 0.05], 0),
+        (2, [0.949, 0.051], 0),
+        (3, [0.05, -0.95], 0),
+        (4, [-1.0, 0.2], 0),
+    ]
+    out = similarity.mmr_diversify(
+        _emb(spark, rows), [0], k=3, n_candidates=4, lam=0.5
+    ).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order[0] == 1  # pure relevance first pick
+    assert order[1] == 3  # diversity beats the near-clone
+    assert order[2] == 2
+    ranks = [r.rank for r in out]
+    assert sorted(ranks) == [1, 2, 3]

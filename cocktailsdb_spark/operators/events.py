@@ -754,3 +754,40 @@ def ab_test_wilson(events: DataFrame) -> DataFrame:
         qround(center - half, 6).alias("wilson_low"),
         qround(center + half, 6).alias("wilson_high"),
     ).orderBy("variant")
+
+
+DECAY_REF_EPOCH = 1706745600.0  # 2024-02-01 00:00:00 UTC, after the fixture
+DECAY_LAMBDA_PER_DAY = 0.1
+DECAY_TOP_K = 20
+
+
+def decayed_engagement(events: DataFrame, top_k: int = DECAY_TOP_K) -> DataFrame:
+    """Time-decayed engagement score per user — the recency-weighted
+    activity ranking (each event contributes exp(−λ·age_days) as of a
+    fixed reference instant), the standard churn/loyalty feature that a
+    plain event count misses (100 events last year < 10 events this
+    week).
+
+    Scale shape: ONE map-side-combined user-keyed aggregate over the
+    scan; per-event decay terms are decimal-quantized before summing
+    (dsum — float-sum order would otherwise differ between engines and
+    partitionings), then a rounded-score TakeOrdered top-k with the
+    user as tiebreak. exp() is the one libm call (the logreg argument).
+    """
+    age_days = (
+        F.lit(DECAY_REF_EPOCH) - F.col("ts").cast("double")
+    ) / F.lit(86400.0)
+    term = F.exp(F.lit(-DECAY_LAMBDA_PER_DAY) * age_days)
+    g = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dsum(term).alias("score_raw"),
+    )
+    return (
+        g.select(
+            "user_id",
+            "n_events",
+            qround(F.col("score_raw"), 6).alias("decay_score"),
+        )
+        .orderBy(F.desc("decay_score"), F.asc("user_id"))
+        .limit(top_k)
+    )

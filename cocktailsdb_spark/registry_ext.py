@@ -2976,3 +2976,38 @@ register(
                  AS cum_share
         FROM c CROSS JOIN t ORDER BY latency_days""",
 )
+
+
+def _q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events — exp-decay recency-weighted engagement top-k
+    (operators/events.py:decayed_engagement)."""
+    return events.decayed_engagement(load(spark, sf_dir, "events"))
+
+
+def _decay_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.events import (
+        DECAY_LAMBDA_PER_DAY,
+        DECAY_REF_EPOCH,
+        DECAY_TOP_K,
+    )
+
+    term = (
+        f"exp({repr(-DECAY_LAMBDA_PER_DAY)}"
+        f" * (({repr(DECAY_REF_EPOCH)} - epoch(ts)) / 86400.0))"
+    )
+    return f"""
+        WITH g AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 {_d(term)} AS score_raw
+          FROM events GROUP BY 1),
+        s AS (SELECT user_id, n_events,
+                     {_q('score_raw', 6)} AS decay_score
+              FROM g),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY decay_score DESC, user_id ASC) AS rn FROM s)
+        SELECT user_id, n_events, decay_score
+        FROM r WHERE rn <= {DECAY_TOP_K} ORDER BY rn"""
+
+
+register("decayed_engagement", _q_decayed_engagement, _decay_sql())

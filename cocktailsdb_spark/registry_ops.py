@@ -3775,3 +3775,44 @@ def _mmr_sql() -> str:
 
 
 register("mmr_diversify", _q_mmr, _mmr_sql())
+
+
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — confusion matrix of the n-gram language-ID heuristic against
+    the stored lang label, with per-true-lang recall (composition of
+    text.lang_id and the evaluation family's confusion shape)."""
+    pred = text.lang_id(load(spark, sf_dir, "documents")).select(
+        "lang", "pred_lang"
+    )
+    g = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = pred.groupBy("lang").agg(F.count("*").alias("n_true"))
+    return (
+        g.join(F.broadcast(tot), "lang")
+        .select(
+            F.col("lang").alias("true_lang"),
+            "pred_lang",
+            "n",
+            qround(F.col("n").cast("double") / F.col("n_true").cast("double"), 6).alias(
+                "share_of_true"
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+register(
+    "langid_confusion",
+    _q_langid_confusion,
+    f"""WITH pred AS ({_sql_lang_id()}),
+        g AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+              FROM pred GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+                FROM pred GROUP BY 1)
+        SELECT g.lang AS true_lang, g.pred_lang, g.n,
+               {sql_qround("CAST(g.n AS DOUBLE) / CAST(tot.n_true AS DOUBLE)", 6)}
+                 AS share_of_true
+        FROM g JOIN tot ON tot.lang = g.lang
+        ORDER BY true_lang, pred_lang""",
+)

@@ -128,3 +128,20 @@ def test_shipping_latency_histogram(spark):
     assert out[7].n == 1
     assert out[2].share == 0.75 and out[2].cum_share == 0.75
     assert out[7].cum_share == 1.0
+
+
+def test_decayed_engagement_recency_beats_volume(spark):
+    import math
+    from datetime import timedelta
+
+    ref = datetime(2024, 2, 1)  # DECAY_REF_EPOCH
+    # user 1: 10 events 30 days old; user 2: 2 events 1 day old
+    rows = [(i, ref - timedelta(days=30), 1, "click") for i in range(10)]
+    rows += [(100 + i, ref - timedelta(days=1), 2, "click") for i in range(2)]
+    out = {r.user_id: r for r in ev.decayed_engagement(_events(spark, rows)).collect()}
+    w_old = math.exp(-0.1 * 30)
+    w_new = math.exp(-0.1 * 1)
+    assert abs(out[1].decay_score - 10 * w_old) <= 1e-5
+    assert abs(out[2].decay_score - 2 * w_new) <= 1e-5
+    # 2 recent events outweigh 10 month-old ones at lambda=0.1/day
+    assert out[2].decay_score > out[1].decay_score

@@ -1822,3 +1822,61 @@ def shipping_latency_profile(orders: DataFrame, lineitem: DataFrame) -> DataFram
         )
         .orderBy("latency_days")
     )
+
+
+BAND_DELTA = 10.0
+
+
+def band_join_acctbal(
+    customer: DataFrame, supplier: DataFrame, delta: float = BAND_DELTA
+) -> DataFrame:
+    """1-D band (inequality) join without a nested loop: customer and
+    supplier pairs whose account balances differ by < ``delta`` — the
+    financial-reconciliation shape ("candidate matches within a
+    tolerance"). A naive theta join is a cartesian product; bucketing
+    both sides by floor(balance/δ) and probing each supplier's bucket ±1
+    turns it into an EQUI-join whose candidate set provably contains
+    every true pair (two values within δ differ by ≤1 bucket), with the
+    exact |a−b| < δ predicate as a post-join filter — the geo radius
+    join's pattern on a 1-D financial axis.
+
+    Output per market segment: pair count and mean absolute gap.
+    Scale: one shuffle on the bucket key both sides (3× supplier
+    expansion), bucket population is balance-distribution-bound —
+    skew-safe for anything resembling uniform balances; one segment
+    rollup after.
+    """
+    cb = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("ca"),
+        F.floor(F.col("c_acctbal") / F.lit(delta)).alias("bucket"),
+    )
+    sb = supplier.select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("sa"),
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / F.lit(delta)) - 1,
+                F.floor(F.col("s_acctbal") / F.lit(delta)),
+                F.floor(F.col("s_acctbal") / F.lit(delta)) + 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = cb.join(sb, "bucket").filter(
+        F.abs(F.col("ca") - F.col("sa")) < F.lit(delta)
+    )
+    gap = F.abs(F.col("ca") - F.col("sa"))
+    return (
+        pairs.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (dsum(gap) / F.count("*").cast("double")).alias("_mg"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_pairs",
+            qround(F.col("_mg"), 6).alias("mean_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )

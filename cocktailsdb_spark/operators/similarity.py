@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import PLANES
-from ..numeric import qround
+from ..numeric import dsum, qround
 
 SIM_ROUND = 6  # rank on qrounded similarity + vec_id tiebreak → deterministic
 
@@ -1453,3 +1453,46 @@ def mmr_diversify(
     return picked.select(
         "query_id", F.col("cand_id").alias("vec_id"), "rank", "score"
     ).orderBy("query_id", "rank")
+
+
+def ndcg_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """nDCG@k of the multi-probe IVF/LSH ranking against the exact
+    brute-force ideal — the GRADED companion to recall@k (recall counts
+    set membership; nDCG also charges the approximate index for ranking
+    a good neighbour low). Gains are (sim+1)/2 (cosine mapped to [0,1])
+    with the standard 1/log2(rank+1) discount; both rankings are
+    deterministic (qrounded sims + id tiebreaks), so the metric carries
+    an exact oracle.
+
+    By subset-dominance + rearrangement, DCG ≤ IDCG, so ndcg ∈ [0,1];
+    queries whose probe set finds nothing score 0. Per-item gains are
+    decimal-summed (order-free); the ratio is qround-pinned.
+    """
+    exact = cosine_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+    def dcg_of(df: DataFrame, out: str) -> DataFrame:
+        gain = ((F.col("sim") + F.lit(1.0)) / F.lit(2.0)) / F.log2(
+            (F.col("rank") + 1).cast("double")
+        )
+        return df.groupBy("query_id").agg(dsum(gain).alias(out))
+
+    ideal = dcg_of(exact, "idcg_raw")
+    got = dcg_of(approx, "dcg_raw")
+    j = ideal.join(got, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("dcg_raw"), F.lit(0.0)).alias("dcg_raw"),
+        "idcg_raw",
+    )
+    return j.select(
+        "query_id",
+        qround(F.col("dcg_raw"), 6).alias("dcg"),
+        qround(F.col("idcg_raw"), 6).alias("idcg"),
+        qround(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
+    ).orderBy("query_id")

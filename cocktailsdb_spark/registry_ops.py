@@ -3816,3 +3816,66 @@ register(
         FROM g JOIN tot ON tot.lang = g.lang
         ORDER BY true_lang, pred_lang""",
 )
+
+
+def _q_ndcg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality metric — nDCG@k of the multi-probe LSH ranking vs the
+    exact ideal (operators/similarity.py:ndcg_ivf); graded companion to
+    ivf_recall_at_k."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ndcg_ivf(e, QUERY_IDS, k=TOPK)
+
+
+def _ndcg_sql() -> str:
+    gain = (
+        '((sim + 1.0) / 2.0) / log2(CAST("rank" + 1 AS DOUBLE))'
+    )
+    return f"""WITH exact AS ({COSINE_TOPK_SQL}),
+        approx AS ({IVF_TOPK_SQL}),
+        ideal AS (SELECT query_id, {sql_dsum(gain)} AS idcg_raw
+                  FROM exact GROUP BY 1),
+        got AS (SELECT query_id, {sql_dsum(gain)} AS dcg_raw
+                FROM approx GROUP BY 1)
+        SELECT i.query_id,
+               {sql_qround("coalesce(g.dcg_raw, 0.0)", 6)} AS dcg,
+               {sql_qround("i.idcg_raw", 6)} AS idcg,
+               {sql_qround("coalesce(g.dcg_raw, 0.0) / i.idcg_raw", 6)} AS ndcg
+        FROM ideal i LEFT JOIN got g ON g.query_id = i.query_id
+        ORDER BY i.query_id"""
+
+
+register("ndcg_ivf_at_k", _q_ndcg_ivf, _ndcg_sql())
+
+
+def _q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational — 1-D band join on account balance via bucket ±1
+    probing (operators/relational.py:band_join_acctbal)."""
+    from .operators import relational
+
+    return relational.band_join_acctbal(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "supplier")
+    )
+
+
+def _band_sql() -> str:
+    from .operators.relational import BAND_DELTA
+
+    d = repr(BAND_DELTA)
+    return f"""
+        WITH cb AS (SELECT c_custkey, c_mktsegment, c_acctbal AS ca,
+                           CAST(floor(c_acctbal / {d}) AS BIGINT) AS bucket
+                    FROM customer),
+        sb AS (SELECT s_suppkey, s_acctbal AS sa,
+                      CAST(floor(s_acctbal / {d}) AS BIGINT) + u.o AS bucket
+               FROM supplier, unnest([-1, 0, 1]) AS u(o)),
+        pairs AS (SELECT c_mktsegment, ca, sa
+                  FROM cb JOIN sb USING (bucket)
+                  WHERE abs(ca - sa) < {d})
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               {sql_qround(f"{sql_dsum('abs(ca - sa)')} / CAST(count(*) AS DOUBLE)", 6)}
+                 AS mean_gap
+        FROM pairs GROUP BY 1 ORDER BY 1"""
+
+
+register("band_join_acctbal", _q_band_join, _band_sql())

@@ -155,3 +155,13 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert order[2] == 2
     ranks = [r.rank for r in out]
     assert sorted(ranks) == [1, 2, 3]
+
+
+def test_ndcg_perfect_when_ivf_matches_exact(spark):
+    # well-separated clusters: every query's bucket contains its true
+    # neighbours, and nDCG is bounded in [0, 1] with idcg >= dcg
+    rows = [(i, [1.0, 0.01 * i], 0) for i in range(6)]
+    out = similarity.ndcg_ivf(_emb(spark, rows), [0, 1], k=3).collect()
+    for r in out:
+        assert 0.0 <= r.ndcg <= 1.0
+        assert r.dcg <= r.idcg + 1e-9

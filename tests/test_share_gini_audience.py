@@ -145,3 +145,21 @@ def test_decayed_engagement_recency_beats_volume(spark):
     assert abs(out[2].decay_score - 2 * w_new) <= 1e-5
     # 2 recent events outweigh 10 month-old ones at lambda=0.1/day
     assert out[2].decay_score > out[1].decay_score
+
+
+def test_band_join_cross_bucket_and_boundary(spark):
+    customer = spark.createDataFrame(
+        [(1, "SEG", 19.0), (2, "SEG", 100.0), (3, "OTH", 25.0)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    supplier = spark.createDataFrame(
+        [(10, 21.0),   # cross-bucket match to 19.0 (gap 2) and 25.0 (gap 4)
+         (11, 29.0),   # gap 10 to 19.0 -> EXCLUDED (strict <); gap 4 to 25
+         (12, 500.0)],
+        "s_suppkey long, s_acctbal double",
+    )
+    out = {r.c_mktsegment: r for r in rel.band_join_acctbal(customer, supplier, 10.0).collect()}
+    assert out["SEG"].n_pairs == 1  # only (19.0, 21.0); 29-19=10 excluded
+    assert out["SEG"].mean_gap == 2.0
+    assert out["OTH"].n_pairs == 2  # 25 vs 21 and 25 vs 29
+    assert out["OTH"].mean_gap == 4.0

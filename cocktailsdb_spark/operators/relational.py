@@ -1880,3 +1880,101 @@ def band_join_acctbal(
         )
         .orderBy("c_mktsegment")
     )
+
+
+SEGMENT_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+def segment_percentiles(
+    orders: DataFrame,
+    customer: DataFrame,
+    pcts: tuple[float, ...] = SEGMENT_PCTS,
+) -> DataFrame:
+    """Exact per-group percentiles (PERCENTILE_DISC semantics: the
+    smallest value whose cumulative count reaches ⌈q·n⌉) of order value
+    by market segment — the per-segment pricing profile. approx_percentile
+    trades exactness for mergeability; this is the exact form, and it
+    needs NO global sort: ONE segment-partitioned window ranks each
+    segment independently (the shuffle key is the group — the same
+    contract as any per-group rank), then an n-sized row filter picks the
+    ⌈q·n⌉-th row per (segment, q).
+
+    Skew note: segments are few and balanced here; a skewed group would
+    take the rfm_segments_scaled route (histogram cutoffs) — this entry
+    is the exact-verify twin of that pattern at per-group granularity.
+    """
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("c_mktsegment", F.col("o_totalprice").alias("v"))
+    # row_number ties at equal v are broken arbitrarily, but the PICKED
+    # value at any position inside a tie run is that run's v — the output
+    # never exposes which row won, so the result is deterministic
+    w = Window.partitionBy("c_mktsegment").orderBy("v")
+    ranked = j.select(
+        "c_mktsegment",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    picks = None
+    for q in pcts:
+        target = F.ceil(F.lit(q) * F.col("n").cast("double"))
+        p = ranked.filter(F.col("rn") == target).select(
+            "c_mktsegment",
+            F.lit(q).alias("pct"),
+            F.col("v").alias("value"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return picks.orderBy("c_mktsegment", "pct")
+
+
+ANOM_Z_THRESHOLD = 2.0
+
+
+def weekday_adjusted_anomalies(
+    orders: DataFrame, z_threshold: float = ANOM_Z_THRESHOLD
+) -> DataFrame:
+    """Seasonally-adjusted anomaly days: daily revenue minus the
+    weekday's own mean (the :func:`weekday_seasonality` adjustment),
+    z-scored against the residual spread — the alert list a plain
+    z-score gets wrong on weekly-cyclic revenue (every Sunday looks
+    anomalous if the baseline ignores weekday).
+
+    Scale posture: one data-sized daily aggregate; weekday means,
+    residual moments and the final filter all run on the
+    calendar-bounded daily frame (the autocorr argument). Exactness:
+    decimal daily sums, identical IEEE mean/variance/z shapes, qround
+    pins; the z threshold compares qrounded values so both engines make
+    the same cut.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("x")
+    )
+    wd = daily.groupBy((F.weekday("day") + 1).alias("weekday")).agg(
+        (dsum(F.col("x")) / F.count("*").cast("double")).alias("wd_mean")
+    )
+    resid = daily.withColumn("weekday", F.weekday("day") + 1).join(
+        F.broadcast(wd), "weekday"
+    ).select("day", "weekday", "x", (F.col("x") - F.col("wd_mean")).alias("r"))
+    mom = resid.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("r")).alias("sr"),
+        dsum(F.col("r") * F.col("r") / F.lit(1e6)).alias("srr_m"),
+    )
+    n = F.col("n")
+    mean_r = F.col("sr") / n
+    var = (F.col("srr_m") * F.lit(1e6) - n * mean_r * mean_r) / (n - 1)
+    z = (F.col("r") - mean_r) / F.sqrt(var)
+    return (
+        resid.crossJoin(F.broadcast(mom))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("weekday").cast("int").alias("weekday"),
+            qround(F.col("x"), 4).alias("revenue"),
+            qround(z, 6).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= F.lit(z_threshold))
+        .orderBy("day")
+    )

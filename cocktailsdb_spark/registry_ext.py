@@ -3011,3 +3011,74 @@ def _decay_sql() -> str:
 
 
 register("decayed_engagement", _q_decayed_engagement, _decay_sql())
+
+
+def _q_segment_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational — exact PERCENTILE_DISC-style per-segment percentiles
+    via one group-partitioned rank window
+    (operators/relational.py:segment_percentiles)."""
+    return relational.segment_percentiles(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+def _segment_pcts_sql() -> str:
+    from .operators.relational import SEGMENT_PCTS
+
+    picks = " UNION ALL ".join(
+        f"""SELECT c_mktsegment, CAST({q!r} AS DOUBLE) AS pct, v AS value,
+                   CAST(n AS BIGINT) AS n_orders
+            FROM ranked WHERE rn = ceil({q!r} * CAST(n AS DOUBLE))"""
+        for q in SEGMENT_PCTS
+    )
+    return f"""
+        WITH j AS (SELECT c_mktsegment, o_totalprice AS v
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+        ranked AS (SELECT c_mktsegment, v,
+                          row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY v) AS rn,
+                          count(*) OVER (PARTITION BY c_mktsegment) AS n
+                   FROM j)
+        SELECT * FROM ({picks}) ORDER BY c_mktsegment, pct"""
+
+
+register("segment_percentiles", _q_segment_pcts, _segment_pcts_sql())
+
+
+def _q_wd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — weekday-adjusted revenue anomaly days
+    (operators/relational.py:weekday_adjusted_anomalies)."""
+    return relational.weekday_adjusted_anomalies(load(spark, sf_dir, "orders"))
+
+
+def _wd_anom_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import ANOM_Z_THRESHOLD
+
+    mean_r = "(sr / n)"
+    var = f"((srr_m * 1000000.0 - n * {mean_r} * {mean_r}) / (n - 1))"
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS x
+          FROM orders GROUP BY 1),
+        wd AS (SELECT CAST(isodow(day) AS INT) AS weekday,
+                      {_d('x')} / CAST(count(*) AS DOUBLE) AS wd_mean
+               FROM daily GROUP BY 1),
+        resid AS (SELECT day, CAST(isodow(day) AS INT) AS weekday, x,
+                         x - wd_mean AS r
+                  FROM daily JOIN wd ON CAST(isodow(day) AS INT) = weekday),
+        mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       {_d('r')} AS sr,
+                       {_d('r * r / 1000000.0')} AS srr_m
+                FROM resid),
+        f AS (SELECT strftime(day, '%Y-%m-%d') AS day, weekday,
+                     {_q('x', 4)} AS revenue,
+                     {_q(f"(r - {mean_r}) / sqrt({var})", 6)} AS z_score
+              FROM resid CROSS JOIN mom)
+        SELECT day, weekday, revenue, z_score
+        FROM f WHERE abs(z_score) >= {ANOM_Z_THRESHOLD!r}
+        ORDER BY day"""
+
+
+register("weekday_adjusted_anomalies", _q_wd_anomalies, _wd_anom_sql())

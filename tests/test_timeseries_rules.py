@@ -109,3 +109,39 @@ def test_weekday_seasonality_index(spark):
     assert abs(out[1].seasonality_index - 200e6 / overall) <= 1e-6
     assert abs(out[3].seasonality_index - 100e6 / overall) <= 1e-6
     assert out[1].mean_revenue == 200e6
+
+
+def test_segment_percentiles_disc_semantics(spark):
+    orders = spark.createDataFrame(
+        [(c, float(v)) for c, v in [(1, 10), (1, 20), (1, 30), (1, 40), (2, 5)]],
+        "o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string"
+    )
+    out = {
+        (r.c_mktsegment, r.pct): r.value
+        for r in rel.segment_percentiles(orders, customer).collect()
+    }
+    # segment A: values 10,20,30,40 -> ceil(q*4)-th smallest
+    assert out[("A", 0.25)] == 10.0   # ceil(1.0) = 1st
+    assert out[("A", 0.5)] == 20.0
+    assert out[("A", 0.75)] == 30.0
+    assert out[("A", 0.9)] == 40.0    # ceil(3.6) = 4th
+    assert out[("B", 0.5)] == 5.0
+
+
+def test_weekday_adjusted_anomalies_flags_only_true_outlier(spark):
+    # 4 weeks of flat weekday-cyclic revenue, then one Monday spikes.
+    # An unadjusted z-score would flag every Monday; adjusted flags one.
+    rows = []
+    for d in range(1, 29):  # Jan 2024; Jan 1 is a Monday
+        day = datetime(2024, 1, d)
+        base = 200e6 if day.isoweekday() == 1 else 100e6
+        rows.append((day, base))
+    rows.append((datetime(2024, 1, 29), 500e6))  # 5th Monday: spike
+    out = rel.weekday_adjusted_anomalies(_orders(spark, rows)).collect()
+    days = [r.day for r in out]
+    assert "2024-01-29" in days
+    # the regular Mondays are NOT flagged
+    assert "2024-01-08" not in days and "2024-01-15" not in days

@@ -188,6 +188,15 @@ BENCH_QUERIES = [
     "share_of_total",
     "gini_revenue",
     "audience_overlap",
+    "zipf_fit",
+    "mine_hard_negatives",
+    "mmr_diversify",
+    "ndcg_ivf_at_k",
+    "band_join_acctbal",
+    "shipping_latency_profile",
+    "segment_percentiles",
+    "weekday_adjusted_anomalies",
+    "decayed_engagement",
 ]
 
 

@@ -94,6 +94,13 @@ AUDIT = [
     "terms_near_docs",
     "bm25_compacted_stored",
     "snippet_extract_docs",
+    # round-8 session-4 additions
+    "roc_auc_score",
+    "attribution_linear",
+    "duplicate_spans",
+    "gini_revenue",
+    "mmr_diversify",
+    "band_join_acctbal",
 ]
 
 

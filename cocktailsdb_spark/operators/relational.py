@@ -1978,3 +1978,168 @@ def weekday_adjusted_anomalies(
         .filter(F.abs(F.col("z_score")) >= F.lit(z_threshold))
         .orderBy("day")
     )
+
+
+DID_CUTOFF = "1999-01-01"
+
+
+def did_promo_effect(
+    lineitem: DataFrame, part: DataFrame, cutoff: str = DID_CUTOFF
+) -> DataFrame:
+    """Difference-in-differences: net-revenue-per-line shift of PROMO
+    parts vs all other parts across a policy cutoff ship-date (the 2×2
+    design of Card & Krueger 1994, public). Treated = p_type starting
+    with 'PROMO' (the reference corpus has no experiment log; part type
+    is the natural treatment flag, same predicate as TPC-H Q14).
+
+        did = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    Plan shape: one lineitem↔part equi-join (part is ~1/7 of lineitem's
+    row count — at 100 TB it shuffles on p_partkey and AQE picks the
+    strategy; only p_partkey+p_type are read, so the scan is 2 columns),
+    then ONE conditional aggregate over the joined frame — four
+    dsum/count pairs gated by (treated, post) flags, no per-cell
+    sub-plans and no second shuffle. Exact decimal sums (numeric.dsum)
+    keep the cell means bit-identical to the DuckDB twin.
+    """
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        lineitem.select("l_partkey", "l_shipdate", rev.alias("rev"))
+        .join(
+            part.select(
+                "p_partkey",
+                F.col("p_type").startswith("PROMO").alias("treated"),
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "treated",
+            (F.col("l_shipdate") >= F.lit(cutoff).cast("timestamp")).alias("post"),
+            "rev",
+        )
+    )
+
+    def cell(t: bool, p: bool, what: str) -> Column:
+        gate = (F.col("treated") == t) & (F.col("post") == p)
+        if what == "n":
+            return F.sum(F.when(gate, 1).otherwise(0)).cast("long")
+        return dsum(F.when(gate, F.col("rev")).otherwise(F.lit(None)))
+
+    agg = j.agg(
+        cell(True, False, "n").alias("n_treated_pre"),
+        cell(True, True, "n").alias("n_treated_post"),
+        cell(False, False, "n").alias("n_control_pre"),
+        cell(False, True, "n").alias("n_control_post"),
+        cell(True, False, "s").alias("s_tp"),
+        cell(True, True, "s").alias("s_tq"),
+        cell(False, False, "s").alias("s_cp"),
+        cell(False, True, "s").alias("s_cq"),
+    )
+    mu = {
+        k: F.col(s) / F.col(n).cast("double")
+        for k, s, n in (
+            ("tp", "s_tp", "n_treated_pre"),
+            ("tq", "s_tq", "n_treated_post"),
+            ("cp", "s_cp", "n_control_pre"),
+            ("cq", "s_cq", "n_control_post"),
+        )
+    }
+    return agg.select(
+        "n_treated_pre",
+        "n_treated_post",
+        "n_control_pre",
+        "n_control_post",
+        qround(mu["tp"], 4).alias("mu_treated_pre"),
+        qround(mu["tq"], 4).alias("mu_treated_post"),
+        qround(mu["cp"], 4).alias("mu_control_pre"),
+        qround(mu["cq"], 4).alias("mu_control_post"),
+        qround((mu["tq"] - mu["tp"]) - (mu["cq"] - mu["cp"]), 4).alias(
+            "did_estimate"
+        ),
+    )
+
+
+STL_HALF_WINDOW = 3  # centered 7-day moving-average trend
+
+
+def seasonal_decompose_daily(
+    orders: DataFrame, half_window: int = STL_HALF_WINDOW
+) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (classical
+    moving-average method, Cleveland et al. STL's baseline — public):
+
+        trend_d    = centered (2·h+1)-day calendar mean of revenue
+        seasonal_w = mean over days of (revenue − trend) per weekday,
+                     centered so the 7 components sum to 0
+        residual_d = revenue − trend_d − seasonal_w(d)
+
+    Trend uses a RANGE window over the day index (calendar-correct under
+    gaps) and only emits where the full 2·h+1 days exist — the standard
+    endpoint trim. Output is the 7-row weekday profile: component,
+    support, and mean |residual| as the fit diagnostic.
+
+    Scale: the daily aggregate reduces everything downstream to
+    O(#days) rows — windows and weekday rollups run on that tiny frame;
+    the only full-data pass is the first groupBy(day). Decimal window
+    sums (numeric.DEC) keep the trend exact so both engines see
+    identical doubles.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("x")
+    )
+    idx = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.orderBy("day_idx")
+        .rangeBetween(-half_window, half_window)
+    )
+    full = 2 * half_window + 1
+    with_trend = (
+        daily.withColumn("day_idx", idx)
+        .withColumn("n_win", F.count("*").over(w))
+        .withColumn(
+            "trend",
+            F.sum(F.col("x").cast(DEC)).over(w).cast("double")
+            / F.lit(float(full)),
+        )
+        .filter(F.col("n_win") == full)
+        .select(
+            "day",
+            "x",
+            qround(F.col("trend"), 6).alias("trend"),
+        )
+        .withColumn("detr", F.col("x") - F.col("trend"))
+    )
+    raw = with_trend.groupBy((F.weekday("day") + 1).alias("weekday")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        (dsum(F.col("detr")) / F.count("*").cast("double")).alias("s_raw"),
+    )
+    center = raw.agg(
+        (dsum(F.col("s_raw")) / F.count("*").cast("double")).alias("s_mean")
+    )
+    seasonal = raw.crossJoin(F.broadcast(center)).select(
+        "weekday",
+        "n_days",
+        qround(F.col("s_raw") - F.col("s_mean"), 6).alias("seasonal"),
+    )
+    resid = (
+        with_trend.withColumn("weekday", F.weekday("day") + 1)
+        .join(F.broadcast(seasonal), "weekday")
+        .groupBy("weekday")
+        .agg(
+            (
+                dsum(F.abs(F.col("detr") - F.col("seasonal")))
+                / F.count("*").cast("double")
+            ).alias("mar")
+        )
+    )
+    return (
+        seasonal.join(F.broadcast(resid), "weekday")
+        .select(
+            F.col("weekday").cast("int").alias("weekday"),
+            "n_days",
+            qround(F.col("seasonal"), 4).alias("seasonal"),
+            qround(F.col("mar"), 4).alias("mean_abs_residual"),
+        )
+        .orderBy("weekday")
+    )

@@ -3082,3 +3082,113 @@ def _wd_anom_sql() -> str:
 
 
 register("weekday_adjusted_anomalies", _q_wd_anomalies, _wd_anom_sql())
+
+
+# --- causal / decomposition analytics ---------------------------------------
+
+
+def _q_did_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal — difference-in-differences of PROMO-part net revenue per
+    line across the DID_CUTOFF ship date
+    (operators/relational.py:did_promo_effect): one part-key join, one
+    conditional 2×2 aggregate."""
+    return relational.did_promo_effect(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _did_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import DID_CUTOFF
+
+    cells = {
+        "tp": ("treated", "NOT post"),
+        "tq": ("treated", "post"),
+        "cp": ("NOT treated", "NOT post"),
+        "cq": ("NOT treated", "post"),
+    }
+    n = {
+        k: f"CAST(sum(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END) AS BIGINT)"
+        for k, (a, b) in cells.items()
+    }
+    s = {
+        k: _d(f"CASE WHEN {a} AND {b} THEN rev ELSE NULL END")
+        for k, (a, b) in cells.items()
+    }
+    mu = {k: f"({s[k]} / CAST({n[k]} AS DOUBLE))" for k in cells}
+    return f"""
+        WITH j AS (
+          SELECT p_type LIKE 'PROMO%' AS treated,
+                 l_shipdate >= TIMESTAMP '{DID_CUTOFF} 00:00:00' AS post,
+                 l_extendedprice * (1.0 - l_discount) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT {n['tp']} AS n_treated_pre,
+               {n['tq']} AS n_treated_post,
+               {n['cp']} AS n_control_pre,
+               {n['cq']} AS n_control_post,
+               {_q(mu['tp'], 4)} AS mu_treated_pre,
+               {_q(mu['tq'], 4)} AS mu_treated_post,
+               {_q(mu['cp'], 4)} AS mu_control_pre,
+               {_q(mu['cq'], 4)} AS mu_control_post,
+               {_q(f"({mu['tq']} - {mu['tp']}) - ({mu['cq']} - {mu['cp']})", 4)}
+                 AS did_estimate
+        FROM j"""
+
+
+register("did_promo_effect", _q_did_promo, _did_sql())
+
+
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — additive trend/seasonal/residual decomposition of
+    daily revenue (operators/relational.py:seasonal_decompose_daily):
+    calendar-correct centered MA trend + centered weekday profile."""
+    return relational.seasonal_decompose_daily(load(spark, sf_dir, "orders"))
+
+
+def _seasonal_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import STL_HALF_WINDOW
+
+    h = STL_HALF_WINDOW
+    full = 2 * h + 1
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS x
+          FROM orders GROUP BY 1),
+        win AS (
+          SELECT day, x,
+                 count(*) OVER w AS n_win,
+                 CAST(sum(CAST(x AS DECIMAL(24,8))) OVER w AS DOUBLE)
+                   / {full}.0 AS trend_raw
+          FROM (SELECT day, x,
+                       datediff('day', DATE '1995-01-01', day) AS day_idx
+                FROM daily)
+          WINDOW w AS (ORDER BY day_idx
+                       RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING)),
+        t AS (SELECT day, x, {_q('trend_raw', 6)} AS trend,
+                     x - {_q('trend_raw', 6)} AS detr
+              FROM win WHERE n_win = {full}),
+        raw AS (SELECT CAST(isodow(day) AS INT) AS weekday,
+                       CAST(count(*) AS BIGINT) AS n_days,
+                       {_d('detr')} / CAST(count(*) AS DOUBLE) AS s_raw
+                FROM t GROUP BY 1),
+        c AS (SELECT {_d('s_raw')} / CAST(count(*) AS DOUBLE) AS s_mean
+              FROM raw),
+        seasonal AS (SELECT weekday, n_days,
+                            {_q('s_raw - s_mean', 6)} AS seasonal
+                     FROM raw CROSS JOIN c),
+        resid AS (SELECT CAST(isodow(t.day) AS INT) AS weekday,
+                         {_d('abs(t.detr - s.seasonal)')}
+                           / CAST(count(*) AS DOUBLE) AS mar
+                  FROM t JOIN seasonal s
+                    ON CAST(isodow(t.day) AS INT) = s.weekday
+                  GROUP BY 1)
+        SELECT s.weekday, s.n_days,
+               {_q('s.seasonal', 4)} AS seasonal,
+               {_q('r.mar', 4)} AS mean_abs_residual
+        FROM seasonal s JOIN resid r ON s.weekday = r.weekday
+        ORDER BY 1"""
+
+
+register("seasonal_decompose_daily", _q_seasonal_decompose, _seasonal_sql())

@@ -1,0 +1,91 @@
+"""Recommender operators: item-item collaborative filtering over order
+baskets (Sarwar et al. 2001, "Item-based collaborative filtering
+recommendation algorithms" — public).
+
+The reference (build_database.py) has no recommender; this completes the
+analytics surface a retail-scale corpus needs. Binary basket model: an
+item "rating" is presence in an order, so similarity reduces to
+
+    cosine(a, b) = |baskets(a) ∩ baskets(b)| / sqrt(|baskets(a)|·|baskets(b)|)
+
+Scale shape (the part that matters at 100 TB): the co-occurrence
+self-join is blocked on l_orderkey — candidate pairs are O(Σ basket²)
+over per-order baskets, never quadratic in the item catalog; item
+frequencies are an item-sized broadcast; the final top-k is a window
+PARTITIONED BY item (no global sort). Same blocking as
+relational.association_rules; the two share the basket contract but not
+the scoring (confidence/lift vs cosine) or the output shape (global
+top-N rules vs per-item neighbor lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..numeric import qround
+
+II_MIN_SUPPORT = 3
+II_TOP_K = 3
+
+
+def item_item_recs(
+    lineitem: DataFrame,
+    min_support: int = II_MIN_SUPPORT,
+    k: int = II_TOP_K,
+) -> DataFrame:
+    """Top-k most-similar items per item by basket cosine.
+
+    Determinism: cosine is qround(…, 6) BEFORE ranking so the window
+    order is engine-stable; ties break on the neighbor key. Rows with
+    support < min_support never become candidates (Apriori prune — the
+    same cut keeps the candidate set sparse at scale).
+    """
+    b = lineitem.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("rec"), "support"
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("item"), F.col("part_a").alias("rec"), "support"
+        )
+    )
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    ni = item.select(F.col("l_partkey").alias("item"), F.col("n_item").alias("n_i"))
+    nr = item.select(F.col("l_partkey").alias("rec"), F.col("n_item").alias("n_r"))
+    scored = (
+        directed.join(F.broadcast(ni), "item")
+        .join(F.broadcast(nr), "rec")
+        .select(
+            "item",
+            "rec",
+            F.col("support").cast("long").alias("support"),
+            qround(
+                F.col("support").cast("double")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_r").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("rec"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "rec", "support", "cosine", F.col("rank").cast("int").alias("rank"))
+        .orderBy("item", "rank")
+    )

@@ -3192,3 +3192,54 @@ def _seasonal_sql() -> str:
 
 
 register("seasonal_decompose_daily", _q_seasonal_decompose, _seasonal_sql())
+
+
+# --- recommender -------------------------------------------------------------
+
+
+def _q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender — item-item collaborative filtering: top-k basket-cosine
+    neighbors per part (operators/recsys.py:item_item_recs); blocked
+    co-occurrence join + per-item window."""
+    from .operators import recsys
+
+    return recsys.item_item_recs(load(spark, sf_dir, "lineitem"))
+
+
+def _item_item_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.recsys import II_MIN_SUPPORT, II_TOP_K
+
+    return f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {II_MIN_SUPPORT}),
+        directed AS (
+          SELECT part_a AS item, part_b AS rec, support FROM pairs
+          UNION ALL
+          SELECT part_b AS item, part_a AS rec, support FROM pairs),
+        item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+                 FROM b GROUP BY 1),
+        scored AS (
+          SELECT d.item, d.rec, d.support,
+                 {_q(
+                     "CAST(d.support AS DOUBLE)"
+                     " / sqrt(CAST(i.n_item AS DOUBLE) * CAST(r.n_item AS DOUBLE))",
+                     6)} AS cosine
+          FROM directed d
+          JOIN item i ON i.l_partkey = d.item
+          JOIN item r ON r.l_partkey = d.rec),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, rec) AS INT) AS rank
+          FROM scored)
+        SELECT item, rec, support, cosine, rank
+        FROM ranked WHERE rank <= {II_TOP_K}
+        ORDER BY item, rank"""
+
+
+register("item_item_recs", _q_item_item_recs, _item_item_sql())

@@ -12,7 +12,7 @@ same shape as the near-dup family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..numeric import dsum, qround
@@ -1178,4 +1178,68 @@ def zipf_fit(docs: DataFrame, top_v: int = ZIPF_TOP_V) -> DataFrame:
         qround(slope, 6).alias("slope"),
         qround(intercept, 6).alias("intercept"),
         qround(r2, 6).alias("r2"),
+    )
+
+
+CM_D = 4  # sketch depth (hash rows)
+CM_W = 2048  # sketch width (buckets per row)
+CM_TOP_K = 20
+
+
+def _cm_cells(term: Column, d: int = CM_D, w: int = CM_W) -> Column:
+    """Array of (row, bucket) sketch cells for a term. Row r's hash is 8
+    hex chars of md5 at offset 8·r — four independent 32-bit lanes from
+    ONE md5 per term, mod the row width (the shared-hash convention of
+    dedup.simhash; md5 is the hash both engines agree on)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (md5_prefix_value(term, 8, offset=8 * r) % w).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+
+
+def count_min_heavy(docs: DataFrame, k: int = CM_TOP_K) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public) readout:
+    build a d×w sketch of corpus term frequencies, then report the exact
+    top-k terms with their sketch estimates and overestimation error.
+
+        est(t) = min_r sketch[r][hash_r(t)]   with   est(t) ≥ exact(t)
+
+    The sketch is the 100 TB story: its size is d·w counters regardless
+    of corpus size, it's a pure additive aggregate (map-side partial
+    combine does almost all the work; the shuffle carries ≤ d·w rows per
+    map partition), and sketches from disjoint corpus shards merge by
+    cell-wise +. The exact counts exist here only to pin the estimate's
+    one-sided error; integer math end-to-end, so the DuckDB twin is
+    bit-exact.
+    """
+    tc = (
+        spread(docs)
+        .select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    cells = tc.select(
+        "n", F.explode(_cm_cells(F.col("term"))).alias("cell")
+    ).select(F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"), "n")
+    sketch = cells.groupBy("r", "bucket").agg(F.sum("n").alias("bn"))
+    topk = tc.orderBy(F.desc("n"), F.asc("term")).limit(k)
+    probes = topk.select(
+        "term", "n", F.explode(_cm_cells(F.col("term"))).alias("cell")
+    ).select("term", "n", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("bn").alias("est"))
+        .select(
+            "term",
+            F.col("n").cast("long").alias("exact_count"),
+            F.col("est").cast("long").alias("cm_estimate"),
+            (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("term"))
     )

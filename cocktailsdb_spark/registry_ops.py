@@ -3879,3 +3879,44 @@ def _band_sql() -> str:
 
 
 register("band_join_acctbal", _q_band_join, _band_sql())
+
+
+def _q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch — Count-Min heavy-hitter readout: d×w additive sketch of
+    corpus term frequencies, exact top-k probed against it
+    (operators/corpus.py:count_min_heavy). Integer math end-to-end."""
+    return corpus.count_min_heavy(load(spark, sf_dir, "documents"))
+
+
+def _count_min_sql() -> str:
+    from .operators.corpus import CM_D, CM_TOP_K, CM_W
+
+    lanes = ", ".join(
+        f"({r}, {_sql_md5_prefix_value('term', 8, offset=8 * r)} % {CM_W})"
+        for r in range(CM_D)
+    )
+    return f"""
+        WITH tc AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY term),
+        cells AS (
+          SELECT c.r, c.bucket, tc.n
+          FROM tc, LATERAL (VALUES {lanes.replace('term', 'tc.term')}) AS c(r, bucket)),
+        sketch AS (
+          SELECT r, bucket, CAST(sum(n) AS BIGINT) AS bn
+          FROM cells GROUP BY 1, 2),
+        topk AS (
+          SELECT term, n FROM tc ORDER BY n DESC, term LIMIT {CM_TOP_K}),
+        probes AS (
+          SELECT t.term, t.n, c.r, c.bucket
+          FROM topk t, LATERAL (VALUES {lanes.replace('term', 't.term')}) AS c(r, bucket))
+        SELECT p.term, p.n AS exact_count,
+               CAST(min(s.bn) AS BIGINT) AS cm_estimate,
+               CAST(min(s.bn) - p.n AS BIGINT) AS overestimate
+        FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+        GROUP BY p.term, p.n
+        ORDER BY exact_count DESC, term"""
+
+
+register("count_min_heavy", _q_count_min, _count_min_sql())

@@ -2143,3 +2143,76 @@ def seasonal_decompose_daily(
         )
         .orderBy("weekday")
     )
+
+
+KM_CENSOR = "2001-01-01"  # last orders after this are "still active"
+KM_LN_SCALE = 1_000_000.0
+
+
+def kaplan_meier_retention(orders: DataFrame, censor: str = KM_CENSOR) -> DataFrame:
+    """Kaplan–Meier survival curve (Kaplan & Meier 1958, public) of
+    customer lifetime — days from a customer's first to last order, with
+    right censoring: a customer whose last order falls on/after the
+    ``censor`` date is still active, so their lifetime is a lower bound
+    and they leave the risk set without an event.
+
+        S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)
+
+    with d_j = churn events at lifetime t_j and n_j = customers whose
+    lifetime ≥ t_j (events + censored both hold risk until they exit).
+
+    Scale: the one full-data pass is the per-customer min/max groupBy;
+    everything after runs on the distinct-lifetime frame (≤ a few
+    thousand rows — the unpartitioned cumulative window is O(#distinct
+    lifetimes), same tiny-frame convention as the daily-revenue series).
+    The cumulative product is a BIGINT cumsum of per-step
+    floor(ln(1−d/n)·1e6 + 0.5) — quantize-then-sum, so float summation
+    order can't diverge between engines (corpus.tfidf convention).
+    """
+    cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"), F.max("o_orderdate").alias("last_o")
+    )
+    per = cust.select(
+        F.datediff(F.to_date("last_o"), F.to_date("first_o")).alias("t"),
+        (F.to_date("last_o") < F.lit(censor).cast("date"))
+        .cast("int")
+        .alias("event"),
+    )
+    by_t = per.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.count("*").cast("long").alias("n_exit"),
+    )
+    total = by_t.agg(F.sum("n_exit").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("n_exit").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("d_events") > 0)
+    )
+    frac = F.lit(1.0) - F.col("d_events").cast("double") / F.col("n_risk").cast(
+        "double"
+    )
+    q = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.floor(F.log(frac) * F.lit(KM_LN_SCALE) + F.lit(0.5)).cast("long"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    steps = at_risk.withColumn("q", q)
+    return (
+        steps.withColumn("all_dead", F.max(F.col("q").isNull().cast("int")).over(w_cum))
+        .withColumn("lnsum", F.sum("q").over(w_cum))
+        .select(
+            F.col("t").cast("int").alias("t_days"),
+            "n_risk",
+            "d_events",
+            F.when(F.col("all_dead") == 1, F.lit(0.0))
+            .otherwise(
+                qround(F.exp(F.col("lnsum").cast("double") / F.lit(KM_LN_SCALE)), 6)
+            )
+            .alias("survival"),
+        )
+        .orderBy("t_days")
+    )

@@ -3243,3 +3243,59 @@ def _item_item_sql() -> str:
 
 
 register("item_item_recs", _q_item_item_recs, _item_item_sql())
+
+
+def _q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival — Kaplan–Meier customer-lifetime curve with right
+    censoring (operators/relational.py:kaplan_meier_retention): one
+    per-customer pass, then windows on the distinct-lifetime frame."""
+    return relational.kaplan_meier_retention(load(spark, sf_dir, "orders"))
+
+
+def _km_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import KM_CENSOR, KM_LN_SCALE
+
+    s = f"{KM_LN_SCALE:.1f}"
+    return f"""
+        WITH cust AS (
+          SELECT o_custkey, min(o_orderdate) AS first_o,
+                 max(o_orderdate) AS last_o
+          FROM orders GROUP BY 1),
+        per AS (
+          SELECT datediff('day', CAST(first_o AS DATE), CAST(last_o AS DATE)) AS t,
+                 CASE WHEN CAST(last_o AS DATE) < DATE '{KM_CENSOR}'
+                      THEN 1 ELSE 0 END AS event
+          FROM cust),
+        by_t AS (
+          SELECT t, CAST(sum(event) AS BIGINT) AS d_events,
+                 CAST(count(*) AS BIGINT) AS n_exit
+          FROM per GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_total FROM by_t),
+        risk AS (
+          SELECT t, d_events,
+                 n_total - COALESCE(sum(n_exit) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+          FROM by_t CROSS JOIN tot),
+        steps AS (
+          SELECT t, d_events, n_risk,
+                 CASE WHEN d_events < n_risk THEN CAST(floor(
+                     ln(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                     * {s} + 0.5) AS BIGINT) END AS q
+          FROM risk WHERE d_events > 0),
+        cum AS (
+          SELECT t, d_events, n_risk,
+                 max(CASE WHEN q IS NULL THEN 1 ELSE 0 END) OVER w AS all_dead,
+                 sum(q) OVER w AS lnsum
+          FROM steps
+          WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+        SELECT CAST(t AS INT) AS t_days, n_risk, d_events,
+               CASE WHEN all_dead = 1 THEN 0.0
+                    ELSE {_q(f'exp(CAST(lnsum AS DOUBLE) / {s})', 6)} END
+                 AS survival
+        FROM cum ORDER BY 1"""
+
+
+register("kaplan_meier_retention", _q_kaplan_meier, _km_sql())

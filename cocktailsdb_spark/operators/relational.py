@@ -2216,3 +2216,86 @@ def kaplan_meier_retention(orders: DataFrame, censor: str = KM_CENSOR) -> DataFr
         )
         .orderBy("t_days")
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing — exact binary fraction
+HOLT_BETA = 0.25  # trend smoothing — exact binary fraction
+HOLT_Q = 1_000_000.0  # per-step state quantum (6 dp)
+HOLT_HORIZONS = (7, 28)
+
+
+def _holt_q(x: float) -> float:
+    import math
+
+    return math.floor(x * HOLT_Q + 0.5) / HOLT_Q
+
+
+def holt_linear_forecast(
+    orders: DataFrame,
+    customer: DataFrame,
+    alpha: float = HOLT_ALPHA,
+    beta: float = HOLT_BETA,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957, public) of
+    daily revenue per market segment, with h-step-ahead forecasts:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        ŷ_{T+h} = l_T + h·b_T   (h in weeks)
+
+    Init: l_1 = x_1, b_1 = x_2 − x_1 (textbook). The recursion is
+    inherently sequential per series, so this is the ``applyInPandas``
+    pattern: the weekly aggregate (the only full-data pass) happens in
+    the JVM with exact decimal sums, then one Arrow batch per segment
+    runs the scan in pandas. Scale: parallelism = #series — five
+    segments here, but the shape is the production one (thousands of
+    store/SKU series ⇒ thousands of independent tasks; state never
+    leaves the executor).
+
+    Determinism: level and trend are quantized to 1e-6 after every step
+    (floor(x·1e6+0.5)/1e6) in BOTH engines, and α, β are exact binary
+    fractions — per-step IEEE ops on identical inputs give identical
+    doubles, so the DuckDB recursive-CTE twin reproduces the state
+    trajectory bit-for-bit.
+    """
+    weekly = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("x"))
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("week").reset_index(drop=True)
+        seg = pdf["segment"].iloc[0]
+        xs = pdf["x"].tolist()
+        if len(xs) < 2:
+            return pd.DataFrame(
+                columns=["segment", "n_weeks", "level", "trend"]
+                + [f"forecast_{h}" for h in HOLT_HORIZONS]
+            )
+        lvl = _holt_q(xs[0])
+        trd = _holt_q(xs[1] - xs[0])
+        for x in xs[1:]:
+            prev = lvl
+            lvl = _holt_q(alpha * x + (1.0 - alpha) * (lvl + trd))
+            trd = _holt_q(beta * (lvl - prev) + (1.0 - beta) * trd)
+        row = {
+            "segment": seg,
+            "n_weeks": len(xs),
+            "level": _holt_q(lvl),
+            "trend": _holt_q(trd),
+        }
+        for h in HOLT_HORIZONS:
+            row[f"forecast_{h}"] = _holt_q(lvl + h * trd)
+        return pd.DataFrame([row])
+
+    schema = (
+        "segment string, n_weeks long, level double, trend double, "
+        + ", ".join(f"forecast_{h} double" for h in HOLT_HORIZONS)
+    )
+    return weekly.groupBy("segment").applyInPandas(fit, schema=schema).orderBy("segment")

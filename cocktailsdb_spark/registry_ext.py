@@ -3299,3 +3299,59 @@ def _km_sql() -> str:
 
 
 register("kaplan_meier_retention", _q_kaplan_meier, _km_sql())
+
+
+def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast — Holt linear-trend smoothing of per-segment weekly
+    revenue with 7/28-week-ahead projections
+    (operators/relational.py:holt_linear_forecast): JVM weekly aggregate,
+    then one Arrow batch per segment for the sequential recursion."""
+    return relational.holt_linear_forecast(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+def _holt_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import HOLT_ALPHA, HOLT_BETA, HOLT_HORIZONS
+
+    a, b = repr(HOLT_ALPHA), repr(HOLT_BETA)
+    ca, cb = repr(1.0 - HOLT_ALPHA), repr(1.0 - HOLT_BETA)
+    l_new = _q(f"{a} * x.x + {ca} * (r.l + r.b)", 6)
+    b_new = _q(f"{b} * (({l_new}) - r.l) + {cb} * r.b", 6)
+    fcasts = ",\n               ".join(
+        f"{_q(f'rec.l + {h}.0 * rec.b', 6)} AS forecast_{h}" for h in HOLT_HORIZONS
+    )
+    return f"""
+        WITH RECURSIVE
+        weekly AS (
+          SELECT c_mktsegment AS segment,
+                 CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+                 {_d('o_totalprice')} AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        idx AS (
+          SELECT segment, x,
+                 row_number() OVER (PARTITION BY segment ORDER BY week) AS i
+          FROM weekly),
+        nn AS (SELECT segment, CAST(max(i) AS BIGINT) AS n_weeks
+               FROM idx GROUP BY 1),
+        rec AS (
+          SELECT f.segment, CAST(1 AS BIGINT) AS i,
+                 {_q('f.x', 6)} AS l,
+                 {_q('s.x - f.x', 6)} AS b
+          FROM idx f JOIN idx s ON f.segment = s.segment
+          WHERE f.i = 1 AND s.i = 2
+          UNION ALL
+          SELECT r.segment, r.i + 1,
+                 {l_new} AS l,
+                 {b_new} AS b
+          FROM rec r JOIN idx x ON x.segment = r.segment AND x.i = r.i + 1)
+        SELECT rec.segment, nn.n_weeks,
+               rec.l AS level, rec.b AS trend,
+               {fcasts}
+        FROM rec JOIN nn ON rec.segment = nn.segment AND rec.i = nn.n_weeks
+        ORDER BY rec.segment"""
+
+
+register("holt_linear_forecast", _q_holt_forecast, _holt_sql())

@@ -197,6 +197,14 @@ BENCH_QUERIES = [
     "segment_percentiles",
     "weekday_adjusted_anomalies",
     "decayed_engagement",
+    # round-8 session 5: causal / survival / forecasting / recommender /
+    # sketch families
+    "did_promo_effect",
+    "seasonal_decompose_daily",
+    "item_item_recs",
+    "count_min_heavy",
+    "kaplan_meier_retention",
+    "holt_linear_forecast",
 ]
 
 

@@ -2299,3 +2299,95 @@ def holt_linear_forecast(
         + ", ".join(f"forecast_{h} double" for h in HOLT_HORIZONS)
     )
     return weekly.groupBy("segment").applyInPandas(fit, schema=schema).orderBy("segment")
+
+
+BOOT_B = 100  # bootstrap replicates
+BOOT_Q = 0.025  # two-sided CI tail mass
+
+# Poisson(1) inverse-CDF cut points: cum_k = e^-1 · Σ_{i≤k} 1/i!.
+# Computed once here and embedded as the SAME repr() literals in the Spark
+# plan and the DuckDB twin — shortest-roundtrip reprs parse to identical
+# doubles on both engines, so the draw w(u) is bit-deterministic.
+def _poisson1_cum(kmax: int = 8) -> tuple[float, ...]:
+    import math
+
+    e = math.exp(-1.0)
+    cum, fact, out = 0.0, 1.0, []
+    for k in range(kmax):
+        if k > 0:
+            fact *= k
+        cum += e / fact
+        out.append(cum)
+    return tuple(out)
+
+
+POISSON1_CUM = _poisson1_cum()
+
+
+def bootstrap_ci_revenue(orders: DataFrame, b_reps: int = BOOT_B) -> DataFrame:
+    """Poisson bootstrap (Hanley & MacGibbon 2006 / Chamandy et al. 2012,
+    public) confidence interval for mean order revenue: each replicate b
+    reweights every order by w ~ Poisson(1) drawn from a hash of
+    (orderkey, b), so the whole bootstrap is ONE deterministic pass —
+    no resampling shuffle, no RNG state. This is *the* way to bootstrap
+    at 100 TB: explode ×B is map-local, the replicate sums are a single
+    map-side-combined aggregate whose shuffle carries B rows per map
+    partition, and the CI order statistics run on a B-row frame.
+
+        u(o,b)  = md5-lane(o_orderkey ‖ ':' ‖ b) / 2³²    ∈ [0,1)
+        w(o,b)  = Poisson(1) inverse CDF at u  (cut points above)
+        m_b     = Σ w·x / Σ w
+        CI      = nearest-rank 2.5 % / 97.5 % order statistics of {m_b}
+
+    Exact decimal sums per replicate; the md5 lane is the engine-shared
+    hash (operators/text.py:md5_prefix_value convention).
+    """
+    from .text import md5_prefix_value
+
+    x = orders.select(F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("x"))
+    rep = x.select(
+        "okey", "x", F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b")
+    )
+    u = md5_prefix_value(
+        F.concat_ws(":", F.col("okey").cast("string"), F.col("b").cast("string")), 8
+    ).cast("double") / F.lit(4294967296.0)
+    w: Column = F.lit(len(POISSON1_CUM))
+    for k in reversed(range(len(POISSON1_CUM))):
+        w = F.when(u < F.lit(POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("w", w.cast("long"))
+        .groupBy("b")
+        .agg(
+            (dsum(F.col("w").cast("double") * F.col("x")) / F.sum("w").cast("double")).alias("m")
+        )
+    )
+    import math as _m
+
+    wm = Window.orderBy("m")
+    ranked = means.withColumn("rk", F.row_number().over(wm))
+    lo_rk = max(1, _m.ceil(BOOT_Q * b_reps))
+    hi_rk = _m.ceil((1.0 - BOOT_Q) * b_reps)
+    stats = ranked.agg(
+        F.count("*").cast("long").alias("b_reps"),
+        (dsum(F.col("m")) / F.count("*").cast("double")).alias("boot_mean"),
+        dsum(F.col("m") * F.col("m")).alias("smm"),
+        F.max(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("ci_lo_raw"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("ci_hi_raw"),
+    )
+    point = orders.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (dsum(F.col("o_totalprice")) / F.count("*").cast("double")).alias("pm"),
+    )
+    nb = F.col("b_reps").cast("double")
+    se = F.sqrt(
+        (F.col("smm") - nb * F.col("boot_mean") * F.col("boot_mean")) / (nb - 1)
+    )
+    return stats.crossJoin(F.broadcast(point)).select(
+        "n_orders",
+        "b_reps",
+        qround(F.col("pm"), 4).alias("point_mean"),
+        qround(F.col("boot_mean"), 4).alias("boot_mean"),
+        qround(se, 6).alias("se"),
+        qround(F.col("ci_lo_raw"), 4).alias("ci_lo"),
+        qround(F.col("ci_hi_raw"), 4).alias("ci_hi"),
+    )

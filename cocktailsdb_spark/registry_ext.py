@@ -3355,3 +3355,62 @@ def _holt_sql() -> str:
 
 
 register("holt_linear_forecast", _q_holt_forecast, _holt_sql())
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — deterministic Poisson-bootstrap CI for mean order
+    revenue (operators/relational.py:bootstrap_ci_revenue): hash-drawn
+    Poisson(1) weights, one weighted-aggregate pass, order-statistic CI."""
+    return relational.bootstrap_ci_revenue(load(spark, sf_dir, "orders"))
+
+
+def _bootstrap_sql() -> str:
+    import math
+
+    from .numeric import sql_qround as _q
+    from .operators.relational import BOOT_B, BOOT_Q, POISSON1_CUM
+    from .registry_ops import _sql_md5_prefix_value
+
+    lo_rk = max(1, math.ceil(BOOT_Q * BOOT_B))
+    hi_rk = math.ceil((1.0 - BOOT_Q) * BOOT_B)
+    key = "CAST(okey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+    u = f"(CAST({_sql_md5_prefix_value(key, 8)} AS DOUBLE) / 4294967296.0)"
+    w = str(len(POISSON1_CUM))
+    for k in reversed(range(len(POISSON1_CUM))):
+        w = f"CASE WHEN u < {POISSON1_CUM[k]!r} THEN {k} ELSE {w} END"
+    return f"""
+        WITH rep AS (
+          SELECT o_orderkey AS okey, o_totalprice AS x, r.b
+          FROM orders CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) r),
+        drawn AS (
+          SELECT x, b, {u} AS u FROM rep),
+        weighted AS (
+          SELECT x, b, CAST({w} AS BIGINT) AS w FROM drawn),
+        means AS (
+          SELECT b, {_d('CAST(w AS DOUBLE) * x')}
+                      / CAST(sum(w) AS DOUBLE) AS m
+          FROM weighted GROUP BY b),
+        ranked AS (
+          SELECT m, row_number() OVER (ORDER BY m) AS rk FROM means),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS b_reps,
+                 {_d('m')} / CAST(count(*) AS DOUBLE) AS boot_mean,
+                 {_d('m * m')} AS smm,
+                 max(CASE WHEN rk = {lo_rk} THEN m END) AS ci_lo_raw,
+                 max(CASE WHEN rk = {hi_rk} THEN m END) AS ci_hi_raw
+          FROM ranked),
+        point AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                 {_d('o_totalprice')} / CAST(count(*) AS DOUBLE) AS pm
+          FROM orders)
+        SELECT n_orders, b_reps,
+               {_q('pm', 4)} AS point_mean,
+               {_q('boot_mean', 4)} AS boot_mean,
+               {_q('sqrt((smm - CAST(b_reps AS DOUBLE) * boot_mean * boot_mean)'
+                   ' / (CAST(b_reps AS DOUBLE) - 1))', 6)} AS se,
+               {_q('ci_lo_raw', 4)} AS ci_lo,
+               {_q('ci_hi_raw', 4)} AS ci_hi
+        FROM stats CROSS JOIN point"""
+
+
+register("bootstrap_ci_revenue", _q_bootstrap_ci, _bootstrap_sql())

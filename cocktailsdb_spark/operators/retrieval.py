@@ -648,3 +648,52 @@ def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> D
         F.col("n_postings").cast("int").alias("n_postings"),
         "postings",
     )
+
+
+PFX_MAX_LEN = 8
+PFX_MIN_COUNT = 2
+PFX_TOP_K = 3
+
+
+def prefix_completions(
+    docs: DataFrame,
+    max_len: int = PFX_MAX_LEN,
+    min_count: int = PFX_MIN_COUNT,
+    k: int = PFX_TOP_K,
+) -> DataFrame:
+    """Query-autocomplete index: for every term prefix, the top-k
+    completions by corpus frequency (the completion-suggester component
+    of every search stack — e.g. Lucene's AnalyzingSuggester, public).
+
+    Built from the vocabulary, not the token stream: the explode factor
+    is ≤ max_len per DISTINCT term, so index size is O(vocab · max_len)
+    regardless of corpus size — the corpus-sized work is the one term
+    count aggregate. Ranking is a window PARTITIONED BY prefix; ties
+    break lexically. A term is its own completion (exact-match row).
+    """
+    tc = (
+        spread(docs)
+        .select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= min_count) & (F.length("term") > 0))
+    )
+    pfx = tc.select(
+        "term",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.length("term"), F.lit(max_len)))
+        ).alias("g"),
+    ).select(F.expr("substring(term, 1, g)").alias("prefix"), "term", "n")
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        pfx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "prefix",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("prefix", "rank")
+    )

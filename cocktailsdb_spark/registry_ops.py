@@ -3920,3 +3920,36 @@ def _count_min_sql() -> str:
 
 
 register("count_min_heavy", _q_count_min, _count_min_sql())
+
+
+def _q_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — query-autocomplete index: top-k completions per term
+    prefix (operators/retrieval.py:prefix_completions); vocab-sized
+    explode, prefix-partitioned ranking window."""
+    return retrieval.prefix_completions(load(spark, sf_dir, "documents"))
+
+
+def _prefix_completions_sql() -> str:
+    from .operators.retrieval import PFX_MAX_LEN, PFX_MIN_COUNT, PFX_TOP_K
+
+    return f"""
+        WITH tc AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY term
+          HAVING count(*) >= {PFX_MIN_COUNT} AND len(term) > 0),
+        pfx AS (
+          SELECT substring(term, 1, g.g) AS prefix, term, n
+          FROM tc, LATERAL (
+            SELECT unnest(range(1, least(len(term), {PFX_MAX_LEN}) + 1)) AS g) g),
+        ranked AS (
+          SELECT prefix, term, n,
+                 CAST(row_number() OVER (
+                   PARTITION BY prefix ORDER BY n DESC, term) AS INT) AS rank
+          FROM pfx)
+        SELECT prefix, rank, term, n
+        FROM ranked WHERE rank <= {PFX_TOP_K}
+        ORDER BY prefix, rank"""
+
+
+register("prefix_completions", _q_prefix_completions, _prefix_completions_sql())

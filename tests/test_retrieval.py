@@ -356,3 +356,38 @@ def test_bool_search_score_is_bm25_over_scoring_terms(spark):
     exp = _bm25_score([(1, 2), (1, 2), (1, 2)], dl=4, avgdl=4.0, n_docs=3)
     assert r.score == exp
     assert (r.n_must, r.n_should, r.rank) == (1, 2, 1)
+
+
+# --- prefix_completions ------------------------------------------------------
+
+
+def _ac_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_prefix_completions_ranking_and_self_match(spark):
+    from cocktailsdb_spark.operators.retrieval import prefix_completions
+
+    texts = ["scan scan scan scale", "scale score", "scan score score"]
+    out = prefix_completions(_ac_docs(spark, texts), min_count=2, k=2).collect()
+    by_pfx = {}
+    for r in out:
+        by_pfx.setdefault(r.prefix, []).append((r.rank, r.term, r.n))
+    # 'sc' -> scan(4) then score(3); k=2 drops scale(2)
+    assert by_pfx["sc"] == [(1, "scan", 4), (2, "score", 3)]
+    # full term is its own completion
+    assert by_pfx["scan"] == [(1, "scan", 4)]
+    # 'sca' -> scan then scale
+    assert by_pfx["sca"] == [(1, "scan", 4), (2, "scale", 2)]
+
+
+def test_prefix_completions_min_count_and_maxlen(spark):
+    from cocktailsdb_spark.operators.retrieval import prefix_completions
+
+    texts = ["rare supercalifragilistic supercalifragilistic"]
+    out = prefix_completions(_ac_docs(spark, texts), max_len=4, min_count=2, k=3).collect()
+    # 'rare' occurs once -> excluded entirely; long term truncates at 4
+    prefixes = {r.prefix for r in out}
+    assert prefixes == {"s", "su", "sup", "supe"}

@@ -125,3 +125,95 @@ def md5_prefix_value(tok: Column, n_hex: int = 4, offset: int = 0) -> Column:
     for md5's lowercase hex, only the Spark-side expression count shrinks
     from 2n chained ops to 2)."""
     return F.conv(F.substring(F.md5(tok), offset + 1, n_hex), 16, 10).cast("long")
+
+
+NB_LN_SCALE = 1_000_000.0
+
+
+def naive_bayes_langid(docs: DataFrame) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (McCallum & Nigam
+    1998, public) trained on the corpus's own labels, evaluated in-corpus
+    as a confusion matrix — the generative counterpart to the stopword
+    heuristic (:func:`lang_id`), kNN (`knn_classify_labels`) and logistic
+    regression (`logreg_quality_train`) classifier family.
+
+        score(d, l) = ln P(l) + Σ_{t ∈ d} ln P(t | l)
+        P(t | l)    = (c(t,l) + 1) / (T_l + V)      (Laplace smoothing)
+
+    Determinism: every ln is quantized to a BIGINT in 1e-6 units at the
+    (term, lang) / prior level, so per-doc scores are integer sums —
+    summation order cannot matter (corpus.tfidf convention). Argmax ties
+    break on lang ascending.
+
+    Scale: the model is V·L quantized log-probs (V = vocab, L = #labels)
+    — a broadcast table; the corpus-sized passes are the count aggregate
+    and the scoring join, both map-side-combinable. No per-row Python.
+    """
+    toks = spread(docs).select("doc_id", "lang", F.explode(tokens()).alias("term"))
+    vocab = toks.select("term").distinct()
+    langs = docs.select("lang").distinct()
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    totals = toks.groupBy("lang").agg(F.count("*").alias("t_l"))
+    vsize = vocab.agg(F.count("*").alias("v"))
+    # dense smoothed model: every (lang, term) cell, c=0 where unseen
+    model = (
+        langs.crossJoin(vocab)
+        .join(counts, ["lang", "term"], "left")
+        .join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            F.col("lang").alias("model_lang"),
+            "term",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("t_l") + F.col("v")).cast("double")
+                )
+                * F.lit(NB_LN_SCALE)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    n_docs = docs.agg(F.count("*").alias("nd"))
+    priors = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("dl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("lang").alias("model_lang"),
+            F.floor(
+                F.log(F.col("dl").cast("double") / F.col("nd").cast("double"))
+                * F.lit(NB_LN_SCALE)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q_prior"),
+        )
+    )
+    doc_scores = (
+        toks.join(F.broadcast(model), "term")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(F.sum("q").alias("q_tok"))
+        .join(F.broadcast(priors), "model_lang")
+        .select(
+            "doc_id",
+            "lang",
+            "model_lang",
+            (F.col("q_tok") + F.col("q_prior")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("model_lang"))
+    pred = (
+        doc_scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("model_lang").alias("predicted"))
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )

@@ -3953,3 +3953,62 @@ def _prefix_completions_sql() -> str:
 
 
 register("prefix_completions", _q_prefix_completions, _prefix_completions_sql())
+
+
+def _q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text — multinomial Naive Bayes language ID, in-corpus confusion
+    matrix (operators/text.py:naive_bayes_langid); broadcast V×L model,
+    integer-quantized log-probs."""
+    return text.naive_bayes_langid(load(spark, sf_dir, "documents"))
+
+
+def _naive_bayes_sql() -> str:
+    from .operators.text import NB_LN_SCALE
+
+    s = f"{NB_LN_SCALE:.1f}"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        vocab AS (SELECT DISTINCT term FROM toks),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        counts AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+                   FROM toks GROUP BY 1, 2),
+        totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS t_l
+                   FROM toks GROUP BY 1),
+        vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        model AS (
+          SELECT l.lang AS model_lang, vo.term,
+                 CAST(floor(ln(
+                     CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                     / CAST(t.t_l + s.v AS DOUBLE)) * {s} + 0.5) AS BIGINT) AS q
+          FROM langs l CROSS JOIN vocab vo
+          LEFT JOIN counts c ON c.lang = l.lang AND c.term = vo.term
+          JOIN totals t ON t.lang = l.lang
+          CROSS JOIN vsize s),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        priors AS (
+          SELECT lang AS model_lang,
+                 CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                     / CAST(any_value(nd.nd) AS DOUBLE)) * {s} + 0.5)
+                   AS BIGINT) AS q_prior
+          FROM documents CROSS JOIN nd GROUP BY lang),
+        ds AS (
+          SELECT tk.doc_id, tk.lang, m.model_lang,
+                 CAST(sum(m.q) AS BIGINT) AS q_tok
+          FROM toks tk JOIN model m ON m.term = tk.term
+          GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT d.doc_id, d.lang, d.model_lang, d.q_tok + p.q_prior AS score
+          FROM ds d JOIN priors p USING (model_lang)),
+        pred AS (
+          SELECT doc_id, lang, model_lang AS predicted,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, model_lang) AS rk
+          FROM sc)
+        SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+register("naive_bayes_langid", _q_naive_bayes, _naive_bayes_sql())

@@ -791,3 +791,68 @@ def decayed_engagement(events: DataFrame, top_k: int = DECAY_TOP_K) -> DataFrame
         .orderBy(F.desc("decay_score"), F.asc("user_id"))
         .limit(top_k)
     )
+
+
+LAG_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+def conversion_lag_profile(events: DataFrame, pcts: tuple[float, ...] = LAG_PCTS) -> DataFrame:
+    """Signup→first-purchase latency profile: exact PERCENTILE_DISC
+    lags plus the conversion rate — the time-to-convert companion of
+    funnel_conversion (which counts stage reach but not dwell).
+
+    Lag = first purchase AT/after the user's first signup, in exact
+    integer microseconds (unix_micros both engines) converted to seconds
+    at the output edge. Percentiles use the ⌈q·n⌉ nearest-rank pick over
+    the converted-user frame — O(converting users), one window; at
+    100 TB the histogram route (relational.quantile_two_pass) replaces
+    the exact rank, same as the winsorized/spearman exact↔scaled twins.
+    """
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("s_ts").alias("s_ts"))
+        .select(
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us"),
+        )
+    )
+    w = Window.orderBy("lag_us", "user_id")
+    n_conv = pu.agg(F.count("*").alias("n"))
+    ranked = pu.crossJoin(F.broadcast(n_conv)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n").cast("double")),
+                F.col("lag_us"),
+            )
+        ).alias(f"p{int(q * 100)}_us")
+        for q in pcts
+    ]
+    agg = ranked.agg(F.max("n").alias("n_converted"), *picks)
+    n_signup = su.agg(F.count("*").alias("n_signup_users"))
+    out_cols = [
+        qround(F.col(f"p{int(q * 100)}_us").cast("double") / F.lit(1e6), 3).alias(
+            f"p{int(q * 100)}_sec"
+        )
+        for q in pcts
+    ]
+    return agg.crossJoin(F.broadcast(n_signup)).select(
+        F.col("n_signup_users").cast("long").alias("n_signup_users"),
+        F.col("n_converted").cast("long").alias("n_converted"),
+        qround(
+            F.col("n_converted").cast("double") / F.col("n_signup_users").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+        *out_cols,
+    )

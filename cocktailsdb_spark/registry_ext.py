@@ -3414,3 +3414,54 @@ def _bootstrap_sql() -> str:
 
 
 register("bootstrap_ci_revenue", _q_bootstrap_ci, _bootstrap_sql())
+
+
+def _q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel — signup→first-purchase latency percentiles + conversion
+    rate (operators/events.py:conversion_lag_profile)."""
+    return events.conversion_lag_profile(load(spark, sf_dir, "events"))
+
+
+def _conversion_lag_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.events import LAG_PCTS
+
+    picks = ",\n                 ".join(
+        f"max(CASE WHEN rn = CAST(ceil({q!r} * CAST(n AS DOUBLE)) AS BIGINT)"
+        f" THEN lag_us END) AS p{int(q * 100)}_us"
+        for q in LAG_PCTS
+    )
+    outs = ",\n               ".join(
+        _q(f"CAST(p{int(q * 100)}_us AS DOUBLE) / 1000000.0", 3)
+        + f" AS p{int(q * 100)}_sec"
+        for q in LAG_PCTS
+    )
+    return f"""
+        WITH su AS (
+          SELECT user_id, min(ts) AS s_ts
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT e.user_id,
+                 epoch_us(min(e.ts)) - epoch_us(min(su.s_ts)) AS lag_us
+          FROM events e JOIN su USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+          GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+        ranked AS (
+          SELECT lag_us, n,
+                 row_number() OVER (ORDER BY lag_us, user_id) AS rn
+          FROM pu CROSS JOIN nn),
+        agg AS (
+          SELECT max(n) AS n_converted,
+                 {picks}
+          FROM ranked),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS n_signup_users FROM su)
+        SELECT n_signup_users,
+               CAST(n_converted AS BIGINT) AS n_converted,
+               {_q('CAST(n_converted AS DOUBLE) / CAST(n_signup_users AS DOUBLE)', 6)}
+                 AS conversion_rate,
+               {outs}
+        FROM agg CROSS JOIN ns"""
+
+
+register("conversion_lag_profile", _q_conversion_lag, _conversion_lag_sql())

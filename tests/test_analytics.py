@@ -294,3 +294,42 @@ def test_concurrent_sessions_sweep_line(spark):
     assert out["2024-01-01"].open_at_start == 0
     assert out["2024-01-02"].open_at_start == 1   # u3 still open at midnight
     assert out["2024-01-02"].day_peak == 1
+
+
+# --- conversion_lag_profile --------------------------------------------------
+
+
+def test_conversion_lag_profile_exact_ranks(spark):
+    from datetime import datetime
+
+    from cocktailsdb_spark.operators.events import conversion_lag_profile
+
+    def ev(eid, ts, uid, typ):
+        return (eid, ts, uid, typ)
+
+    rows = [
+        # user 1: signup at t0, purchase 10s later
+        ev(1, datetime(2024, 1, 1, 0, 0, 0), 1, "signup"),
+        ev(2, datetime(2024, 1, 1, 0, 0, 10), 1, "purchase"),
+        # user 2: signup, purchase 20s later (an earlier purchase BEFORE
+        # signup must be ignored)
+        ev(3, datetime(2024, 1, 1, 0, 0, 5), 2, "purchase"),
+        ev(4, datetime(2024, 1, 1, 0, 1, 0), 2, "signup"),
+        ev(5, datetime(2024, 1, 1, 0, 1, 20), 2, "purchase"),
+        # user 3: signup, purchase 40s later
+        ev(6, datetime(2024, 1, 1, 0, 2, 0), 3, "signup"),
+        ev(7, datetime(2024, 1, 1, 0, 2, 40), 3, "purchase"),
+        # user 4: signup, never purchases
+        ev(8, datetime(2024, 1, 1, 0, 3, 0), 4, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = conversion_lag_profile(df).collect()[0]
+    assert out.n_signup_users == 4 and out.n_converted == 3
+    assert abs(out.conversion_rate - 0.75) <= 1e-6
+    # lags sorted: [10, 20, 40]; nearest-rank picks: p25->rk1, p50->rk2,
+    # p75->rk3, p90->rk3
+    assert out.p25_sec == 10.0
+    assert out.p50_sec == 20.0
+    assert out.p75_sec == 40.0 and out.p90_sec == 40.0

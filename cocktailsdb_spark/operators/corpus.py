@@ -1243,3 +1243,93 @@ def count_min_heavy(docs: DataFrame, k: int = CM_TOP_K) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), F.asc("term"))
     )
+
+
+STUMP_LABEL_LANG = "en"
+STUMP_GRID = 2  # threshold grid: qround(feature, 2)
+
+
+def decision_stump_train(docs: DataFrame, label_lang: str = STUMP_LABEL_LANG) -> DataFrame:
+    """Decision-stump training by histogram split finding — the
+    one-level form of distributed tree learning (PLANET, Panda et al.
+    2009; XGBoost's hist method — both public). Same task and features
+    as :func:`logreg_quality_train` (predict ``lang == label_lang`` from
+    tokens/100, chars/1000, type-token ratio), different model family.
+
+    Candidate thresholds are the 1e-2-quantized feature values
+    (histogram bins — the trick that makes tree training scale: split
+    stats per (feature, bin), never per row). For every candidate
+    "f ≤ t": weighted Gini impurity of the two sides from CUMULATIVE
+    (n, n_pos) along the bin axis — one window PARTITIONED BY feature
+    over the bin histogram, then a global argmin on the candidate frame
+    (features × bins — tiny). Ties break (feature, threshold) ascending.
+
+    Output: the chosen split with side stats and the stump's training
+    accuracy (majority class per side). Exact: counts are integers,
+    every ratio is qround'ed on both engines.
+    """
+    base = docs.select(
+        (F.col("lang") == label_lang).cast("int").alias("y"),
+        qround(F.size(tokens()) / F.lit(100.0), STUMP_GRID).alias("f1"),
+        qround(F.col("n_chars") / F.lit(1000.0), STUMP_GRID).alias("f2"),
+        qround(
+            F.size(F.array_distinct(tokens())).cast("double")
+            / F.size(tokens()).cast("double"),
+            STUMP_GRID,
+        ).alias("f3"),
+    )
+    long = base.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f).alias("feature"), F.col(f).alias("bin"))
+                    for f in ("f1", "f2", "f3")
+                ]
+            )
+        ).alias("fb"),
+    ).select(F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"), "y")
+    hist = long.groupBy("feature", "bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("feature")
+    cand = (
+        hist.withColumn("nl", F.sum("n").over(wcum))
+        .withColumn("pl", F.sum("pos").over(wcum))
+        .withColumn("nt", F.sum("n").over(wtot))
+        .withColumn("pt", F.sum("pos").over(wtot))
+        .filter(F.col("nl") < F.col("nt"))  # right side must be non-empty
+    )
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nt, pt = F.col("nt").cast("double"), F.col("pt").cast("double")
+    nr, pr = nt - nl, pt - pl
+
+    def gini(p: Column, n: Column) -> Column:
+        a = p / n
+        b = (n - p) / n
+        return F.lit(1.0) - a * a - b * b
+
+    weighted = (nl / nt) * gini(pl, nl) + (nr / nt) * gini(pr, nr)
+    scored = cand.withColumn("g", qround(weighted, 6))
+    w_pick = Window.orderBy(F.asc("g"), F.asc("feature"), F.asc("bin"))
+    maj_l = F.greatest(pl, nl - pl)
+    maj_r = F.greatest(pr, nr - pr)
+    return (
+        scored.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.col("bin").alias("threshold"),
+            F.col("g").alias("gini_weighted"),
+            F.col("nl").cast("long").alias("n_left"),
+            (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+            F.col("pl").cast("long").alias("pos_left"),
+            (F.col("pt") - F.col("pl")).cast("long").alias("pos_right"),
+            qround((maj_l + maj_r) / nt, 6).alias("train_accuracy"),
+        )
+    )

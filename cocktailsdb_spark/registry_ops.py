@@ -4012,3 +4012,70 @@ def _naive_bayes_sql() -> str:
 
 
 register("naive_bayes_langid", _q_naive_bayes, _naive_bayes_sql())
+
+
+def _q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — decision-stump training via histogram split finding
+    (operators/corpus.py:decision_stump_train); split stats per
+    (feature, bin), feature-partitioned cumulative window, tiny argmin."""
+    return corpus.decision_stump_train(load(spark, sf_dir, "documents"))
+
+
+def _decision_stump_sql() -> str:
+    from .operators.corpus import STUMP_GRID, STUMP_LABEL_LANG
+
+    q2 = lambda e: sql_qround(e, STUMP_GRID)  # noqa: E731
+    toks = "string_split(text, ' ')"
+    gini = (
+        "(nl / nt) * (1.0 - (pl / nl) * (pl / nl)"
+        " - ((nl - pl) / nl) * ((nl - pl) / nl))"
+        " + ((nt - nl) / nt) * (1.0 - ((pt - pl) / (nt - nl)) * ((pt - pl) / (nt - nl))"
+        " - (((nt - nl) - (pt - pl)) / (nt - nl)) * (((nt - nl) - (pt - pl)) / (nt - nl)))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT CASE WHEN lang = '{STUMP_LABEL_LANG}' THEN 1 ELSE 0 END AS y,
+                 {q2(f"CAST(len({toks}) AS DOUBLE) / 100.0")} AS f1,
+                 {q2("CAST(n_chars AS DOUBLE) / 1000.0")} AS f2,
+                 {q2(
+                     f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+                     f" / CAST(len({toks}) AS DOUBLE)")} AS f3
+          FROM documents),
+        long AS (
+          SELECT y, 'f1' AS feature, f1 AS bin FROM base
+          UNION ALL SELECT y, 'f2', f2 FROM base
+          UNION ALL SELECT y, 'f3', f3 FROM base),
+        hist AS (
+          SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM long GROUP BY 1, 2),
+        cum AS (
+          SELECT feature, bin,
+                 CAST(sum(n) OVER wc AS DOUBLE) AS nl,
+                 CAST(sum(pos) OVER wc AS DOUBLE) AS pl,
+                 CAST(sum(n) OVER wt AS DOUBLE) AS nt,
+                 CAST(sum(pos) OVER wt AS DOUBLE) AS pt
+          FROM hist
+          WINDOW wc AS (PARTITION BY feature ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wt AS (PARTITION BY feature)),
+        cand AS (SELECT * FROM cum WHERE nl < nt),
+        scored AS (
+          SELECT feature, bin, nl, pl, nt, pt,
+                 {sql_qround(gini, 6)} AS g
+          FROM cand),
+        picked AS (
+          SELECT *, row_number() OVER (ORDER BY g, feature, bin) AS rk
+          FROM scored)
+        SELECT feature, bin AS threshold, g AS gini_weighted,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nt - nl AS BIGINT) AS n_right,
+               CAST(pl AS BIGINT) AS pos_left,
+               CAST(pt - pl AS BIGINT) AS pos_right,
+               {sql_qround(
+                   "(greatest(pl, nl - pl) + greatest(pt - pl, (nt - nl) - (pt - pl))) / nt",
+                   6)} AS train_accuracy
+        FROM picked WHERE rk = 1"""
+
+
+register("decision_stump_train", _q_decision_stump, _decision_stump_sql())

@@ -648,3 +648,39 @@ def test_logreg_learns_separable_labels(spark):
     # token-count weight moved positive and the model beats the base rate
     assert out["f_tokens"].weight > 0
     assert out["bias"].n_correct == 40
+
+
+# --- decision_stump_train ----------------------------------------------------
+
+
+def test_decision_stump_finds_separating_threshold(spark):
+    from cocktailsdb_spark.operators.corpus import decision_stump_train
+
+    # en docs are long (>= 400 chars), others short: a perfect split on
+    # f2 = n_chars/1000 exists; the stump must find it with gini 0 and
+    # training accuracy 1. Token counts/TTR are constant-ish noise.
+    rows = []
+    for i in range(6):
+        rows.append((i, "a b c d", "en", 500 + i))
+    for i in range(6, 12):
+        rows.append((i, "a b c d", "de", 100 + i))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+    out = decision_stump_train(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.feature == "f2"
+    assert 0.1 <= r.threshold < 0.5
+    assert r.gini_weighted == 0.0 and r.train_accuracy == 1.0
+    assert r.n_left == 6 and r.n_right == 6
+    assert r.pos_left == 0 and r.pos_right == 6
+
+
+def test_decision_stump_right_side_nonempty(spark):
+    from cocktailsdb_spark.operators.corpus import decision_stump_train
+
+    # constant features: every (feature, bin) candidate has nl == nt (an
+    # empty right side), so no split survives and the result is empty —
+    # the caller's signal that the features carry no information.
+    rows = [(i, "x y", "en" if i % 2 else "de", 100) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+    assert decision_stump_train(docs).collect() == []

@@ -856,3 +856,58 @@ def conversion_lag_profile(events: DataFrame, pcts: tuple[float, ...] = LAG_PCTS
         ).alias("conversion_rate"),
         *out_cols,
     )
+
+
+ABANDON_WINDOW_SEC = 3600
+
+
+def abandoned_views_daily(
+    events: DataFrame, window_sec: int = ABANDON_WINDOW_SEC
+) -> DataFrame:
+    """Daily view-abandonment report: a view is *abandoned* when the same
+    user makes NO purchase within ``window_sec`` after it — the
+    time-bounded ANTI join (the non-conversion complement of
+    funnel_conversion / conversion_lag_profile).
+
+    Join shape at scale: LEFT ANTI on the user_id equi key with the time
+    band as a join residual — the shuffle partitions by user, the band
+    check is per-row; nothing quadratic (per-user event lists are
+    bounded, the same contract as the as-of family). Time compared in
+    exact integer microseconds on both engines.
+    """
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us")
+    )
+    win_us = window_sec * 1_000_000
+    abandoned = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_us") >= F.col("v_us"))
+        & (F.col("p_us") <= F.col("v_us") + F.lit(win_us)),
+        "left_anti",
+    )
+    daily_v = v.groupBy(F.to_date("v_ts").alias("day")).agg(
+        F.count("*").alias("n_views")
+    )
+    daily_a = abandoned.groupBy(F.to_date("v_ts").alias("day")).agg(
+        F.count("*").alias("n_abandoned")
+    )
+    return (
+        daily_v.join(daily_a, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_views").cast("long").alias("n_views"),
+            F.coalesce(F.col("n_abandoned"), F.lit(0)).cast("long").alias("n_abandoned"),
+            qround(
+                F.coalesce(F.col("n_abandoned"), F.lit(0)).cast("double")
+                / F.col("n_views").cast("double"),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )

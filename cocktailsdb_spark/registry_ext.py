@@ -3465,3 +3465,43 @@ def _conversion_lag_sql() -> str:
 
 
 register("conversion_lag_profile", _q_conversion_lag, _conversion_lag_sql())
+
+
+def _q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel — daily view-abandonment rate: views with no same-user
+    purchase within the follow window
+    (operators/events.py:abandoned_views_daily); time-banded ANTI join."""
+    return events.abandoned_views_daily(load(spark, sf_dir, "events"))
+
+
+def _abandoned_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.events import ABANDON_WINDOW_SEC
+
+    win_us = ABANDON_WINDOW_SEC * 1_000_000
+    return f"""
+        WITH v AS (
+          SELECT user_id, ts AS v_ts, epoch_us(ts) AS v_us
+          FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id AS p_user, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        abandoned AS (
+          SELECT v.* FROM v ANTI JOIN p
+            ON v.user_id = p.p_user
+           AND p.p_us >= v.v_us AND p.p_us <= v.v_us + {win_us}),
+        dv AS (SELECT CAST(v_ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_views
+               FROM v GROUP BY 1),
+        da AS (SELECT CAST(v_ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_abandoned
+               FROM abandoned GROUP BY 1)
+        SELECT strftime(dv.day, '%Y-%m-%d') AS day, dv.n_views,
+               COALESCE(da.n_abandoned, 0) AS n_abandoned,
+               {_q('CAST(COALESCE(da.n_abandoned, 0) AS DOUBLE)'
+                   ' / CAST(dv.n_views AS DOUBLE)', 6)} AS abandonment_rate
+        FROM dv LEFT JOIN da ON dv.day = da.day
+        ORDER BY 1"""
+
+
+register("abandoned_views_daily", _q_abandoned_views, _abandoned_sql())

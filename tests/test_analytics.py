@@ -333,3 +333,32 @@ def test_conversion_lag_profile_exact_ranks(spark):
     assert out.p25_sec == 10.0
     assert out.p50_sec == 20.0
     assert out.p75_sec == 40.0 and out.p90_sec == 40.0
+
+
+def test_abandoned_views_daily_window_semantics(spark):
+    from datetime import datetime
+
+    from cocktailsdb_spark.operators.events import abandoned_views_daily
+
+    rows = [
+        # user 1: view converted 30 min later -> not abandoned
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 10, 30), 1, "purchase"),
+        # user 1: second view; purchase 2h later is OUTSIDE the window
+        (3, datetime(2024, 1, 2, 10, 0), 1, "view"),
+        (4, datetime(2024, 1, 2, 12, 0), 1, "purchase"),
+        # user 2: view, purchase BEFORE it doesn't count
+        (5, datetime(2024, 1, 1, 9, 0), 2, "purchase"),
+        (6, datetime(2024, 1, 1, 11, 0), 2, "view"),
+        # user 3: purchase exactly AT the window edge counts as converted
+        (7, datetime(2024, 1, 2, 8, 0), 3, "view"),
+        (8, datetime(2024, 1, 2, 9, 0), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.day: r for r in abandoned_views_daily(df).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert d1.n_views == 2 and d1.n_abandoned == 1  # user 2's view
+    assert d2.n_views == 2 and d2.n_abandoned == 1  # user 1's 2nd view
+    assert abs(d1.abandonment_rate - 0.5) <= 1e-6

@@ -205,6 +205,12 @@ BENCH_QUERIES = [
     "count_min_heavy",
     "kaplan_meier_retention",
     "holt_linear_forecast",
+    "bootstrap_ci_revenue",
+    "prefix_completions",
+    "naive_bayes_langid",
+    "conversion_lag_profile",
+    "decision_stump_train",
+    "abandoned_views_daily",
 ]
 
 

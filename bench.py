@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "conversion_lag_profile",
     "decision_stump_train",
     "abandoned_views_daily",
+    "markov_prediction_accuracy",
+    "error_budget_burn",
 ]
 
 

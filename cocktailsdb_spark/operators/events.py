@@ -911,3 +911,127 @@ def abandoned_views_daily(
         )
         .orderBy("day")
     )
+
+
+def markov_prediction_accuracy(events: DataFrame) -> DataFrame:
+    """First-order Markov next-event prediction, evaluated in-corpus: the
+    model is argmax_next count(from → next) (ties break lexically on the
+    next type — deterministic), scored against every actual transition.
+    The readout :func:`event_transitions` lacks: how predictive the chain
+    actually is, per source state.
+
+    Scale: the corpus-sized pass is the ONE per-user window that also
+    feeds event_transitions; the model is the (type × type) grid — a
+    broadcast; scoring joins transitions to the model on the tiny grid
+    key. Output per source state: majority prediction, transition count,
+    hits, accuracy; plus the weighted overall row (from_type = '*').
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "next_type")
+    )
+    grid = trans.groupBy("from_type", "next_type").agg(F.count("*").alias("n"))
+    w_pick = Window.partitionBy("from_type").orderBy(F.desc("n"), F.asc("next_type"))
+    model = (
+        grid.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("next_type").alias("predicted"))
+    )
+    scored = trans.join(F.broadcast(model), "from_type").select(
+        "from_type",
+        (F.col("next_type") == F.col("predicted")).cast("int").alias("hit"),
+        "predicted",
+    )
+    per_state = scored.groupBy("from_type", "predicted").agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.sum("hit").cast("long").alias("n_correct"),
+    )
+    overall = scored.agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.sum("hit").cast("long").alias("n_correct"),
+    ).select(
+        F.lit("*").alias("from_type"),
+        F.lit("*").alias("predicted"),
+        "n_transitions",
+        "n_correct",
+    )
+    return (
+        per_state.unionByName(overall)
+        .select(
+            "from_type",
+            "predicted",
+            "n_transitions",
+            "n_correct",
+            qround(
+                F.col("n_correct").cast("double") / F.col("n_transitions").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+SLO_ERROR_TARGET = 0.25  # error-rate objective
+BURN_SHORT_H = 1
+BURN_LONG_H = 6
+BURN_SHORT_THRESH = 2.0
+BURN_LONG_THRESH = 1.0
+
+
+def error_budget_burn(events: DataFrame, target: float = SLO_ERROR_TARGET) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (Google SRE Workbook
+    ch. 5, public): an hour pages when BOTH the short (1 h) and long
+    (trailing 6 h) burn rates exceed their thresholds — fast detection
+    without single-spike flapping.
+
+        burn_w = error_rate_w / target
+
+    The calendar-correct long window is a RANGE frame over the hour
+    index (gap hours count as missing, not as neighbors). One full-data
+    pass (the hourly aggregate); everything downstream is the
+    O(#hours) frame — same tiny-frame convention as the daily series.
+    Integer event counts all the way; rates qround'ed at the edge.
+    """
+    hourly = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int")).alias("n_errors"),
+        )
+        .withColumn("hour_idx", (F.unix_micros("hour") / F.lit(3_600_000_000)).cast("long"))
+    )
+    w_long = Window.orderBy("hour_idx").rangeBetween(-(BURN_LONG_H - 1), 0)
+    rated = (
+        hourly.withColumn("ev_6h", F.sum("n_events").over(w_long))
+        .withColumn("er_6h", F.sum("n_errors").over(w_long))
+        .select(
+            "hour",
+            "n_events",
+            "n_errors",
+            (F.col("n_errors").cast("double") / F.col("n_events").cast("double")).alias(
+                "rate_1h"
+            ),
+            (F.col("er_6h").cast("double") / F.col("ev_6h").cast("double")).alias(
+                "rate_6h"
+            ),
+        )
+    )
+    burn_1h = F.col("rate_1h") / F.lit(target)
+    burn_6h = F.col("rate_6h") / F.lit(target)
+    return (
+        rated.filter(
+            (burn_1h > F.lit(BURN_SHORT_THRESH)) & (burn_6h > F.lit(BURN_LONG_THRESH))
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            qround(F.col("rate_1h"), 6).alias("error_rate_1h"),
+            qround(burn_1h, 4).alias("burn_1h"),
+            qround(burn_6h, 4).alias("burn_6h"),
+        )
+        .orderBy("hour")
+    )

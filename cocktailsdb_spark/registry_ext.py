@@ -3505,3 +3505,95 @@ def _abandoned_sql() -> str:
 
 
 register("abandoned_views_daily", _q_abandoned_views, _abandoned_sql())
+
+
+def _q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence ML — first-order Markov next-event prediction accuracy
+    per source state (operators/events.py:markov_prediction_accuracy)."""
+    return events.markov_prediction_accuracy(load(spark, sf_dir, "events"))
+
+
+def _markov_acc_sql() -> str:
+    from .numeric import sql_qround as _q
+
+    return f"""
+        WITH trans AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events),
+        t AS (SELECT * FROM trans WHERE next_type IS NOT NULL),
+        grid AS (
+          SELECT from_type, next_type, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY 1, 2),
+        model AS (
+          SELECT from_type, next_type AS predicted
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY from_type ORDER BY n DESC, next_type) AS rk
+                FROM grid)
+          WHERE rk = 1),
+        scored AS (
+          SELECT t.from_type, m.predicted,
+                 CASE WHEN t.next_type = m.predicted THEN 1 ELSE 0 END AS hit
+          FROM t JOIN model m USING (from_type)),
+        per_state AS (
+          SELECT from_type, predicted,
+                 CAST(count(*) AS BIGINT) AS n_transitions,
+                 CAST(sum(hit) AS BIGINT) AS n_correct
+          FROM scored GROUP BY 1, 2
+          UNION ALL
+          SELECT '*', '*', CAST(count(*) AS BIGINT), CAST(sum(hit) AS BIGINT)
+          FROM scored)
+        SELECT from_type, predicted, n_transitions, n_correct,
+               {_q('CAST(n_correct AS DOUBLE) / CAST(n_transitions AS DOUBLE)', 6)}
+                 AS accuracy
+        FROM per_state ORDER BY from_type"""
+
+
+register("markov_prediction_accuracy", _q_markov_accuracy, _markov_acc_sql())
+
+
+def _q_error_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops — multi-window error-budget burn-rate alert hours
+    (operators/events.py:error_budget_burn)."""
+    return events.error_budget_burn(load(spark, sf_dir, "events"))
+
+
+def _error_burn_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.events import (
+        BURN_LONG_H,
+        BURN_LONG_THRESH,
+        BURN_SHORT_THRESH,
+        SLO_ERROR_TARGET,
+    )
+
+    t = repr(SLO_ERROR_TARGET)
+    return f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_errors,
+                 CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hour_idx
+          FROM events GROUP BY 1),
+        rolled AS (
+          SELECT hour, n_events, n_errors,
+                 CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS rate_1h,
+                 CAST(sum(n_errors) OVER w AS DOUBLE)
+                   / CAST(sum(n_events) OVER w AS DOUBLE) AS rate_6h
+          FROM hourly
+          WINDOW w AS (ORDER BY hour_idx
+                       RANGE BETWEEN {BURN_LONG_H - 1} PRECEDING AND CURRENT ROW))
+        SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour, n_events, n_errors,
+               {_q('rate_1h', 6)} AS error_rate_1h,
+               {_q(f'rate_1h / {t}', 4)} AS burn_1h,
+               {_q(f'rate_6h / {t}', 4)} AS burn_6h
+        FROM rolled
+        WHERE rate_1h / {t} > {BURN_SHORT_THRESH!r}
+          AND rate_6h / {t} > {BURN_LONG_THRESH!r}
+        ORDER BY 1"""
+
+
+register("error_budget_burn", _q_error_burn, _error_burn_sql())

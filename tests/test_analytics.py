@@ -362,3 +362,57 @@ def test_abandoned_views_daily_window_semantics(spark):
     assert d1.n_views == 2 and d1.n_abandoned == 1  # user 2's view
     assert d2.n_views == 2 and d2.n_abandoned == 1  # user 1's 2nd view
     assert abs(d1.abandonment_rate - 0.5) <= 1e-6
+
+
+def test_markov_prediction_accuracy_majority_and_overall(spark):
+    from datetime import datetime
+
+    from cocktailsdb_spark.operators.events import markov_prediction_accuracy
+
+    # user 1 stream: A B A B A  -> transitions A->B ×2, B->A ×2
+    # user 2 stream: A B B      -> A->B, B->B
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, seq in ((1, "ABABA"), (2, "ABB")):
+        for i, s in enumerate(seq):
+            rows.append((eid, datetime(2024, 1, 1, i), uid, s))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.from_type: r for r in markov_prediction_accuracy(df).collect()}
+    # A -> B is 3/3; B -> {A:2, B:1} -> predict A, 2/3 correct
+    assert out["A"].predicted == "B" and out["A"].accuracy == 1.0
+    assert out["B"].predicted == "A"
+    assert out["B"].n_transitions == 3 and out["B"].n_correct == 2
+    assert out["*"].n_transitions == 6 and out["*"].n_correct == 5
+
+
+def test_error_budget_burn_multiwindow_gate(spark):
+    from datetime import datetime
+
+    from cocktailsdb_spark.operators.events import error_budget_burn
+
+    # hours 0-5: healthy (10% errors). hour 6: 100% errors but the 6h
+    # window still dilutes it; hour 7-9 sustained 100% errors -> the
+    # long window crosses 25% and the alert fires.
+    rows = []
+    eid = 0
+    for h in range(10):
+        err = 10 if h >= 6 else 1
+        for i in range(10):
+            typ = "error" if i < err else "click"
+            rows.append((eid, datetime(2024, 1, 1, h, i), 1, typ))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = error_budget_burn(df).collect()
+    hours = [r.hour for r in out]
+    # hour 6: rate_6h = (1*5+10)/60 = 0.25 -> burn_6h == 1.0, NOT > 1 -> no alert
+    assert "2024-01-01 06:00" not in hours
+    # hour 7 onward: rate_6h climbs past target -> alert
+    assert "2024-01-01 07:00" in hours and "2024-01-01 09:00" in hours
+    r7 = next(r for r in out if r.hour == "2024-01-01 07:00")
+    assert r7.burn_1h == 4.0  # 100% errors vs 25% target

@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "abandoned_views_daily",
     "markov_prediction_accuracy",
     "error_budget_burn",
+    "forecast_backtest",
+    "hampel_outlier_days",
 ]
 
 

@@ -2391,3 +2391,118 @@ def bootstrap_ci_revenue(orders: DataFrame, b_reps: int = BOOT_B) -> DataFrame:
         qround(F.col("ci_lo_raw"), 4).alias("ci_lo"),
         qround(F.col("ci_hi_raw"), 4).alias("ci_hi"),
     )
+
+
+BACKTEST_SEASON = 7
+
+
+def forecast_backtest(orders: DataFrame, season: int = BACKTEST_SEASON) -> DataFrame:
+    """Forecast backtest on daily revenue: one-step-ahead *naive*
+    (ŷ_t = y_{t-1}) vs *seasonal-naive* (ŷ_t = y_{t-season}) — the two
+    baselines every forecasting study must beat (Hyndman & Athanasopoulos,
+    fpp3, public) — scored with MAE / MAPE / RMSE per method over the
+    days where BOTH forecasts exist (lag alignment, calendar-correct:
+    lags are taken on the day index via a RANGE window so a data gap
+    yields no forecast rather than a wrong-day one).
+
+    Scale: one full-data pass (the daily aggregate), then the O(#days)
+    frame. Exact decimal error sums; the squared-error lane downscales
+    by 1e6 first (revenue² would overflow DECIMAL(24,8)'s integer
+    digits at sf≥1 — the autocorr convention).
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("x")
+    )
+    idx = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    d = daily.withColumn("day_idx", idx)
+
+    def lag_exact(n: int, name: str):
+        # RANGE window [-n, -n]: the value exactly n calendar days back
+        w = Window.orderBy("day_idx").rangeBetween(-n, -n)
+        return F.max("x").over(w).alias(name)
+
+    aligned = d.select(
+        "day", "x", lag_exact(1, "f_naive"), lag_exact(season, "f_seasonal")
+    ).filter(F.col("f_naive").isNotNull() & F.col("f_seasonal").isNotNull())
+
+    def method(fcol: str, name: str) -> DataFrame:
+        err = F.col("x") - F.col(fcol)
+        return aligned.agg(
+            F.lit(name).alias("method"),
+            F.count("*").cast("long").alias("n_days"),
+            (dsum(F.abs(err)) / F.count("*").cast("double")).alias("mae_raw"),
+            (
+                dsum(F.abs(err) / F.col("x")) / F.count("*").cast("double")
+            ).alias("mape_raw"),
+            (
+                dsum(err * err / F.lit(1e6)) / F.count("*").cast("double")
+            ).alias("mse_m"),
+        )
+
+    out = method("f_naive", "naive").unionByName(method("f_seasonal", "seasonal_naive"))
+    return out.select(
+        "method",
+        "n_days",
+        qround(F.col("mae_raw"), 4).alias("mae"),
+        qround(F.col("mape_raw"), 6).alias("mape"),
+        qround(F.sqrt(F.col("mse_m") * F.lit(1e6)), 4).alias("rmse"),
+    ).orderBy("method")
+
+
+HAMPEL_HALF = 3  # ±3 days -> 7-point window
+HAMPEL_K = 3.0
+HAMPEL_C = 1.4826  # Gaussian MAD consistency constant
+
+
+def hampel_outlier_days(
+    orders: DataFrame, half: int = HAMPEL_HALF, k: float = HAMPEL_K
+) -> DataFrame:
+    """Hampel filter (Hampel 1974, public) on daily revenue: a day is an
+    outlier when it deviates from the centered rolling MEDIAN by more
+    than k·1.4826·MAD of its window — the robust alternative to the
+    rolling-zscore detector (one wild day cannot drag its own threshold,
+    which mean/stddev filters suffer from).
+
+    Rolling exact medians come from a RANGE-windowed collect_list +
+    array_sort (JVM higher-order fns, no UDF) over the O(#days) daily
+    frame, full 2·half+1 calendar windows only. MAD = median of absolute
+    deviations from the window median, same list. Everything is exact
+    arithmetic on decimal-summed daily values — no quantization needed
+    until the output edge.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("x")
+    )
+    idx = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = Window.orderBy("day_idx").rangeBetween(-half, half)
+    full = 2 * half + 1
+    mid = half + 1  # 1-based middle of a sorted full window
+    arr = F.array_sort(F.collect_list("x").over(w))
+    with_med = (
+        daily.withColumn("day_idx", idx)
+        .withColumn("win", arr)
+        .filter(F.size("win") == full)
+        .withColumn("med", F.element_at("win", mid))
+        .withColumn(
+            "mad",
+            F.element_at(
+                F.array_sort(
+                    F.transform(F.col("win"), lambda v: F.abs(v - F.col("med")))
+                ),
+                mid,
+            ),
+        )
+    )
+    dev = F.abs(F.col("x") - F.col("med"))
+    thresh = F.lit(k) * F.lit(HAMPEL_C) * F.col("mad")
+    return (
+        with_med.filter(dev > thresh)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            qround(F.col("x"), 4).alias("revenue"),
+            qround(F.col("med"), 4).alias("window_median"),
+            qround(F.col("mad"), 4).alias("window_mad"),
+            qround(dev, 4).alias("abs_deviation"),
+        )
+        .orderBy("day")
+    )

@@ -3597,3 +3597,94 @@ def _error_burn_sql() -> str:
 
 
 register("error_budget_burn", _q_error_burn, _error_burn_sql())
+
+
+def _q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast — naive vs seasonal-naive one-step backtest on daily
+    revenue (operators/relational.py:forecast_backtest)."""
+    return relational.forecast_backtest(load(spark, sf_dir, "orders"))
+
+
+def _backtest_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import BACKTEST_SEASON
+
+    def method(n: int, name: str) -> str:
+        return f"""
+          SELECT '{name}' AS method,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 {_d('abs(x - f)')} / CAST(count(*) AS DOUBLE) AS mae_raw,
+                 {_d('abs(x - f) / x')} / CAST(count(*) AS DOUBLE) AS mape_raw,
+                 {_d('(x - f) * (x - f) / 1000000.0')}
+                   / CAST(count(*) AS DOUBLE) AS mse_m
+          FROM (SELECT day, x,
+                       max(x) OVER (ORDER BY day_idx
+                         RANGE BETWEEN {n} PRECEDING AND {n} PRECEDING) AS f,
+                       max(x) OVER (ORDER BY day_idx
+                         RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS f1,
+                       max(x) OVER (ORDER BY day_idx
+                         RANGE BETWEEN {BACKTEST_SEASON} PRECEDING
+                         AND {BACKTEST_SEASON} PRECEDING) AS fs
+                FROM d) t
+          WHERE f1 IS NOT NULL AND fs IS NOT NULL"""
+
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS x
+          FROM orders GROUP BY 1),
+        d AS (SELECT day, x,
+                     datediff('day', DATE '1995-01-01', day) AS day_idx
+              FROM daily),
+        m AS ({method(1, 'naive')}
+              UNION ALL
+              {method(BACKTEST_SEASON, 'seasonal_naive')})
+        SELECT method, n_days,
+               {_q('mae_raw', 4)} AS mae,
+               {_q('mape_raw', 6)} AS mape,
+               {_q('sqrt(mse_m * 1000000.0)', 4)} AS rmse
+        FROM m ORDER BY method"""
+
+
+register("forecast_backtest", _q_forecast_backtest, _backtest_sql())
+
+
+def _q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — Hampel rolling-median/MAD outlier days
+    (operators/relational.py:hampel_outlier_days)."""
+    return relational.hampel_outlier_days(load(spark, sf_dir, "orders"))
+
+
+def _hampel_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import HAMPEL_C, HAMPEL_HALF, HAMPEL_K
+
+    full = 2 * HAMPEL_HALF + 1
+    mid = HAMPEL_HALF + 1
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS x
+          FROM orders GROUP BY 1),
+        win AS (
+          SELECT day, x,
+                 list_sort(list(x) OVER (
+                   ORDER BY datediff('day', DATE '1995-01-01', day)
+                   RANGE BETWEEN {HAMPEL_HALF} PRECEDING
+                   AND {HAMPEL_HALF} FOLLOWING)) AS w
+          FROM daily),
+        med AS (
+          SELECT day, x, w[{mid}] AS med,
+                 list_sort(list_transform(w, v -> abs(v - w[{mid}])))[{mid}] AS mad
+          FROM win WHERE len(w) = {full})
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               {_q('x', 4)} AS revenue,
+               {_q('med', 4)} AS window_median,
+               {_q('mad', 4)} AS window_mad,
+               {_q('abs(x - med)', 4)} AS abs_deviation
+        FROM med
+        WHERE abs(x - med) > {HAMPEL_K!r} * {HAMPEL_C!r} * mad
+        ORDER BY 1"""
+
+
+register("hampel_outlier_days", _q_hampel, _hampel_sql())

@@ -87,3 +87,50 @@ def test_seasonal_decompose_trims_endpoints_and_handles_gaps(spark):
     assert total_days == 1
     for r in out:
         assert r.seasonal == 0.0 and r.mean_abs_residual == 0.0
+
+
+# --- forecast_backtest / hampel_outlier_days --------------------------------
+
+
+def test_forecast_backtest_hand_errors(spark):
+    from cocktailsdb_spark.operators.relational import forecast_backtest
+
+    # 9 consecutive days, weekly pattern 100..100 with day 8 = 130.
+    # Eligible days (both lag-1 and lag-7 exist): days 8 and 9.
+    xs = [100.0, 90.0, 95.0, 105.0, 110.0, 85.0, 100.0, 130.0, 90.0]
+    rows = [(datetime(2024, 1, 1 + i), xs[i]) for i in range(9)]
+    out = {r.method: r for r in forecast_backtest(_orders(spark, rows)).collect()}
+    nv, sn = out["naive"], out["seasonal_naive"]
+    assert nv.n_days == 2 and sn.n_days == 2
+    # naive: |130-100|=30, |90-130|=40 -> mae 35
+    assert nv.mae == 35.0
+    # seasonal: |130-100|=30, |90-90|=0 -> mae 15
+    assert sn.mae == 15.0
+    # rmse: naive sqrt((900+1600)/2)=35.3553; seasonal sqrt(450)=21.2132
+    assert abs(nv.rmse - 35.3553) <= 1e-3 and abs(sn.rmse - 21.2132) <= 1e-3
+
+
+def test_forecast_backtest_gap_drops_wrong_day_forecast(spark):
+    from cocktailsdb_spark.operators.relational import forecast_backtest
+
+    # day 9 missing: day 10's naive forecast (needs day 9) must NOT fall
+    # back to day 8 — RANGE[-1,-1] yields null and the day is excluded.
+    rows = [(datetime(2024, 1, d), 100.0) for d in (1, 2, 3, 4, 5, 6, 7, 8, 10)]
+    out = {r.method: r for r in forecast_backtest(_orders(spark, rows)).collect()}
+    assert out["naive"].n_days == 1  # only day 8 qualifies
+
+
+def test_hampel_flags_spike_not_neighbors(spark):
+    from cocktailsdb_spark.operators.relational import hampel_outlier_days
+
+    # 15 flat days at 100 with a single 200 spike at day 8: the spike is
+    # the only outlier; its neighbors' windows contain it but their own
+    # deviation from the window median (100) is 0.
+    rows = []
+    for d in range(1, 16):
+        rows.append((datetime(2024, 1, d), 200.0 if d == 8 else 100.0))
+    out = hampel_outlier_days(_orders(spark, rows)).collect()
+    assert [r.day for r in out] == ["2024-01-08"]
+    r = out[0]
+    assert r.window_median == 100.0 and r.window_mad == 0.0
+    assert r.abs_deviation == 100.0

@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "error_budget_burn",
     "forecast_backtest",
     "hampel_outlier_days",
+    "user_item_recommendations",
 ]
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..numeric import qround
+from ..numeric import dsum, qround
 
 II_MIN_SUPPORT = 3
 II_TOP_K = 3
@@ -88,4 +88,64 @@ def item_item_recs(
         .filter(F.col("rank") <= k)
         .select("item", "rec", "support", "cosine", F.col("rank").cast("int").alias("rank"))
         .orderBy("item", "rank")
+    )
+
+
+UIR_TOP_K = 3
+
+
+def user_item_recommendations(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    min_support: int = II_MIN_SUPPORT,
+    k: int = UIR_TOP_K,
+) -> DataFrame:
+    """Per-customer recommendations from the item-item model (the
+    scoring stage of Sarwar et al. 2001): candidate items are the
+    basket-cosine neighbors of what the customer already bought,
+
+        score(c, i) = Σ_{o ∈ owned(c)} cosine(o, i),
+
+    owned items excluded, top-k per customer (rounded-score order,
+    item-key tiebreak — repo ranking convention).
+
+    Scale: owned(c) comes from one orders⋈lineitem pass; the candidate
+    expansion joins owned items to the NEIGHBOR LIST (items × k rows —
+    broadcast), so fanout per customer is |owned|·k, never catalog-sized;
+    the anti "already owned" check and the score aggregate both shuffle
+    on the customer key only.
+    """
+    owned = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
+        .dropDuplicates(["custkey", "item"])
+    )
+    sims = item_item_recs(lineitem, min_support=min_support, k=k).select(
+        "item", "rec", "cosine"
+    )
+    cand = (
+        owned.join(F.broadcast(sims), "item")
+        .groupBy("custkey", "rec")
+        .agg(qround(dsum(F.col("cosine")), 6).alias("score"))
+    )
+    unowned = cand.join(
+        owned.select("custkey", F.col("item").alias("rec")),
+        ["custkey", "rec"],
+        "left_anti",
+    )
+    w = Window.partitionBy("custkey").orderBy(F.desc("score"), F.asc("rec"))
+    return (
+        unowned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "custkey",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("rec").alias("item"),
+            "score",
+        )
+        .orderBy("custkey", "rank")
     )

@@ -3688,3 +3688,71 @@ def _hampel_sql() -> str:
 
 
 register("hampel_outlier_days", _q_hampel, _hampel_sql())
+
+
+def _q_user_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender — per-customer top-k items scored by summed
+    item-item cosine over owned items, owned excluded
+    (operators/recsys.py:user_item_recommendations)."""
+    from .operators import recsys
+
+    return recsys.user_item_recommendations(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+
+
+def _user_item_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.recsys import II_MIN_SUPPORT, UIR_TOP_K
+
+    return f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {II_MIN_SUPPORT}),
+        directed AS (
+          SELECT part_a AS item, part_b AS rec, support FROM pairs
+          UNION ALL
+          SELECT part_b AS item, part_a AS rec, support FROM pairs),
+        item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+                 FROM b GROUP BY 1),
+        simsc AS (
+          SELECT d.item, d.rec,
+                 {_q(
+                     "CAST(d.support AS DOUBLE)"
+                     " / sqrt(CAST(i.n_item AS DOUBLE) * CAST(r.n_item AS DOUBLE))",
+                     6)} AS cosine
+          FROM directed d
+          JOIN item i ON i.l_partkey = d.item
+          JOIN item r ON r.l_partkey = d.rec),
+        sims AS (
+          SELECT item, rec, cosine
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY item ORDER BY cosine DESC, rec) AS rk
+                FROM simsc)
+          WHERE rk <= {UIR_TOP_K}),
+        owned AS (
+          SELECT DISTINCT o_custkey AS custkey, l_partkey AS item
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        cand AS (
+          SELECT o.custkey, s.rec,
+                 {_q(_d('s.cosine'), 6)} AS score
+          FROM owned o JOIN sims s USING (item)
+          GROUP BY 1, 2),
+        unowned AS (
+          SELECT c.* FROM cand c ANTI JOIN owned w
+            ON c.custkey = w.custkey AND c.rec = w.item),
+        ranked AS (
+          SELECT custkey, rec, score,
+                 CAST(row_number() OVER (
+                   PARTITION BY custkey ORDER BY score DESC, rec) AS INT) AS rank
+          FROM unowned)
+        SELECT custkey, rank, rec AS item, score
+        FROM ranked WHERE rank <= {UIR_TOP_K}
+        ORDER BY custkey, rank"""
+
+
+register("user_item_recommendations", _q_user_item_recs, _user_item_sql())

@@ -53,3 +53,34 @@ def test_min_support_prunes(spark):
     baskets = [(1, [1, 2]), (2, [1, 2]), (3, [4, 5])]
     out = recsys.item_item_recs(_baskets(spark, baskets), min_support=3, k=3).collect()
     assert out == []
+
+
+def test_user_item_recommendations_scores_and_excludes_owned(spark):
+    from cocktailsdb_spark.operators.recsys import user_item_recommendations
+
+    # baskets: items 1,2 co-occur 3x; items 1,3 co-occur 3x; 2,3 co-occur 2x (< min support)
+    baskets = [
+        (10, [1, 2]),
+        (11, [1, 2]),
+        (12, [1, 2, 3]),
+        (13, [1, 3]),
+        (14, [1, 3]),
+    ]
+    li = _baskets(spark, baskets)
+    orders = spark.createDataFrame(
+        [(10, 100), (11, 100), (12, 101), (13, 102), (14, 102)],
+        "o_orderkey long, o_custkey long",
+    )
+    out = user_item_recommendations(li, orders, min_support=3, k=3).collect()
+    got = {(r.custkey, r.item): r for r in out}
+    # customer 100 owns {1,2}: candidate via neighbors of 1 -> {2,3}, of 2 -> {1};
+    # after owned-exclusion only 3 remains, scored cosine(1,3)
+    import math
+
+    cos13 = math.floor(3 / math.sqrt(5 * 3) * 1e6 + 0.5) / 1e6
+    assert got[(100, 3)].rank == 1 and abs(got[(100, 3)].score - cos13) < 1e-9
+    assert (100, 1) not in got and (100, 2) not in got
+    # customer 102 owns {1,3}: only rec is 2 via neighbor-of-1
+    assert got[(102, 2)].rank == 1
+    # customer 101 owns {1,2,3}: every candidate is owned -> no rows
+    assert not any(r.custkey == 101 for r in out)

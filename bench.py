@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "forecast_backtest",
     "hampel_outlier_days",
     "user_item_recommendations",
+    "cohort_ltv",
+    "revenue_bridge",
 ]
 
 

@@ -2506,3 +2506,123 @@ def hampel_outlier_days(
         )
         .orderBy("day")
     )
+
+
+LTV_MAX_AGE_MONTHS = 12
+
+
+def cohort_ltv(orders: DataFrame, max_age: int = LTV_MAX_AGE_MONTHS) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month; for each cohort and month-age 0..max_age, the cumulative
+    revenue per cohort customer — the revenue companion of the
+    activity-based cohort_retention triangle (growth-analytics standard).
+
+        ltv(c, a) = Σ_{age ≤ a} revenue(c, age) / |cohort c|
+
+    Month age is exact calendar months (months_between on month
+    truncations — integer by construction, same value both engines).
+    One orders pass keyed by customer for the cohort assignment (window
+    min), one (cohort × age) aggregate, then the cumulative window runs
+    on the cohort×age grid. Decimal-exact sums; per-customer division
+    at the output edge.
+    """
+    w_first = Window.partitionBy("o_custkey")
+    base = orders.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.col("o_totalprice").alias("rev"),
+    ).withColumn("cohort_m", F.min("m").over(w_first))
+    aged = base.select(
+        F.date_format("cohort_m", "yyyy-MM").alias("cohort"),
+        F.months_between(F.col("m"), F.col("cohort_m")).cast("int").alias("age"),
+        "rev",
+        "o_custkey",
+    ).filter(F.col("age") <= max_age)
+    sizes = (
+        base.select("o_custkey", "cohort_m")
+        .distinct()
+        .groupBy(F.date_format("cohort_m", "yyyy-MM").alias("cohort"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    grid = aged.groupBy("cohort", "age").agg(dsum(F.col("rev")).alias("rev_m"))
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.withColumn("cum_rev", F.sum(F.col("rev_m").cast(DEC)).over(w_cum).cast("double"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("int").alias("age_months"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            qround(F.col("cum_rev") / F.col("n_customers").cast("double"), 4).alias(
+                "cum_ltv"
+            ),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+BRIDGE_Y1, BRIDGE_Y2 = 1997, 1998
+
+
+def revenue_bridge(
+    lineitem: DataFrame, part: DataFrame, y1: int = BRIDGE_Y1, y2: int = BRIDGE_Y2
+) -> DataFrame:
+    """Period-over-period revenue bridge per brand: the FP&A waterfall
+    that splits Δrevenue into a VOLUME effect (at old prices) and a
+    PRICE effect (at new volumes) — the Laspeyres/Paasche decomposition
+    identity (public index-number theory):
+
+        Δr = r₂ − r₁ = (q₂ − q₁)·p̄₁  +  (p̄₂ − p̄₁)·q₂      (exact)
+
+    with p̄ = revenue / quantity per period. One lineitem⋈part join and
+    ONE conditional aggregate per brand (both ship-years in the same
+    pass — no per-period sub-plans); brands present in both periods
+    only. dsum-exact numerators keep the identity exact to the quantum.
+    """
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    yr = F.year("l_shipdate")
+    j = lineitem.join(
+        part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        yr.alias("y"),
+        F.col("l_quantity").alias("q"),
+        rev.alias("r"),
+    )
+
+    def per(y: int, col: str, what: str):
+        gate = F.col("y") == y
+        src = F.when(gate, F.col(col))
+        return dsum(src).alias(what)
+
+    agg = (
+        j.filter(F.col("y").isin(y1, y2))
+        .groupBy("p_brand")
+        .agg(
+            per(y1, "q", "q1"),
+            per(y2, "q", "q2"),
+            per(y1, "r", "r1"),
+            per(y2, "r", "r2"),
+        )
+        .filter(
+            F.col("q1").isNotNull()
+            & F.col("q2").isNotNull()
+            & (F.col("q1") > 0)
+            & (F.col("q2") > 0)
+        )
+    )
+    p1 = F.col("r1") / F.col("q1")
+    p2 = F.col("r2") / F.col("q2")
+    return agg.select(
+        "p_brand",
+        qround(F.col("r1"), 4).alias("rev_y1"),
+        qround(F.col("r2"), 4).alias("rev_y2"),
+        qround(F.col("r2") - F.col("r1"), 4).alias("delta"),
+        qround((F.col("q2") - F.col("q1")) * p1, 4).alias("volume_effect"),
+        qround((p2 - p1) * F.col("q2"), 4).alias("price_effect"),
+    ).orderBy("p_brand")

@@ -3756,3 +3756,89 @@ def _user_item_sql() -> str:
 
 
 register("user_item_recommendations", _q_user_item_recs, _user_item_sql())
+
+
+def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth — cohort lifetime-value curve: cumulative revenue per
+    cohort customer by month age (operators/relational.py:cohort_ltv)."""
+    return relational.cohort_ltv(load(spark, sf_dir, "orders"))
+
+
+def _cohort_ltv_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import LTV_MAX_AGE_MONTHS
+
+    return f"""
+        WITH base AS (
+          SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+                 o_totalprice AS rev,
+                 min(date_trunc('month', o_orderdate)) OVER (
+                   PARTITION BY o_custkey) AS cohort_m
+          FROM orders),
+        aged AS (
+          SELECT strftime(cohort_m, '%Y-%m') AS cohort,
+                 CAST(datediff('month', cohort_m, m) AS INT) AS age,
+                 rev
+          FROM base
+          WHERE datediff('month', cohort_m, m) <= {LTV_MAX_AGE_MONTHS}),
+        sizes AS (
+          SELECT strftime(cohort_m, '%Y-%m') AS cohort,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+          FROM base GROUP BY 1),
+        grid AS (
+          SELECT cohort, age, {_d('rev')} AS rev_m
+          FROM aged GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort, age,
+                 CAST(sum(CAST(rev_m AS DECIMAL(24,8))) OVER (
+                   PARTITION BY cohort ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cum_rev
+          FROM grid)
+        SELECT c.cohort, c.age AS age_months, s.n_customers,
+               {_q('c.cum_rev / CAST(s.n_customers AS DOUBLE)', 4)} AS cum_ltv
+        FROM cum c JOIN sizes s ON c.cohort = s.cohort
+        ORDER BY c.cohort, age_months"""
+
+
+register("cohort_ltv", _q_cohort_ltv, _cohort_ltv_sql())
+
+
+def _q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP&A — per-brand revenue bridge: Δrevenue split exactly into
+    volume and price effects (operators/relational.py:revenue_bridge)."""
+    return relational.revenue_bridge(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _revenue_bridge_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import BRIDGE_Y1, BRIDGE_Y2
+
+    def per(y: int, col: str) -> str:
+        return _d(f"CASE WHEN y = {y} THEN {col} END")
+
+    return f"""
+        WITH j AS (
+          SELECT p_brand, year(l_shipdate) AS y, l_quantity AS q,
+                 l_extendedprice * (1.0 - l_discount) AS r
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE year(l_shipdate) IN ({BRIDGE_Y1}, {BRIDGE_Y2})),
+        agg AS (
+          SELECT p_brand,
+                 {per(BRIDGE_Y1, 'q')} AS q1, {per(BRIDGE_Y2, 'q')} AS q2,
+                 {per(BRIDGE_Y1, 'r')} AS r1, {per(BRIDGE_Y2, 'r')} AS r2
+          FROM j GROUP BY 1)
+        SELECT p_brand,
+               {_q('r1', 4)} AS rev_y1,
+               {_q('r2', 4)} AS rev_y2,
+               {_q('r2 - r1', 4)} AS delta,
+               {_q('(q2 - q1) * (r1 / q1)', 4)} AS volume_effect,
+               {_q('((r2 / q2) - (r1 / q1)) * q2', 4)} AS price_effect
+        FROM agg
+        WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 > 0 AND q2 > 0
+        ORDER BY p_brand"""
+
+
+register("revenue_bridge", _q_revenue_bridge, _revenue_bridge_sql())

@@ -134,3 +134,50 @@ def test_hampel_flags_spike_not_neighbors(spark):
     r = out[0]
     assert r.window_median == 100.0 and r.window_mad == 0.0
     assert r.abs_deviation == 100.0
+
+
+# --- cohort_ltv / revenue_bridge ---------------------------------------------
+
+
+def test_cohort_ltv_cumulative_per_customer(spark):
+    from cocktailsdb_spark.operators.relational import cohort_ltv
+
+    rows = [
+        # cohort 2024-01: two customers
+        (1, datetime(2024, 1, 5), 100.0),
+        (2, datetime(2024, 1, 20), 50.0),
+        (1, datetime(2024, 2, 5), 30.0),   # age 1
+        # cohort 2024-03: one customer
+        (3, datetime(2024, 3, 1), 80.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {(r.cohort, r.age_months): r for r in cohort_ltv(df).collect()}
+    a0 = out[("2024-01", 0)]
+    assert a0.n_customers == 2 and a0.cum_ltv == 75.0  # (100+50)/2
+    a1 = out[("2024-01", 1)]
+    assert a1.cum_ltv == 90.0  # (150+30)/2
+    assert out[("2024-03", 0)].cum_ltv == 80.0
+
+
+def test_revenue_bridge_identity_and_effects(spark):
+    from cocktailsdb_spark.operators.relational import revenue_bridge
+
+    # brand B1: 1997 sells 10 units @ 5 -> r1=50; 1998 sells 20 units @ 6
+    # -> r2=120. delta=70 = volume (10*5=50) + price (1*20=20).
+    li = spark.createDataFrame(
+        [
+            (1, datetime(1997, 5, 1), 10.0, 50.0, 0.0),
+            (1, datetime(1998, 5, 1), 20.0, 120.0, 0.0),
+        ],
+        "l_partkey long, l_shipdate timestamp, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame([(1, "B1")], "p_partkey long, p_brand string")
+    out = revenue_bridge(li, part).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.rev_y1 == 50.0 and r.rev_y2 == 120.0 and r.delta == 70.0
+    assert r.volume_effect == 50.0 and r.price_effect == 20.0
+    assert abs(r.delta - (r.volume_effect + r.price_effect)) < 1e-9

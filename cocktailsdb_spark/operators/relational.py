@@ -2342,9 +2342,14 @@ def bootstrap_ci_revenue(orders: DataFrame, b_reps: int = BOOT_B) -> DataFrame:
     Exact decimal sums per replicate; the md5 lane is the engine-shared
     hash (operators/text.py:md5_prefix_value convention).
     """
+    from ..tables import spread
     from .text import md5_prefix_value
 
-    x = orders.select(F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("x"))
+    # the ×B explode amplifies whatever parallelism the scan produced —
+    # spread() first so the md5 draw work fans across the cluster
+    x = spread(
+        orders.select(F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("x"))
+    )
     rep = x.select(
         "okey", "x", F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b")
     )

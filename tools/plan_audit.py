@@ -101,6 +101,18 @@ AUDIT = [
     "gini_revenue",
     "mmr_diversify",
     "band_join_acctbal",
+    # round-8 session-5 additions: the plans with a distinct scale story
+    "did_promo_effect",
+    "item_item_recs",
+    "user_item_recommendations",
+    "count_min_heavy",
+    "kaplan_meier_retention",
+    "holt_linear_forecast",
+    "bootstrap_ci_revenue",
+    "naive_bayes_langid",
+    "decision_stump_train",
+    "abandoned_views_daily",
+    "cohort_ltv",
 ]
 
 

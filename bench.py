@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "user_item_recommendations",
     "cohort_ltv",
     "revenue_bridge",
+    "dp_noisy_counts",
+    "weighted_percentiles_by_brand",
 ]
 
 

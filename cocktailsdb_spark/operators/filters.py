@@ -188,3 +188,57 @@ def k_anonymity_report(
             6,
         ).alias("pct_below_k"),
     )
+
+
+DP_EPSILON = 1.0
+DP_NOISE_SCALE = 1_000_000.0
+
+
+def dp_noisy_counts(orders: DataFrame, epsilon: float = DP_EPSILON) -> DataFrame:
+    """Differential-privacy-style noisy release of per-(priority, year)
+    order counts: Laplace(Δf/ε) noise on each count (Dwork et al. 2006,
+    public; Δf = 1 for counting queries). The governance companion to
+    the k-anonymity gate — suppression hides small groups, DP noise
+    protects every group.
+
+    The noise is DETERMINISTIC here (md5-lane uniform → inverse Laplace
+    CDF), which production DP must never do — but an engine test bed
+    must: reruns/retries agree row-for-row and the DuckDB twin verifies
+    the release end-to-end (the repo's hash-sampling convention,
+    operators/corpus.py:stratified_sample). Swapping the md5 lane for a
+    secure RNG is a one-line change that doesn't alter the plan.
+
+        u ∈ (−½, ½),  noise = −(1/ε)·sgn(u)·ln(1 − 2|u|)
+
+    ln is the one libm call — quantized to 1e-6 before release (tfidf
+    convention). Pure narrow aggregate + map; scales as the count does.
+    """
+    grp = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("year"),
+    ).agg(F.count("*").alias("n"))
+    key = F.concat_ws(":", F.col("priority"), F.col("year").cast("string"))
+    # +0.5 lane centering keeps u strictly inside (-1/2, 1/2): a zero
+    # lane would otherwise put ln(1-2|u|) at ln(0)
+    u = (
+        (md5_prefix_value(key, 8).cast("double") + F.lit(0.5))
+        / F.lit(4294967296.0)
+    ) - F.lit(0.5)
+    mag = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    noise = (
+        F.when(u >= 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * mag
+        / F.lit(epsilon)
+    )
+    qnoise = (
+        F.floor(noise * F.lit(DP_NOISE_SCALE) + F.lit(0.5)) / F.lit(DP_NOISE_SCALE)
+    )
+    return (
+        grp.select(
+            "priority",
+            F.col("year").cast("int").alias("year"),
+            F.col("n").cast("long").alias("true_count"),
+            qround(F.col("n") + qnoise, 4).alias("released_count"),
+        )
+        .orderBy("priority", "year")
+    )

@@ -2631,3 +2631,56 @@ def revenue_bridge(
         qround((F.col("q2") - F.col("q1")) * p1, 4).alias("volume_effect"),
         qround((p2 - p1) * F.col("q2"), 4).alias("price_effect"),
     ).orderBy("p_brand")
+
+
+WPCT_QS = (0.25, 0.5, 0.9)
+
+
+def weighted_percentiles_by_brand(
+    lineitem: DataFrame, part: DataFrame, pcts: tuple[float, ...] = WPCT_QS
+) -> DataFrame:
+    """Weighted PERCENTILE_DISC per brand: the smallest line price whose
+    cumulative QUANTITY reaches q·W — the survey-statistics form (each
+    row counts by its weight, not once; unweighted percentiles misstate
+    the price a typical *unit* trades at).
+
+    One brand-partitioned cumulative window (shuffle key = the group,
+    segment_percentiles' contract); the pick per (brand, q) is a
+    conditional min over the windowed frame — no per-q sub-plans. At
+    equal prices the crossing lands inside the tie run and the picked
+    VALUE is the run's price, so intra-run order cannot matter.
+    Cumulative weights are exact decimal sums cast at the compare edge.
+    """
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("p_brand", F.col("l_extendedprice").alias("v"), F.col("l_quantity").alias("wt"))
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    cum = j.select(
+        "p_brand",
+        "v",
+        F.sum(F.col("wt").cast(DEC)).over(w_cum).cast("double").alias("cw"),
+        F.sum(F.col("wt").cast(DEC)).over(w_tot).cast("double").alias("tw"),
+    )
+    picks = [
+        F.min(
+            F.when(F.col("cw") >= F.lit(q) * F.col("tw"), F.col("v"))
+        ).alias(f"p{int(q * 100)}")
+        for q in pcts
+    ]
+    agg = cum.groupBy("p_brand").agg(F.max("tw").alias("total_weight"), *picks)
+    out_rows = None
+    for q in pcts:
+        r = agg.select(
+            "p_brand",
+            F.lit(q).alias("pct"),
+            F.col(f"p{int(q * 100)}").alias("value"),
+            qround(F.col("total_weight"), 4).alias("total_weight"),
+        )
+        out_rows = r if out_rows is None else out_rows.unionByName(r)
+    return out_rows.orderBy("p_brand", "pct")

@@ -3842,3 +3842,48 @@ def _revenue_bridge_sql() -> str:
 
 
 register("revenue_bridge", _q_revenue_bridge, _revenue_bridge_sql())
+
+
+def _q_weighted_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — quantity-weighted PERCENTILE_DISC of line price per
+    brand (operators/relational.py:weighted_percentiles_by_brand)."""
+    return relational.weighted_percentiles_by_brand(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _weighted_pcts_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import WPCT_QS
+
+    picks = ",\n                 ".join(
+        f"min(CASE WHEN cw >= {q!r} * tw THEN v END) AS p{int(q * 100)}"
+        for q in WPCT_QS
+    )
+    arms = "\n          UNION ALL ".join(
+        f"SELECT p_brand, {q!r} AS pct, p{int(q * 100)} AS value,"
+        f" {_q('total_weight', 4)} AS total_weight FROM agg"
+        for q in WPCT_QS
+    )
+    return f"""
+        WITH j AS (
+          SELECT p_brand, l_extendedprice AS v, l_quantity AS wt
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        cum AS (
+          SELECT p_brand, v,
+                 CAST(sum(CAST(wt AS DECIMAL(24,8))) OVER (
+                   PARTITION BY p_brand ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cw,
+                 CAST(sum(CAST(wt AS DECIMAL(24,8))) OVER (
+                   PARTITION BY p_brand) AS DOUBLE) AS tw
+          FROM j),
+        agg AS (
+          SELECT p_brand, max(tw) AS total_weight,
+                 {picks}
+          FROM cum GROUP BY 1)
+        SELECT * FROM ({arms})
+        ORDER BY p_brand, pct"""
+
+
+register("weighted_percentiles_by_brand", _q_weighted_pcts, _weighted_pcts_sql())

@@ -4079,3 +4079,37 @@ def _decision_stump_sql() -> str:
 
 
 register("decision_stump_train", _q_decision_stump, _decision_stump_sql())
+
+
+def _q_dp_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance — DP-style Laplace-noised per-(priority, year) order
+    counts (operators/filters.py:dp_noisy_counts); deterministic md5
+    uniform for test-bed verifiability."""
+    return filters.dp_noisy_counts(load(spark, sf_dir, "orders"))
+
+
+def _dp_noisy_sql() -> str:
+    from .operators.filters import DP_EPSILON, DP_NOISE_SCALE
+
+    key = "priority || ':' || CAST(year AS VARCHAR)"
+    u = (
+        f"((CAST({_sql_md5_prefix_value(key, 8)} AS DOUBLE) + 0.5)"
+        " / 4294967296.0 - 0.5)"
+    )
+    mag = f"ln(1.0 - 2.0 * abs({u}))"
+    noise = (
+        f"(CASE WHEN {u} >= 0 THEN -1.0 ELSE 1.0 END * {mag} / {DP_EPSILON!r})"
+    )
+    qnoise = f"(floor({noise} * {DP_NOISE_SCALE:.1f} + 0.5) / {DP_NOISE_SCALE:.1f})"
+    return f"""
+        WITH grp AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(year(o_orderdate) AS INT) AS year,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1, 2)
+        SELECT priority, year, n AS true_count,
+               {sql_qround(f"n + {qnoise}", 4)} AS released_count
+        FROM grp ORDER BY priority, year"""
+
+
+register("dp_noisy_counts", _q_dp_noisy, _dp_noisy_sql())

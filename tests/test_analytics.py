@@ -416,3 +416,45 @@ def test_error_budget_burn_multiwindow_gate(spark):
     assert "2024-01-01 07:00" in hours and "2024-01-01 09:00" in hours
     r7 = next(r for r in out if r.hour == "2024-01-01 07:00")
     assert r7.burn_1h == 4.0  # 100% errors vs 25% target
+
+
+def test_dp_noisy_counts_bounded_noise_and_determinism(spark):
+    from datetime import datetime
+
+    from cocktailsdb_spark.operators.filters import dp_noisy_counts
+
+    rows = [(i, datetime(1997, 1, 1 + i % 20), "1-URGENT") for i in range(40)] + [
+        (100 + i, datetime(1998, 3, 1 + i % 5), "5-LOW") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_orderpriority string"
+    )
+    out1 = dp_noisy_counts(df).collect()
+    out2 = dp_noisy_counts(df).collect()
+    assert out1 == out2  # deterministic release
+    got = {(r.priority, r.year): r for r in out1}
+    assert got[("1-URGENT", 1997)].true_count == 40
+    assert got[("5-LOW", 1998)].true_count == 10
+    for r in out1:
+        noise = r.released_count - r.true_count
+        assert noise != 0.0  # noise was actually added
+        # |noise| ~ Exp-tail: P(|n| > 12) = e^-12 -- impossible in 2 draws
+        assert abs(noise) < 12.0
+
+
+def test_weighted_percentiles_by_brand_hand_case(spark):
+    from cocktailsdb_spark.operators.relational import weighted_percentiles_by_brand
+
+    # brand B: prices 10 (w=1), 20 (w=8), 30 (w=1). W=10.
+    # p25 -> cw>=2.5 first at price 20; p50 -> 20; p90 -> cw>=9 at 20
+    # (cw=9 exactly at the end of 20's run); price 30 only beyond 9.
+    li = spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 20.0, 8.0), (1, 30.0, 1.0)],
+        "l_partkey long, l_extendedprice double, l_quantity double",
+    )
+    part = spark.createDataFrame([(1, "B")], "p_partkey long, p_brand string")
+    out = {r.pct: r for r in weighted_percentiles_by_brand(li, part).collect()}
+    assert out[0.25].value == 20.0
+    assert out[0.5].value == 20.0
+    assert out[0.9].value == 20.0
+    assert out[0.5].total_weight == 10.0

@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "revenue_bridge",
     "dp_noisy_counts",
     "weighted_percentiles_by_brand",
+    "link_prediction_jaccard",
+    "new_vs_returning_monthly",
 ]
 
 

@@ -315,3 +315,80 @@ def bfs_levels(edges: DataFrame, max_hops: int = BFS_MAX_HOPS) -> DataFrame:
         frontier = nxt
     und.unpersist()
     return visited
+
+
+LP_MIN_SUPPORT = 3
+LP_TOP_K = 25
+
+
+def link_prediction_jaccard(
+    lineitem: DataFrame, min_support: int = LP_MIN_SUPPORT, k: int = LP_TOP_K
+) -> DataFrame:
+    """Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    2003, public) on the co-purchase graph: for part pairs at distance 2
+    (≥1 shared neighbor) that are NOT already linked, score
+
+        J(a, b) = |N(a) ∩ N(b)| / (|N(a)| + |N(b)| − |N(a) ∩ N(b)|)
+
+    and emit the top-k predicted links. The graph-ML sibling of
+    triangle_stats (same wedge enumeration, different consumer).
+
+    Scale shape: edges come from the blocked co-occurrence join (order
+    key blocked — recsys convention); wedges are the edge⋈edge self-join
+    on the shared endpoint — bounded by Σ deg² like triangle counting;
+    degrees broadcast; the existing-edge check is a LEFT ANTI on the
+    pair key. Score rounded before ranking (oracle ordering convention).
+    """
+    from ..numeric import qround
+
+    b = lineitem.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    x, y = b.alias("x"), b.alias("y")
+    und = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= min_support)
+        .select("a", "b")
+    )
+    edges = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("mid"))
+    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("v"))
+    wedges = (
+        e1.join(e2, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    da = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    db = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+    scored = (
+        cand.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("common").cast("long").alias("common_neighbors"),
+            qround(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("part_a"), F.asc("part_b")
+    ).limit(k)

@@ -2684,3 +2684,40 @@ def weighted_percentiles_by_brand(
         )
         out_rows = r if out_rows is None else out_rows.unionByName(r)
     return out_rows.orderBy("p_brand", "pct")
+
+
+def new_vs_returning_monthly(orders: DataFrame) -> DataFrame:
+    """Monthly customer mix: how many purchasers each month are NEW
+    (first-ever order that month) vs RETURNING — the BI staple behind
+    every growth dashboard (acquisition vs retention volume).
+
+    One orders pass keyed by customer (window min for the first-order
+    month), then a month-sized rollup. A customer counts once per month
+    they purchased in (distinct within month).
+    """
+    w = Window.partitionBy("o_custkey")
+    base = orders.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).withColumn("first_m", F.min("m").over(w))
+    per = base.dropDuplicates(["o_custkey", "m"]).select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        (F.col("m") == F.col("first_m")).cast("int").alias("is_new"),
+    )
+    return (
+        per.groupBy("month")
+        .agg(
+            F.sum("is_new").cast("long").alias("new_customers"),
+            F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("returning_customers"),
+        )
+        .select(
+            "month",
+            "new_customers",
+            "returning_customers",
+            qround(
+                F.col("new_customers").cast("double")
+                / (F.col("new_customers") + F.col("returning_customers")).cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+        .orderBy("month")
+    )

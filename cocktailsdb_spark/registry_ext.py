@@ -3887,3 +3887,84 @@ def _weighted_pcts_sql() -> str:
 
 
 register("weighted_percentiles_by_brand", _q_weighted_pcts, _weighted_pcts_sql())
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ML — Jaccard link prediction on the co-purchase graph
+    (operators/graph.py:link_prediction_jaccard); wedge join + degree
+    broadcast + anti-join on existing edges."""
+    from .operators import graph
+
+    return graph.link_prediction_jaccard(load(spark, sf_dir, "lineitem"))
+
+
+def _link_pred_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.graph import LP_MIN_SUPPORT, LP_TOP_K
+
+    return f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (
+          SELECT x.l_partkey AS a, y.l_partkey AS b
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {LP_MIN_SUPPORT}),
+        edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1),
+        wedges AS (
+          SELECT e1.a AS u, e2.b AS v, CAST(count(*) AS BIGINT) AS common
+          FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+          WHERE e1.a < e2.b
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT w.* FROM wedges w ANTI JOIN und
+            ON w.u = und.a AND w.v = und.b),
+        scored AS (
+          SELECT c.u AS part_a, c.v AS part_b,
+                 c.common AS common_neighbors,
+                 {_q(
+                     "CAST(c.common AS DOUBLE)"
+                     " / CAST(du.deg + dv.deg - c.common AS DOUBLE)",
+                     6)} AS jaccard
+          FROM cand c
+          JOIN deg du ON du.a = c.u
+          JOIN deg dv ON dv.a = c.v)
+        SELECT part_a, part_b, common_neighbors, jaccard
+        FROM scored
+        ORDER BY jaccard DESC, part_a, part_b
+        LIMIT {LP_TOP_K}"""
+
+
+register("link_prediction_jaccard", _q_link_prediction, _link_pred_sql())
+
+
+def _q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth — monthly new vs returning purchaser mix
+    (operators/relational.py:new_vs_returning_monthly)."""
+    return relational.new_vs_returning_monthly(load(spark, sf_dir, "orders"))
+
+
+def _new_vs_returning_sql() -> str:
+    from .numeric import sql_qround as _q
+
+    return f"""
+        WITH base AS (
+          SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+                 min(date_trunc('month', o_orderdate)) OVER (
+                   PARTITION BY o_custkey) AS first_m
+          FROM orders),
+        per AS (
+          SELECT DISTINCT o_custkey, m, (m = first_m) AS is_new
+          FROM base)
+        SELECT strftime(m, '%Y-%m') AS month,
+               CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_customers,
+               CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                 AS returning_customers,
+               {_q('CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)'
+                   ' / CAST(count(*) AS DOUBLE)', 6)} AS new_share
+        FROM per GROUP BY m ORDER BY month"""
+
+
+register("new_vs_returning_monthly", _q_new_vs_returning, _new_vs_returning_sql())

@@ -458,3 +458,22 @@ def test_weighted_percentiles_by_brand_hand_case(spark):
     assert out[0.5].value == 20.0
     assert out[0.9].value == 20.0
     assert out[0.5].total_weight == 10.0
+
+
+def test_new_vs_returning_monthly(spark):
+    from datetime import datetime
+
+    from cocktailsdb_spark.operators.relational import new_vs_returning_monthly
+
+    rows = [
+        (1, datetime(2024, 1, 3)),
+        (1, datetime(2024, 1, 20)),  # same month, counts once
+        (1, datetime(2024, 2, 1)),   # returning
+        (2, datetime(2024, 2, 5)),   # new in Feb
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    out = {r.month: r for r in new_vs_returning_monthly(df).collect()}
+    assert out["2024-01"].new_customers == 1 and out["2024-01"].returning_customers == 0
+    feb = out["2024-02"]
+    assert feb.new_customers == 1 and feb.returning_customers == 1
+    assert abs(feb.new_share - 0.5) <= 1e-6

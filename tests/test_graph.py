@@ -135,3 +135,26 @@ def test_bfs_levels_hop_cap_and_duplicates(spark):
 def test_bfs_levels_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert G.bfs_levels(df).count() == 0
+
+
+def test_link_prediction_jaccard_wedge_scores(spark):
+    from cocktailsdb_spark.operators.graph import link_prediction_jaccard
+
+    # Build co-purchase edges via baskets (support >= 2 here):
+    # edges: 1-2, 2-3  ->  candidate pair (1,3) via wedge at 2.
+    # N(1)={2}, N(3)={2}, common=1 -> J = 1/(1+1-1) = 1.
+    rows = []
+    eid = 0
+    for _ in range(2):  # each co-purchase twice to clear min_support=2
+        for ok_base, parts in ((10, [1, 2]), (20, [2, 3])):
+            eid += 1
+            for p in parts:
+                rows.append((ok_base * 100 + eid, p))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = link_prediction_jaccard(li, min_support=2, k=10).collect()
+    got = {(r.part_a, r.part_b): r for r in out}
+    assert (1, 3) in got
+    r = got[(1, 3)]
+    assert r.common_neighbors == 1 and r.jaccard == 1.0
+    # existing edges are never predicted
+    assert (1, 2) not in got and (2, 3) not in got

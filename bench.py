@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "weighted_percentiles_by_brand",
     "link_prediction_jaccard",
     "new_vs_returning_monthly",
+    "streaming_error_burn",
 ]
 
 

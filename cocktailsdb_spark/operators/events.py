@@ -995,13 +995,20 @@ def error_budget_burn(events: DataFrame, target: float = SLO_ERROR_TARGET) -> Da
     O(#hours) frame — same tiny-frame convention as the daily series.
     Integer event counts all the way; rates qround'ed at the edge.
     """
-    hourly = (
-        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum((F.col("event_type") == "error").cast("int")).alias("n_errors"),
-        )
-        .withColumn("hour_idx", (F.unix_micros("hour") / F.lit(3_600_000_000)).cast("long"))
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("n_errors"),
+    )
+    return burn_readout(hourly, target)
+
+
+def burn_readout(hourly: DataFrame, target: float = SLO_ERROR_TARGET) -> DataFrame:
+    """Alert readout over an (hour, n_events, n_errors) frame — shared by
+    the batch operator above and the streaming twin
+    (streaming/stream_queries.py:streaming_error_burn), which produces
+    the hourly frame with a stateful tumbling aggregate."""
+    hourly = hourly.withColumn(
+        "hour_idx", (F.unix_micros("hour") / F.lit(3_600_000_000)).cast("long")
     )
     w_long = Window.orderBy("hour_idx").rangeBetween(-(BURN_LONG_H - 1), 0)
     rated = (

@@ -3968,3 +3968,6 @@ def _new_vs_returning_sql() -> str:
 
 
 register("new_vs_returning_monthly", _q_new_vs_returning, _new_vs_returning_sql())
+
+
+register("streaming_error_burn", _sq.streaming_error_burn, _error_burn_sql())

@@ -846,3 +846,43 @@ def streaming_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def streaming_error_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/events.py:error_budget_burn: the
+    hourly (events, errors) counts run as a STATEFUL tumbling aggregate
+    over the event file stream (complete mode, 1-hour watermark); the
+    multi-window burn readout — a tiny O(#hours) view a foreachBatch
+    alert sink would compute per micro-batch — is the SHARED
+    events.burn_readout, so this entry reuses the batch oracle verbatim
+    (the streaming_last_touch twin convention)."""
+    from ..operators import events as ev_ops
+
+    name = "stream_burn_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_burn_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int")).alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("hour"), "n_events", "n_errors")
+    )
+    with _low_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = ev_ops.burn_readout(spark.table(name)).cache()
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

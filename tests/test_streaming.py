@@ -100,3 +100,21 @@ def test_streaming_last_touch_equals_batch(spark, sf_dir):
     want = attribution.last_touch(load(spark, sf_dir, "events")).collect()
     assert got == want
     assert sum(r.n_conversions for r in got) > 0
+
+
+def test_streaming_error_burn_matches_batch(spark, sf_dir):
+    from cocktailsdb_spark.operators.events import error_budget_burn
+    from cocktailsdb_spark.streaming.stream_queries import streaming_error_burn
+    from cocktailsdb_spark.tables import load
+
+    batch = {r.hour: r for r in error_budget_burn(load(spark, sf_dir, "events")).collect()}
+    stream = {r.hour: r for r in streaming_error_burn(spark, sf_dir).collect()}
+    assert set(batch) == set(stream) and len(batch) > 0
+    for h, b in batch.items():
+        s = stream[h]
+        assert (b.n_events, b.n_errors, b.burn_1h, b.burn_6h) == (
+            s.n_events,
+            s.n_errors,
+            s.burn_1h,
+            s.burn_6h,
+        )

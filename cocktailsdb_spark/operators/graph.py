@@ -318,6 +318,7 @@ def bfs_levels(edges: DataFrame, max_hops: int = BFS_MAX_HOPS) -> DataFrame:
 
 
 LP_MIN_SUPPORT = 3
+LP_REL_SUPPORT_BP2 = 2  # relative min support: 2 per 10,000 orders
 LP_TOP_K = 25
 
 
@@ -338,6 +339,13 @@ def link_prediction_jaccard(
     on the shared endpoint — bounded by Σ deg² like triangle counting;
     degrees broadcast; the existing-edge check is a LEFT ANTI on the
     pair key. Score rounded before ranking (oracle ordering convention).
+
+    Density guard: the edge threshold is RELATIVE support — Apriori's
+    minsup contract — max(min_support, ⌈orders · 2/10000⌉) computed with
+    pure integer arithmetic (no float ceil drift). An absolute cutoff
+    stops pruning as the corpus grows (measured: 10× data → ~250× wedges
+    → 17.8× wall), because co-occurrence counts inflate with corpus
+    size; a relative one keeps edge density — and Σ deg² — stable.
     """
     from ..numeric import qround
 
@@ -345,6 +353,15 @@ def link_prediction_jaccard(
         ["l_orderkey", "l_partkey"]
     )
     x, y = b.alias("x"), b.alias("y")
+    thresh = b.agg(
+        F.greatest(
+            F.lit(min_support),
+            (
+                (F.countDistinct("l_orderkey") * LP_REL_SUPPORT_BP2 + F.lit(9999))
+                / F.lit(10000)
+            ).cast("long"),
+        ).alias("min_s")
+    )
     und = (
         x.join(
             y,
@@ -355,7 +372,8 @@ def link_prediction_jaccard(
             F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
         )
         .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= min_support)
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("s") >= F.col("min_s"))
         .select("a", "b")
     )
     edges = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))

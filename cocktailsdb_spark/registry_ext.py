@@ -3900,15 +3900,19 @@ def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _link_pred_sql() -> str:
     from .numeric import sql_qround as _q
-    from .operators.graph import LP_MIN_SUPPORT, LP_TOP_K
+    from .operators.graph import LP_MIN_SUPPORT, LP_REL_SUPPORT_BP2, LP_TOP_K
 
     return f"""
         WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        th AS (SELECT greatest({LP_MIN_SUPPORT},
+                 (count(DISTINCT l_orderkey) * {LP_REL_SUPPORT_BP2} + 9999) // 10000)
+                 AS min_s
+               FROM b),
         und AS (
           SELECT x.l_partkey AS a, y.l_partkey AS b
           FROM b x JOIN b y
             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-          GROUP BY 1, 2 HAVING count(*) >= {LP_MIN_SUPPORT}),
+          GROUP BY 1, 2 HAVING count(*) >= (SELECT min_s FROM th)),
         edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
         deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
                 FROM edges GROUP BY 1),

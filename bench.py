@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "link_prediction_jaccard",
     "new_vs_returning_monthly",
     "streaming_error_burn",
+    "stump_cross_validation",
 ]
 
 

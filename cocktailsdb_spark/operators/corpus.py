@@ -1333,3 +1333,148 @@ def decision_stump_train(docs: DataFrame, label_lang: str = STUMP_LABEL_LANG) ->
             qround((maj_l + maj_r) / nt, 6).alias("train_accuracy"),
         )
     )
+
+
+CV_FOLDS = 5
+
+
+def stump_cross_validation(
+    docs: DataFrame, label_lang: str = STUMP_LABEL_LANG, n_folds: int = CV_FOLDS
+) -> DataFrame:
+    """k-fold cross-validation of :func:`decision_stump_train` — the
+    methodology layer (train accuracy alone overstates any model):
+    deterministic md5-hash folds, per-fold training on the OTHER k−1
+    folds, held-out accuracy per fold plus the pooled '*' row.
+
+    The whole CV runs from ONE corpus pass: the (fold, feature, bin)
+    histogram. Training stats for held-out fold f are (total − fold f)
+    — no per-fold rescans; held-out evaluation reads fold f's slice of
+    the SAME histogram (a stump's predictions depend only on the bin,
+    so per-bin (n, pos) suffices to score it exactly). The k model
+    searches are windows PARTITIONED BY (fold, feature) over the
+    k×features×bins grid — tiny, and exactly the PLANET trick again.
+
+    Majority votes break ties toward class 0; split candidates and Gini
+    ordering follow decision_stump_train's conventions.
+    """
+    base = docs.select(
+        (md5_prefix_value(F.col("doc_id").cast("string"), 8) % n_folds).alias("fold"),
+        (F.col("lang") == label_lang).cast("int").alias("y"),
+        qround(F.size(tokens()) / F.lit(100.0), STUMP_GRID).alias("f1"),
+        qround(F.col("n_chars") / F.lit(1000.0), STUMP_GRID).alias("f2"),
+        qround(
+            F.size(F.array_distinct(tokens())).cast("double")
+            / F.size(tokens()).cast("double"),
+            STUMP_GRID,
+        ).alias("f3"),
+    )
+    long = base.select(
+        "fold",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f).alias("feature"), F.col(f).alias("bin"))
+                    for f in ("f1", "f2", "f3")
+                ]
+            )
+        ).alias("fb"),
+    ).select("fold", F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"), "y")
+    hist = long.groupBy("fold", "feature", "bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    folds = docs.sparkSession.range(n_folds).select(F.col("id").cast("int").alias("fold_out"))
+    # training histogram for each held-out fold: every fold's rows except its own
+    train = (
+        hist.crossJoin(F.broadcast(folds))
+        .filter(F.col("fold") != F.col("fold_out"))
+        .groupBy("fold_out", "feature", "bin")
+        .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+    )
+    wcum = (
+        Window.partitionBy("fold_out", "feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("fold_out", "feature")
+    cand = (
+        train.withColumn("nl", F.sum("n").over(wcum))
+        .withColumn("pl", F.sum("pos").over(wcum))
+        .withColumn("nt", F.sum("n").over(wtot))
+        .withColumn("pt", F.sum("pos").over(wtot))
+        .filter(F.col("nl") < F.col("nt"))
+    )
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nt, pt = F.col("nt").cast("double"), F.col("pt").cast("double")
+    nr, pr = nt - nl, pt - pl
+    gini = (nl / nt) * (
+        F.lit(1.0) - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    ) + (nr / nt) * (
+        F.lit(1.0) - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    )
+    w_pick = Window.partitionBy("fold_out").orderBy(
+        F.asc("g"), F.asc("feature"), F.asc("bin")
+    )
+    model = (
+        cand.withColumn("g", qround(gini, 6))
+        .withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "fold_out",
+            "feature",
+            F.col("bin").alias("threshold"),
+            (pl * 2 > nl).cast("int").alias("left_class"),
+            (pr * 2 > nr).cast("int").alias("right_class"),
+        )
+    )
+    h = hist.select(
+        "fold",
+        F.col("feature").alias("h_feature"),
+        F.col("bin").alias("h_bin"),
+        "n",
+        "pos",
+    )
+    test = h.join(
+        F.broadcast(model),
+        (F.col("fold") == F.col("fold_out"))
+        & (F.col("h_feature") == F.col("feature")),
+    ).select(
+        "fold_out",
+        "n",
+        "pos",
+        (F.col("h_bin") <= F.col("threshold")).alias("left_side"),
+        "left_class",
+        "right_class",
+        "feature",
+        "threshold",
+    )
+    cls = F.when(F.col("left_side"), F.col("left_class")).otherwise(F.col("right_class"))
+    correct = F.when(cls == 1, F.col("pos")).otherwise(F.col("n") - F.col("pos"))
+    per_fold = test.groupBy("fold_out", "feature", "threshold").agg(
+        F.sum("n").cast("long").alias("test_n"),
+        F.sum(correct).cast("long").alias("test_correct"),
+    )
+    overall = per_fold.agg(
+        F.sum("test_n").cast("long").alias("test_n"),
+        F.sum("test_correct").cast("long").alias("test_correct"),
+    ).select(
+        F.lit(-1).alias("fold_out"),
+        F.lit("*").alias("feature"),
+        F.lit(None).cast("double").alias("threshold"),
+        "test_n",
+        "test_correct",
+    )
+    return (
+        per_fold.unionByName(overall)
+        .select(
+            F.col("fold_out").cast("int").alias("fold"),
+            "feature",
+            "threshold",
+            "test_n",
+            "test_correct",
+            qround(
+                F.col("test_correct").cast("double") / F.col("test_n").cast("double"), 6
+            ).alias("test_accuracy"),
+        )
+        .orderBy("fold")
+    )

@@ -4113,3 +4113,99 @@ def _dp_noisy_sql() -> str:
 
 
 register("dp_noisy_counts", _q_dp_noisy, _dp_noisy_sql())
+
+
+def _q_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — k-fold cross-validation of the histogram decision stump
+    (operators/corpus.py:stump_cross_validation); one corpus pass, k
+    model searches over the shared (fold, feature, bin) histogram."""
+    return corpus.stump_cross_validation(load(spark, sf_dir, "documents"))
+
+
+def _stump_cv_sql() -> str:
+    from .operators.corpus import CV_FOLDS, STUMP_GRID, STUMP_LABEL_LANG
+
+    q2 = lambda e: sql_qround(e, STUMP_GRID)  # noqa: E731
+    toks = "string_split(text, ' ')"
+    gini = (
+        "(nl / nt) * (1.0 - (pl / nl) * (pl / nl)"
+        " - ((nl - pl) / nl) * ((nl - pl) / nl))"
+        " + ((nt - nl) / nt) * (1.0 - ((pt - pl) / (nt - nl)) * ((pt - pl) / (nt - nl))"
+        " - (((nt - nl) - (pt - pl)) / (nt - nl)) * (((nt - nl) - (pt - pl)) / (nt - nl)))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT {_sql_md5_prefix_value("CAST(doc_id AS VARCHAR)", 8)} % {CV_FOLDS}
+                   AS fold,
+                 CASE WHEN lang = '{STUMP_LABEL_LANG}' THEN 1 ELSE 0 END AS y,
+                 {q2(f"CAST(len({toks}) AS DOUBLE) / 100.0")} AS f1,
+                 {q2("CAST(n_chars AS DOUBLE) / 1000.0")} AS f2,
+                 {q2(
+                     f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+                     f" / CAST(len({toks}) AS DOUBLE)")} AS f3
+          FROM documents),
+        long AS (
+          SELECT fold, y, 'f1' AS feature, f1 AS bin FROM base
+          UNION ALL SELECT fold, y, 'f2', f2 FROM base
+          UNION ALL SELECT fold, y, 'f3', f3 FROM base),
+        hist AS (
+          SELECT fold, feature, bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM long GROUP BY 1, 2, 3),
+        folds AS (SELECT unnest(range({CV_FOLDS})) AS fold_out),
+        train AS (
+          SELECT fold_out, feature, bin, CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS pos
+          FROM hist CROSS JOIN folds WHERE fold != fold_out
+          GROUP BY 1, 2, 3),
+        cum AS (
+          SELECT fold_out, feature, bin,
+                 CAST(sum(n) OVER wc AS DOUBLE) AS nl,
+                 CAST(sum(pos) OVER wc AS DOUBLE) AS pl,
+                 CAST(sum(n) OVER wt AS DOUBLE) AS nt,
+                 CAST(sum(pos) OVER wt AS DOUBLE) AS pt
+          FROM train
+          WINDOW wc AS (PARTITION BY fold_out, feature ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wt AS (PARTITION BY fold_out, feature)),
+        cand AS (SELECT * FROM cum WHERE nl < nt),
+        scored AS (
+          SELECT fold_out, feature, bin, nl, pl, nt, pt,
+                 {sql_qround(gini, 6)} AS g
+          FROM cand),
+        model AS (
+          SELECT fold_out, feature, bin AS threshold,
+                 CASE WHEN pl * 2 > nl THEN 1 ELSE 0 END AS left_class,
+                 CASE WHEN (pt - pl) * 2 > (nt - nl) THEN 1 ELSE 0 END
+                   AS right_class
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY fold_out ORDER BY g, feature, bin) AS rk
+                FROM scored)
+          WHERE rk = 1),
+        test AS (
+          SELECT m.fold_out, m.feature, m.threshold, h.n, h.pos,
+                 CASE WHEN h.bin <= m.threshold THEN m.left_class
+                      ELSE m.right_class END AS cls
+          FROM hist h JOIN model m
+            ON h.fold = m.fold_out AND h.feature = m.feature),
+        per_fold AS (
+          SELECT fold_out, feature, threshold,
+                 CAST(sum(n) AS BIGINT) AS test_n,
+                 CAST(sum(CASE WHEN cls = 1 THEN pos ELSE n - pos END)
+                   AS BIGINT) AS test_correct
+          FROM test GROUP BY 1, 2, 3),
+        combined AS (
+          SELECT * FROM per_fold
+          UNION ALL
+          SELECT -1, '*', NULL, CAST(sum(test_n) AS BIGINT),
+                 CAST(sum(test_correct) AS BIGINT)
+          FROM per_fold)
+        SELECT CAST(fold_out AS INT) AS fold, feature, threshold,
+               test_n, test_correct,
+               {sql_qround(
+                   "CAST(test_correct AS DOUBLE) / CAST(test_n AS DOUBLE)", 6)}
+                 AS test_accuracy
+        FROM combined ORDER BY fold"""
+
+
+register("stump_cross_validation", _q_stump_cv, _stump_cv_sql())

@@ -684,3 +684,24 @@ def test_decision_stump_right_side_nonempty(spark):
     rows = [(i, "x y", "en" if i % 2 else "de", 100) for i in range(4)]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
     assert decision_stump_train(docs).collect() == []
+
+
+def test_stump_cv_perfectly_separable_all_folds(spark):
+    from cocktailsdb_spark.operators.corpus import stump_cross_validation
+
+    # perfectly separable on n_chars in every fold -> every held-out
+    # fold scores accuracy 1.0, and so does the pooled row.
+    rows = []
+    for i in range(40):
+        en = i % 2 == 0
+        rows.append((i, "a b c", "en" if en else "de", 600 if en else 100))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+    out = stump_cross_validation(docs).collect()
+    pooled = [r for r in out if r.fold == -1]
+    assert len(pooled) == 1 and pooled[0].test_accuracy == 1.0
+    per = [r for r in out if r.fold >= 0]
+    assert len(per) == len({r.fold for r in per})  # one row per fold
+    total = sum(r.test_n for r in per)
+    assert total == 40
+    for r in per:
+        assert r.feature == "f2" and r.test_accuracy == 1.0

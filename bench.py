@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "new_vs_returning_monthly",
     "streaming_error_burn",
     "stump_cross_validation",
+    "pareto_customers_by_region",
 ]
 
 

@@ -2721,3 +2721,66 @@ def new_vs_returning_monthly(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+PARETO_SHARE = 0.8
+
+
+def pareto_customers_by_region(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    share: float = PARETO_SHARE,
+) -> DataFrame:
+    """Pareto concentration per region: the smallest number of customers
+    whose revenue covers ``share`` of the region's total (the "80/20"
+    readout; Gini's rank-free twin `gini_revenue` gives the coefficient,
+    this gives the actionable head-count).
+
+    Dims broadcast; revenue-per-customer is the one fact-sized
+    aggregate; ranking and the cumulative crossing run per region
+    (group-partitioned windows, segment_percentiles' contract). The pick
+    is min rank where cumulative ≥ share·total — exact decimal cumsums,
+    crossing compared on identical doubles. Customer-key tiebreak on
+    equal revenues keeps ranks engine-stable.
+    """
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("c_custkey").alias("cust"))
+        .agg(dsum(F.col("o_totalprice")).alias("crev"))
+    )
+    w_rank = Window.partitionBy("region").orderBy(F.desc("crev"), F.asc("cust"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy("region")
+    ranked = rev.select(
+        "region",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum(F.col("crev").cast(DEC)).over(w_cum).cast("double").alias("cum"),
+        F.sum(F.col("crev").cast(DEC)).over(w_tot).cast("double").alias("tot"),
+        F.count("*").over(w_tot).alias("n_customers"),
+    )
+    hit = ranked.filter(F.col("cum") >= F.lit(share) * F.col("tot"))
+    return (
+        hit.groupBy("region")
+        .agg(
+            F.max("n_customers").cast("long").alias("n_customers"),
+            F.min("rk").cast("long").alias("n_top"),
+            F.max("tot").alias("total_revenue"),
+        )
+        .select(
+            "region",
+            "n_customers",
+            "n_top",
+            qround(
+                F.col("n_top").cast("double") / F.col("n_customers").cast("double"), 6
+            ).alias("top_fraction"),
+            qround(F.col("total_revenue"), 4).alias("total_revenue"),
+        )
+        .orderBy("region")
+    )

@@ -3975,3 +3975,52 @@ register("new_vs_returning_monthly", _q_new_vs_returning, _new_vs_returning_sql(
 
 
 register("streaming_error_burn", _sq.streaming_error_burn, _error_burn_sql())
+
+
+def _q_pareto_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration — per-region Pareto head-count: smallest #customers
+    covering 80% of revenue
+    (operators/relational.py:pareto_customers_by_region)."""
+    return relational.pareto_customers_by_region(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+def _pareto_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import PARETO_SHARE
+
+    return f"""
+        WITH rev AS (
+          SELECT r_name AS region, c_custkey AS cust,
+                 {_d('o_totalprice')} AS crev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT region,
+                 row_number() OVER w AS rk,
+                 CAST(sum(CAST(crev AS DECIMAL(24,8))) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cum,
+                 CAST(sum(CAST(crev AS DECIMAL(24,8))) OVER (
+                   PARTITION BY region) AS DOUBLE) AS tot,
+                 CAST(count(*) OVER (PARTITION BY region) AS BIGINT)
+                   AS n_customers
+          FROM rev
+          WINDOW w AS (PARTITION BY region ORDER BY crev DESC, cust))
+        SELECT region, max(n_customers) AS n_customers,
+               CAST(min(rk) AS BIGINT) AS n_top,
+               {_q('CAST(min(rk) AS DOUBLE) / CAST(max(n_customers) AS DOUBLE)', 6)}
+                 AS top_fraction,
+               {_q('max(tot)', 4)} AS total_revenue
+        FROM ranked WHERE cum >= {PARETO_SHARE!r} * tot
+        GROUP BY region ORDER BY region"""
+
+
+register("pareto_customers_by_region", _q_pareto_region, _pareto_sql())

@@ -477,3 +477,32 @@ def test_new_vs_returning_monthly(spark):
     feb = out["2024-02"]
     assert feb.new_customers == 1 and feb.returning_customers == 1
     assert abs(feb.new_share - 0.5) <= 1e-6
+
+
+def test_pareto_customers_by_region_crossing(spark):
+    from datetime import datetime
+
+    from cocktailsdb_spark.operators.relational import pareto_customers_by_region
+
+    # region R: revenues 50, 30, 15, 5 (total 100). cum: 50, 80, 95, 100.
+    # 80% crossing at rank 2 -> n_top = 2, fraction 0.5.
+    orders = spark.createDataFrame(
+        [
+            (1, datetime(2000, 1, 1), 50.0),
+            (2, datetime(2000, 1, 1), 30.0),
+            (3, datetime(2000, 1, 1), 15.0),
+            (4, datetime(2000, 1, 1), 5.0),
+        ],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, 10) for i in (1, 2, 3, 4)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame([(10, "N", 20)], "n_nationkey long, n_name string, n_regionkey long")
+    region = spark.createDataFrame([(20, "R")], "r_regionkey long, r_name string")
+    out = pareto_customers_by_region(orders, customer, nation, region).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.region == "R" and r.n_customers == 4
+    assert r.n_top == 2 and abs(r.top_fraction - 0.5) <= 1e-6
+    assert r.total_revenue == 100.0

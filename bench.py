@@ -225,6 +225,10 @@ BENCH_QUERIES = [
     "streaming_error_burn",
     "stump_cross_validation",
     "pareto_customers_by_region",
+    # round-9: the last two histogram-narrowed scale twins (VERDICT r8
+    # task 2) — the exact forms above stay benched as oracle twins
+    "segment_percentiles_scaled",
+    "weighted_percentiles_by_brand_scaled",
 ]
 
 
@@ -238,6 +242,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    loadavg_start = os.getloadavg()[0]
     spark = get_spark("bench")
     # warm-up: JVM startup + parquet footer/file-index caches for every
     # table — session cost, not per-query cost (first-touch scan setup
@@ -263,7 +268,23 @@ def main() -> None:
         _ident, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # JIT warm-up: the session-aging probe (bench_aging_probe_r9.json)
+    # showed per-query cost FALLS ~30% over the first ~50 executed queries
+    # (HotSpot compiling Spark's scheduler/codegen paths) — so the first
+    # timed rows otherwise carry JVM warm-up that later rows don't. A few
+    # repeated representative queries move that cost into session setup.
     queries = entrymod.queries()
+    for warm in ("exact_dedup_hash", "tpch_q1_pricing", "window_tumbling_hour"):
+        if warm in queries:
+            for _ in range(2):
+                try:
+                    queries[warm](spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                except Exception as exc:  # noqa: BLE001
+                    print(f"bench: warm-up {warm} failed: {exc}", file=sys.stderr)
+                    break
+
     timings: dict[str, float] = {}
     spreads: dict[str, dict] = {}
     errors: dict[str, str] = {}
@@ -288,7 +309,13 @@ def main() -> None:
                 return time.perf_counter() - t0
 
             reps = [_rep(), _rep()]
-            if max(reps) / min(reps) > 2.0:
+            # sub-2s rows are fixed-overhead-dominated and the ones the
+            # VM's noisy-neighbor spikes distort hardest (r8 post-mortem:
+            # the committed artifact read a uniform ~2x drift on exactly
+            # these rows while the aging probe reproduced baseline on a
+            # quiet box — bench_aging_probe_r9.json). A third rep is
+            # cheap there and makes the min a defensible plan cost.
+            if min(reps) < 2.0 or max(reps) / min(reps) > 2.0:
                 reps.append(_rep())
             spread = round(max(reps) / min(reps), 2)
             timings[name] = round(min(reps), 3)
@@ -312,6 +339,13 @@ def main() -> None:
         "queries": timings,
         "spreads": spreads,
         "sf": sf,
+        # environment note (BASELINE.md noise convention): the 1-minute
+        # load average bracketing the run makes a drifted artifact
+        # adjudicable as box contention vs plan regression without
+        # re-running (the r8 artifact's uniform sub-second drift was
+        # exactly this — bench_aging_probe_r9.json).
+        "loadavg_start": round(loadavg_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     if noisy:
         out["noisy"] = noisy

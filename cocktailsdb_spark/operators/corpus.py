@@ -1289,8 +1289,15 @@ def decision_stump_train(docs: DataFrame, label_lang: str = STUMP_LABEL_LANG) ->
             )
         ).alias("fb"),
     ).select(F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"), "y")
-    hist = long.groupBy("feature", "bin").agg(
-        F.count("*").alias("n"), F.sum("y").alias("pos")
+    # null-bin guard (ADVICE r8): a NULL feature value (e.g. null text)
+    # would sort NULLS FIRST in Spark's cumulative window but NULLS LAST
+    # in DuckDB's, shifting every split stat between engines — drop null
+    # bins from the histogram identically on both sides instead (a stump
+    # cannot split on "f ≤ NULL" anyway)
+    hist = (
+        long.filter(F.col("bin").isNotNull())
+        .groupBy("feature", "bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )
     wcum = (
         Window.partitionBy("feature")
@@ -1380,8 +1387,11 @@ def stump_cross_validation(
             )
         ).alias("fb"),
     ).select("fold", F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"), "y")
-    hist = long.groupBy("fold", "feature", "bin").agg(
-        F.count("*").alias("n"), F.sum("y").alias("pos")
+    # null-bin guard — same engine-ordering rationale as decision_stump_train
+    hist = (
+        long.filter(F.col("bin").isNotNull())
+        .groupBy("fold", "feature", "bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )
     folds = docs.sparkSession.range(n_folds).select(F.col("id").cast("int").alias("fold_out"))
     # training histogram for each held-out fold: every fold's rows except its own

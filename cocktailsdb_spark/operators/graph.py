@@ -353,13 +353,18 @@ def link_prediction_jaccard(
         ["l_orderkey", "l_partkey"]
     )
     x, y = b.alias("x"), b.alias("y")
+    # ceil-divide in TRUE integer arithmetic: Spark's `/` on longs is
+    # double division (exact only below 2^53), while the DuckDB twin
+    # uses integer `//` — `div` is Spark's integral division, matching
+    # the twin at any magnitude (ADVICE r8)
     thresh = b.agg(
+        (F.countDistinct("l_orderkey") * LP_REL_SUPPORT_BP2 + F.lit(9999)).alias(
+            "num"
+        )
+    ).select(
         F.greatest(
-            F.lit(min_support),
-            (
-                (F.countDistinct("l_orderkey") * LP_REL_SUPPORT_BP2 + F.lit(9999))
-                / F.lit(10000)
-            ).cast("long"),
+            F.lit(min_support).cast("long"),
+            F.expr("num div 10000"),
         ).alias("min_s")
     )
     und = (

@@ -1930,6 +1930,91 @@ def segment_percentiles(
     return picks.orderBy("c_mktsegment", "pct")
 
 
+SEGP_BUCKETS = 1024
+SEGP_DOMAIN = QTP_DOMAIN  # o_totalprice domain; prod: first-pass sample
+
+
+def segment_percentiles_scaled(
+    orders: DataFrame,
+    customer: DataFrame,
+    pcts: tuple[float, ...] = SEGMENT_PCTS,
+    n_buckets: int = SEGP_BUCKETS,
+    domain: tuple[float, float] = SEGP_DOMAIN,
+) -> DataFrame:
+    """100 TB form of :func:`segment_percentiles` — identical output
+    (same ⌈q·n⌉ PERCENTILE_DISC rank, same oracle), but NO per-group
+    full-sort window. :func:`segment_percentiles` partitions one window
+    by ~5 market segments, so at 100× each task sorts ~1/5 of the fact
+    table; here the histogram-narrowing of :func:`quantile_two_pass`
+    applies instead: pass 1 is one map-side-combined (segment, bucket)
+    count aggregate (histogram-sized output), the target rank ⌈q·n⌉ is
+    located in its cumulative counts, and pass 2 ranks ONLY the selected
+    buckets (~n/n_buckets rows per group-bucket, shuffle key
+    (segment, bucket) — unbounded fan-out, no bounded-cardinality sort
+    key anywhere). Equal values always share a bucket, so
+    global rank = cum_prev + in-bucket rank exactly; ties at equal v
+    rank arbitrarily in BOTH forms and the picked VALUE at any in-tie
+    position is the run's v, so the output is deterministic.
+    """
+    lo, hi = domain
+    width = (hi - lo) / n_buckets
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("c_mktsegment", F.col("o_totalprice").alias("v"))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col("v") - lo) / width).cast("int")),
+    )
+    hist = j.groupBy("c_mktsegment", bucket.alias("bucket")).agg(
+        F.count("*").alias("c")
+    )
+    wb = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    # histogram-sized (≤ segments × n_buckets rows) — materialize once so
+    # the per-q selection branches don't re-run the data-sized aggregate
+    cum = hist.select(
+        "c_mktsegment",
+        "bucket",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cum_prev"),
+        F.sum("c").over(wn).alias("n"),
+    ).localCheckpoint()
+    sels = []
+    for q in pcts:
+        # the exact twin's rank: k = ceil(q·n) over doubles
+        k = F.ceil(F.lit(q) * F.col("n").cast("double")).cast("long")
+        sels.append(
+            cum.filter((k > F.col("cum_prev")) & (k <= F.col("cum_prev") + F.col("c")))
+            .select(
+                "c_mktsegment",
+                F.lit(q).alias("pct"),
+                "bucket",
+                (k - F.col("cum_prev")).alias("offset"),
+                F.col("n").cast("long").alias("n_orders"),
+            )
+        )
+    sel = sels[0]
+    for s in sels[1:]:
+        sel = sel.unionByName(s)
+    wanted = sel.select("c_mktsegment", "bucket").distinct()
+    narrowed = j.select("c_mktsegment", "v", bucket.alias("bucket")).join(
+        F.broadcast(wanted), ["c_mktsegment", "bucket"]
+    )
+    wl = Window.partitionBy("c_mktsegment", "bucket").orderBy("v")
+    local = narrowed.withColumn("lrank", F.row_number().over(wl).cast("long"))
+    picked = (
+        local.join(F.broadcast(sel), ["c_mktsegment", "bucket"])
+        .filter(F.col("lrank") == F.col("offset"))
+        .select("c_mktsegment", "pct", F.col("v").alias("value"), "n_orders")
+    )
+    return picked.orderBy("c_mktsegment", "pct")
+
+
 ANOM_Z_THRESHOLD = 2.0
 
 
@@ -2341,6 +2426,12 @@ def bootstrap_ci_revenue(orders: DataFrame, b_reps: int = BOOT_B) -> DataFrame:
 
     Exact decimal sums per replicate; the md5 lane is the engine-shared
     hash (operators/text.py:md5_prefix_value convention).
+
+    Tail note (ADVICE r8): the inverse CDF is truncated at
+    kmax = len(POISSON1_CUM) — the ~1e-6 upper-tail mass collapses onto
+    weight kmax. The truncation is mirrored verbatim in the SQL twin, so
+    it is a (documented, negligible) shared bias, not an engine skew;
+    a replicate with Σw = 0 yields NULL m on both engines (NULLIF).
     """
     from ..tables import spread
     from .text import md5_prefix_value
@@ -2363,7 +2454,14 @@ def bootstrap_ci_revenue(orders: DataFrame, b_reps: int = BOOT_B) -> DataFrame:
         rep.withColumn("w", w.cast("long"))
         .groupBy("b")
         .agg(
-            (dsum(F.col("w").cast("double") * F.col("x")) / F.sum("w").cast("double")).alias("m")
+            # NULLIF guard (ADVICE r8): a replicate whose every weight
+            # drew 0 (probability ~e^{-n}, impossible at any real n but
+            # a contract hole) must yield NULL m on BOTH engines rather
+            # than Spark-NULL vs DuckDB-NaN
+            (
+                dsum(F.col("w").cast("double") * F.col("x"))
+                / F.nullif(F.sum("w"), F.lit(0)).cast("double")
+            ).alias("m")
         )
     )
     import math as _m
@@ -2437,7 +2535,15 @@ def forecast_backtest(orders: DataFrame, season: int = BACKTEST_SEASON) -> DataF
             F.count("*").cast("long").alias("n_days"),
             (dsum(F.abs(err)) / F.count("*").cast("double")).alias("mae_raw"),
             (
-                dsum(F.abs(err) / F.col("x")) / F.count("*").cast("double")
+                # zero-revenue-day guard (ADVICE r8): without the when(),
+                # Spark's non-ANSI division NULLs the term (silently
+                # dropped from dsum) while DuckDB floats it to inf — the
+                # explicit guard makes BOTH engines drop x=0 days from
+                # the MAPE numerator identically (n_days still counts
+                # them; no such day exists in the fixtures, this pins
+                # the contract)
+                dsum(F.when(F.col("x") != 0, F.abs(err) / F.col("x")))
+                / F.count("*").cast("double")
             ).alias("mape_raw"),
             (
                 dsum(err * err / F.lit(1e6)) / F.count("*").cast("double")
@@ -2684,6 +2790,107 @@ def weighted_percentiles_by_brand(
         )
         out_rows = r if out_rows is None else out_rows.unionByName(r)
     return out_rows.orderBy("p_brand", "pct")
+
+
+WPS_BUCKETS = 1024
+WPS_DOMAIN = (900.0, 105000.0)  # l_extendedprice domain; prod: sample pass
+
+
+def weighted_percentiles_by_brand_scaled(
+    lineitem: DataFrame,
+    part: DataFrame,
+    pcts: tuple[float, ...] = WPCT_QS,
+    n_buckets: int = WPS_BUCKETS,
+    domain: tuple[float, float] = WPS_DOMAIN,
+) -> DataFrame:
+    """100 TB form of :func:`weighted_percentiles_by_brand` — identical
+    output (same crossing rule, same oracle) with the per-brand
+    cumulative-QUANTITY window replaced by histogram narrowing. The
+    exact twin partitions a running-sum window by ~25 brands, so each
+    task sorts ~1/25 of the fact table at any scale; here pass 1 is a
+    (brand, value-bucket) weight aggregate (exact DECIMAL partial sums,
+    map-side combined, histogram-sized output), the crossing bucket per
+    (brand, q) is located in the cumulative bucket weights, and pass 2
+    runs the running sum ONLY inside selected buckets (shuffle key
+    (brand, bucket)). Exactness: DECIMAL sums are associative, bucketing
+    is monotone in v and equal values share a bucket, so
+    global cum weight at a row = bucket-prefix DECIMAL + in-bucket
+    running DECIMAL — the identical exact decimal the twin computes —
+    and the double-cast compare ``cw >= q·tw`` picks the identical
+    crossing value (ties at equal v expose only the run's v, as in the
+    twin).
+    """
+    lo, hi = domain
+    width = (hi - lo) / n_buckets
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand", F.col("l_extendedprice").alias("v"), F.col("l_quantity").alias("wt")
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col("v") - lo) / width).cast("int")),
+    )
+    hist = j.groupBy("p_brand", bucket.alias("bucket")).agg(
+        F.sum(F.col("wt").cast(DEC)).alias("bw")
+    )
+    wb = (
+        Window.partitionBy("p_brand")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("p_brand")
+    zero = F.lit(0).cast("decimal(34,8)")
+    # histogram-sized (≤ brands × n_buckets rows) — materialize once
+    cum = hist.select(
+        "p_brand",
+        "bucket",
+        "bw",
+        F.coalesce(F.sum("bw").over(wb), zero).alias("cum_prev"),
+        F.sum("bw").over(wn).cast("double").alias("tw"),
+    ).localCheckpoint()
+    sels = []
+    for q in pcts:
+        th = F.lit(q) * F.col("tw")  # the twin's double threshold q·tw
+        sels.append(
+            cum.filter(
+                (F.col("cum_prev").cast("double") < th)
+                & ((F.col("cum_prev") + F.col("bw")).cast("double") >= th)
+            ).select(
+                "p_brand",
+                F.lit(q).alias("pct"),
+                "bucket",
+                "cum_prev",
+                th.alias("th"),
+                qround(F.col("tw"), 4).alias("total_weight"),
+            )
+        )
+    sel = sels[0]
+    for s in sels[1:]:
+        sel = sel.unionByName(s)
+    wanted = sel.select("p_brand", "bucket").distinct()
+    narrowed = j.select("p_brand", "v", "wt", bucket.alias("bucket")).join(
+        F.broadcast(wanted), ["p_brand", "bucket"]
+    )
+    wl = (
+        Window.partitionBy("p_brand", "bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = narrowed.withColumn("lcw", F.sum(F.col("wt").cast(DEC)).over(wl))
+    picked = (
+        local.join(F.broadcast(sel), ["p_brand", "bucket"])
+        .filter((F.col("cum_prev") + F.col("lcw")).cast("double") >= F.col("th"))
+        .groupBy("p_brand", "pct")
+        .agg(
+            F.min("v").alias("value"),
+            F.max("total_weight").alias("total_weight"),
+        )
+    )
+    return picked.select("p_brand", "pct", "value", "total_weight").orderBy(
+        "p_brand", "pct"
+    )
 
 
 def new_vs_returning_monthly(orders: DataFrame) -> DataFrame:

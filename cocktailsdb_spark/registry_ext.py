@@ -3045,6 +3045,20 @@ def _segment_pcts_sql() -> str:
 register("segment_percentiles", _q_segment_pcts, _segment_pcts_sql())
 
 
+def _q_segment_pcts_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational — per-segment PERCENTILE_DISC via two-pass histogram
+    narrowing, the 100 TB form with no bounded-cardinality-key full-sort
+    window (operators/relational.py:segment_percentiles_scaled). Shares
+    the exact twin's oracle — green hash proves narrowing ≡ naive
+    per-group rank."""
+    return relational.segment_percentiles_scaled(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+register("segment_percentiles_scaled", _q_segment_pcts_scaled, _segment_pcts_sql())
+
+
 def _q_wd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time series — weekday-adjusted revenue anomaly days
     (operators/relational.py:weekday_adjusted_anomalies)."""
@@ -3388,7 +3402,7 @@ def _bootstrap_sql() -> str:
           SELECT x, b, CAST({w} AS BIGINT) AS w FROM drawn),
         means AS (
           SELECT b, {_d('CAST(w AS DOUBLE) * x')}
-                      / CAST(sum(w) AS DOUBLE) AS m
+                      / CAST(NULLIF(sum(w), 0) AS DOUBLE) AS m
           FROM weighted GROUP BY b),
         ranked AS (
           SELECT m, row_number() OVER (ORDER BY m) AS rk FROM means),
@@ -3614,7 +3628,8 @@ def _backtest_sql() -> str:
           SELECT '{name}' AS method,
                  CAST(count(*) AS BIGINT) AS n_days,
                  {_d('abs(x - f)')} / CAST(count(*) AS DOUBLE) AS mae_raw,
-                 {_d('abs(x - f) / x')} / CAST(count(*) AS DOUBLE) AS mape_raw,
+                 {_d('CASE WHEN x <> 0 THEN abs(x - f) / x END')}
+                   / CAST(count(*) AS DOUBLE) AS mape_raw,
                  {_d('(x - f) * (x - f) / 1000000.0')}
                    / CAST(count(*) AS DOUBLE) AS mse_m
           FROM (SELECT day, x,
@@ -3887,6 +3902,23 @@ def _weighted_pcts_sql() -> str:
 
 
 register("weighted_percentiles_by_brand", _q_weighted_pcts, _weighted_pcts_sql())
+
+
+def _q_weighted_pcts_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — quantity-weighted PERCENTILE_DISC per brand via
+    two-pass histogram narrowing over cumulative WEIGHT, the 100 TB form
+    with no per-brand full-sort running-sum window
+    (operators/relational.py:weighted_percentiles_by_brand_scaled).
+    Shares the exact twin's oracle — green hash proves the bucket-prefix
+    DECIMAL decomposition ≡ the twin's global running sum."""
+    return relational.weighted_percentiles_by_brand_scaled(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+register(
+    "weighted_percentiles_by_brand_scaled", _q_weighted_pcts_scaled, _weighted_pcts_sql()
+)
 
 
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4048,7 +4048,7 @@ def _decision_stump_sql() -> str:
         hist AS (
           SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(y) AS BIGINT) AS pos
-          FROM long GROUP BY 1, 2),
+          FROM long WHERE bin IS NOT NULL GROUP BY 1, 2),
         cum AS (
           SELECT feature, bin,
                  CAST(sum(n) OVER wc AS DOUBLE) AS nl,
@@ -4151,7 +4151,7 @@ def _stump_cv_sql() -> str:
         hist AS (
           SELECT fold, feature, bin, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(y) AS BIGINT) AS pos
-          FROM long GROUP BY 1, 2, 3),
+          FROM long WHERE bin IS NOT NULL GROUP BY 1, 2, 3),
         folds AS (SELECT unnest(range({CV_FOLDS})) AS fold_out),
         train AS (
           SELECT fold_out, feature, bin, CAST(sum(n) AS BIGINT) AS n,

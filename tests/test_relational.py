@@ -702,3 +702,102 @@ def test_mann_whitney_bucket_boundary_values(spark):
         1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
     )
     assert out.u_a == u_a and out.u_b == len(a) * len(b) - u_a
+
+
+def test_segment_percentiles_scaled_equals_exact(spark):
+    """Histogram narrowing must reproduce the exact twin's ceil(q*n) pick
+    bit-for-bit — including ties and values outside the fixed domain
+    (clamped into edge buckets)."""
+    import random
+
+    rng = random.Random(41)
+    rows = []
+    k = 0
+    for seg in ["AUTOMOBILE", "BUILDING", "MACHINERY"]:
+        for _ in range(500):
+            k += 1
+            v = rng.choice([rng.uniform(-500.0, 700000.0), 4321.99, 4321.99])
+            rows.append((k, k % 37, seg, float(v)))
+    orders = spark.createDataFrame(
+        [(a, b, v) for a, b, _, v in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(b, seg) for _, b, seg, _ in rows],
+        "c_custkey long, c_mktsegment string",
+    ).dropDuplicates(["c_custkey"])
+    exact = {
+        (r.c_mktsegment, r.pct): (r.value, r.n_orders)
+        for r in relational.segment_percentiles(orders, customer).collect()
+    }
+    fast = {
+        (r.c_mktsegment, r.pct): (r.value, r.n_orders)
+        for r in relational.segment_percentiles_scaled(orders, customer).collect()
+    }
+    assert exact == fast
+
+
+def test_weighted_percentiles_scaled_equals_exact(spark):
+    """The bucket-prefix DECIMAL decomposition must reproduce the exact
+    twin's cw >= q*tw crossing value — ties, fractional weights, and
+    out-of-domain prices included."""
+    import random
+
+    rng = random.Random(43)
+    li, pt = [], []
+    for pk in range(40):
+        pt.append((pk, f"Brand#{pk % 5}"))
+    k = 0
+    for _ in range(3000):
+        k += 1
+        pk = rng.randrange(40)
+        v = rng.choice([rng.uniform(100.0, 120000.0), 555.5, 555.5])
+        w = float(rng.randint(1, 50))
+        li.append((k, pk, float(v), w))
+    lineitem = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_extendedprice double, l_quantity double"
+    )
+    part = spark.createDataFrame(pt, "p_partkey long, p_brand string")
+    exact = {
+        (r.p_brand, r.pct): (r.value, r.total_weight)
+        for r in relational.weighted_percentiles_by_brand(lineitem, part).collect()
+    }
+    fast = {
+        (r.p_brand, r.pct): (r.value, r.total_weight)
+        for r in relational.weighted_percentiles_by_brand_scaled(
+            lineitem, part
+        ).collect()
+    }
+    assert exact == fast
+
+
+def test_percentile_scaled_plans_have_no_group_only_sort_window(spark, sf_dir):
+    """The whole point of the two r9 scale twins (VERDICT r8 task 2): no
+    window/sort anywhere in the plan is partitioned by the bounded-
+    cardinality group key ALONE (segment ~5, brand ~25 — at 100x each
+    such task sorts a fixed fraction of the fact table). Every
+    data-sized exchange must carry the bucket in its key; SinglePartition
+    must not appear at all."""
+    import re as _re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from __spark_entry__ import queries
+    from tools.plan_audit import fmt_plan
+
+    for name, group_key in (
+        ("segment_percentiles_scaled", "c_mktsegment"),
+        ("weighted_percentiles_by_brand_scaled", "p_brand"),
+    ):
+        plan = fmt_plan(queries()[name](spark, sf_dir))
+        assert "SinglePartition" not in plan, name
+        # group-key-only hash exchange = the bounded-cardinality shuffle
+        # the scaled form exists to eliminate (rangepartitioning for the
+        # final presentation orderBy is fine — it carries pct too)
+        assert not _re.search(
+            rf"hashpartitioning\({group_key}#\d+, \d+\)", plan
+        ), f"{name}: group-only exchange\n{plan}"
+        assert _re.search(
+            rf"hashpartitioning\({group_key}#\d+, bucket#\d+", plan
+        ), f"{name}: expected (group, bucket) exchange"

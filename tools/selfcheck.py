@@ -105,6 +105,7 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -114,11 +115,13 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
+            results[name] = {"status": "FAIL", "rows": 0}
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only, {t_spark:.1f}s)")
             n_rows_only += 1
+            results[name] = {"status": "rows", "rows": len(sdf)}
             continue
         t0 = time.time()
         try:
@@ -126,6 +129,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
+            results[name] = {"status": "FAIL", "rows": len(sdf)}
             continue
         t_duck = time.time() - t0
         problems = []
@@ -144,12 +148,46 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems))
             n_fail += 1
+            results[name] = {"status": "FAIL", "rows": len(sdf)}
         else:
             print(f"ok    {name}: {len(sdf)} rows (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)")
             n_pass += 1
+            results[name] = {"status": "ok", "rows": len(sdf)}
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    _update_ledger(results, args.sf)
     return 1 if n_fail else 0
+
+
+def _update_ledger(results: dict[str, dict], sf: str) -> None:
+    """Merge this run's per-entry outcomes into selfcheck_ledger.json.
+
+    The ledger is the committed record that EVERY registry entry has
+    oracle evidence on its CURRENT source (tests/test_sweep_gate.py —
+    VERDICT r8 task 4: two entries reached the judge with no committed
+    oracle evidence because they post-dated the last full sweep; the
+    gate makes "sweep runs on the closing tree" mechanical). Each record
+    carries the entry's source hash at check time, so an entry edited
+    after its last check fails the gate until re-checked — partial
+    ``--only`` runs update just their entries, so the gate is satisfiable
+    incrementally without a full sweep per commit.
+    """
+    import json
+
+    from cocktailsdb_spark.registry import entry_source_hash
+
+    root = Path(__file__).resolve().parent.parent
+    path = root / "selfcheck_ledger.json"
+    ledger = json.loads(path.read_text()) if path.exists() else {}
+    for name, rec in results.items():
+        ledger[name] = {
+            "status": rec["status"],
+            "rows": rec["rows"],
+            "sf": sf,
+            "source_hash": entry_source_hash(name),
+        }
+    path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    print(f"ledger: {len(results)} entries updated -> {path.name}")
 
 
 if __name__ == "__main__":

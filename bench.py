@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     # task 2) — the exact forms above stay benched as oracle twins
     "segment_percentiles_scaled",
     "weighted_percentiles_by_brand_scaled",
+    # round-9: the geo ring-pitch recall dial (VERDICT r8 task 7)
+    "geo_knn_recall_at_k",
 ]
 
 

@@ -117,3 +117,64 @@ register(
         SELECT point_id, neighbor_id, dist2_cd2, CAST(rn AS INT) AS rank
         FROM r WHERE rn <= {geo.GEO_KNN_K}""",
 )
+
+
+def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo — recall@k of the grid-bounded kNN vs exact brute force, per
+    ring pitch (operators/geo.py:knn_recall_curve): the measured
+    cost/quality dial (VERDICT r8 task 7 — pitch was a constant, now a
+    pinned knob like the ANN families' recall entries)."""
+    return geo.knn_recall_curve(geo.synth_points(load(spark, sf_dir, "customer")))
+
+
+def _knn_recall_sql() -> str:
+    k = geo.GEO_KNN_K
+    ids = ", ".join(str(i) for i in geo.GEO_RECALL_QUERIES)
+    nq = len(geo.GEO_RECALL_QUERIES)
+
+    def grid(pitch: int) -> str:
+        p = float(pitch)
+        return f"""(SELECT qid, neighbor_id FROM (
+            SELECT pr.qid, h.neighbor_id,
+                   row_number() OVER (PARTITION BY pr.qid ORDER BY
+                     CAST((pr.xa - h.xb) * (pr.xa - h.xb)
+                        + (pr.ya - h.yb) * (pr.ya - h.yb) AS BIGINT),
+                     h.neighbor_id) AS rn
+            FROM (SELECT qid, qx AS xa, qy AS ya,
+                         CAST(floor(qx / {p}) AS BIGINT) + ox.d AS cell_x,
+                         CAST(floor(qy / {p}) AS BIGINT) + oy.d AS cell_y
+                  FROM q CROSS JOIN offs ox CROSS JOIN offs oy) pr
+            JOIN (SELECT point_id AS neighbor_id, x_cd AS xb, y_cd AS yb,
+                         CAST(floor(x_cd / {p}) AS BIGINT) AS cell_x,
+                         CAST(floor(y_cd / {p}) AS BIGINT) AS cell_y
+                  FROM pts) h USING (cell_x, cell_y)
+            WHERE pr.qid <> h.neighbor_id) t WHERE rn <= {k})"""
+
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT CAST({pitch} AS INT) AS pitch_cd, CAST({k} AS INT) AS k,
+               CAST({nq} AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN g.qid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               {sql_qround(
+                   "CAST(sum(CASE WHEN g.qid IS NOT NULL THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)", 6)} AS recall
+        FROM truth t LEFT JOIN {grid(pitch)} g
+          ON t.qid = g.qid AND t.neighbor_id = g.neighbor_id"""
+        for pitch in geo.GEO_RECALL_PITCHES
+    )
+    return f"""WITH {_PTS},
+        {_OFFS},
+        q AS (SELECT point_id AS qid, x_cd AS qx, y_cd AS qy
+              FROM pts WHERE point_id IN ({ids})),
+        truth AS (SELECT qid, neighbor_id FROM (
+            SELECT q.qid, p.point_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     CAST((p.x_cd - q.qx) * (p.x_cd - q.qx)
+                        + (p.y_cd - q.qy) * (p.y_cd - q.qy) AS BIGINT),
+                     p.point_id) AS rn
+            FROM q JOIN pts p ON p.point_id <> q.qid) t WHERE rn <= {k})
+        SELECT * FROM ({arms}) ORDER BY pitch_cd"""
+
+
+register("geo_knn_recall_at_k", _q_knn_recall, _knn_recall_sql())

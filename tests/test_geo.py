@@ -79,3 +79,45 @@ def test_knn_join_ranks_and_tiebreak(spark):
     assert mine == [(1, 2, 100), (2, 3, 100), (3, 4, 900)]
     # bounded kNN: 5 sees nobody in its ring → contributes no rows
     assert not [r for r in out if r.point_id == 5]
+
+
+def test_knn_recall_curve_monotone_and_exact_at_coarse_pitch(spark):
+    """The ring-pitch dial: recall must reach 1.0 once the ring covers
+    the true k-th-neighbor radius, and the curve is non-decreasing on a
+    grid where candidate sets nest (pitches 400|1000|2000 over a point
+    cloud whose k-NN radii are < 400)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(0, 36000), rng.randrange(0, 18000))
+        for i in range(1, 400)
+    ]
+    p = _pts(spark, rows)
+    out = {
+        r.pitch_cd: r
+        for r in geo.knn_recall_curve(
+            p, k=3, pitches=(400, 1000, 2000), query_ids=tuple(range(1, 21))
+        ).collect()
+    }
+    assert [out[c].n_exact for c in (400, 1000, 2000)] == [60, 60, 60]
+    rec = [out[c].recall for c in (400, 1000, 2000)]
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[2] == 1.0  # 20-deg ring >> max kNN radius on 400 points
+
+
+def test_knn_join_probe_panel_matches_full_run(spark):
+    """probe_ids filters the probe side only — panel rows must equal the
+    full run's rows for those points (same grid, same ranking)."""
+    rows = [(i, (i * 997) % 36000, (i * 773) % 18000) for i in range(1, 200)]
+    p = _pts(spark, rows)
+    full = {
+        (r.point_id, r.rank): r.neighbor_id
+        for r in geo.knn_join(p, k=2, pitch=1000).collect()
+        if r.point_id in (3, 7, 11)
+    }
+    panel = {
+        (r.point_id, r.rank): r.neighbor_id
+        for r in geo.knn_join(p, k=2, pitch=1000, probe_ids=(3, 7, 11)).collect()
+    }
+    assert full == panel

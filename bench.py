@@ -231,6 +231,13 @@ BENCH_QUERIES = [
     "weighted_percentiles_by_brand_scaled",
     # round-9: the geo ring-pitch recall dial (VERDICT r8 task 7)
     "geo_knn_recall_at_k",
+    # round-9: causal IPW, robust trend, output-unit drift, dictionary
+    # tagging, bigram-LM cross-entropy
+    "ipw_treatment_effect",
+    "theil_sen_trend",
+    "wasserstein_price_drift",
+    "keyword_tagging",
+    "bigram_cross_entropy",
 ]
 
 

@@ -1488,3 +1488,114 @@ def stump_cross_validation(
         )
         .orderBy("fold")
     )
+
+
+# taxonomy lexicon for dictionary tagging: category -> member terms (the
+# fixtures' synthetic vocabulary; a production run broadcasts a real
+# topic/PII/compliance lexicon the same way)
+TAG_LEXICON = {
+    "exec": ("join", "hash", "scan", "merge", "sort", "agg"),
+    "streaming": ("stream", "window", "batch", "watermark"),
+    "storage": ("table", "column", "row", "part", "parquet"),
+    "ml": ("vector", "model", "train", "embed"),
+}
+
+
+def keyword_tagging(docs: DataFrame) -> DataFrame:
+    """Dictionary/taxonomy tagging — the lexicon-matching stage of every
+    topic/PII/compliance pipeline: match each document's tokens against
+    a category→terms lexicon and report per-category corpus coverage
+    (documents tagged, total hits, share of corpus).
+
+    The lexicon is BROADCAST (it is always tiny next to the corpus), so
+    the plan is one token explode + broadcast hash join + two-level
+    aggregate — the per-(doc, category) partial collapses the hit stream
+    before the category rollup, so the final shuffle carries at most
+    |docs|·|categories| rows, and countDistinct is exact without a
+    second pass over tokens.
+    """
+    from ..tables import spread
+
+    spark = docs.sparkSession
+    lex = spark.createDataFrame(
+        [(t, c) for c, terms in TAG_LEXICON.items() for t in terms],
+        "term string, category string",
+    )
+    n_docs_total = docs.agg(F.count("*").alias("n_docs_total"))
+    tok = spread(docs).select("doc_id", F.explode(tokens()).alias("term"))
+    per_doc = (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id", "category")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        per_doc.groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_tagged"),
+            F.sum("hits").cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "category",
+            "n_docs_tagged",
+            "n_hits",
+            qround(
+                F.col("n_docs_tagged").cast("double")
+                / F.col("n_docs_total").cast("double"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("category")
+    )
+
+
+def bigram_cross_entropy(docs: DataFrame) -> DataFrame:
+    """Per-language bigram-LM cross-entropy — the perplexity-style
+    corpus quality/fit metric one level up from
+    :func:`unigram_logprob_score`: train an add-one-smoothed bigram LM
+    on the whole corpus, score every bigram occurrence by
+    −ln p(w₂|w₁) = −ln((c(w₁w₂)+1)/(c(w₁)+V)), and report the mean per
+    language (higher = the language's word order is less predictable
+    from the corpus-wide model — the wrong-language/gibberish signal).
+
+    Bigrams come straight off the token ARRAY (zip with its own tail —
+    no positional window, no second explode); the bigram-count join is
+    the one fact-sized shuffle, unigram counts and V broadcast. The
+    per-occurrence ln is quantized to 1e-6 and summed in integer space
+    (unigram_logprob_score's engine-exactness convention), so the means
+    are bit-identical across engines.
+    """
+    from ..tables import spread
+
+    toks = tokens()
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    big = spread(docs).select(
+        "lang", F.explode(pairs).alias("p")
+    ).select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = spread(docs).select(F.explode(toks).alias("t")).groupBy("t").agg(
+        F.count("*").alias("c1")
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    p = (F.col("c12") + 1).cast("double") / (
+        F.col("c1") + F.col("v")
+    ).cast("double")
+    q = F.floor(-F.log(p) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        big.join(bcnt, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("t", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("lang")
+        .agg(F.sum(q).alias("qs"), F.count("*").alias("n_bigrams"))
+        .select(
+            "lang",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            qround(F.col("qs") / 1e6 / F.col("n_bigrams"), 4).alias(
+                "cross_entropy_nats"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -2991,3 +2991,214 @@ def pareto_customers_by_region(
         )
         .orderBy("region")
     )
+
+
+IPW_STRATA_COL = "p_brand"
+
+
+def ipw_treatment_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Inverse-propensity-weighted (Hájek/Horvitz–Thompson, public
+    textbook causal inference — Imbens & Rubin 2015) average treatment
+    effect of PROMO part type on net line revenue, with EXACT stratified
+    propensities: e(s) = treated fraction within each p_brand stratum.
+    Complements :func:`did_promo_effect` (the other identification
+    strategy on the same natural treatment flag).
+
+        μ₁ = Σ_i t·y/e(s_i) / Σ_i t/e(s_i)      (and symmetrically μ₀)
+        ATE = μ₁ − μ₀
+
+    Because e is stratum-constant, every per-row term collapses to the
+    STRATUM level: one lineitem↔part join, one (brand)-keyed aggregate
+    (map-side combined; ~25 rows out), then the IPW sums run on the
+    brand frame. Strata violating positivity (no treated or no control
+    rows — e ∈ {0,1}) are dropped and counted, the standard overlap
+    trim. Per-stratum weighted terms are quantized to DECIMAL(24,8)
+    before the cross-stratum sum, so the estimate is order- and
+    engine-insensitive.
+    """
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = lineitem.join(
+        F.broadcast(
+            part.select(
+                "p_partkey",
+                F.col(IPW_STRATA_COL).alias("stratum"),
+                F.col("p_type").startswith("PROMO").alias("treated"),
+            )
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("stratum", "treated", rev.alias("y"))
+    strata = j.groupBy("stratum").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("nt"),
+        dsum(F.when(F.col("treated"), F.col("y"))).alias("sy_t"),
+        dsum(F.when(~F.col("treated"), F.col("y"))).alias("sy_c"),
+    )
+    e = F.col("nt").cast("double") / F.col("n").cast("double")
+    used = strata.filter((F.col("nt") > 0) & (F.col("nt") < F.col("n"))).select(
+        "n",
+        "nt",
+        (F.col("sy_t") / e).alias("w1"),
+        (F.col("nt").cast("double") / e).alias("d1"),
+        (F.col("sy_c") / (F.lit(1.0) - e)).alias("w0"),
+        ((F.col("n") - F.col("nt")).cast("double") / (F.lit(1.0) - e)).alias("d0"),
+        "sy_t",
+        "sy_c",
+    )
+    counts = strata.agg(
+        F.count("*").cast("long").alias("n_strata_total"),
+        F.sum(
+            F.when((F.col("nt") > 0) & (F.col("nt") < F.col("n")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_strata_used"),
+    )
+    agg = used.agg(
+        F.sum("nt").cast("long").alias("n_treated"),
+        F.sum(F.col("n") - F.col("nt")).cast("long").alias("n_control"),
+        dsum(F.col("w1")).alias("sw1"),
+        dsum(F.col("d1")).alias("sd1"),
+        dsum(F.col("w0")).alias("sw0"),
+        dsum(F.col("d0")).alias("sd0"),
+        dsum(F.col("sy_t")).alias("tot_y_t"),
+        dsum(F.col("sy_c")).alias("tot_y_c"),
+    )
+    mu1 = F.col("sw1") / F.col("sd1")
+    mu0 = F.col("sw0") / F.col("sd0")
+    naive = F.col("tot_y_t") / F.col("n_treated").cast("double") - F.col(
+        "tot_y_c"
+    ) / F.col("n_control").cast("double")
+    return agg.crossJoin(F.broadcast(counts)).select(
+        "n_strata_total",
+        "n_strata_used",
+        "n_treated",
+        "n_control",
+        qround(mu1, 4).alias("mu_treated_ipw"),
+        qround(mu0, 4).alias("mu_control_ipw"),
+        qround(mu1 - mu0, 4).alias("ate_ipw"),
+        qround(naive, 4).alias("naive_diff"),
+    )
+
+
+TS_BASE_DATE = "1995-01-01"
+
+
+def theil_sen_trend(orders: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue (Theil 1950 / Sen 1968,
+    public): slope = MEDIAN of all pairwise day-to-day slopes, intercept
+    = median of per-day residuals at that slope — the estimator a single
+    outlier month cannot drag (OLS twin: groupwise_linreg).
+
+    The pairwise frame is O(#days²) — bounded by the CALENDAR, not the
+    data (a decade is ~3.65k days → ≤6.7M slope pairs regardless of
+    corpus size), so the self-join and its median rank run on an
+    auxiliary frame that never grows with fact-table volume. Medians are
+    exact type-1 lower order statistics (rank ⌈n/2⌉ by (value, pair
+    key)); slopes are IEEE double divisions of exact inputs (decimal
+    daily sums, integer day indexes), bit-identical across engines.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("y")
+    )
+    d = daily.select(
+        F.datediff(F.col("day"), F.lit(TS_BASE_DATE).cast("date")).alias("x"), "y"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")).cast("double")).alias(
+            "slope"
+        ),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+    )
+    np_ = pairs.agg(F.count("*").alias("np"))
+    wmed = Window.orderBy("slope", "xa", "xb")
+    med_slope = (
+        pairs.crossJoin(F.broadcast(np_))
+        .withColumn("rk", F.row_number().over(wmed))
+        .filter(F.col("rk") == F.ceil(F.col("np").cast("double") / 2.0))
+        .select(F.col("slope").alias("m"), F.col("np").alias("n_pairs"))
+    )
+    resid = d.crossJoin(F.broadcast(med_slope)).select(
+        (F.col("y") - F.col("m") * F.col("x").cast("double")).alias("r"),
+        "x",
+        "m",
+        "n_pairs",
+    )
+    nd = resid.agg(F.count("*").alias("nd"))
+    wres = Window.orderBy("r", "x")
+    return (
+        resid.crossJoin(F.broadcast(nd))
+        .withColumn("rk", F.row_number().over(wres))
+        .filter(F.col("rk") == F.ceil(F.col("nd").cast("double") / 2.0))
+        .select(
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            qround(F.col("m"), 6).alias("slope_per_day"),
+            qround(F.col("r"), 4).alias("intercept"),
+        )
+    )
+
+
+W1_BIN = 1000.0
+W1_YEAR_A = 1996
+W1_YEAR_B = 1997
+W1_SCALE = 1e9  # per-bin |CDF gap| quantization (integer-sum convention)
+
+
+def wasserstein_price_drift(
+    orders: DataFrame,
+    year_a: int = W1_YEAR_A,
+    year_b: int = W1_YEAR_B,
+    bin_width: float = W1_BIN,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between two years' order-value
+    distributions — the drift metric that, unlike PSI/KL
+    (:func:`profiling.psi_price_drift`, corpus_drift_kl), is in OUTPUT
+    UNITS (dollars: the average distance probability mass must move) and
+    needs no smoothing for empty bins.
+
+        W₁ = ∫ |F_a(x) − F_b(x)| dx  =  Σ_bins |CDF_a − CDF_b| · width
+
+    on $1000-quantized values (documented quantization — W₁ of the
+    binned distributions, exact). Plan: one conditional (bin)-keyed
+    aggregate over the filtered scan (map-side combined, ≤600 rows out),
+    cumulative counts via a window on the bin frame, per-bin |CDF gap|
+    quantized to 1e-9 and summed in integer space (order-insensitive),
+    scaled by the width once at the edge.
+    """
+    yr = F.year("o_orderdate")
+    base = orders.filter(yr.isin(year_a, year_b)).select(
+        (yr == year_a).alias("is_a"),
+        F.floor(F.col("o_totalprice") / F.lit(bin_width)).cast("long").alias("bin"),
+    )
+    hist = base.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    cum = hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (F.sum("ca").over(w).cast("double") / F.col("na").cast("double")).alias(
+            "fa"
+        ),
+        (F.sum("cb").over(w).cast("double") / F.col("nb").cast("double")).alias(
+            "fb"
+        ),
+        "na",
+        "nb",
+    )
+    q = F.floor(F.abs(F.col("fa") - F.col("fb")) * F.lit(W1_SCALE) + F.lit(0.5)).cast(
+        "long"
+    )
+    return cum.agg(
+        F.lit(year_a).cast("int").alias("year_a"),
+        F.lit(year_b).cast("int").alias("year_b"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        qround(
+            F.sum(q).cast("double") / F.lit(W1_SCALE) * F.lit(bin_width), 4
+        ).alias("w1_dollars"),
+    )

@@ -4056,3 +4056,231 @@ def _pareto_sql() -> str:
 
 
 register("pareto_customers_by_region", _q_pareto_region, _pareto_sql())
+
+
+# ---------------------------------------------------------------------------
+# round 9: causal IPW, robust trend, distribution drift in output units,
+# dictionary tagging, bigram-LM cross-entropy, geo recall dial (registry_geo)
+
+
+def _q_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal — stratified-propensity IPW average treatment effect of
+    PROMO parts on net line revenue
+    (operators/relational.py:ipw_treatment_effect); the identification
+    twin of did_promo_effect."""
+    return relational.ipw_treatment_effect(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _ipw_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import IPW_STRATA_COL
+
+    return f"""
+        WITH j AS (
+          SELECT {IPW_STRATA_COL} AS stratum,
+                 p_type LIKE 'PROMO%' AS treated,
+                 l_extendedprice * (1.0 - l_discount) AS y
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        strata AS (
+          SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                 {_d('CASE WHEN treated THEN y END')} AS sy_t,
+                 {_d('CASE WHEN NOT treated THEN y END')} AS sy_c
+          FROM j GROUP BY 1),
+        used AS (
+          SELECT n, nt, sy_t, sy_c,
+                 CAST(nt AS DOUBLE) / CAST(n AS DOUBLE) AS e
+          FROM strata WHERE nt > 0 AND nt < n),
+        agg AS (
+          SELECT CAST(sum(nt) AS BIGINT) AS n_treated,
+                 CAST(sum(n - nt) AS BIGINT) AS n_control,
+                 {_d('sy_t / e')} AS sw1,
+                 {_d('CAST(nt AS DOUBLE) / e')} AS sd1,
+                 {_d('sy_c / (1.0 - e)')} AS sw0,
+                 {_d('CAST(n - nt AS DOUBLE) / (1.0 - e)')} AS sd0,
+                 {_d('sy_t')} AS tot_y_t,
+                 {_d('sy_c')} AS tot_y_c
+          FROM used),
+        counts AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_strata_total,
+                 CAST(sum(CASE WHEN nt > 0 AND nt < n THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_strata_used
+          FROM strata)
+        SELECT n_strata_total, n_strata_used, n_treated, n_control,
+               {_q('sw1 / sd1', 4)} AS mu_treated_ipw,
+               {_q('sw0 / sd0', 4)} AS mu_control_ipw,
+               {_q('sw1 / sd1 - sw0 / sd0', 4)} AS ate_ipw,
+               {_q('tot_y_t / CAST(n_treated AS DOUBLE)'
+                   ' - tot_y_c / CAST(n_control AS DOUBLE)', 4)} AS naive_diff
+        FROM agg CROSS JOIN counts"""
+
+
+register("ipw_treatment_effect", _q_ipw_effect, _ipw_sql())
+
+
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics — Theil–Sen median-of-slopes trend of daily
+    revenue (operators/relational.py:theil_sen_trend); the
+    outlier-immune twin of the OLS trend."""
+    return relational.theil_sen_trend(load(spark, sf_dir, "orders"))
+
+
+def _theil_sen_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import TS_BASE_DATE
+
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, {_d('o_totalprice')} AS y
+          FROM orders GROUP BY 1),
+        d AS (SELECT datediff('day', DATE '{TS_BASE_DATE}', day) AS x, y
+              FROM daily),
+        pairs AS (
+          SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope,
+                 a.x AS xa, b.x AS xb
+          FROM d a JOIN d b ON a.x < b.x),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+        ms AS (
+          SELECT slope AS m, np AS n_pairs FROM (
+            SELECT slope, np,
+                   row_number() OVER (ORDER BY slope, xa, xb) AS rk,
+                   ceil(CAST(np AS DOUBLE) / 2.0) AS target
+            FROM pairs CROSS JOIN np) t
+          WHERE rk = target),
+        resid AS (
+          SELECT d.y - ms.m * CAST(d.x AS DOUBLE) AS r, d.x, ms.m, ms.n_pairs
+          FROM d CROSS JOIN ms),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM resid)
+        SELECT nd AS n_days, n_pairs,
+               {_q('m', 6)} AS slope_per_day,
+               {_q('r', 4)} AS intercept
+        FROM (SELECT r, x, m, n_pairs, nd,
+                     row_number() OVER (ORDER BY r, x) AS rk,
+                     ceil(CAST(nd AS DOUBLE) / 2.0) AS target
+              FROM resid CROSS JOIN nd) t
+        WHERE rk = target"""
+
+
+register("theil_sen_trend", _q_theil_sen, _theil_sen_sql())
+
+
+def _q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift — Wasserstein-1 distance (in dollars) between two years'
+    order-value distributions
+    (operators/relational.py:wasserstein_price_drift); the output-unit
+    drift metric next to PSI/KL."""
+    return relational.wasserstein_price_drift(load(spark, sf_dir, "orders"))
+
+
+def _wasserstein_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import W1_BIN, W1_SCALE, W1_YEAR_A, W1_YEAR_B
+
+    return f"""
+        WITH base AS (
+          SELECT year(o_orderdate) = {W1_YEAR_A} AS is_a,
+                 CAST(floor(o_totalprice / {W1_BIN!r}) AS BIGINT) AS bin
+          FROM orders
+          WHERE year(o_orderdate) IN ({W1_YEAR_A}, {W1_YEAR_B})),
+        hist AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM base GROUP BY 1),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM hist),
+        cum AS (
+          SELECT CAST(sum(ca) OVER wc AS DOUBLE) / CAST(na AS DOUBLE) AS fa,
+                 CAST(sum(cb) OVER wc AS DOUBLE) / CAST(nb AS DOUBLE) AS fb,
+                 na, nb
+          FROM hist CROSS JOIN tot
+          WINDOW wc AS (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT CAST({W1_YEAR_A} AS INT) AS year_a,
+               CAST({W1_YEAR_B} AS INT) AS year_b,
+               max(na) AS n_a, max(nb) AS n_b,
+               {_q(f'CAST(sum(CAST(floor(abs(fa - fb) * {W1_SCALE!r} + 0.5)'
+                   f' AS BIGINT)) AS DOUBLE) / {W1_SCALE!r} * {W1_BIN!r}', 4)}
+                 AS w1_dollars
+        FROM cum"""
+
+
+register("wasserstein_price_drift", _q_wasserstein, _wasserstein_sql())
+
+
+from .operators import corpus as _corpus9  # noqa: E402
+
+
+def _q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text — dictionary/taxonomy tagging coverage per category via a
+    broadcast lexicon (operators/corpus.py:keyword_tagging)."""
+    return _corpus9.keyword_tagging(load(spark, sf_dir, "documents"))
+
+
+def _keyword_tagging_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.corpus import TAG_LEXICON
+
+    lex = ", ".join(
+        f"('{t}', '{c}')" for c, terms in TAG_LEXICON.items() for t in terms
+    )
+    return f"""
+        WITH lex(term, category) AS (VALUES {lex}),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+        per_doc AS (
+          SELECT doc_id, category, CAST(count(*) AS BIGINT) AS hits
+          FROM tok JOIN lex USING (term) GROUP BY 1, 2),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM documents)
+        SELECT category,
+               CAST(count(*) AS BIGINT) AS n_docs_tagged,
+               CAST(sum(hits) AS BIGINT) AS n_hits,
+               {_q('CAST(count(*) AS DOUBLE) / CAST(n_docs_total AS DOUBLE)', 6)}
+                 AS doc_share
+        FROM per_doc CROSS JOIN n
+        GROUP BY category, n_docs_total
+        ORDER BY category"""
+
+
+register("keyword_tagging", _q_keyword_tagging, _keyword_tagging_sql())
+
+
+def _q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text — per-language add-one bigram-LM cross-entropy
+    (operators/corpus.py:bigram_cross_entropy); the order-sensitive
+    sibling of unigram_logprob_score."""
+    return _corpus9.bigram_cross_entropy(load(spark, sf_dir, "documents"))
+
+
+def _bigram_xent_sql() -> str:
+    from .numeric import sql_qround as _q
+
+    return f"""
+        WITH toks AS (
+          SELECT lang, string_split(text, ' ') AS ts FROM documents),
+        big AS (
+          SELECT lang, ts[i] AS w1, ts[i + 1] AS w2
+          FROM toks, unnest(range(1, len(ts))) AS r(i)),
+        uni AS (
+          SELECT t AS w1, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1),
+        vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM big GROUP BY 1, 2),
+        scored AS (
+          SELECT big.lang,
+                 CAST(floor(-ln(CAST(c12 + 1 AS DOUBLE)
+                                / CAST(c1 + v AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS q
+          FROM big JOIN bcnt USING (w1, w2) JOIN uni USING (w1)
+          CROSS JOIN vocab)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+               {_q('CAST(sum(q) AS DOUBLE) / 1e6 / count(*)', 4)}
+                 AS cross_entropy_nats
+        FROM scored GROUP BY lang ORDER BY lang"""
+
+
+register("bigram_cross_entropy", _q_bigram_xent, _bigram_xent_sql())

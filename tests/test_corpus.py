@@ -705,3 +705,41 @@ def test_stump_cv_perfectly_separable_all_folds(spark):
     assert total == 40
     for r in per:
         assert r.feature == "f2" and r.test_accuracy == 1.0
+
+
+def test_keyword_tagging_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "join the hash join now", "en", 20),
+            (2, "stream window stream", "en", 19),
+            (3, "nothing matches here", "de", 20),
+        ],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    from cocktailsdb_spark.operators import corpus
+
+    out = {r.category: r for r in corpus.keyword_tagging(docs).collect()}
+    assert out["exec"].n_docs_tagged == 1 and out["exec"].n_hits == 3
+    assert out["streaming"].n_docs_tagged == 1 and out["streaming"].n_hits == 3
+    assert "storage" not in out  # no hits -> no row
+    assert abs(out["exec"].doc_share - 1 / 3) < 1e-6
+
+
+def test_bigram_cross_entropy_hand_computed(spark):
+    """One doc 'a b a b': unigrams a:2 b:2 (V=2); bigrams (a,b):2,
+    (b,a):1. Occurrence probs: (a,b) -> 3/4 twice, (b,a) -> 2/4 once;
+    xent = mean of 1e-6-quantized -ln p."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", 7)],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    from cocktailsdb_spark.operators import corpus
+
+    out = corpus.bigram_cross_entropy(docs).collect()[0]
+    assert out.lang == "en" and out.n_bigrams == 3
+    q = lambda p: math.floor(-math.log(p) * 1e6 + 0.5)  # noqa: E731
+    expect = (2 * q(0.75) + q(0.5)) / 1e6 / 3
+    expect = math.floor(expect * 1e4 + 0.5) / 1e4
+    assert out.cross_entropy_nats == expect

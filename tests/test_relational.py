@@ -801,3 +801,80 @@ def test_percentile_scaled_plans_have_no_group_only_sort_window(spark, sf_dir):
         assert _re.search(
             rf"hashpartitioning\({group_key}#\d+, bucket#\d+", plan
         ), f"{name}: expected (group, bucket) exchange"
+
+
+def test_ipw_treatment_effect_matches_hand_computation(spark):
+    """Two balanced strata with different propensities + one
+    positivity-violating stratum (all treated — must be dropped and
+    counted). IPW with exact stratified e(s) equals the hand-computed
+    Hájek estimate."""
+    li, pt = [], []
+    # stratum A: e=0.5 (2 treated y=10,20; 2 control y=1,2)
+    # stratum B: e=0.25 (1 treated y=40; 3 control y=4,5,6)
+    # stratum C: all treated (dropped)
+    rows = [
+        ("A", True, 10.0), ("A", True, 20.0), ("A", False, 1.0), ("A", False, 2.0),
+        ("B", True, 40.0), ("B", False, 4.0), ("B", False, 5.0), ("B", False, 6.0),
+        ("C", True, 7.0), ("C", True, 8.0),
+    ]
+    for i, (s, t, y) in enumerate(rows):
+        pt.append((i, s, "PROMO X" if t else "STD Y"))
+        li.append((i, i, y, 0.0))
+    lineitem = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double"
+    )
+    part = spark.createDataFrame(pt, "p_partkey long, p_brand string, p_type string")
+    out = relational.ipw_treatment_effect(lineitem, part).collect()[0]
+    assert out.n_strata_total == 3 and out.n_strata_used == 2
+    assert out.n_treated == 3 and out.n_control == 5
+    # mu1 = (30/.5 + 40/.25) / (2/.5 + 1/.25) = 220/8 = 27.5
+    # mu0 = (3/.5 + 15/.75) / (2/.5 + 3/.75) = 26/8 = 3.25
+    assert out.mu_treated_ipw == 27.5
+    assert out.mu_control_ipw == 3.25
+    assert out.ate_ipw == 24.25
+
+
+def test_theil_sen_ignores_single_outlier_day(spark):
+    """y = 3x + 5 with one wild day: the median pairwise slope stays 3
+    and the median residual stays 5 — the OLS-breaking case."""
+    import datetime as dt
+
+    rows = []
+    for x in range(11):
+        y = 3.0 * x + 5.0 if x != 10 else 100000.0
+        rows.append((x, dt.date(1995, 1, 1) + dt.timedelta(days=x), y))
+    orders = spark.createDataFrame(
+        [(i, d, y) for i, d, y in rows],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    out = relational.theil_sen_trend(orders).collect()[0]
+    assert out.n_days == 11 and out.n_pairs == 55
+    assert out.slope_per_day == 3.0
+    assert out.intercept == 5.0
+
+
+def test_wasserstein_shifted_mass_equals_bin_width(spark):
+    """Identical distributions -> 0; all mass shifted one $1000 bin ->
+    exactly the bin width in dollars."""
+    import datetime as dt
+
+    rows = []
+    k = 0
+    for _ in range(50):
+        k += 1
+        rows.append((k, dt.date(1996, 3, 1), 1500.0))   # year A, bin 1
+        k += 1
+        rows.append((k, dt.date(1997, 3, 1), 2500.0))   # year B, bin 2
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = relational.wasserstein_price_drift(orders).collect()[0]
+    assert out.n_a == 50 and out.n_b == 50
+    assert out.w1_dollars == 1000.0
+
+    same = spark.createDataFrame(
+        [(i, dt.date(1996 + i % 2, 1, 5), 3500.0) for i in range(40)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    out2 = relational.wasserstein_price_drift(same).collect()[0]
+    assert out2.w1_dollars == 0.0

@@ -238,6 +238,9 @@ BENCH_QUERIES = [
     "wasserstein_price_drift",
     "keyword_tagging",
     "bigram_cross_entropy",
+    "nelson_aalen_hazard",
+    "attribution_shapley",
+    "fd_violations",
 ]
 
 

@@ -113,3 +113,58 @@ def linear_attribution(
         )
         .orderBy("channel")
     )
+
+
+def shapley_attribution(
+    events: DataFrame, lookback_sec: int = ATTR_LOOKBACK_SEC
+) -> DataFrame:
+    """Shapley-value attribution under the symmetric any-touch coalition
+    game (Shapley 1953; the marketing application is public folklore —
+    e.g. Zhao et al. 2018): when every participating channel contributes
+    symmetrically to a conversion, each DISTINCT channel in the lookback
+    window gets exactly value/|distinct channels| — the closed form of
+    the Shapley value for that game, so no 2^n coalition enumeration is
+    needed. Differs from :func:`linear_attribution` (which splits per
+    TOUCH, over-crediting channels that fire often) and from last-touch
+    (winner-take-all): the three models bracket how duplicate touches
+    are valued.
+
+    Plan: the same user-equi-keyed range join as linear, collapsed to
+    distinct (conversion, channel) BEFORE credit split — the dedup runs
+    on the conv-keyed credit stream, never re-shuffling a skewed user.
+    """
+    convs = events.filter(F.col("event_type") == ATTR_CONVERSION_TYPE).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {lookback_sec} SECOND"))
+        & (F.col("t_ts") < F.col("c_ts"))
+    )
+    participants = (
+        convs.join(touches, cond)
+        .select("conv_id", "channel", "c_value")
+        .dropDuplicates(["conv_id", "channel"])
+    )
+    k = F.count("*").over(Window.partitionBy("conv_id"))
+    credited = participants.withColumn(
+        "credit", F.col("c_value") / k.cast("double")
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            dsum(F.col("credit")).alias("shapley_revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -764,3 +764,47 @@ def table_checksum(lineitem: DataFrame) -> DataFrame:
         F.sum(lane1).cast("long").alias("checksum_lane1"),
         F.sum(lane2).cast("long").alias("checksum_lane2"),
     )
+
+
+# candidate functional dependencies to audit: (label, table, lhs, rhs) —
+# a mix of true FDs (key -> attribute) and expected violations, the shape
+# a profiler reports before schema normalization / dedup decisions
+FD_CANDIDATES = (
+    ("orders: custkey -> orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("orders: orderkey -> orderdate", "orders", "o_orderkey", "o_orderdate"),
+    ("lineitem: partkey -> suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem: orderkey -> returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def fd_violations(tables: dict) -> DataFrame:
+    """Functional-dependency audit (the data-profiling staple behind
+    normalization and merge decisions — TANE-style single-column check,
+    Huhtala et al. 1999, public): for each candidate LHS→RHS, count LHS
+    groups whose RHS is not single-valued and the worst per-group RHS
+    variant count. An FD 'holds' when no group violates.
+
+    One map-side-combined (lhs, rhs) distinct-pair aggregate per
+    candidate — the pair frame is bounded by the distinct combinations,
+    not the table; the verdict rollup runs on the group-sized frame.
+    Candidates over the same table share a scan via the union plan.
+    """
+    out = None
+    for label, tname, lhs, rhs in FD_CANDIDATES:
+        pairs = (
+            tables[tname]
+            .select(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
+            .dropDuplicates(["l", "r"])
+        )
+        per_group = pairs.groupBy("l").agg(F.count("*").alias("variants"))
+        row = per_group.agg(
+            F.lit(label).alias("candidate"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("variants") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_groups"),
+            F.max("variants").cast("long").alias("max_rhs_variants"),
+            (F.max("variants") == 1).alias("fd_holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("candidate")

@@ -2303,6 +2303,66 @@ def kaplan_meier_retention(orders: DataFrame, censor: str = KM_CENSOR) -> DataFr
     )
 
 
+NA_SCALE = 1e9  # per-step hazard quantum (quantize-then-cumsum convention)
+
+
+def nelson_aalen_hazard(orders: DataFrame, censor: str = KM_CENSOR) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator (Nelson 1972 / Aalen
+    1978, public) on the same right-censored customer-lifetime data as
+    :func:`kaplan_meier_retention` — the additive twin of KM's product
+    (Ĥ(t) = Σ_{j≤t} d_j/n_j, with variance Σ d_j/n_j²), preferred when
+    hazards are the modelling target (H is unbiased where ln S is not).
+
+    Same scale posture as KM: one per-customer min/max pass, then the
+    distinct-lifetime frame (calendar-bounded). Per-step hazard terms
+    are quantized to 1e-9 integers before the cumulative sum, so the
+    running totals are order- and engine-exact.
+    """
+    cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"), F.max("o_orderdate").alias("last_o")
+    )
+    per = cust.select(
+        F.datediff(F.to_date("last_o"), F.to_date("first_o")).alias("t"),
+        (F.to_date("last_o") < F.lit(censor).cast("date")).cast("int").alias(
+            "event"
+        ),
+    )
+    by_t = per.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.count("*").cast("long").alias("n_exit"),
+    )
+    total = by_t.agg(F.sum("n_exit").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("n_exit").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("d_events") > 0)
+    )
+    d, n = F.col("d_events").cast("double"), F.col("n_risk").cast("double")
+    qh = F.floor(d / n * F.lit(NA_SCALE) + F.lit(0.5)).cast("long")
+    qv = F.floor(d / (n * n) * F.lit(NA_SCALE) + F.lit(0.5)).cast("long")
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        at_risk.withColumn("hs", F.sum(qh).over(w_cum))
+        .withColumn("vs", F.sum(qv).over(w_cum))
+        .select(
+            F.col("t").cast("int").alias("t_days"),
+            "n_risk",
+            "d_events",
+            qround(F.col("hs").cast("double") / F.lit(NA_SCALE), 6).alias(
+                "cum_hazard"
+            ),
+            qround(F.col("vs").cast("double") / F.lit(NA_SCALE), 8).alias(
+                "hazard_var"
+            ),
+        )
+        .orderBy("t_days")
+    )
+
+
 HOLT_ALPHA = 0.5  # level smoothing — exact binary fraction
 HOLT_BETA = 0.25  # trend smoothing — exact binary fraction
 HOLT_Q = 1_000_000.0  # per-step state quantum (6 dp)

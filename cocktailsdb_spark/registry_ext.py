@@ -4284,3 +4284,128 @@ def _bigram_xent_sql() -> str:
 
 
 register("bigram_cross_entropy", _q_bigram_xent, _bigram_xent_sql())
+
+
+def _q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival — Nelson–Aalen cumulative hazard on right-censored
+    customer lifetimes (operators/relational.py:nelson_aalen_hazard);
+    the additive twin of kaplan_meier_retention's product."""
+    return relational.nelson_aalen_hazard(load(spark, sf_dir, "orders"))
+
+
+def _nelson_aalen_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import KM_CENSOR, NA_SCALE
+
+    s = f"{NA_SCALE:.1f}"
+    return f"""
+        WITH cust AS (
+          SELECT o_custkey, min(o_orderdate) AS first_o,
+                 max(o_orderdate) AS last_o
+          FROM orders GROUP BY 1),
+        per AS (
+          SELECT datediff('day', CAST(first_o AS DATE), CAST(last_o AS DATE)) AS t,
+                 CASE WHEN CAST(last_o AS DATE) < DATE '{KM_CENSOR}'
+                      THEN 1 ELSE 0 END AS event
+          FROM cust),
+        by_t AS (
+          SELECT t, CAST(sum(event) AS BIGINT) AS d_events,
+                 CAST(count(*) AS BIGINT) AS n_exit
+          FROM per GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_total FROM by_t),
+        risk AS (
+          SELECT t, d_events,
+                 n_total - COALESCE(sum(n_exit) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+          FROM by_t CROSS JOIN tot),
+        steps AS (
+          SELECT t, d_events, n_risk,
+                 CAST(floor(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                     * {s} + 0.5) AS BIGINT) AS qh,
+                 CAST(floor(CAST(d_events AS DOUBLE)
+                     / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+                     * {s} + 0.5) AS BIGINT) AS qv
+          FROM risk WHERE d_events > 0),
+        cum AS (
+          SELECT t, d_events, n_risk,
+                 sum(qh) OVER w AS hs, sum(qv) OVER w AS vs
+          FROM steps
+          WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+        SELECT CAST(t AS INT) AS t_days, n_risk, d_events,
+               {_q(f'CAST(hs AS DOUBLE) / {s}', 6)} AS cum_hazard,
+               {_q(f'CAST(vs AS DOUBLE) / {s}', 8)} AS hazard_var
+        FROM cum ORDER BY 1"""
+
+
+register("nelson_aalen_hazard", _q_nelson_aalen, _nelson_aalen_sql())
+
+
+def _q_attr_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution — closed-form Shapley credit for the symmetric
+    any-touch game: equal split across DISTINCT lookback channels
+    (operators/attribution.py:shapley_attribution)."""
+    return _attr.shapley_attribution(load(spark, sf_dir, "events"))
+
+
+register(
+    "attribution_shapley",
+    _q_attr_shapley,
+    f"""WITH convs AS (
+          SELECT event_id AS conv_id, user_id AS c_user, ts AS c_ts,
+                 value AS c_value
+          FROM events WHERE event_type = '{_attr.ATTR_CONVERSION_TYPE}'),
+        touches AS (
+          SELECT user_id AS t_user, ts AS t_ts, event_type AS channel
+          FROM events WHERE event_type IN ({_ATTR_TOUCH_IN})),
+        participants AS (
+          SELECT DISTINCT conv_id, channel, c_value
+          FROM convs JOIN touches
+            ON c_user = t_user
+           AND t_ts >= c_ts - INTERVAL {_attr.ATTR_LOOKBACK_SEC} SECOND
+           AND t_ts < c_ts),
+        split AS (
+          SELECT conv_id, channel, c_value,
+                 count(*) OVER (PARTITION BY conv_id) AS k
+          FROM participants)
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               {_d('c_value / CAST(k AS DOUBLE)')} AS shapley_revenue
+        FROM split GROUP BY 1 ORDER BY 1""",
+)
+
+
+from .operators import profiling as _prof9  # noqa: E402
+
+
+def _q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling — functional-dependency audit over candidate LHS→RHS
+    pairs (operators/profiling.py:fd_violations); TANE-style
+    single-column check on distinct-pair frames."""
+    tables = {
+        "orders": load(spark, sf_dir, "orders"),
+        "lineitem": load(spark, sf_dir, "lineitem"),
+    }
+    return _prof9.fd_violations(tables)
+
+
+def _fd_violations_sql() -> str:
+    from .operators.profiling import FD_CANDIDATES
+
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT '{label}' AS candidate,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_groups,
+               CAST(max(variants) AS BIGINT) AS max_rhs_variants,
+               max(variants) = 1 AS fd_holds
+        FROM (SELECT l, CAST(count(*) AS BIGINT) AS variants
+              FROM (SELECT DISTINCT {lhs} AS l, {rhs} AS r FROM {tname})
+              GROUP BY l)"""
+        for label, tname, lhs, rhs in FD_CANDIDATES
+    )
+    return f"SELECT * FROM ({arms}) ORDER BY candidate"
+
+
+register("fd_violations", _q_fd_violations, _fd_violations_sql())

@@ -80,3 +80,29 @@ def test_linear_attribution_lookback_boundary(spark):
     out = {r.channel: r for r in at.linear_attribution(_ev(spark, rows)).collect()}
     assert out["click"].credited_revenue == 8.0
     assert "view" not in out
+
+
+def test_shapley_splits_across_distinct_channels_only(spark):
+    """User touches click x3 then view x1 before a 100-value purchase:
+    linear gives click 75/view 25; Shapley's symmetric game gives 50/50
+    (distinct participants)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, 7, "click", base - dt.timedelta(hours=4), 0.0),
+        (2, 7, "click", base - dt.timedelta(hours=3), 0.0),
+        (3, 7, "click", base - dt.timedelta(hours=2), 0.0),
+        (4, 7, "view", base - dt.timedelta(hours=1), 0.0),
+        (5, 7, "purchase", base, 100.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    from cocktailsdb_spark.operators import attribution
+
+    shap = {r.channel: r for r in attribution.shapley_attribution(events).collect()}
+    assert shap["click"].shapley_revenue == 50.0
+    assert shap["view"].shapley_revenue == 50.0
+    lin = {r.channel: r for r in attribution.linear_attribution(events).collect()}
+    assert lin["click"].credited_revenue == 75.0

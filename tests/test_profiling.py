@@ -294,3 +294,31 @@ def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
     cc = P.table_checksum(spark.createDataFrame(rows2, ddl)).collect()[0]
     assert cc.n_rows == ca.n_rows
     assert (cc.checksum_lane1, cc.checksum_lane2) != (ca.checksum_lane1, ca.checksum_lane2)
+
+
+def test_fd_violations_detects_multi_valued_groups(spark):
+    from cocktailsdb_spark.operators import profiling
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "HIGH", "1996-01-01"),
+            (2, 10, "LOW", "1996-01-02"),   # custkey 10 -> 2 priorities
+            (3, 11, "HIGH", "1996-01-03"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string, o_orderdate string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 5, 3, "N"), (1, 5, 3, "N"), (2, 6, 4, "R")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_returnflag string",
+    )
+    out = {
+        r.candidate: r
+        for r in profiling.fd_violations(
+            {"orders": orders, "lineitem": lineitem}
+        ).collect()
+    }
+    bad = out["orders: custkey -> orderpriority"]
+    assert bad.n_violating_groups == 1 and bad.max_rhs_variants == 2
+    assert bad.fd_holds is False
+    good = out["lineitem: partkey -> suppkey"]
+    assert good.n_violating_groups == 0 and good.fd_holds is True

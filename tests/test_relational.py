@@ -878,3 +878,27 @@ def test_wasserstein_shifted_mass_equals_bin_width(spark):
     )
     out2 = relational.wasserstein_price_drift(same).collect()[0]
     assert out2.w1_dollars == 0.0
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """4 customers, lifetimes 0,0,5,10; censor drops none: steps at
+    t=0 (d=2,n=4), t=5 (d=1,n=2), t=10 (d=1,n=1):
+    H = .5, .5+.5=1.0, 1.0+1.0=2.0 with 1e-9 quantization."""
+    import datetime as dt
+
+    rows = []
+    k = 0
+    for cust, life in ((1, 0), (2, 0), (3, 5), (4, 10)):
+        for d in (0, life):
+            k += 1
+            rows.append((k, cust, dt.date(1996, 1, 1) + dt.timedelta(days=d), 100.0))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r.t_days: r for r in relational.nelson_aalen_hazard(orders).collect()}
+    assert out[0].n_risk == 4 and out[0].d_events == 2
+    assert out[0].cum_hazard == 0.5
+    assert out[5].cum_hazard == 1.0
+    assert out[10].cum_hazard == 2.0
+    # Aalen variance: 2/16, +1/4, +1
+    assert out[10].hazard_var == 0.125 + 0.25 + 1.0

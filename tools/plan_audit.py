@@ -73,6 +73,18 @@ AUDIT = [
     "weighted_sample_topn",
     "spearman_rank_corr",
     "top_event_paths",
+    # round-9 scale-path + analytics additions
+    "segment_percentiles_scaled",
+    "weighted_percentiles_by_brand_scaled",
+    "geo_knn_recall_at_k",
+    "ipw_treatment_effect",
+    "theil_sen_trend",
+    "wasserstein_price_drift",
+    "keyword_tagging",
+    "bigram_cross_entropy",
+    "nelson_aalen_hazard",
+    "attribution_shapley",
+    "fd_violations",
     # round-8 scale-path additions
     "pack_sequences_sharded",
     "rfm_segments_scaled",

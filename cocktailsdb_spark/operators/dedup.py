@@ -665,6 +665,7 @@ def minhash_banded_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    n_bands: int = MINHASH_BANDS_N,
 ) -> DataFrame:
     """X2 — hand-rolled deterministic MinHash + banding with EXACT verify:
     the oracle-checkable twin of :func:`minhash_lsh_pairs` (whose
@@ -684,7 +685,7 @@ def minhash_banded_pairs(
     — the bucketed path, no all-pairs; verification happens in-row on
     the joined shingle arrays (at 100 TB carry a capped shingle sample
     or re-join content by id instead)."""
-    cand = minhash_banded_candidates(docs, n, id_col)
+    cand = minhash_banded_candidates(docs, n, id_col, n_bands=n_bands)
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
     jac = qround(inter.cast("double") / union, 4)
@@ -693,7 +694,12 @@ def minhash_banded_pairs(
     )
 
 
-def minhash_bands(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+def minhash_bands(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    n_bands: int = MINHASH_BANDS_N,
+) -> DataFrame:
     """The banded MinHash frame (doc_id, _sh, band_id, band_key) — one
     row per (doc, band), checkpointed (the self-join and the at-rest
     index both consume it more than once; ReuseExchange shares only
@@ -714,7 +720,9 @@ def minhash_bands(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFr
             for a, b, r in MINHASH_AB
         ]
     )
-    rows_per_band = MINHASH_H // MINHASH_BANDS_N
+    if MINHASH_H % n_bands:
+        raise ValueError(f"n_bands must divide {MINHASH_H}")
+    rows_per_band = MINHASH_H // n_bands
     base = (
         spread(docs)
         .select(F.col(id_col), sh.alias("_sh"))
@@ -736,7 +744,7 @@ def minhash_bands(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFr
                         .cast("array<string>")
                         .alias("bk"),
                     )
-                    for b in range(MINHASH_BANDS_N)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("b"),
@@ -745,7 +753,10 @@ def minhash_bands(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFr
 
 
 def minhash_banded_candidates(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    n_bands: int = MINHASH_BANDS_N,
 ) -> DataFrame:
     """The PRE-verification band-collision pairs of
     :func:`minhash_banded_pairs` (with both shingle sets carried for the
@@ -762,7 +773,7 @@ def minhash_banded_candidates(
     the digest work for the same statistical guarantee (the true-Jaccard
     verify makes candidate recall the only probabilistic part either
     way)."""
-    banded = minhash_bands(docs, n, id_col)
+    banded = minhash_bands(docs, n, id_col, n_bands=n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -990,3 +1001,50 @@ def duplicate_spans(
         )
         .orderBy(id_col)
     )
+
+
+MBR_BAND_COUNTS = (2, 4, 8)  # over the fixed 16-lane signature
+
+
+def minhash_band_recall(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    band_counts: tuple[int, ...] = MBR_BAND_COUNTS,
+) -> DataFrame:
+    """Recall of the banded-MinHash detector vs the EXACT qualifying
+    pair set, per banding configuration — the measured cost/quality dial
+    for the near-dup family (the LSH s-curve P(collide) =
+    1−(1−j^r)^b made empirical), completing the dial story the ANN
+    families (ivf_recall_at_k) and the geo grid (knn_recall_at_k)
+    already have: more bands of fewer rows → a laxer collision test →
+    higher recall AND more candidates to verify.
+
+    Ground truth is :func:`ngram_jaccard_pairs_prefix` at the SAME
+    shingle n and threshold — the prefix-filtered exact path (the plan
+    that scales), so truth is never all-pairs. Banded pairs are
+    verified-exact with the same threshold, hence a SUBSET of truth:
+    recall = |detected| / |truth| with no join needed.
+    """
+    truth = ngram_jaccard_pairs_prefix(docs, n=n, threshold=threshold)
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    out = None
+    for b in band_counts:
+        det = minhash_banded_pairs(docs, n=n, threshold=threshold, n_bands=b)
+        row = (
+            det.agg(F.count("*").alias("n_detected"))
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(MINHASH_H // b).cast("int").alias("rows_per_band"),
+                F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+                F.col("n_detected").cast("long").alias("n_detected"),
+                qround(
+                    F.col("n_detected").cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")

@@ -132,7 +132,15 @@ def _write_postings_segment(docs: DataFrame, seg_dir: str) -> None:
         .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
         .withColumn("term_bucket", _term_bucket_col(F.col("term")))
     )
-    tf.write.mode("overwrite").partitionBy("term_bucket").parquet(seg_dir)
+    # cluster each bucket's files BY TERM: parquet row-group min/max on a
+    # sorted column lets the probe's pushed `term IN (...)` skip every
+    # row group that holds other terms — measured at the 4th decade
+    # (tools/bm25_scale_probe.py): without the sort the probe read whole
+    # buckets and grew 2.2x per 10x corpus; with it the probe reads only
+    # the query terms' row groups (the clustered-index contract)
+    tf.sortWithinPartitions("term_bucket", "term").write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(seg_dir)
 
 
 def _corpus_stats(docs: DataFrame) -> tuple[int, int]:

@@ -830,10 +830,13 @@ def _mb_hexval(col: str, n_hex: int = 8) -> str:
     )
 
 
-def _mb_sql(extra_where: str = "") -> str:
+def _mb_sql(extra_where: str = "", n_bands: int | None = None) -> str:
     """The banded-MinHash oracle CTE; ``extra_where`` restricts the final
     pair set (the incremental-probe entry reuses the whole pipeline with
-    a delta filter)."""
+    a delta filter); ``n_bands`` overrides the banding configuration
+    (the recall-dial entry sweeps it)."""
+    nb = n_bands or dedup.MINHASH_BANDS_N
+    rpb = dedup.MINHASH_H // nb
     return f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         shd AS (SELECT doc_id, list_distinct(
                   [array_to_string(t[i:i+{MB_N - 1}], ' ')
@@ -853,10 +856,10 @@ def _mb_sql(extra_where: str = "") -> str:
                 FROM vals CROSS JOIN ab),
         mh AS (SELECT doc_id, h, min(hv) AS mv FROM mh2 GROUP BY doc_id, h),
         bands AS (SELECT doc_id,
-                         CAST(h // {dedup.MINHASH_H // dedup.MINHASH_BANDS_N} AS INT)
+                         CAST(h // {rpb} AS INT)
                            AS band_id,
                          list(mv ORDER BY h) AS bk
-                  FROM mh GROUP BY doc_id, h // {dedup.MINHASH_H // dedup.MINHASH_BANDS_N}),
+                  FROM mh GROUP BY doc_id, h // {rpb}),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
                    ON a.band_id = b.band_id AND a.bk = b.bk
@@ -4209,3 +4212,46 @@ def _stump_cv_sql() -> str:
 
 
 register("stump_cross_validation", _q_stump_cv, _stump_cv_sql())
+
+
+def _q_minhash_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality metric — banded-MinHash recall vs the exact qualifying
+    pair set per banding configuration (operators/dedup.py:
+    minhash_band_recall); the near-dup family's LSH s-curve dial,
+    mirroring ivf_recall_at_k / geo_knn_recall_at_k."""
+    return dedup.minhash_band_recall(load(spark, sf_dir, "documents"))
+
+
+def _mbr_sql() -> str:
+    # exact truth at the minhash family's (n=3 shingles, t=0.5): a
+    # quadratic all-pairs check is fine as an ORACLE at sf0.01 (the
+    # Spark side uses the prefix-filtered exact path)
+    truth = f"""SELECT count(*) FROM (
+        SELECT sa.doc_id
+        FROM shf sa JOIN shf sb ON sa.doc_id < sb.doc_id
+        WHERE {sql_qround(
+            "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+            " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))",
+            4)} >= {MB_T})"""
+    shingle_base = f"""tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+        shd AS (SELECT doc_id, list_distinct(
+                  [array_to_string(t[i:i+{MB_N - 1}], ' ')
+                   for i in range(1, len(t)-{MB_N - 2})]) AS sh
+                FROM tk),
+        shf AS (SELECT doc_id, sh FROM shd WHERE len(sh) >= 1)"""
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT CAST({b} AS INT) AS n_bands,
+               CAST({dedup.MINHASH_H // b} AS INT) AS rows_per_band,
+               CAST(({truth}) AS BIGINT) AS n_true_pairs,
+               CAST(count(*) AS BIGINT) AS n_detected,
+               {sql_qround(
+                   f"CAST(count(*) AS DOUBLE) / CAST(({truth}) AS DOUBLE)", 6)}
+                 AS recall
+        FROM ({_mb_sql(n_bands=b)}) det{b}"""
+        for b in dedup.MBR_BAND_COUNTS
+    )
+    return f"WITH {shingle_base} SELECT * FROM ({arms}) ORDER BY n_bands"
+
+
+register("minhash_band_recall", _q_minhash_band_recall, _mbr_sql())

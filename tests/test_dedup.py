@@ -292,3 +292,29 @@ def test_minhash_index_upsert_probe_and_params_guard(spark, sf_dir, tmp_path):
     _write_manifest(d, bad, "_MANIFEST")
     with pytest.raises(ValueError, match="different signature constants"):
         dedup.minhash_index_probe(spark, d, delta)
+
+
+def test_minhash_band_recall_monotone_and_subset(spark):
+    """More bands of fewer rows = laxer collision test: recall must be
+    non-decreasing in band count over the same signature, and detected
+    counts can never exceed truth (banded pairs are verified-exact)."""
+    rows = []
+    base = "join hash scan merge sort window batch stream filter group"
+    for i in range(40):
+        text = base + f" extra{i} tail{i} pad{i} more{i}"
+        rows.append((i, text, "en", len(text)))
+        # a true near-duplicate partner for even docs
+        if i % 2 == 0:
+            rows.append((1000 + i, text + " zz", "en", len(text) + 3))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int"
+    )
+    from cocktailsdb_spark.operators import dedup
+
+    out = {r.n_bands: r for r in dedup.minhash_band_recall(docs).collect()}
+    assert list(out) == [2, 4, 8]
+    recalls = [out[b].recall for b in (2, 4, 8)]
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    for b in (2, 4, 8):
+        assert out[b].n_detected <= out[b].n_true_pairs
+        assert out[b].rows_per_band == 16 // b

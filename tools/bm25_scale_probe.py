@@ -60,7 +60,11 @@ def build_docs(spark, replicas: int) -> str:
         )
         .drop("_rep", "_off")
     )
-    big.write.mode("overwrite").parquet(out)
+    # 64 part files: the sf0.1 source is 1-2 input splits, and crossJoin
+    # preserves that — an un-repartitioned write would hand the index
+    # build ONE task for 5M docs (at real scale the corpus arrives as
+    # thousands of splits; this mirrors that)
+    big.repartition(64).write.mode("overwrite").parquet(out)
     return out
 
 

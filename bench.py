@@ -241,6 +241,11 @@ BENCH_QUERIES = [
     "nelson_aalen_hazard",
     "attribution_shapley",
     "fd_violations",
+    "minhash_band_recall",
+    "huber_location",
+    "attribution_position",
+    "column_entropy",
+    "lpa_communities",
 ]
 
 

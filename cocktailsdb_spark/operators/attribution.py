@@ -168,3 +168,71 @@ def shapley_attribution(
         )
         .orderBy("channel")
     )
+
+
+POSITION_FIRST = 0.4
+POSITION_LAST = 0.4
+
+
+def position_attribution(
+    events: DataFrame, lookback_sec: int = ATTR_LOOKBACK_SEC
+) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution — the standard
+    middle ground between first/last-touch and linear: the FIRST and
+    LAST touch in the lookback each take 40% of the conversion value,
+    the remaining 20% splits equally across middle touches; journeys
+    with one touch take 100%, with two split 50/50.
+
+    Same user-equi range join as linear; position comes from one
+    conv-keyed window over (t_ts, event id) — deterministic ordering,
+    per-conversion state only.
+    """
+    convs = events.filter(F.col("event_type") == ATTR_CONVERSION_TYPE).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_eid"),
+        F.col("event_type").alias("channel"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {lookback_sec} SECOND"))
+        & (F.col("t_ts") < F.col("c_ts"))
+    )
+    pairs = convs.join(touches, cond)
+    wc = Window.partitionBy("conv_id")
+    wo = wc.orderBy("t_ts", "t_eid")
+    ranked = pairs.select(
+        "conv_id",
+        "channel",
+        "c_value",
+        F.row_number().over(wo).alias("pos"),
+        F.count("*").over(wc).alias("k"),
+    )
+    k, pos = F.col("k"), F.col("pos")
+    share = (
+        F.when(k == 1, F.lit(1.0))
+        .when(k == 2, F.lit(0.5))
+        .when(pos == 1, F.lit(POSITION_FIRST))
+        .when(pos == k, F.lit(POSITION_LAST))
+        .otherwise(
+            F.lit(1.0 - POSITION_FIRST - POSITION_LAST) / (k - 2).cast("double")
+        )
+    )
+    credited = ranked.withColumn("credit", F.col("c_value") * share)
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touchpoints"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            dsum(F.col("credit")).alias("position_revenue"),
+        )
+        .orderBy("channel")
+    )

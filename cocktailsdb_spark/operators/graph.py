@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_DAMPING = 0.85
@@ -415,3 +415,62 @@ def link_prediction_jaccard(
     return scored.orderBy(
         F.desc("jaccard"), F.asc("part_a"), F.asc("part_b")
     ).limit(k)
+
+
+LPA_ITERS = 3
+LPA_TOP_K = 20
+
+
+def label_propagation_communities(
+    edges: DataFrame, iters: int = LPA_ITERS, top_k: int = LPA_TOP_K
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, public) for
+    community detection: every node starts as its own label; each round
+    it adopts the label carrying the greatest incident edge WEIGHT among
+    its neighbors plus itself (self-vote weight 1 — the standard
+    damping that prevents bipartite 2-coloring oscillation), ties broken
+    toward the smallest label. Fixed ``iters`` synchronous rounds — a
+    data-dependent convergence test would fork plans between engines —
+    then the top_k community census.
+
+    Expects weighted directed edges (src, dst, w) covering both
+    directions (symmetrized upstream, like pagerank's builder). Scale:
+    each round is one edges⋈labels hash join (labels shuffle; edges
+    stream) + one (node, label) weight aggregate + one per-node argmax
+    window keyed by the node — the PREGEL superstep shape, state is one
+    label per node.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nl").alias("label"))
+            .agg(F.sum("w").alias("wt"))
+        )
+        votes = nbr.unionByName(
+            labels.select("node", "label", F.lit(1).cast("long").alias("wt"))
+        ).groupBy("node", "label").agg(F.sum("wt").alias("wt"))
+        pick = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()  # truncate the per-round lineage (pagerank's
+            # checkpoint convention — 3 rounds of join lineage otherwise
+            # recompute per downstream action)
+        )
+    census = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    pick = Window.orderBy(F.desc("n_members"), F.asc("community"))
+    return (
+        census.orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(pick).cast("int"))
+    )

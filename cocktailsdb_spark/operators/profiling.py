@@ -808,3 +808,68 @@ def fd_violations(tables: dict) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("candidate")
+
+
+ENTROPY_COLUMNS = (
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ("customer.c_mktsegment", "customer", "c_mktsegment"),
+    ("events.event_type", "events", "event_type"),
+)
+ENTROPY_SCALE = 1e9
+
+
+def column_entropy(tables: dict) -> DataFrame:
+    """Shannon entropy per categorical column — the profiling signal
+    behind encoding choices (dictionary vs plain), skew warnings, and
+    join-key diagnostics: H = −Σ p·ln p in nats, plus H/ln(k) normalized
+    to [0,1] (1 = uniform). NULLs count as a category (they dominate
+    some real columns and hiding them misstates the distribution).
+
+    One map-side-combined count-by-value aggregate per column; the
+    entropy sum runs on the value frame with per-term quantize-then-
+    integer-sum (tfidf convention), so results are engine-exact.
+    """
+    from ..numeric import qround
+
+    out = None
+    for label, tname, col in ENTROPY_COLUMNS:
+        counts = (
+            tables[tname]
+            .select(F.col(col).cast("string").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("c"))
+        )
+        tot = counts.agg(
+            F.sum("c").alias("n"), F.count("*").alias("k")
+        )
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        q = F.floor(-p * F.log(p) * F.lit(ENTROPY_SCALE) + F.lit(0.5)).cast("long")
+        row = (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(label).alias("column_name"),
+                F.max("n").cast("long").alias("n_rows"),
+                F.max("k").cast("long").alias("n_distinct"),
+                F.sum(q).alias("hq"),
+            )
+            .select(
+                "column_name",
+                "n_rows",
+                "n_distinct",
+                qround(F.col("hq").cast("double") / F.lit(ENTROPY_SCALE), 6).alias(
+                    "entropy_nats"
+                ),
+                F.when(
+                    F.col("n_distinct") > 1,
+                    qround(
+                        F.col("hq").cast("double")
+                        / F.lit(ENTROPY_SCALE)
+                        / F.log(F.col("n_distinct").cast("double")),
+                        6,
+                    ),
+                ).alias("normalized"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name")

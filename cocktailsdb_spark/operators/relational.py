@@ -3262,3 +3262,60 @@ def wasserstein_price_drift(
             F.sum(q).cast("double") / F.lit(W1_SCALE) * F.lit(bin_width), 4
         ).alias("w1_dollars"),
     )
+
+
+HUBER_DELTA = 150000.0  # absolute Huber threshold on the o_totalprice
+# domain; production estimates scale via the histogram-narrowing path
+HUBER_ITERS = 3
+
+
+def huber_location(
+    orders: DataFrame, delta: float = HUBER_DELTA, iters: int = HUBER_ITERS
+) -> DataFrame:
+    """Huber M-estimator of location (Huber 1964, public) of order value
+    per priority group via IRLS — the robust mean that downweights (not
+    drops) tail orders: w = min(1, δ/|y−m|), m ← Σwy/Σw, iterated a
+    fixed ``iters`` times from the group mean. Complements the median
+    (fully order-based) and the winsorized mean (hard clip): Huber
+    interpolates, and IRLS is the shape every robust fit uses at scale.
+
+    Scale: every iteration is ONE map-side-combined group aggregate over
+    the fact table with the previous centers BROADCAST back — no sort,
+    no window, no per-group state beyond the ~5-row center frame.
+    Exactness: weights are IEEE doubles of exact inputs, the weighted
+    sums are DECIMAL-quantized per row (dsum), so every iterate is
+    bit-identical across engines; fixed iteration count, no convergence
+    test (a data-dependent stop would fork plans between engines).
+    """
+    y = F.col("o_totalprice")
+    base = orders.select(F.col("o_orderpriority").alias("grp"), y.alias("y"))
+    centers = base.groupBy("grp").agg(
+        (dsum(F.col("y")) / F.count("*").cast("double")).alias("m"),
+        F.count("*").cast("long").alias("n"),
+    )
+    for _ in range(iters):
+        r = F.abs(F.col("y") - F.col("m"))
+        w = F.when(r <= delta, F.lit(1.0)).otherwise(F.lit(delta) / r)
+        centers = (
+            base.join(F.broadcast(centers.select("grp", "m", "n")), "grp")
+            .groupBy("grp")
+            .agg(
+                (dsum(w * F.col("y")) / dsum(w)).alias("m"),
+                F.max("n").alias("n"),
+                F.sum((r > delta).cast("int")).cast("long").alias("n_downweighted"),
+            )
+        )
+    mean = base.groupBy("grp").agg(
+        (dsum(F.col("y")) / F.count("*").cast("double")).alias("mean")
+    )
+    return (
+        centers.join(F.broadcast(mean), "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.col("n").alias("n_orders"),
+            qround(F.col("mean"), 4).alias("plain_mean"),
+            qround(F.col("m"), 4).alias("huber_location"),
+            "n_downweighted",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -4409,3 +4409,205 @@ def _fd_violations_sql() -> str:
 
 
 register("fd_violations", _q_fd_violations, _fd_violations_sql())
+
+
+def _q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics — Huber M-location of order value per priority
+    via 3 IRLS rounds (operators/relational.py:huber_location); pure
+    broadcast-back aggregates, no sort/window anywhere."""
+    return relational.huber_location(load(spark, sf_dir, "orders"))
+
+
+def _huber_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import HUBER_DELTA, HUBER_ITERS
+
+    d = f"{HUBER_DELTA!r}"
+    prev = "c0"
+    iters = [
+        """c0 AS (
+          SELECT grp, {m} AS m, CAST(count(*) AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS n_downweighted
+          FROM base GROUP BY grp)""".format(m=_d("y") + " / CAST(count(*) AS DOUBLE)")
+    ]
+    for i in range(1, HUBER_ITERS + 1):
+        w = f"CASE WHEN abs(y - m) <= {d} THEN 1.0 ELSE {d} / abs(y - m) END"
+        iters.append(f"""c{i} AS (
+          SELECT b.grp,
+                 {_d(f'({w}) * y')} / {_d(f'({w})')} AS m,
+                 max(n) AS n,
+                 CAST(sum(CASE WHEN abs(y - m) > {d} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_downweighted
+          FROM base b JOIN {prev} USING (grp) GROUP BY b.grp)""")
+        prev = f"c{i}"
+    chain = ",\n        ".join(iters)
+    return f"""
+        WITH base AS (SELECT o_orderpriority AS grp, o_totalprice AS y
+                      FROM orders),
+        {chain},
+        mean AS (SELECT grp, {_d('y')} / CAST(count(*) AS DOUBLE) AS mn
+                 FROM base GROUP BY grp)
+        SELECT c.grp AS o_orderpriority, c.n AS n_orders,
+               {_q('mn', 4)} AS plain_mean,
+               {_q('c.m', 4)} AS huber_location,
+               c.n_downweighted
+        FROM {prev} c JOIN mean USING (grp) ORDER BY 1"""
+
+
+register("huber_location", _q_huber_location, _huber_sql())
+
+
+def _q_attr_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution — U-shaped 40/20/40 position credit
+    (operators/attribution.py:position_attribution); the fourth model
+    bracketing first/last, linear, and Shapley."""
+    return _attr.position_attribution(load(spark, sf_dir, "events"))
+
+
+def _attr_position_sql() -> str:
+    from .operators.attribution import POSITION_FIRST, POSITION_LAST
+
+    mid = 1.0 - POSITION_FIRST - POSITION_LAST
+    return f"""WITH convs AS (
+          SELECT event_id AS conv_id, user_id AS c_user, ts AS c_ts,
+                 value AS c_value
+          FROM events WHERE event_type = '{_attr.ATTR_CONVERSION_TYPE}'),
+        touches AS (
+          SELECT user_id AS t_user, ts AS t_ts, event_id AS t_eid,
+                 event_type AS channel
+          FROM events WHERE event_type IN ({_ATTR_TOUCH_IN})),
+        ranked AS (
+          SELECT conv_id, channel, c_value,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY t_ts, t_eid) AS pos,
+                 count(*) OVER (PARTITION BY conv_id) AS k
+          FROM convs JOIN touches
+            ON c_user = t_user
+           AND t_ts >= c_ts - INTERVAL {_attr.ATTR_LOOKBACK_SEC} SECOND
+           AND t_ts < c_ts),
+        credited AS (
+          SELECT conv_id, channel,
+                 c_value * CASE WHEN k = 1 THEN 1.0
+                                WHEN k = 2 THEN 0.5
+                                WHEN pos = 1 THEN {POSITION_FIRST!r}
+                                WHEN pos = k THEN {POSITION_LAST!r}
+                                ELSE {mid!r} / CAST(k - 2 AS DOUBLE)
+                           END AS credit
+          FROM ranked)
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_touchpoints,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+               {_d('credit')} AS position_revenue
+        FROM credited GROUP BY 1 ORDER BY 1"""
+
+
+register("attribution_position", _q_attr_position, _attr_position_sql())
+
+
+def _q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling — Shannon entropy per categorical column with
+    uniformity normalization (operators/profiling.py:column_entropy)."""
+    tables = {
+        t: load(spark, sf_dir, t)
+        for t in ("orders", "lineitem", "customer", "events")
+    }
+    return _prof9.column_entropy(tables)
+
+
+def _column_entropy_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.profiling import ENTROPY_COLUMNS, ENTROPY_SCALE
+
+    s = f"{ENTROPY_SCALE!r}"
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT '{label}' AS column_name,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(max(k) AS BIGINT) AS n_distinct,
+               {_q(f'CAST(sum(q) AS DOUBLE) / {s}', 6)} AS entropy_nats,
+               CASE WHEN max(k) > 1 THEN
+                 {_q(f'CAST(sum(q) AS DOUBLE) / {s}'
+                     ' / ln(CAST(max(k) AS DOUBLE))', 6)} END AS normalized
+        FROM (
+          SELECT n, k,
+                 CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * {s} + 0.5) AS BIGINT) AS q
+          FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c
+                FROM {tname} GROUP BY 1) counts
+          CROSS JOIN (SELECT sum(c) AS n, count(*) AS k FROM (
+              SELECT count(*) AS c FROM {tname}
+              GROUP BY CAST({col} AS VARCHAR))) tot)"""
+        for label, tname, col in ENTROPY_COLUMNS
+    )
+    return f"SELECT * FROM ({arms}) ORDER BY column_name"
+
+
+register("column_entropy", _q_column_entropy, _column_entropy_sql())
+
+
+from .operators import graph as _graph9  # noqa: E402
+
+
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — synchronous label-propagation communities on the weighted
+    customer↔supplier bipartite graph
+    (operators/graph.py:label_propagation_communities); 3 Pregel-style
+    supersteps, self-vote damping, min-label ties."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    return _graph9.label_propagation_communities(edges)
+
+
+def _lpa_sql() -> str:
+    from .operators.graph import LPA_ITERS, LPA_TOP_K
+
+    prev = "l0"
+    rounds = []
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f"""v{i} AS (
+          SELECT node, label, sum(wt) AS wt FROM (
+            SELECT e.src AS node, p.label, e.w AS wt
+            FROM edges e JOIN {prev} p ON e.dst = p.node
+            UNION ALL
+            SELECT node, label, CAST(1 AS BIGINT) FROM {prev})
+          GROUP BY 1, 2),
+        l{i} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY wt DESC, label) AS rn
+            FROM v{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH pairs AS (
+          SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                 's' || CAST(l_suppkey AS VARCHAR) AS s,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        edges AS (SELECT c AS src, s AS dst, w FROM pairs
+                  UNION ALL SELECT s, c, w FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        {chain},
+        census AS (
+          SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+          FROM {prev} GROUP BY 1)
+        SELECT community, n_members, CAST(rn AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (ORDER BY n_members DESC, community)
+                      AS rn
+          FROM census) WHERE rn <= {LPA_TOP_K} ORDER BY rn"""
+
+
+register("lpa_communities", _q_lpa_communities, _lpa_sql())

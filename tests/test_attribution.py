@@ -106,3 +106,24 @@ def test_shapley_splits_across_distinct_channels_only(spark):
     assert shap["view"].shapley_revenue == 50.0
     lin = {r.channel: r for r in attribution.linear_attribution(events).collect()}
     assert lin["click"].credited_revenue == 75.0
+
+
+def test_position_u_shape_40_20_40(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 2, 1, 12, 0, 0)
+    rows = [
+        (1, 5, "click", base - dt.timedelta(hours=3), 0.0),
+        (2, 5, "view", base - dt.timedelta(hours=2), 0.0),
+        (3, 5, "signup", base - dt.timedelta(hours=1), 0.0),
+        (4, 5, "purchase", base, 100.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    from cocktailsdb_spark.operators import attribution
+
+    out = {r.channel: r for r in attribution.position_attribution(events).collect()}
+    assert out["click"].position_revenue == 40.0    # first
+    assert out["view"].position_revenue == 20.0     # middle
+    assert out["signup"].position_revenue == 40.0   # last

@@ -158,3 +158,19 @@ def test_link_prediction_jaccard_wedge_scores(spark):
     assert r.common_neighbors == 1 and r.jaccard == 1.0
     # existing edges are never predicted
     assert (1, 2) not in got and (2, 3) not in got
+
+
+def test_lpa_two_cliques_two_communities(spark):
+    """Two disjoint triangles: after 3 rounds every node carries its
+    clique's minimum label; census = two communities of 3."""
+    from cocktailsdb_spark.operators import graph
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    und = []
+    for u, v in tri1 + tri2:
+        und += [(u, v, 1), (v, u, 1)]
+    edges = spark.createDataFrame(und, "src string, dst string, w long")
+    out = graph.label_propagation_communities(edges).collect()
+    sizes = sorted((r.community, r.n_members) for r in out)
+    assert sizes == [("a", 3), ("x", 3)]

@@ -322,3 +322,26 @@ def test_fd_violations_detects_multi_valued_groups(spark):
     assert bad.fd_holds is False
     good = out["lineitem: partkey -> suppkey"]
     assert good.n_violating_groups == 0 and good.fd_holds is True
+
+
+def test_column_entropy_uniform_is_normalized_one(spark):
+    import math
+
+    from cocktailsdb_spark.operators import profiling
+
+    orders = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(100)],
+        "o_orderkey long, o_orderpriority string",
+    )
+    # reuse the candidate list's first column only
+    old = profiling.ENTROPY_COLUMNS
+    profiling.ENTROPY_COLUMNS = (("orders.o_orderpriority", "orders", "o_orderpriority"),)
+    try:
+        out = profiling.column_entropy({"orders": orders}).collect()[0]
+    finally:
+        profiling.ENTROPY_COLUMNS = old
+    assert out.n_distinct == 2
+    expect = math.floor(math.log(2) * 1e9 + 0.5) / 1e9
+    expect = math.floor(expect * 1e6 + 0.5) / 1e6
+    assert out.entropy_nats == expect
+    assert out.normalized == 1.0

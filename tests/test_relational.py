@@ -902,3 +902,23 @@ def test_nelson_aalen_hand_computed(spark):
     assert out[10].cum_hazard == 2.0
     # Aalen variance: 2/16, +1/4, +1
     assert out[10].hazard_var == 0.125 + 0.25 + 1.0
+
+
+def test_huber_location_downweights_outlier(spark):
+    """Symmetric data: huber == mean. One wild order: the huber center
+    stays near the bulk while the mean is dragged."""
+    rows = [(i, "1-URGENT", 1000.0 + (i % 5)) for i in range(40)]
+    rows.append((99, "1-URGENT", 900000.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    out = relational.huber_location(df).collect()[0]
+    assert out.n_downweighted == 1
+    assert out.huber_location < out.plain_mean
+    assert out.huber_location < 30000  # near the bulk, not the mean (~23k)
+
+    clean = spark.createDataFrame(
+        rows[:40], "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    c = relational.huber_location(clean).collect()[0]
+    assert c.huber_location == c.plain_mean and c.n_downweighted == 0

@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "attribution_position",
     "column_entropy",
     "lpa_communities",
+    "log_rank_test",
+    "mann_kendall_trend",
 ]
 
 

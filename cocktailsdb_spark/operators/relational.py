@@ -3319,3 +3319,174 @@ def huber_location(
         )
         .orderBy("o_orderpriority")
     )
+
+
+LOGRANK_SEG_A = "AUTOMOBILE"
+LOGRANK_SEG_B = "BUILDING"
+LR_SCALE = 1e9
+
+
+def log_rank_test(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = LOGRANK_SEG_A,
+    seg_b: str = LOGRANK_SEG_B,
+    censor: str = KM_CENSOR,
+) -> DataFrame:
+    """Log-rank test (Mantel 1966 / Peto & Peto 1972, public) comparing
+    the churn-survival curves of two customer segments — the inference
+    companion to :func:`kaplan_meier_retention`/:func:`nelson_aalen_hazard`
+    (those describe ONE curve; this says whether two differ):
+
+        O−E = Σ_t (d_At − d_t·n_At/n_t),
+        V   = Σ_t d_t·(n_At/n_t)(1−n_At/n_t)(n_t−d_t)/(n_t−1),
+        χ²  = (O−E)²/V.
+
+    Same scale posture as KM: one per-customer pass, then the distinct-
+    lifetime frame (calendar-bounded). Per-step O−E and V terms are
+    quantized to 1e-9 integers before the sums (engine-exact); the final
+    ratio is one IEEE division.
+    """
+    seg = customer.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    ).filter(F.col("seg").isin(seg_a, seg_b))
+    cust = (
+        orders.join(F.broadcast(seg), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_custkey", "seg")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+    )
+    per = cust.select(
+        "seg",
+        F.datediff(F.to_date("last_o"), F.to_date("first_o")).alias("t"),
+        (F.to_date("last_o") < F.lit(censor).cast("date")).cast("int").alias(
+            "event"
+        ),
+    )
+    is_a = (F.col("seg") == seg_a).cast("int")
+    by_t = per.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(F.col("event") * is_a).cast("long").alias("d_a"),
+        F.count("*").cast("long").alias("x"),
+        F.sum(is_a).cast("long").alias("x_a"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = by_t.agg(
+        F.sum("x").alias("n_tot"),
+        F.sum("x_a").alias("n_tot_a"),
+        F.sum("d").alias("ev_tot"),
+        F.sum("d_a").alias("ev_tot_a"),
+    )
+    risk = (
+        by_t.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            "d_a",
+            (F.col("n_tot") - F.coalesce(F.sum("x").over(w_prev), F.lit(0))).alias(
+                "n"
+            ),
+            (
+                F.col("n_tot_a")
+                - F.coalesce(F.sum("x_a").over(w_prev), F.lit(0))
+            ).alias("n_a"),
+            "n_tot",
+            "n_tot_a",
+            "ev_tot",
+            "ev_tot_a",
+        )
+        .filter((F.col("d") > 0) & (F.col("n") > 1))
+    )
+    dn, nn = F.col("d").cast("double"), F.col("n").cast("double")
+    pa = F.col("n_a").cast("double") / nn
+    oe = F.col("d_a").cast("double") - dn * pa
+    v = dn * pa * (F.lit(1.0) - pa) * (nn - dn) / (nn - F.lit(1.0))
+    q_oe = F.floor(oe * F.lit(LR_SCALE) + F.lit(0.5)).cast("long")
+    q_v = F.floor(v * F.lit(LR_SCALE) + F.lit(0.5)).cast("long")
+    agg = risk.agg(
+        F.max("n_tot_a").cast("long").alias("n_a_total"),
+        (F.max("n_tot") - F.max("n_tot_a")).cast("long").alias("n_b_total"),
+        F.max("ev_tot_a").cast("long").alias("events_a"),
+        (F.max("ev_tot") - F.max("ev_tot_a")).cast("long").alias("events_b"),
+        F.sum(q_oe).alias("qoe"),
+        F.sum(q_v).alias("qv"),
+    )
+    oe_d = F.col("qoe").cast("double") / F.lit(LR_SCALE)
+    v_d = F.col("qv").cast("double") / F.lit(LR_SCALE)
+    return agg.select(
+        F.lit(seg_a).alias("segment_a"),
+        F.lit(seg_b).alias("segment_b"),
+        "n_a_total",
+        "n_b_total",
+        "events_a",
+        "events_b",
+        qround(oe_d, 6).alias("observed_minus_expected"),
+        qround(v_d, 6).alias("variance"),
+        qround(oe_d * oe_d / v_d, 6).alias("chi_sq"),
+    )
+
+
+def mann_kendall_trend(orders: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test (Mann 1945 / Kendall 1975, public) on
+    daily revenue: S = Σ_{i<j} sign(y_j − y_i) with the tie-corrected
+    variance — the NONPARAMETRIC companion to :func:`theil_sen_trend`
+    (same pairwise frame; Theil–Sen estimates the slope, Mann–Kendall
+    tests whether a monotone trend exists at all).
+
+    The pairwise frame is calendar-bounded (O(#days²), like Theil–Sen).
+    S and the tie census are exact integers; var(S) = [n(n−1)(2n+5) −
+    Σ_g t_g(t_g−1)(2t_g+5)]/18 evaluated as one integer numerator and a
+    single division; z applies the standard ±1 continuity correction.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("y")
+    )
+    d = daily.select(
+        F.datediff(F.col("day"), F.lit(TS_BASE_DATE).cast("date")).alias("x"), "y"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s_agg = (
+        a.join(b, F.col("a.x") < F.col("b.x"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long")).alias("s"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    # tie census over daily values (decimal-exact y makes ties exact)
+    ties = (
+        d.groupBy("y")
+        .agg(F.count("*").alias("tg"))
+        .filter(F.col("tg") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_num")
+        )
+    )
+    n_ = d.agg(F.count("*").cast("long").alias("n"))
+    j = s_agg.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_))
+    n = F.col("n")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_num")).cast("double")
+    var_s = var_num / F.lit(18.0)
+    s = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (s - 1) / F.sqrt(var_s)).when(
+        F.col("s") < 0, (s + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n").alias("n_days"),
+        "n_pairs",
+        F.col("s").cast("long").alias("s_statistic"),
+        qround(var_s, 4).alias("var_s"),
+        qround(z, 6).alias("z_score"),
+        F.when(F.col("s") > 0, F.lit("increasing"))
+        .when(F.col("s") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

@@ -4611,3 +4611,135 @@ def _lpa_sql() -> str:
 
 
 register("lpa_communities", _q_lpa_communities, _lpa_sql())
+
+
+def _q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival — log-rank test between two customer segments' churn
+    curves (operators/relational.py:log_rank_test)."""
+    return relational.log_rank_test(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+def _log_rank_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import (
+        KM_CENSOR,
+        LOGRANK_SEG_A,
+        LOGRANK_SEG_B,
+        LR_SCALE,
+    )
+
+    s = f"{LR_SCALE!r}"
+    return f"""
+        WITH seg AS (SELECT c_custkey, c_mktsegment AS seg FROM customer
+                     WHERE c_mktsegment IN ('{LOGRANK_SEG_A}', '{LOGRANK_SEG_B}')),
+        cust AS (
+          SELECT o_custkey, seg, min(o_orderdate) AS first_o,
+                 max(o_orderdate) AS last_o
+          FROM orders JOIN seg ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        per AS (
+          SELECT seg,
+                 datediff('day', CAST(first_o AS DATE), CAST(last_o AS DATE)) AS t,
+                 CASE WHEN CAST(last_o AS DATE) < DATE '{KM_CENSOR}'
+                      THEN 1 ELSE 0 END AS event
+          FROM cust),
+        by_t AS (
+          SELECT t, CAST(sum(event) AS BIGINT) AS d,
+                 CAST(sum(CASE WHEN seg = '{LOGRANK_SEG_A}' THEN event
+                          ELSE 0 END) AS BIGINT) AS d_a,
+                 CAST(count(*) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN seg = '{LOGRANK_SEG_A}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x_a
+          FROM per GROUP BY 1),
+        tot AS (SELECT CAST(sum(x) AS BIGINT) AS n_tot,
+                       CAST(sum(x_a) AS BIGINT) AS n_tot_a,
+                       CAST(sum(d) AS BIGINT) AS ev_tot,
+                       CAST(sum(d_a) AS BIGINT) AS ev_tot_a FROM by_t),
+        risk AS (
+          SELECT t, d, d_a,
+                 n_tot - COALESCE(sum(x) OVER wp, 0) AS n,
+                 n_tot_a - COALESCE(sum(x_a) OVER wp, 0) AS n_a,
+                 n_tot, n_tot_a, ev_tot, ev_tot_a
+          FROM by_t CROSS JOIN tot
+          WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)),
+        steps AS (
+          SELECT *,
+                 CAST(floor((CAST(d_a AS DOUBLE)
+                     - CAST(d AS DOUBLE) * (CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * {s} + 0.5) AS BIGINT) AS q_oe,
+                 CAST(floor(CAST(d AS DOUBLE)
+                     * (CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0) * {s} + 0.5) AS BIGINT) AS q_v
+          FROM risk WHERE d > 0 AND n > 1),
+        agg AS (
+          SELECT max(n_tot_a) AS n_a_total,
+                 max(n_tot) - max(n_tot_a) AS n_b_total,
+                 max(ev_tot_a) AS events_a,
+                 max(ev_tot) - max(ev_tot_a) AS events_b,
+                 CAST(sum(q_oe) AS BIGINT) AS qoe,
+                 CAST(sum(q_v) AS BIGINT) AS qv
+          FROM steps)
+        SELECT '{LOGRANK_SEG_A}' AS segment_a, '{LOGRANK_SEG_B}' AS segment_b,
+               CAST(n_a_total AS BIGINT) AS n_a_total,
+               CAST(n_b_total AS BIGINT) AS n_b_total,
+               CAST(events_a AS BIGINT) AS events_a,
+               CAST(events_b AS BIGINT) AS events_b,
+               {_q(f'CAST(qoe AS DOUBLE) / {s}', 6)} AS observed_minus_expected,
+               {_q(f'CAST(qv AS DOUBLE) / {s}', 6)} AS variance,
+               {_q(f'(CAST(qoe AS DOUBLE) / {s}) * (CAST(qoe AS DOUBLE) / {s})'
+                   f' / (CAST(qv AS DOUBLE) / {s})', 6)} AS chi_sq
+        FROM agg"""
+
+
+register("log_rank_test", _q_log_rank, _log_rank_sql())
+
+
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — Mann–Kendall monotone-trend test on daily revenue
+    (operators/relational.py:mann_kendall_trend); the nonparametric
+    companion to theil_sen_trend on the same calendar-bounded pairs."""
+    return relational.mann_kendall_trend(load(spark, sf_dir, "orders"))
+
+
+def _mann_kendall_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.relational import TS_BASE_DATE
+
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, {_d('o_totalprice')} AS y
+          FROM orders GROUP BY 1),
+        d AS (SELECT datediff('day', DATE '{TS_BASE_DATE}', day) AS x, y
+              FROM daily),
+        s_agg AS (
+          SELECT CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM d a JOIN d b ON a.x < b.x),
+        ties AS (
+          SELECT CAST(COALESCE(sum(tg * (tg - 1) * (2 * tg + 5)), 0)
+                      AS BIGINT) AS tie_num
+          FROM (SELECT count(*) AS tg FROM d GROUP BY y HAVING count(*) > 1)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        j AS (SELECT * FROM s_agg CROSS JOIN ties CROSS JOIN nn),
+        f AS (
+          SELECT n, n_pairs, s,
+                 CAST(n * (n - 1) * (2 * n + 5) - tie_num AS DOUBLE) / 18.0
+                   AS var_s
+          FROM j)
+        SELECT n AS n_days, n_pairs, s AS s_statistic,
+               {_q('var_s', 4)} AS var_s,
+               {_q("CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_s) "
+                   "WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_s) "
+                   "ELSE 0.0 END", 6)} AS z_score,
+               CASE WHEN s > 0 THEN 'increasing'
+                    WHEN s < 0 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM f"""
+
+
+register("mann_kendall_trend", _q_mann_kendall, _mann_kendall_sql())

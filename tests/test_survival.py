@@ -54,3 +54,48 @@ def test_km_single_order_customers_are_t0_events(spark):
     out = {r.t_days: r for r in rel.kaplan_meier_retention(_orders(spark, rows)).collect()}
     assert out[0].n_risk == 3 and out[0].d_events == 2
     assert abs(out[0].survival - (1 / 3)) <= 1e-5
+
+
+def test_log_rank_hand_computed_two_customers(spark):
+    """A-lifetime 0, B-lifetime 5 (both events): only t=0 has n>1 —
+    O-E = 1 - 0.5 = 0.5, V = 0.25, chi^2 = 1.0."""
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import relational
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, dt.date(1996, 1, 1), 50.0),
+            (2, 20, dt.date(1996, 1, 1), 50.0),
+            (3, 20, dt.date(1996, 1, 6), 50.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, "AUTOMOBILE"), (20, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    )
+    out = relational.log_rank_test(orders, customer).collect()[0]
+    assert out.n_a_total == 1 and out.n_b_total == 1
+    assert out.events_a == 1 and out.events_b == 1
+    assert out.observed_minus_expected == 0.5
+    assert out.variance == 0.25
+    assert out.chi_sq == 1.0
+
+
+def test_mann_kendall_strictly_increasing(spark):
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import relational
+
+    orders = spark.createDataFrame(
+        [
+            (i, dt.date(1996, 1, 1) + dt.timedelta(days=i), 100.0 * (i + 1))
+            for i in range(10)
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    out = relational.mann_kendall_trend(orders).collect()[0]
+    assert out.n_days == 10 and out.n_pairs == 45
+    assert out.s_statistic == 45
+    assert out.trend == "increasing" and out.z_score > 0

@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "lpa_communities",
     "log_rank_test",
     "mann_kendall_trend",
+    "recommendation_hitrate",
 ]
 
 

@@ -149,3 +149,90 @@ def user_item_recommendations(
         )
         .orderBy("custkey", "rank")
     )
+
+
+REC_EVAL_SPLIT = "1997-07-01"
+
+
+def recommendation_hitrate(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    split_date: str = REC_EVAL_SPLIT,
+    min_support: int = II_MIN_SUPPORT,
+    k: int = UIR_TOP_K,
+) -> DataFrame:
+    """Offline recommender evaluation by TEMPORAL split — the
+    methodology layer for :func:`user_item_recommendations` (a model
+    without a held-out metric is a demo): train the item-item model on
+    orders strictly before ``split_date``, recommend top-k per customer,
+    then score against the customer's NEW purchases (items not owned in
+    train) on/after the split.
+
+        hit_rate     = |users with ≥1 hit| / |evaluated users|
+        precision@k  = |hits| / |recs emitted for evaluated users|
+
+    Evaluated users = users with both recs and ≥1 new test purchase
+    (users the model could and should have served). Scale: the split is
+    a pushed date filter on the orders scan; everything downstream is
+    the production pipeline's shapes plus custkey-keyed joins of
+    rec-sized (users × k) and test-sized frames.
+    """
+    split = F.lit(split_date).cast("date")
+    train_o = orders.filter(F.to_date("o_orderdate") < split)
+    test_o = orders.filter(F.to_date("o_orderdate") >= split)
+    train_keys = train_o.select("o_orderkey", "o_custkey")
+    train_l = lineitem.join(
+        train_keys.select("o_orderkey"), lineitem.l_orderkey == F.col("o_orderkey")
+    ).drop("o_orderkey")
+    recs = user_item_recommendations(
+        train_l, train_o, min_support=min_support, k=k
+    ).select("custkey", F.col("item").alias("rec"))
+    owned_train = (
+        train_l.select("l_orderkey", "l_partkey")
+        .join(train_keys, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
+        .dropDuplicates(["custkey", "item"])
+    )
+    test_new = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            test_o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
+        .dropDuplicates(["custkey", "item"])
+        .join(owned_train, ["custkey", "item"], "left_anti")
+    )
+    eval_users = (
+        recs.select("custkey")
+        .distinct()
+        .join(test_new.select("custkey").distinct(), "custkey")
+        .localCheckpoint()  # user-sized; consumed by three branches
+    )
+    recs_eval = recs.join(F.broadcast(eval_users), "custkey")
+    hits = recs_eval.join(
+        test_new.withColumnRenamed("item", "rec"), ["custkey", "rec"]
+    )
+    agg_r = recs_eval.agg(
+        F.countDistinct("custkey").cast("long").alias("n_users_eval"),
+        F.count("*").cast("long").alias("n_recs_eval"),
+    )
+    agg_h = hits.agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.countDistinct("custkey").cast("long").alias("n_hit_users"),
+    )
+    return agg_r.crossJoin(F.broadcast(agg_h)).select(
+        F.lit(split_date).alias("split_date"),
+        F.lit(k).cast("int").alias("k"),
+        "n_users_eval",
+        "n_recs_eval",
+        "n_hits",
+        "n_hit_users",
+        qround(
+            F.col("n_hit_users").cast("double") / F.col("n_users_eval").cast("double"),
+            6,
+        ).alias("hit_rate"),
+        qround(
+            F.col("n_hits").cast("double") / F.col("n_recs_eval").cast("double"), 6
+        ).alias("precision_at_k"),
+    )

@@ -4743,3 +4743,102 @@ def _mann_kendall_sql() -> str:
 
 
 register("mann_kendall_trend", _q_mann_kendall, _mann_kendall_sql())
+
+
+from .operators import recsys as _recsys9  # noqa: E402
+
+
+def _q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender evaluation — temporal-split hit-rate / precision@k of
+    the item-item recommender
+    (operators/recsys.py:recommendation_hitrate)."""
+    return _recsys9.recommendation_hitrate(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+
+
+def _rec_hitrate_sql() -> str:
+    from .numeric import sql_qround as _q
+    from .operators.recsys import II_MIN_SUPPORT, REC_EVAL_SPLIT, UIR_TOP_K
+
+    return f"""
+        WITH train_o AS (SELECT o_orderkey, o_custkey FROM orders
+                         WHERE CAST(o_orderdate AS DATE) < DATE '{REC_EVAL_SPLIT}'),
+        test_o AS (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE CAST(o_orderdate AS DATE) >= DATE '{REC_EVAL_SPLIT}'),
+        train_l AS (SELECT l.l_orderkey, l.l_partkey
+                    FROM lineitem l JOIN train_o t ON l.l_orderkey = t.o_orderkey),
+        b AS (SELECT DISTINCT l_orderkey, l_partkey FROM train_l),
+        pairs AS (
+          SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {II_MIN_SUPPORT}),
+        directed AS (
+          SELECT part_a AS item, part_b AS rec, support FROM pairs
+          UNION ALL
+          SELECT part_b AS item, part_a AS rec, support FROM pairs),
+        item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+                 FROM b GROUP BY 1),
+        simsc AS (
+          SELECT d.item, d.rec,
+                 {_q(
+                     "CAST(d.support AS DOUBLE)"
+                     " / sqrt(CAST(i.n_item AS DOUBLE) * CAST(r.n_item AS DOUBLE))",
+                     6)} AS cosine
+          FROM directed d
+          JOIN item i ON i.l_partkey = d.item
+          JOIN item r ON r.l_partkey = d.rec),
+        sims AS (
+          SELECT item, rec, cosine
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY item ORDER BY cosine DESC, rec) AS rk
+                FROM simsc)
+          WHERE rk <= {UIR_TOP_K}),
+        owned AS (
+          SELECT DISTINCT t.o_custkey AS custkey, l.l_partkey AS item
+          FROM train_l l JOIN train_o t ON l.l_orderkey = t.o_orderkey),
+        cand AS (
+          SELECT o.custkey, s.rec,
+                 {_q(_d('s.cosine'), 6)} AS score
+          FROM owned o JOIN sims s USING (item)
+          GROUP BY 1, 2),
+        unowned AS (
+          SELECT c.* FROM cand c ANTI JOIN owned w
+            ON c.custkey = w.custkey AND c.rec = w.item),
+        recs AS (
+          SELECT custkey, rec
+          FROM (SELECT custkey, rec,
+                       row_number() OVER (
+                         PARTITION BY custkey ORDER BY score DESC, rec) AS rank
+                FROM unowned)
+          WHERE rank <= {UIR_TOP_K}),
+        test_new AS (
+          SELECT DISTINCT t.o_custkey AS custkey, l.l_partkey AS item
+          FROM lineitem l JOIN test_o t ON l.l_orderkey = t.o_orderkey
+          ANTI JOIN owned w
+            ON t.o_custkey = w.custkey AND l.l_partkey = w.item),
+        eval_users AS (
+          SELECT custkey FROM (SELECT DISTINCT custkey FROM recs)
+          INTERSECT SELECT DISTINCT custkey FROM test_new),
+        recs_eval AS (SELECT r.* FROM recs r JOIN eval_users USING (custkey)),
+        hits AS (SELECT r.custkey, r.rec FROM recs_eval r
+                 JOIN test_new t ON r.custkey = t.custkey AND r.rec = t.item),
+        agg_r AS (SELECT CAST(count(DISTINCT custkey) AS BIGINT) AS n_users_eval,
+                         CAST(count(*) AS BIGINT) AS n_recs_eval
+                  FROM recs_eval),
+        agg_h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                         CAST(count(DISTINCT custkey) AS BIGINT) AS n_hit_users
+                  FROM hits)
+        SELECT '{REC_EVAL_SPLIT}' AS split_date,
+               CAST({UIR_TOP_K} AS INT) AS k,
+               n_users_eval, n_recs_eval, n_hits, n_hit_users,
+               {_q('CAST(n_hit_users AS DOUBLE) / CAST(n_users_eval AS DOUBLE)', 6)}
+                 AS hit_rate,
+               {_q('CAST(n_hits AS DOUBLE) / CAST(n_recs_eval AS DOUBLE)', 6)}
+                 AS precision_at_k
+        FROM agg_r CROSS JOIN agg_h"""
+
+
+register("recommendation_hitrate", _q_rec_hitrate, _rec_hitrate_sql())

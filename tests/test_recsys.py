@@ -84,3 +84,37 @@ def test_user_item_recommendations_scores_and_excludes_owned(spark):
     assert got[(102, 2)].rank == 1
     # customer 101 owns {1,2,3}: every candidate is owned -> no rows
     assert not any(r.custkey == 101 for r in out)
+
+
+def test_recommendation_hitrate_constructed_hit(spark):
+    """Items 1,2 co-occur in 3 train baskets; user 100 owns only item 1
+    in train and buys item 2 in test -> the model must recommend 2 and
+    score a perfect hit for the single evaluated user."""
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import recsys
+
+    train_day = dt.date(1997, 1, 1)
+    test_day = dt.date(1997, 8, 1)
+    orders_rows = [
+        (1, 11, train_day), (2, 12, train_day), (3, 13, train_day),
+        (4, 100, train_day),          # user 100's train basket
+        (5, 100, test_day),           # user 100's test basket
+        (6, 11, train_day),           # extra singleton baskets
+    ]
+    li_rows = [
+        (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2),               # support(1,2) = 3
+        (4, 1),                       # user 100 owns item 1
+        (5, 2),                       # user 100 buys item 2 in test
+        (6, 3),
+    ]
+    orders = spark.createDataFrame(
+        orders_rows, "o_orderkey long, o_custkey long, o_orderdate date"
+    )
+    lineitem = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    out = recsys.recommendation_hitrate(lineitem, orders).collect()[0]
+    assert out.n_users_eval == 1
+    assert out.n_hits == 1 and out.n_hit_users == 1
+    assert out.hit_rate == 1.0

@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "log_rank_test",
     "mann_kendall_trend",
     "recommendation_hitrate",
+    "negative_sampling_pairs",
 ]
 
 

@@ -1599,3 +1599,107 @@ def bigram_cross_entropy(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SG_WINDOW = 2     # skip-gram half-window
+SG_NEGATIVES = 2  # negatives per positive pair
+SG_PANEL = (1, 2, 3)  # docs whose pairs the entry emits (plan is corpus-wide)
+
+
+def negative_sampling_pairs(
+    docs: DataFrame,
+    window: int = SG_WINDOW,
+    k_neg: int = SG_NEGATIVES,
+    panel: tuple[int, ...] = SG_PANEL,
+) -> DataFrame:
+    """Word2vec-style skip-gram training pairs with deterministic
+    negative sampling (Mikolov et al. 2013, public) — the data-prep
+    stage of embedding training at corpus scale: for every (center,
+    context) pair within ±window, emit the positive plus ``k_neg``
+    negatives drawn by hashing the pair's coordinates into the vocab
+    index (md5 mod |V| — the test-bed stand-in for unigram^0.75
+    sampling; the PLUMBING — vocab indexing, pair generation, negative
+    join — is the production shape).
+
+    The VOCAB INDEX is corpus-wide: terms ranked (count desc, term) —
+    vocab-sized, the standard dictionary build. Pair generation is
+    lead() over each document's token positions (one doc-keyed window,
+    no self-join); the emitted frame is restricted to a fixed doc PANEL
+    so the entry's output is bounded while the plan stays corpus-
+    general. Long format (one row per emitted label) keeps every cell
+    scalar for the oracle.
+    """
+    from ..tables import spread
+    from .text import md5_prefix_value
+
+    toks_all = spread(docs).select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "term")
+    )
+    vocab = (
+        toks_all.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "term",
+            (
+                F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))) - 1
+            ).alias("vidx"),
+        )
+    )
+    v_size = vocab.agg(F.count("*").alias("v"))
+    tok = toks_all.filter(F.col("doc_id").isin(list(panel)))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    rows = []
+    for off in range(1, window + 1):
+        ctx = F.lead("term", off).over(w)
+        rows.append(
+            tok.select(
+                "doc_id",
+                "pos",
+                F.lit(off).alias("offset"),
+                F.col("term").alias("center"),
+                ctx.alias("partner"),
+            ).filter(F.col("partner").isNotNull())
+        )
+    pos_pairs = rows[0]
+    for r in rows[1:]:
+        pos_pairs = pos_pairs.unionByName(r)
+    # symmetric skip-gram: each window pair trains both directions
+    sym = pos_pairs.unionByName(
+        pos_pairs.select(
+            "doc_id",
+            (F.col("pos") + F.col("offset")).alias("pos"),
+            (-F.col("offset")).alias("offset"),
+            F.col("partner").alias("center"),
+            F.col("center").alias("partner"),
+        )
+    )
+    positives = sym.select(
+        "doc_id", "pos", "offset", "center", "partner",
+        F.lit("pos").alias("label"),
+    )
+    negs = None
+    for j in range(1, k_neg + 1):
+        key = F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("pos").cast("string"),
+            F.col("offset").cast("string"),
+            F.lit(str(j)),
+        )
+        n = (
+            sym.crossJoin(F.broadcast(v_size))
+            .select(
+                "doc_id", "pos", "offset", "center",
+                (md5_prefix_value(key, 8) % F.col("v")).alias("vidx"),
+                F.lit(f"neg{j}").alias("label"),
+            )
+            .join(F.broadcast(vocab), "vidx")
+            .select(
+                "doc_id", "pos", "offset", "center",
+                F.col("term").alias("partner"), "label",
+            )
+        )
+        negs = n if negs is None else negs.unionByName(n)
+    return positives.unionByName(negs).orderBy(
+        "doc_id", "pos", "offset", "label"
+    )

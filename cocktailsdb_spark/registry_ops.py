@@ -4255,3 +4255,66 @@ def _mbr_sql() -> str:
 
 
 register("minhash_band_recall", _q_minhash_band_recall, _mbr_sql())
+
+
+def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training data — skip-gram positives + hash-deterministic negative
+    samples over the corpus vocab index
+    (operators/corpus.py:negative_sampling_pairs); panel-bounded output,
+    corpus-general plan."""
+    return corpus.negative_sampling_pairs(load(spark, sf_dir, "documents"))
+
+
+def _negative_sampling_sql() -> str:
+    from .operators.corpus import SG_NEGATIVES, SG_PANEL, SG_WINDOW
+
+    panel = ", ".join(str(p) for p in SG_PANEL)
+    key = (
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' || "
+        "CAST(\"offset\" AS VARCHAR) || ':' || '{j}'"
+    )
+    pos_arms = "\n          UNION ALL ".join(
+        f"""SELECT doc_id, pos, {off} AS "offset", term AS center,
+               lead(term, {off}) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS partner
+        FROM tok"""
+        for off in range(1, SG_WINDOW + 1)
+    )
+    neg_arms = "\n          UNION ALL ".join(
+        f"""SELECT s.doc_id, s.pos, s."offset", s.center,
+               v.term AS partner, 'neg{j}' AS label
+        FROM (SELECT *, {_sql_md5_prefix_value(key.format(j=j), 8)} % vs.v
+                         AS vidx
+              FROM sym CROSS JOIN vs) s
+        JOIN vocab v USING (vidx)"""
+        for j in range(1, SG_NEGATIVES + 1)
+    )
+    return f"""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+        toks_all AS (
+          SELECT doc_id, i - 1 AS pos, t[i] AS term
+          FROM ts, unnest(range(1, len(t) + 1)) r(i)),
+        vocab AS (
+          SELECT term,
+                 row_number() OVER (ORDER BY count(*) DESC, term) - 1 AS vidx
+          FROM toks_all GROUP BY term),
+        vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        tok AS (SELECT * FROM toks_all WHERE doc_id IN ({panel})),
+        raw AS ({pos_arms}),
+        fwd AS (SELECT * FROM raw WHERE partner IS NOT NULL),
+        sym AS (
+          SELECT doc_id, pos, "offset", center, partner FROM fwd
+          UNION ALL
+          SELECT doc_id, pos + "offset", -"offset", partner, center FROM fwd),
+        positives AS (
+          SELECT doc_id, pos, "offset", center, partner, 'pos' AS label
+          FROM sym),
+        negatives AS ({neg_arms})
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS INT) AS pos,
+               CAST("offset" AS INT) AS "offset", center, partner, label
+        FROM (SELECT * FROM positives UNION ALL SELECT * FROM negatives)
+        ORDER BY doc_id, pos, "offset", label"""
+
+
+register("negative_sampling_pairs", _q_negative_sampling, _negative_sampling_sql())

@@ -743,3 +743,28 @@ def test_bigram_cross_entropy_hand_computed(spark):
     expect = (2 * q(0.75) + q(0.5)) / 1e6 / 3
     expect = math.floor(expect * 1e4 + 0.5) / 1e4
     assert out.cross_entropy_nats == expect
+
+
+def test_negative_sampling_pairs_structure(spark):
+    """Doc 'a b c' with window 2: forward pairs (a,b),(a,c),(b,c) ->
+    6 symmetric positives; each gets k=2 hash-deterministic negatives
+    drawn from the corpus vocab."""
+    from cocktailsdb_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", 5), (9, "d e f g", "en", 7)],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    out = corpus.negative_sampling_pairs(docs, panel=(1,)).collect()
+    pos = [r for r in out if r.label == "pos"]
+    negs = [r for r in out if r.label.startswith("neg")]
+    assert len(pos) == 6
+    assert len(negs) == 12  # 2 negatives per symmetric positive
+    assert {(r.center, r.partner) for r in pos} == {
+        ("a", "b"), ("a", "c"), ("b", "c"), ("b", "a"), ("c", "a"), ("c", "b")
+    }
+    vocab = {"a", "b", "c", "d", "e", "f", "g"}
+    assert all(r.partner in vocab for r in negs)
+    # determinism: same input -> identical negative draws
+    again = corpus.negative_sampling_pairs(docs, panel=(1,)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

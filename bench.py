@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "mann_kendall_trend",
     "recommendation_hitrate",
     "negative_sampling_pairs",
+    "simhash_threshold_curve",
 ]
 
 

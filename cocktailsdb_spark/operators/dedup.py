@@ -1048,3 +1048,68 @@ def minhash_band_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_bands")
+
+
+STC_HAMMING_CUTOFFS = (1, 2, 3)
+
+
+def simhash_threshold_curve(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    cutoffs: tuple[int, ...] = STC_HAMMING_CUTOFFS,
+) -> DataFrame:
+    """Precision/recall of SimHash near-dup detection per hamming cutoff
+    against the exact Jaccard truth — SimHash's quality dial (the third
+    of the three near-dup detectors to get one, after MinHash banding's
+    and the exact prefix filter which IS truth). A looser cutoff admits
+    more pairs: recall rises, precision falls — this entry pins the
+    whole trade as data.
+
+    Candidates + hamming are computed ONCE (band join, full recall for
+    hamming ≤ SIMHASH_BANDS−1 by pigeonhole); each cutoff is then a
+    filter on the materialized candidate frame. Truth is the
+    prefix-filtered exact path at the stated (n, threshold) —
+    never all-pairs.
+    """
+    cand = (
+        simhash_near_dup_pairs(docs, max_hamming=max(cutoffs))
+        .select("doc_a", "doc_b", "hamming")
+        .localCheckpoint()
+    )
+    truth = (
+        ngram_jaccard_pairs_prefix(docs, n=n, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    out = None
+    for d in cutoffs:
+        det = cand.filter(F.col("hamming") <= d)
+        hits = det.join(truth, ["doc_a", "doc_b"])
+        row = (
+            det.agg(F.count("*").alias("n_detected"))
+            .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(d).cast("int").alias("max_hamming"),
+                F.col("n_detected").cast("long").alias("n_detected"),
+                F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.when(
+                    F.col("n_detected") > 0,
+                    qround(
+                        F.col("n_hits").cast("double")
+                        / F.col("n_detected").cast("double"),
+                        6,
+                    ),
+                ).alias("precision"),
+                qround(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("max_hamming")

@@ -4318,3 +4318,65 @@ def _negative_sampling_sql() -> str:
 
 
 register("negative_sampling_pairs", _q_negative_sampling, _negative_sampling_sql())
+
+
+def _q_simhash_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality metric — SimHash precision/recall per hamming cutoff
+    vs exact Jaccard truth (operators/dedup.py:simhash_threshold_curve);
+    the third near-dup detector's measured dial."""
+    return dedup.simhash_threshold_curve(load(spark, sf_dir, "documents"))
+
+
+def _simhash_curve_sql() -> str:
+    from .operators.dedup import STC_HAMMING_CUTOFFS
+
+    truth_cte = f"""shd AS (SELECT doc_id, list_distinct(
+                  [array_to_string(t2[i:i+{MB_N - 1}], ' ')
+                   for i in range(1, len(t2)-{MB_N - 2})]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t2
+                      FROM documents)),
+        shf AS (SELECT doc_id, sh FROM shd WHERE len(sh) >= 1),
+        truth AS (
+          SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+          FROM shf sa JOIN shf sb ON sa.doc_id < sb.doc_id
+          WHERE {sql_qround(
+              "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+              " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))",
+              4)} >= {MB_T}),
+        tcount AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        candh AS (
+          SELECT doc_a, doc_b, CAST({_SIMHASH_HAMMING} AS INT) AS hamming
+          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 {", ".join(f"a.band{b} AS a{b}" for b in range(SIMHASH_BANDS))},
+                 {", ".join(f"b.band{b} AS b{b}" for b in range(SIMHASH_BANDS))}
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id) c
+          WHERE {_SIMHASH_HAMMING} <= {max(STC_HAMMING_CUTOFFS)})"""
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT CAST({d} AS INT) AS max_hamming,
+               CAST((SELECT count(*) FROM candh WHERE hamming <= {d})
+                    AS BIGINT) AS n_detected,
+               CAST((SELECT n_true FROM tcount) AS BIGINT) AS n_true_pairs,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM candh WHERE hamming <= {d}) > 0
+                    THEN {sql_qround(
+                        f"CAST(count(*) AS DOUBLE) / CAST((SELECT count(*)"
+                        f" FROM candh WHERE hamming <= {d}) AS DOUBLE)", 6)}
+               END AS precision,
+               {sql_qround(
+                   "CAST(count(*) AS DOUBLE)"
+                   " / CAST((SELECT n_true FROM tcount) AS DOUBLE)", 6)} AS recall
+        FROM (SELECT c.doc_a FROM candh c JOIN truth t
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+              WHERE c.hamming <= {d}) h{d}"""
+        for d in STC_HAMMING_CUTOFFS
+    )
+    return (
+        f"WITH {_sql_simhash_cte()},\n        bands AS (\n"
+        f"{_SIMHASH_BAND_UNION}),\n        {truth_cte}\n"
+        f"        SELECT * FROM ({arms}) ORDER BY max_hamming"
+    )
+
+
+register("simhash_threshold_curve", _q_simhash_curve, _simhash_curve_sql())

@@ -318,3 +318,29 @@ def test_minhash_band_recall_monotone_and_subset(spark):
     for b in (2, 4, 8):
         assert out[b].n_detected <= out[b].n_true_pairs
         assert out[b].rows_per_band == 16 // b
+
+
+def test_simhash_threshold_curve_monotone(spark):
+    """Looser hamming cutoff: detected and recall non-decreasing, hits
+    bounded by both detected and truth."""
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        t = base + f" uniq{i} tail{i}"
+        rows.append((i, t, "en", len(t)))
+        if i % 3 == 0:
+            rows.append((500 + i, t + " xx", "en", len(t) + 3))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int"
+    )
+    from cocktailsdb_spark.operators import dedup
+
+    out = {r.max_hamming: r for r in dedup.simhash_threshold_curve(docs).collect()}
+    assert list(out) == [1, 2, 3]
+    det = [out[d].n_detected for d in (1, 2, 3)]
+    rec = [out[d].recall for d in (1, 2, 3)]
+    assert det[0] <= det[1] <= det[2]
+    assert rec[0] <= rec[1] <= rec[2]
+    for d in (1, 2, 3):
+        assert out[d].n_hits <= out[d].n_detected
+        assert out[d].n_hits <= out[d].n_true_pairs

@@ -241,7 +241,15 @@ BENCH_QUERIES = [
     "nelson_aalen_hazard",
     "attribution_shapley",
     "fd_violations",
-    "minhash_band_recall",
+    # minhash_band_recall and simhash_threshold_curve are EXCLUDED by the
+    # ngram_jaccard_pairs convention (BASELINE.md): each is TRUTH-BOUND by
+    # spec — the dominant cost is the exact Jaccard ground-truth pair set
+    # at the detector's own (n=3, t=0.5), a quality-evaluation pass a
+    # production run executes on a sample, not per-corpus. Benching them
+    # invites regression-chasing on the truth computation; the DETECTORS
+    # they evaluate are benched (minhash_banded_pairs, simhash rows), and
+    # the geo/ANN recall dials stay benched because their truths are
+    # broadcast-panel scans, not pair enumerations.
     "huber_location",
     "attribution_position",
     "column_entropy",
@@ -250,7 +258,6 @@ BENCH_QUERIES = [
     "mann_kendall_trend",
     "recommendation_hitrate",
     "negative_sampling_pairs",
-    "simhash_threshold_curve",
 ]
 
 

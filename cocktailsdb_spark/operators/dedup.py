@@ -666,6 +666,7 @@ def minhash_banded_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     n_bands: int = MINHASH_BANDS_N,
+    sig_base: DataFrame | None = None,
 ) -> DataFrame:
     """X2 — hand-rolled deterministic MinHash + banding with EXACT verify:
     the oracle-checkable twin of :func:`minhash_lsh_pairs` (whose
@@ -685,7 +686,7 @@ def minhash_banded_pairs(
     — the bucketed path, no all-pairs; verification happens in-row on
     the joined shingle arrays (at 100 TB carry a capped shingle sample
     or re-join content by id instead)."""
-    cand = minhash_banded_candidates(docs, n, id_col, n_bands=n_bands)
+    cand = minhash_banded_candidates(docs, n, id_col, n_bands=n_bands, sig_base=sig_base)
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
     jac = qround(inter.cast("double") / union, 4)
@@ -694,18 +695,11 @@ def minhash_banded_pairs(
     )
 
 
-def minhash_bands(
-    docs: DataFrame,
-    n: int = 3,
-    id_col: str = "doc_id",
-    n_bands: int = MINHASH_BANDS_N,
-) -> DataFrame:
-    """The banded MinHash frame (doc_id, _sh, band_id, band_key) — one
-    row per (doc, band), checkpointed (the self-join and the at-rest
-    index both consume it more than once; ReuseExchange shares only
-    shuffle files). The shingle set rides along for the in-row exact
-    verify (at 100 TB: a capped shingle sample, or re-join content by
-    id — the band table itself stays 4 small strings per doc)."""
+def minhash_sig_base(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """The banding-config-INDEPENDENT signature frame (id, _sh, _sig),
+    checkpointed — shared by every banding configuration derived from
+    the same 16-lane signature (minhash_band_recall builds it once and
+    slices it three ways)."""
     sh = shingles(tokens(), n)
     vals = F.transform(F.col("_sh"), lambda s: md5_prefix_value(s, 8))
 
@@ -720,10 +714,7 @@ def minhash_bands(
             for a, b, r in MINHASH_AB
         ]
     )
-    if MINHASH_H % n_bands:
-        raise ValueError(f"n_bands must divide {MINHASH_H}")
-    rows_per_band = MINHASH_H // n_bands
-    base = (
+    return (
         spread(docs)
         .select(F.col(id_col), sh.alias("_sh"))
         .filter(F.size("_sh") >= 1)
@@ -732,6 +723,25 @@ def minhash_bands(
         .drop("_vals")
         .localCheckpoint()
     )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    n_bands: int = MINHASH_BANDS_N,
+    sig_base: DataFrame | None = None,
+) -> DataFrame:
+    """The banded MinHash frame (doc_id, _sh, band_id, band_key) — one
+    row per (doc, band), checkpointed (the self-join and the at-rest
+    index both consume it more than once; ReuseExchange shares only
+    shuffle files). The shingle set rides along for the in-row exact
+    verify (at 100 TB: a capped shingle sample, or re-join content by
+    id — the band table itself stays 4 small strings per doc)."""
+    if MINHASH_H % n_bands:
+        raise ValueError(f"n_bands must divide {MINHASH_H}")
+    rows_per_band = MINHASH_H // n_bands
+    base = sig_base if sig_base is not None else minhash_sig_base(docs, n, id_col)
     return base.select(
         id_col,
         "_sh",
@@ -757,6 +767,7 @@ def minhash_banded_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     n_bands: int = MINHASH_BANDS_N,
+    sig_base: DataFrame | None = None,
 ) -> DataFrame:
     """The PRE-verification band-collision pairs of
     :func:`minhash_banded_pairs` (with both shingle sets carried for the
@@ -773,7 +784,7 @@ def minhash_banded_candidates(
     the digest work for the same statistical guarantee (the true-Jaccard
     verify makes candidate recall the only probabilistic part either
     way)."""
-    banded = minhash_bands(docs, n, id_col, n_bands=n_bands)
+    banded = minhash_bands(docs, n, id_col, n_bands=n_bands, sig_base=sig_base)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1028,9 +1039,12 @@ def minhash_band_recall(
     """
     truth = ngram_jaccard_pairs_prefix(docs, n=n, threshold=threshold)
     n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    sig_base = minhash_sig_base(docs, n)  # shingle+sign ONCE for all configs
     out = None
     for b in band_counts:
-        det = minhash_banded_pairs(docs, n=n, threshold=threshold, n_bands=b)
+        det = minhash_banded_pairs(
+            docs, n=n, threshold=threshold, n_bands=b, sig_base=sig_base
+        )
         row = (
             det.agg(F.count("*").alias("n_detected"))
             .crossJoin(F.broadcast(n_true))

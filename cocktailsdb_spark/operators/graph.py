@@ -440,11 +440,19 @@ def label_propagation_communities(
     window keyed by the node — the PREGEL superstep shape, state is one
     label per node.
     """
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # the edge table is the big side and every superstep joins it on dst:
+    # partition it on dst ONCE and persist (pagerank's convention) — the
+    # per-round join then shuffles only the node-sized label frame, and
+    # the upstream edge build (a fact-table join + aggregate) runs once
+    # instead of once per superstep
+    edges_p = edges.repartition(nparts, "dst").persist()
+    nodes = edges_p.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
         nbr = (
-            edges.join(
+            edges_p.join(
                 labels.select(
                     F.col("node").alias("dst"), F.col("label").alias("nl")
                 ),
@@ -469,8 +477,13 @@ def label_propagation_communities(
         F.count("*").cast("long").alias("n_members")
     )
     pick = Window.orderBy(F.desc("n_members"), F.asc("community"))
-    return (
+    out = (
         census.orderBy(F.desc("n_members"), F.asc("community"))
         .limit(top_k)
         .withColumn("rank", F.row_number().over(pick).cast("int"))
+        # pin the top_k rows so the edge cache can be released before the
+        # caller consumes the frame (pagerank's convention)
+        .localCheckpoint()
     )
+    edges_p.unpersist()
+    return out

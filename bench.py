@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "mann_kendall_trend",
     "recommendation_hitrate",
     "negative_sampling_pairs",
+    "isotonic_calibration",
 ]
 
 

@@ -235,3 +235,69 @@ def gains_lift_table(docs: DataFrame, bins: int = EVAL_CAL_BINS) -> DataFrame:
         qround(cap, 6).alias("capture_rate"),
         qround(rate / base, 6).alias("cum_lift"),
     ).orderBy(F.desc("bin"))
+
+
+def isotonic_calibration(docs: DataFrame, bins: int = EVAL_CAL_BINS) -> DataFrame:
+    """Isotonic (PAV) calibration of the reliability table — the
+    monotone score→probability mapping (Zadrozny & Elkan 2002, public)
+    via the exact MINIMAX characterization of the pooled-adjacent-
+    violators fit:
+
+        iso[i] = max_{j ≤ i} min_{k ≥ i} mean(pos_rate, weighted, j..k)
+
+    No sequential pooling loop: the formula enumerates bin INTERVALS,
+    and the bin frame is schema-bounded (≤ `bins` rows → ≤ bins² ≈ 400
+    intervals), so the whole fit is two tiny joins + two aggregates —
+    trivially distributable and engine-exact (interval means are integer
+    pos/count sums in one IEEE division; the corpus pass is the one
+    calibration aggregate).
+    """
+    binned = calibration_bins(docs, bins).select("bin", "n", "n_pos")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cpos"),
+    ).localCheckpoint()
+    # sentinel prefix row so interval sums are cpos[k] − cpos[j−1]
+    sent = pre.sparkSession.createDataFrame(
+        [(-1, 0, 0)], "bin int, cn long, cpos long"
+    )
+    prevs = pre.select("bin", "cn", "cpos").unionByName(sent)
+    k_side = pre.select(
+        F.col("bin").alias("k"), F.col("cn").alias("cnk"), F.col("cpos").alias("cpk")
+    )
+    j_side = prevs.select(
+        (F.col("bin") + 1).alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cpos").alias("cpj"),
+    )
+    iv = k_side.join(j_side, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cpk") - F.col("cpj")).cast("double")
+            / (F.col("cnk") - F.col("cnj")).cast("double")
+        ).alias("mean_rate"),
+    )
+    i_side = pre.select(F.col("bin").alias("i"))
+    inner = (
+        i_side.join(iv, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("mean_rate").alias("mn"))
+    )
+    iso = inner.groupBy("i").agg(F.max("mn").alias("iso"))
+    n = F.col("n").cast("double")
+    return (
+        pre.join(iso, pre.bin == iso.i)
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            qround(F.col("n_pos").cast("double") / n, 6).alias("pos_rate"),
+            qround(F.col("iso"), 6).alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )

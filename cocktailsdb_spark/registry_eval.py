@@ -154,3 +154,42 @@ register(
                  AS cum_lift
         FROM c CROSS JOIN t ORDER BY bin DESC""",
 )
+
+
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation — isotonic (PAV) calibration of the reliability table
+    via the exact minimax interval formula
+    (operators/evaluation.py:isotonic_calibration)."""
+    return ev.isotonic_calibration(load(spark, sf_dir, "documents"))
+
+
+register(
+    "isotonic_calibration",
+    _q_isotonic,
+    f"""WITH {_SCORED},
+        {_CAL_G},
+        pre AS (
+          SELECT bin, n, n_pos,
+                 sum(n) OVER wc AS cn, sum(n_pos) OVER wc AS cpos
+          FROM g
+          WINDOW wc AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+        prevs AS (SELECT bin, cn, cpos FROM pre
+                  UNION ALL SELECT -1, 0, 0),
+        iv AS (
+          SELECT j.bin + 1 AS j, k.bin AS k,
+                 CAST(k.cpos - j.cpos AS DOUBLE)
+                   / CAST(k.cn - j.cn AS DOUBLE) AS mean_rate
+          FROM pre k JOIN prevs j ON j.bin + 1 <= k.bin),
+        inner_min AS (
+          SELECT i.bin AS i, iv.j, min(iv.mean_rate) AS mn
+          FROM pre i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+          GROUP BY 1, 2),
+        iso AS (SELECT i, max(mn) AS iso FROM inner_min GROUP BY i)
+        SELECT p.bin, p.n, p.n_pos,
+               {_q('CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE)', 6)}
+                 AS pos_rate,
+               {_q('iso.iso', 6)} AS isotonic_rate
+        FROM pre p JOIN iso ON p.bin = iso.i
+        ORDER BY p.bin""",
+)

@@ -110,3 +110,30 @@ def test_gains_lift_totals(spark):
     assert last.cum_lift == 1.0
     caps = [r.capture_rate for r in out]
     assert caps == sorted(caps)  # monotone as the slice widens
+
+
+def test_isotonic_calibration_monotone_and_matches_pav(spark):
+    """Constructed bins with a monotonicity violation: the minimax
+    formula must reproduce classic PAV pooling and the output must be
+    non-decreasing in bin order."""
+    from cocktailsdb_spark.operators import evaluation
+
+    # bin rates 0.2, 0.8, 0.4: PAV pools bins 1,2 -> (4+2)/10 = 0.6;
+    # iso = .2, .6, .6 — drive the PAV math through a stubbed
+    # calibration frame (the entry's scoring path has its own oracle)
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    bins = spark.createDataFrame(
+        [(0, 5, 1), (1, 5, 4), (2, 5, 2)], "bin int, n long, n_pos long"
+    ).select("bin", "n", "n_pos",
+             F.lit(0.0).alias("mean_score"), F.lit(0.0).alias("pos_rate"))
+    with mock.patch.object(
+        evaluation, "calibration_bins", return_value=bins
+    ):
+        rows = {r.bin: r for r in evaluation.isotonic_calibration(None).collect()}
+    assert rows[0].isotonic_rate == 0.2
+    assert rows[1].isotonic_rate == 0.6
+    assert rows[2].isotonic_rate == 0.6
+    vals = [rows[b].isotonic_rate for b in sorted(rows)]
+    assert vals == sorted(vals)

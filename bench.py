@@ -259,6 +259,16 @@ BENCH_QUERIES = [
     "recommendation_hitrate",
     "negative_sampling_pairs",
     "isotonic_calibration",
+    # round-9 session-2 additions: distribution tests (data-sized rank/
+    # moment aggregates), closed-form ridge, recursive-CTE SQL surface,
+    # JVM-side array HOFs. anova/l_diversity/lateral are sub-second
+    # fixed-overhead rows and stay un-benched by the r8 noise convention.
+    "ks_test_two_sample",
+    "kruskal_wallis_priority",
+    "kendall_tau_daily",
+    "ridge_regression_price",
+    "recursive_cte_paths",
+    "array_hof_stats",
 ]
 
 

@@ -242,3 +242,60 @@ def dp_noisy_counts(orders: DataFrame, epsilon: float = DP_EPSILON) -> DataFrame
         )
         .orderBy("priority", "year")
     )
+
+
+L_DIVERSITY_L = 3
+ACCTBAL_BANDS = (0.0, 2500.0, 5000.0, 7500.0)  # sensitive-attribute bands
+
+
+def l_diversity_report(
+    customer: DataFrame,
+    quasi_cols: tuple[str, ...] = ("c_nationkey", "c_mktsegment"),
+    l_req: int = L_DIVERSITY_L,
+) -> DataFrame:
+    """Privacy-governance check #2: distinct l-diversity (Machanavajjhala
+    et al. 2007, public) — k-anonymity's blind spot is a class where all
+    k rows share the SAME sensitive value; this gate requires every
+    quasi-identifier class to contain ≥ l distinct sensitive values
+    (here: the customer's account-balance band).
+
+    One map-side-combined aggregate on (QI, band) collapses the table to
+    class×band rows; a second aggregate on QI counts distinct bands per
+    class (exact — the first aggregate already deduped); the report
+    reduces the class frame. Nothing in the plan is ever wider than the
+    class×band frame, so the gate costs one shuffle at any corpus size.
+
+    Output (single row): min_l, n_classes, n_classes_below_l,
+    n_rows_below_l, pct_rows_below_l — release gate: n_classes_below_l
+    == 0 (companion to k_anonymity_report / dp_noisy_counts).
+    """
+    bal = F.col("c_acctbal").cast("double")
+    band = (
+        F.when(bal < ACCTBAL_BANDS[0], "negative")
+        .when(bal < ACCTBAL_BANDS[1], "low")
+        .when(bal < ACCTBAL_BANDS[2], "mid")
+        .when(bal < ACCTBAL_BANDS[3], "high")
+        .otherwise("top")
+    )
+    cells = customer.groupBy(*quasi_cols, band.alias("band")).agg(
+        F.count("*").alias("n")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.count("*").alias("l_distinct"), F.sum("n").alias("sz")
+    )
+    below = F.col("l_distinct") < l_req
+    return classes.agg(
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(
+            "n_classes_below_l"
+        ),
+        F.sum(F.when(below, F.col("sz")).otherwise(0)).cast("long").alias(
+            "n_rows_below_l"
+        ),
+        qround(
+            F.sum(F.when(below, F.col("sz")).otherwise(0)).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("pct_rows_below_l"),
+    )

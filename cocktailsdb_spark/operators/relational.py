@@ -3490,3 +3490,368 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+# --- distribution tests / closed-form regression (round-9 session 2) -------
+
+DEC38 = "decimal(38,8)"  # squared-moment sums overflow DEC(24,8) past ~1e16
+
+
+def _dsum38(expr: Column) -> Column:
+    """dsum widened for squared-term moments: per-row doubles →
+    DECIMAL(38,8) → exact sum → double. Same no-tie argument as
+    numeric.dsum (a dyadic double cannot end in …5·10⁻⁹), with 22 more
+    integer digits of headroom so Σx² survives petabyte-scale facts."""
+    return F.sum(expr.cast(DEC38)).cast("double")
+
+
+def _sql_dsum38(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(38,8))) AS DOUBLE)"
+
+
+KS_BUCKET_WIDTH = 10_000.0
+
+
+def ks_test_two_sample(
+    orders: DataFrame, year_a: int = W1_YEAR_A, year_b: int = W1_YEAR_B
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between two years' order-value
+    distributions — the third drift lens next to
+    :func:`wasserstein_price_drift` (mass-transport distance) and
+    ``profiling.psi_price_drift`` (binned log-ratio): the KS D statistic
+    is the sup-norm gap between the two EXACT empirical CDFs, no binning
+    or smoothing at all.
+
+    Scale shape (the mann_whitney_u two-pass prefix-sum trick): one
+    data-sized map-side-combined aggregate builds the distinct-value
+    frame (price → per-year counts); cumulative counts come from a
+    fixed-width bucket histogram (schema-bounded, ≤ ~1k rows at any
+    corpus size) whose exclusive prefix broadcasts back, plus a per-bucket
+    window — no task ever sorts more than one bucket of distinct values,
+    and no unpartitioned window exists anywhere in the plan. D is a max
+    over exact integer-ratio doubles (order-insensitive); the asymptotic
+    λ = √(n_a·n_b/(n_a+n_b))·D and one-term p ≈ 2·exp(−2λ²) use the
+    identical expression shape as the DuckDB twin, exp quantized at 1e-6
+    (the dp_noisy_counts libm convention).
+    """
+    yr = F.year("o_orderdate")
+    base = orders.filter(yr.isin(year_a, year_b)).select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        (yr == year_a).alias("isa"),
+    )
+    vals = (
+        base.groupBy("v")
+        .agg(
+            F.count(F.when(F.col("isa"), 1)).alias("ca"),
+            F.count(F.when(~F.col("isa"), 1)).alias("cb"),
+        )
+        .withColumn("bucket", F.floor(F.col("v") / F.lit(KS_BUCKET_WIDTH)))
+        .localCheckpoint()  # feeds buckets + totals + ranked pass once
+    )
+    buckets = vals.groupBy("bucket").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    prev = F.broadcast(
+        buckets.select(
+            F.col("bucket").alias("pb"),
+            F.col("ba").alias("pa"),
+            F.col("bb").alias("pbb"),
+        )
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("pa"), F.lit(0)).alias("offa"),
+            F.coalesce(F.sum("pbb"), F.lit(0)).alias("offb"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        vals.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_a", F.col("offa") + F.sum("ca").over(w_in))
+        .withColumn("cum_b", F.col("offb") + F.sum("cb").over(w_in))
+    )
+    tot = F.broadcast(
+        vals.agg(
+            F.sum("ca").cast("double").alias("na"),
+            F.sum("cb").cast("double").alias("nb"),
+        )
+    )
+    d = cum.crossJoin(tot).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("na")
+                - F.col("cum_b").cast("double") / F.col("nb")
+            )
+        ).alias("dmax"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    lam = F.sqrt(F.col("na") * F.col("nb") / (F.col("na") + F.col("nb"))) * F.col(
+        "dmax"
+    )
+    return d.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        qround(F.col("dmax"), 9).alias("d_stat"),
+        qround(lam, 6).alias("ks_lambda"),
+        qround(
+            F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam)), 6
+        ).alias("p_value"),
+    )
+
+
+def kruskal_wallis_priority(orders: DataFrame) -> DataFrame:
+    """Kruskal–Wallis H test of ``o_totalprice`` across ALL five order
+    priorities — the k-group generalisation of :func:`mann_whitney_u`
+    (Kruskal & Wallis 1952, public), with the standard tie correction
+    C = 1 − Σ(t³−t)/(N³−N).
+
+    Rank-free at scale, same machinery as mann_whitney_u: per-(value,
+    group) counts from one map-side-combined aggregate, global
+    cumulative counts below each distinct value from the bucketed
+    two-pass prefix sum (no unpartitioned window), then the integer
+    rank-sum identity per group
+
+        2·R_g = Σ_v c_g(v) · (2·cum_lt(v) + t(v) + 1)
+
+    in DECIMAL(38,0) (exact at any N). The k-row group frame reduces to
+    H with order-insensitive DECIMAL(38,8) sums of R_g²/n_g, so the
+    5-term float reduction cannot vary with aggregation order.
+    """
+    vals = (
+        orders.select(
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.col("o_orderpriority").alias("grp"),
+        )
+        .groupBy("v", "grp")
+        .agg(F.count("*").alias("cg"))
+        .localCheckpoint()
+    )
+    tots = (
+        vals.groupBy("v")
+        .agg(F.sum("cg").alias("t"))
+        .withColumn("bucket", F.floor(F.col("v") / F.lit(KS_BUCKET_WIDTH)))
+        .localCheckpoint()
+    )
+    buckets = tots.groupBy("bucket").agg(F.sum("t").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(F.col("bucket").alias("pb"), F.col("bt").alias("pt"))
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        tots.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum_lt", F.col("off") + F.coalesce(F.sum("t").over(w_in), F.lit(0))
+        )
+        .select("v", "t", "cum_lt")
+    )
+    big = "decimal(38,0)"
+    per_group = (
+        vals.join(ranked, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                (F.col("cg") * (2 * F.col("cum_lt") + F.col("t") + 1)).cast(big)
+            )
+            .cast("double")
+            .alias("r2g"),
+            F.sum(F.col("cg").cast(big)).cast("double").alias("ng"),
+        )
+    )
+    ties = tots.agg(
+        F.sum((F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(big))
+        .cast("double")
+        .alias("tie_sum")
+    )
+    agg = per_group.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(F.col("ng").cast(DEC38)).cast("double").alias("n_total"),
+        F.sum(
+            (
+                (F.col("r2g") / F.lit(2.0))
+                * (F.col("r2g") / F.lit(2.0))
+                / F.col("ng")
+            ).cast(DEC38)
+        )
+        .cast("double")
+        .alias("sum_r2_over_n"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_total")
+    h = (
+        F.lit(12.0) / (n * (n + 1)) * F.col("sum_r2_over_n")
+        - F.lit(3.0) * (n + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie_sum") / (n * n * n - n)
+    return agg.select(
+        n.cast("long").alias("n_total"),
+        "k_groups",
+        qround(h, 6).alias("h_stat"),
+        qround(corr, 9).alias("tie_correction"),
+        qround(h / corr, 6).alias("h_corrected"),
+    )
+
+
+def kendall_tau_daily(orders: DataFrame) -> DataFrame:
+    """Kendall τ-b rank correlation between daily revenue and daily order
+    count — the concordance companion to spearman_rank_corr (monotone
+    association robust to outliers, with the τ-b tie correction since
+    integer order counts tie heavily).
+
+    The pairwise frame is O(#days²), bounded by the CALENDAR exactly as
+    :func:`theil_sen_trend` (a decade ≤ ~6.7M day pairs regardless of
+    corpus size); the data-sized work is one map-side-combined daily
+    aggregate. Concordant/discordant/tie counts are pure integer
+    conditionals on exact inputs (decimal daily sums compare exactly);
+    τ-b's two square roots are the only float ops, pinned with qround.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("double").alias("x"),
+        dsum(F.col("o_totalprice")).alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    ax, bx, ay, by = F.col("a.x"), F.col("b.x"), F.col("a.y"), F.col("b.y")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+        .otherwise(0)
+        .alias("cc"),
+        F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+        .otherwise(0)
+        .alias("dd"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(ay == by, 1).otherwise(0).alias("ty"),
+    )
+    g = pairs.agg(
+        F.count("*").cast("double").alias("n_pairs"),
+        F.sum("cc").cast("double").alias("conc"),
+        F.sum("dd").cast("double").alias("disc"),
+        F.sum("tx").cast("double").alias("tiex"),
+        F.sum("ty").cast("double").alias("tiey"),
+    )
+    tau_b = (F.col("conc") - F.col("disc")) / (
+        F.sqrt(F.col("n_pairs") - F.col("tiex"))
+        * F.sqrt(F.col("n_pairs") - F.col("tiey"))
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return g.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        qround(tau_b, 6).alias("tau_b"),
+    )
+
+
+def anova_oneway_priority(orders: DataFrame) -> DataFrame:
+    """One-way ANOVA F test of ``o_totalprice`` across the five order
+    priorities — the parametric twin of :func:`kruskal_wallis_priority`
+    (same contrast :func:`welch_ttest` : :func:`mann_whitney_u`).
+
+    ONE map-side-combined aggregate produces the k-row per-group moment
+    frame (n, Σx, Σx² as exact decimal sums); the k-row reduction to
+    F = (SSB/(k−1)) / (SSW/(N−k)) uses order-insensitive DECIMAL(38,8)
+    sums (Σ_g S_g²/n_g reaches ~1e17 at petabyte SF — past DEC(24,8)'s
+    integer range, hence the widened lane), then scalar IEEE arithmetic
+    written with the identical expression shape as the DuckDB twin.
+    """
+    x = F.col("o_totalprice").cast("double")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("ng"),
+        _dsum38(x).alias("sx"),
+        _dsum38(x * x).alias("sxx"),
+    )
+    agg = g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(F.col("ng").cast(DEC38)).cast("double").alias("n_total"),
+        F.sum(F.col("sx").cast(DEC38)).cast("double").alias("sx_all"),
+        F.sum(F.col("sxx").cast(DEC38)).cast("double").alias("sxx_all"),
+        F.sum((F.col("sx") * F.col("sx") / F.col("ng")).cast(DEC38))
+        .cast("double")
+        .alias("sb_raw"),
+    )
+    n, k = F.col("n_total"), F.col("k_groups").cast("double")
+    ssb = F.col("sb_raw") - F.col("sx_all") * F.col("sx_all") / n
+    sst = F.col("sxx_all") - F.col("sx_all") * F.col("sx_all") / n
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return agg.select(
+        n.cast("long").alias("n_total"),
+        "k_groups",
+        qround(f, 4).alias("f_stat"),
+        qround(ssb / sst, 9).alias("eta_squared"),
+    )
+
+
+RIDGE_LAMBDA_PER_ROW = 10.0  # per-sample L2 penalty: λ = 10·n (SF-invariant)
+
+
+def ridge_regression_price(lineitem: DataFrame) -> DataFrame:
+    """Closed-form ridge regression of ``l_extendedprice`` on
+    (l_quantity, l_discount): β = (XᵀX + λI)⁻¹Xᵀy on CENTERED features
+    (intercept unpenalised), solved exactly with Cramer's rule on the
+    2×2 system — the regularised big-brother of groupwise_linreg, and
+    the shape a 100 TB feature pipeline actually uses (one pass for the
+    Gram moments, O(1) solve; no gradient iterations).
+
+    λ scales with n (RIDGE_LAMBDA_PER_ROW per sample) so the shrinkage
+    is SF-invariant. ONE map-side-combined aggregate computes all nine
+    Gram/moment sums as exact DECIMAL(38,8) reductions of per-row double
+    products (order-insensitive, engine-identical); the solve is scalar
+    IEEE arithmetic with the identical expression shape as the DuckDB
+    twin, pinned with qround. R² is the ridge-residual 1 − SSE/Syy.
+    """
+    y = F.col("l_extendedprice").cast("double")
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    m = lineitem.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(x1).alias("s1"),
+        _dsum38(x2).alias("s2"),
+        _dsum38(y).alias("sy"),
+        _dsum38(x1 * x1).alias("s11"),
+        _dsum38(x2 * x2).alias("s22"),
+        _dsum38(x1 * x2).alias("s12"),
+        _dsum38(x1 * y).alias("s1y"),
+        _dsum38(x2 * y).alias("s2y"),
+        _dsum38(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    lam = F.lit(RIDGE_LAMBDA_PER_ROW) * n
+    det = (c11 + lam) * (c22 + lam) - c12 * c12
+    b1 = ((c22 + lam) * c1y - c12 * c2y) / det
+    b2 = ((c11 + lam) * c2y - c12 * c1y) / det
+    intercept = (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / n
+    sse = (
+        cyy
+        - F.lit(2.0) * (b1 * c1y + b2 * c2y)
+        + b1 * b1 * c11
+        + F.lit(2.0) * b1 * b2 * c12
+        + b2 * b2 * c22
+    )
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        qround(b1, 6).alias("beta_qty"),
+        qround(b2, 4).alias("beta_discount"),
+        qround(intercept, 4).alias("intercept"),
+        qround(F.lit(1.0) - sse / cyy, 9).alias("r_squared"),
+    )

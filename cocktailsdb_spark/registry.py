@@ -51,6 +51,10 @@ from . import registry_geo  # noqa: E402,F401
 # model-evaluation operators (confusion report, ROC-AUC, calibration, lift):
 from . import registry_eval  # noqa: E402,F401
 
+# distribution tests, closed-form ridge, l-diversity, recursive CTE /
+# LATERAL SQL surface, array higher-order functions:
+from . import registry_stats  # noqa: E402,F401
+
 # --- driver-sweep rotation --------------------------------------------------
 # The correctness driver checks ~50 entries in registration order per round.
 # Rotation rule (round-5 judge directive 2): priority = entries whose

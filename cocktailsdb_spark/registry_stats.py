@@ -1,0 +1,468 @@
+"""Registry entries: distribution tests (KS / Kruskal–Wallis / ANOVA /
+Kendall τ-b), closed-form ridge regression, distinct l-diversity, and two
+SQL-surface features new in Spark 4 — recursive CTEs (``WITH RECURSIVE``)
+and correlated ``LATERAL`` subqueries — where the SAME ANSI text runs on
+both engines (the cte_sql_api convention).
+
+Same contract as registry_ops.py: every entry pairs the Spark plan with an
+exact DuckDB twin; float reductions use exact decimal lanes
+(numeric.dsum / relational._dsum38) so values match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .numeric import DEC, sql_dsum as _d, sql_qround as _q
+from .operators import filters, relational
+from .operators.relational import _sql_dsum38 as _d38
+from .registry import register
+from .tables import load, register_views
+
+# ===========================================================================
+# distribution tests
+# ===========================================================================
+
+
+def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test, 1996 vs 1997 order values
+    (operators/relational.py:ks_test_two_sample) — exact-ECDF drift next
+    to wasserstein_price_drift/psi_price_drift, bucketed prefix-sum plan."""
+    return relational.ks_test_two_sample(load(spark, sf_dir, "orders"))
+
+
+def _ks_sql() -> str:
+    from .operators.relational import W1_YEAR_A, W1_YEAR_B
+
+    lam = "sqrt(na * nb / (na + nb)) * dmax"
+    return f"""
+        WITH base AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 year(o_orderdate) = {W1_YEAR_A} AS isa
+          FROM orders
+          WHERE year(o_orderdate) IN ({W1_YEAR_A}, {W1_YEAR_B})),
+        vals AS (
+          SELECT v, count(CASE WHEN isa THEN 1 END) AS ca,
+                 count(CASE WHEN NOT isa THEN 1 END) AS cb
+          FROM base GROUP BY v),
+        cum AS (
+          SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+                 sum(cb) OVER (ORDER BY v) AS cum_b
+          FROM vals),
+        tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                       CAST(sum(cb) AS DOUBLE) AS nb FROM vals),
+        d AS (
+          SELECT max(abs(CAST(cum_a AS DOUBLE) / na
+                         - CAST(cum_b AS DOUBLE) / nb)) AS dmax,
+                 max(na) AS na, max(nb) AS nb
+          FROM cum CROSS JOIN tot)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               {_q('dmax', 9)} AS d_stat,
+               {_q(lam, 6)} AS ks_lambda,
+               {_q(f'least(1.0, 2.0 * exp(-2.0 * ({lam}) * ({lam})))', 6)}
+                 AS p_value
+        FROM d"""
+
+
+register("ks_test_two_sample", _q_ks, _ks_sql())
+
+
+def _q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across all five order priorities
+    (operators/relational.py:kruskal_wallis_priority): the k-group
+    rank-free generalisation of mann_whitney_u, tie-corrected."""
+    return relational.kruskal_wallis_priority(load(spark, sf_dir, "orders"))
+
+
+def _kruskal_sql() -> str:
+    h = "12.0 / (n_total * (n_total + 1)) * sum_r2_over_n - 3.0 * (n_total + 1)"
+    corr = "1.0 - tie_sum / (n_total * n_total * n_total - n_total)"
+    return f"""
+        WITH vals AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderpriority AS grp,
+                 CAST(count(*) AS BIGINT) AS cg
+          FROM orders GROUP BY 1, 2),
+        tots AS (SELECT v, sum(cg) AS t FROM vals GROUP BY v),
+        ranked AS (
+          SELECT v, t,
+                 coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+          FROM tots),
+        per_group AS (
+          SELECT grp,
+                 CAST(sum(CAST(cg * (2 * cum_lt + t + 1) AS DECIMAL(38,0)))
+                      AS DOUBLE) AS r2g,
+                 CAST(sum(CAST(cg AS DECIMAL(38,0))) AS DOUBLE) AS ng
+          FROM vals JOIN ranked USING (v) GROUP BY grp),
+        ties AS (
+          SELECT CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE)
+                   AS tie_sum
+          FROM tots),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 {_d38('ng')} AS n_total,
+                 {_d38('(r2g / 2.0) * (r2g / 2.0) / ng')} AS sum_r2_over_n
+          FROM per_group)
+        SELECT CAST(n_total AS BIGINT) AS n_total, k_groups,
+               {_q(h, 6)} AS h_stat,
+               {_q(corr, 9)} AS tie_correction,
+               {_q(f'({h}) / ({corr})', 6)} AS h_corrected
+        FROM agg CROSS JOIN ties"""
+
+
+register("kruskal_wallis_priority", _q_kruskal, _kruskal_sql())
+
+
+def _q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities
+    (operators/relational.py:anova_oneway_priority) — the parametric twin
+    of kruskal_wallis_priority; one map-side-combined moment aggregate."""
+    return relational.anova_oneway_priority(load(spark, sf_dir, "orders"))
+
+
+def _anova_sql() -> str:
+    return f"""
+        WITH g AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS DOUBLE) AS ng,
+                 {_d38('CAST(o_totalprice AS DOUBLE)')} AS sx,
+                 {_d38('CAST(o_totalprice AS DOUBLE)'
+                       ' * CAST(o_totalprice AS DOUBLE)')} AS sxx
+          FROM orders GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 {_d38('ng')} AS n_total,
+                 {_d38('sx')} AS sx_all,
+                 {_d38('sxx')} AS sxx_all,
+                 {_d38('sx * sx / ng')} AS sb_raw
+          FROM g)
+        SELECT CAST(n_total AS BIGINT) AS n_total, k_groups,
+               {_q('((sb_raw - sx_all * sx_all / n_total)'
+                   ' / (CAST(k_groups AS DOUBLE) - 1))'
+                   ' / (((sxx_all - sx_all * sx_all / n_total)'
+                   '     - (sb_raw - sx_all * sx_all / n_total))'
+                   '    / (n_total - CAST(k_groups AS DOUBLE)))', 4)}
+                 AS f_stat,
+               {_q('(sb_raw - sx_all * sx_all / n_total)'
+                   ' / (sxx_all - sx_all * sx_all / n_total)', 9)}
+                 AS eta_squared
+        FROM agg"""
+
+
+register("anova_oneway_priority", _q_anova, _anova_sql())
+
+
+def _q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily revenue and daily order count
+    (operators/relational.py:kendall_tau_daily); calendar-bounded pair
+    frame, the theil_sen_trend scale argument."""
+    return relational.kendall_tau_daily(load(spark, sf_dir, "orders"))
+
+
+def _kendall_sql() -> str:
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(count(*) AS DOUBLE) AS x,
+                 {_d('o_totalprice')} AS y
+          FROM orders GROUP BY 1),
+        pairs AS (
+          SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                        OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS cc,
+                 CASE WHEN (a.x < b.x AND a.y > b.y)
+                        OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dd,
+                 CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                 CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+          FROM daily a JOIN daily b ON a.day < b.day),
+        g AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_pairs,
+                 CAST(sum(cc) AS DOUBLE) AS conc,
+                 CAST(sum(dd) AS DOUBLE) AS disc,
+                 CAST(sum(tx) AS DOUBLE) AS tiex,
+                 CAST(sum(ty) AS DOUBLE) AS tiey
+          FROM pairs),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        SELECT n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               {_q('(conc - disc) / (sqrt(n_pairs - tiex)'
+                   ' * sqrt(n_pairs - tiey))', 6)} AS tau_b
+        FROM g CROSS JOIN nd"""
+
+
+register("kendall_tau_daily", _q_kendall, _kendall_sql())
+
+
+# ===========================================================================
+# closed-form ridge regression
+# ===========================================================================
+
+
+def _q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression of l_extendedprice on (l_quantity, l_discount)
+    (operators/relational.py:ridge_regression_price): one Gram-moment
+    aggregate + Cramer 2×2 solve, λ per-sample so shrinkage is
+    SF-invariant."""
+    return relational.ridge_regression_price(load(spark, sf_dir, "lineitem"))
+
+
+def _ridge_sql() -> str:
+    from .operators.relational import RIDGE_LAMBDA_PER_ROW
+
+    pre = f"""
+        WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('CAST(l_quantity AS DOUBLE)')} AS s1,
+                 {_d38('CAST(l_discount AS DOUBLE)')} AS s2,
+                 {_d38('CAST(l_extendedprice AS DOUBLE)')} AS sy,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_quantity AS DOUBLE)')} AS s11,
+                 {_d38('CAST(l_discount AS DOUBLE)'
+                       ' * CAST(l_discount AS DOUBLE)')} AS s22,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_discount AS DOUBLE)')} AS s12,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_extendedprice AS DOUBLE)')} AS s1y,
+                 {_d38('CAST(l_discount AS DOUBLE)'
+                       ' * CAST(l_extendedprice AS DOUBLE)')} AS s2y,
+                 {_d38('CAST(l_extendedprice AS DOUBLE)'
+                       ' * CAST(l_extendedprice AS DOUBLE)')} AS syy
+          FROM lineitem),
+        c AS (
+          SELECT n,
+                 s11 - s1 * s1 / n AS c11,
+                 s22 - s2 * s2 / n AS c22,
+                 s12 - s1 * s2 / n AS c12,
+                 s1y - s1 * sy / n AS c1y,
+                 s2y - s2 * sy / n AS c2y,
+                 syy - sy * sy / n AS cyy,
+                 s1, s2, sy,
+                 {RIDGE_LAMBDA_PER_ROW} * n AS lam
+          FROM m),
+        b AS (
+          SELECT n, s1, s2, sy, c11, c22, c12, c1y, c2y, cyy,
+                 ((c22 + lam) * c1y - c12 * c2y)
+                   / ((c11 + lam) * (c22 + lam) - c12 * c12) AS b1,
+                 ((c11 + lam) * c2y - c12 * c1y)
+                   / ((c11 + lam) * (c22 + lam) - c12 * c12) AS b2
+          FROM c)"""
+    sse = (
+        "cyy - 2.0 * (b1 * c1y + b2 * c2y) + b1 * b1 * c11"
+        " + 2.0 * b1 * b2 * c12 + b2 * b2 * c22"
+    )
+    return f"""{pre}
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q('b1', 6)} AS beta_qty,
+               {_q('b2', 4)} AS beta_discount,
+               {_q('(sy - b1 * s1 - b2 * s2) / n', 4)} AS intercept,
+               {_q(f'1.0 - ({sse}) / cyy', 9)} AS r_squared
+        FROM b"""
+
+
+register("ridge_regression_price", _q_ridge, _ridge_sql())
+
+
+# ===========================================================================
+# governance: distinct l-diversity
+# ===========================================================================
+
+
+def _q_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity of customer under (nation, segment) QI with
+    account-balance bands as the sensitive attribute
+    (operators/filters.py:l_diversity_report) — k-anonymity's companion
+    gate."""
+    return filters.l_diversity_report(load(spark, sf_dir, "customer"))
+
+
+def _ldiv_sql() -> str:
+    from .operators.filters import ACCTBAL_BANDS, L_DIVERSITY_L
+
+    b0, b1, b2, b3 = ACCTBAL_BANDS
+    lr = L_DIVERSITY_L
+    return f"""
+        WITH cells AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CASE WHEN CAST(c_acctbal AS DOUBLE) < {b0} THEN 'negative'
+                      WHEN CAST(c_acctbal AS DOUBLE) < {b1} THEN 'low'
+                      WHEN CAST(c_acctbal AS DOUBLE) < {b2} THEN 'mid'
+                      WHEN CAST(c_acctbal AS DOUBLE) < {b3} THEN 'high'
+                      ELSE 'top' END AS band,
+                 count(*) AS n
+          FROM customer GROUP BY 1, 2, 3),
+        classes AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS l_distinct, sum(n) AS sz
+          FROM cells GROUP BY 1, 2)
+        SELECT CAST(min(l_distinct) AS BIGINT) AS min_l,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN l_distinct < {lr} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_classes_below_l,
+               CAST(sum(CASE WHEN l_distinct < {lr} THEN sz ELSE 0 END)
+                    AS BIGINT) AS n_rows_below_l,
+               {_q(f'CAST(sum(CASE WHEN l_distinct < {lr} THEN sz ELSE 0 END)'
+                   ' AS DOUBLE) / sum(sz)', 6)} AS pct_rows_below_l
+        FROM classes"""
+
+
+register("l_diversity_report", _q_ldiv, _ldiv_sql())
+
+
+# ===========================================================================
+# SQL-surface parity: WITH RECURSIVE and correlated LATERAL (Spark 4)
+# ===========================================================================
+
+REC_MAX_STEPS = 8
+REC_WEEK_END = "2024-01-08"  # first week of the events fixture
+
+RECURSIVE_PATHS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE ts < TIMESTAMP '{REC_WEEK_END}'),
+succ AS (
+  SELECT event_id,
+         lead(event_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_id
+  FROM base),
+firsts AS (
+  SELECT event_id FROM (
+    SELECT event_id, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rk
+    FROM base) t
+  WHERE rk = 1),
+walk(event_id, step) AS (
+  SELECT event_id, 1 FROM firsts
+  UNION ALL
+  SELECT s.next_id, w.step + 1
+  FROM walk w JOIN succ s ON s.event_id = w.event_id
+  WHERE s.next_id IS NOT NULL AND w.step < {REC_MAX_STEPS}
+)
+SELECT CAST(w.step AS INT) AS step, b.event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM walk w JOIN base b ON b.event_id = w.event_id
+GROUP BY w.step, b.event_type
+"""
+
+
+def _q_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE`` (UNION ALL recursion): unroll each
+    user's first-week event chain by walking the unique-successor edge
+    (lead over the user timeline — fanout exactly 1 and strictly
+    time-increasing, so the recursion is ACYCLIC with ≤ REC_MAX_STEPS
+    iterations and ≤ users×steps total rows; no path explosion is
+    possible by construction). Output: events per (step ordinal,
+    event_type) — what share of step-3 actions are purchases?
+
+    The same ANSI text runs on DuckDB (its recursive CTE), making this a
+    true engine-parity entry for the SQL feature itself; the window-only
+    formulation (row_number ≤ k) is the one-pass scale path and
+    graph_bfs_levels holds the iterative-DataFrame shape. Recursion depth
+    is bounded by the constant, never the data.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_PATHS_SQL)
+
+
+register("recursive_cte_paths", _q_recursive_paths, RECURSIVE_PATHS_SQL)
+
+LATERAL_TOPK_SQL = """
+SELECT n.n_name AS nation, t.c_name AS customer,
+       CAST(t.c_acctbal AS DOUBLE) AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3) t
+"""
+
+
+def _q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``LATERAL`` subquery with per-row ORDER BY + LIMIT —
+    top-3 customers by account balance per nation, the SQL-standard
+    spelling of topk_per_group_limit. Spark decorrelates the lateral
+    into a ranked window under the hood (DecorrelateInnerQuery), so the
+    physical plan is the same one shuffle as the explicit window form —
+    the entry pins that the SURFACE works and stays engine-identical
+    (ties broken by the unique c_name). Same ANSI text runs on DuckDB.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
+register("lateral_topk_per_nation", _q_lateral_topk, LATERAL_TOPK_SQL)
+
+
+# ===========================================================================
+# array higher-order functions (JVM-side lambda expressions)
+# ===========================================================================
+
+HOF_BIG_CUTOFF = 0.2
+
+
+def _q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column — the
+    JVM-side lambda surface (aggregate / filter / array_max) that keeps
+    vector math OUT of Python: per-vector L1 norm via an exact
+    DECIMAL-accumulator fold, big-component count via filter+size, max
+    component — then per-label aggregates. The exact-arithmetic sibling
+    of embedding_stats; no UDF, no Arrow transfer, whole-stage codegen
+    end to end.
+
+    The fold accumulates in DECIMAL(24,8) with the accumulator re-cast
+    each step (Spark would otherwise widen the decimal type per
+    addition), so the 64-term per-row sum is order-fixed and
+    engine-exact; the DuckDB twin unnests and decimal-sums the same
+    values.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    l1 = F.aggregate(
+        "embedding",
+        F.lit(0).cast(DEC),
+        lambda acc, v: (acc + F.abs(v).cast(DEC)).cast(DEC),
+    ).cast("double")
+    nbig = F.size(
+        F.filter("embedding", lambda v: F.abs(v) > F.lit(HOF_BIG_CUTOFF))
+    )
+    per = emb.select(
+        "label",
+        l1.alias("l1"),
+        nbig.alias("nbig"),
+        # float32 → double BEFORE any arithmetic: DuckDB would otherwise
+        # keep the whole qround pipeline in single precision (its floor()
+        # of FLOAT stays FLOAT) while Spark's floor() widens — the one
+        # place the engines' numeric promotion rules diverge
+        F.array_max("embedding").cast("double").alias("mx"),
+    )
+    from .numeric import dsum, qround
+
+    return per.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        qround(dsum(F.col("l1")) / F.count("*"), 6).alias("avg_l1"),
+        qround(
+            F.sum("nbig").cast("double") / F.count("*"), 6
+        ).alias("avg_big_components"),
+        qround(F.max("mx"), 6).alias("max_component"),
+    )
+
+
+def _array_hof_sql() -> str:
+    return f"""
+        WITH per AS (
+          SELECT label,
+                 (SELECT CAST(sum(CAST(abs(u.x) AS DECIMAL(24,8))) AS DOUBLE)
+                  FROM (SELECT unnest(embedding) AS x) u) AS l1,
+                 len(list_filter(embedding,
+                                 x -> abs(x) > {HOF_BIG_CUTOFF})) AS nbig,
+                 CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+          FROM embeddings)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               {_q(_d('l1') + ' / count(*)', 6)} AS avg_l1,
+               {_q('CAST(sum(nbig) AS DOUBLE) / count(*)', 6)}
+                 AS avg_big_components,
+               {_q('max(mx)', 6)} AS max_component
+        FROM per GROUP BY label"""
+
+
+register("array_hof_stats", _q_array_hof, _array_hof_sql())

@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     "ridge_regression_price",
     "recursive_cte_paths",
     "array_hof_stats",
+    "bh_fdr_brand_price",
+    "kcore_peel_rounds",
+    "heaps_law_fit",
 ]
 
 

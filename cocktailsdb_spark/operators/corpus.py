@@ -1703,3 +1703,99 @@ def negative_sampling_pairs(
     return positives.unionByName(negs).orderBy(
         "doc_id", "pos", "offset", "label"
     )
+
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_fit(docs: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978, public): V(N) ≈ k·N^β
+    — how fast the vocabulary grows as the corpus streams in, THE
+    capacity-planning statistic for tokenizer/vocab design (zipf_fit is
+    the frequency-rank twin; this is the growth-curve lens).
+
+    Checkpoints are doc-id prefixes c_j = (max_id·j) DIV 10 (integer
+    arithmetic, engine-identical). V(c) needs only each term's FIRST
+    document — one vocab-sized min-aggregate, after which all ten
+    checkpoint counts come from ONE pass of conditional sums over the
+    term frame (never ten scans); N(c) likewise from per-doc token
+    counts without any explode. The 10-point frame fits log V = log k +
+    β·log N by exact OLS: each ln is quantized to 1e-9 first (the libm
+    lane convention), sums are order-insensitive DECIMAL(38,8).
+
+    Output (single row): n_points, heaps_beta, heaps_k, vocab_total,
+    tokens_total.
+    """
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    first = terms.groupBy("term").agg(F.min("doc_id").alias("first"))
+    mx = F.broadcast(docs.agg(F.max("doc_id").alias("mx")))
+    J = HEAPS_CHECKPOINTS
+    v_row = first.crossJoin(mx).agg(
+        F.count("*").cast("long").alias("vocab_total"),
+        *[
+            F.sum(
+                F.when(F.col("first") < F.expr(f"(mx * {j}) DIV {J}"), 1).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"v{j}")
+            for j in range(1, J + 1)
+        ],
+    )
+    dt = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    )
+    n_row = dt.crossJoin(mx).agg(
+        F.sum("nt").cast("long").alias("tokens_total"),
+        *[
+            F.sum(
+                F.when(F.col("doc_id") < F.expr(f"(mx * {j}) DIV {J}"), F.col("nt"))
+                .otherwise(0)
+            )
+            .cast("double")
+            .alias(f"n{j}")
+            for j in range(1, J + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{j}, v{j}, n{j}" for j in range(1, J + 1)
+    )
+    pts = (
+        v_row.crossJoin(n_row)
+        .select(
+            "vocab_total",
+            "tokens_total",
+            F.expr(f"stack({J}, {stack_args}) AS (j, v, n)"),
+        )
+        .where((F.col("v") > 0) & (F.col("n") > 0))
+        .select(
+            "vocab_total",
+            "tokens_total",
+            qround(F.log(F.col("n")), 9).alias("x"),
+            qround(F.log(F.col("v")), 9).alias("y"),
+        )
+    )
+    from .relational import DEC38
+
+    r = pts.agg(
+        F.count("*").cast("double").alias("np"),
+        F.first("vocab_total").alias("vocab_total"),
+        F.first("tokens_total").alias("tokens_total"),
+        F.sum(F.col("x").cast(DEC38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC38)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC38)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC38)).cast("double").alias("sxy"),
+    )
+    np_ = F.col("np")
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / np_) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / np_
+    )
+    intercept = (F.col("sy") - beta * F.col("sx")) / np_
+    return r.select(
+        np_.cast("long").alias("n_points"),
+        qround(beta, 6).alias("heaps_beta"),
+        qround(F.exp(intercept), 4).alias("heaps_k"),
+        "vocab_total",
+        "tokens_total",
+    )

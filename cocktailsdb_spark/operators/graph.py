@@ -487,3 +487,78 @@ def label_propagation_communities(
     )
     edges_p.unpersist()
     return out
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 5
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983, public): ``rounds`` rounds of
+    "drop every node with degree < k in the surviving subgraph", the
+    degeneracy-ordering primitive for community cores and graph
+    sparsification. The contract is EXACTLY R rounds — well-defined at
+    any scale with no fixpoint-detection divergence between engines (if
+    the peel converges earlier, extra rounds are no-ops; both engines
+    agree either way).
+
+    Scale shape: the deduped undirected edge list persists ONCE; each
+    round is two node-keyed semi-joins (edges ⋉ alive on src and dst —
+    co-partitioned shuffle joins, NEVER a broadcast of the node set,
+    which is itself data-sized) plus one map-side-combined degree
+    aggregate. ``alive`` is node-sized and localCheckpoint'd per round so
+    the plan does not deepen with R (the bfs_levels lineage rationale).
+    Unlike BFS's frontier (small by construction, broadcast), k-core's
+    alive set starts as ALL nodes — broadcasting it would be the classic
+    100 TB mistake.
+
+    Output (single row): n_nodes_start, n_alive, n_edges_alive (canonical
+    a<b), min_degree_alive (NULL when the core is empty), k, rounds.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_start = alive.count()
+    for _ in range(rounds):
+        deg = (
+            und.join(alive.withColumnRenamed("node", "src"), "src", "semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+    alive_edges = und.join(
+        alive.withColumnRenamed("node", "src"), "src", "semi"
+    ).join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+    degf = alive_edges.groupBy("src").agg(F.count("*").alias("d"))
+    summary = (
+        alive.agg(F.count("*").cast("long").alias("n_alive"))
+        .crossJoin(
+            alive_edges.where(F.col("src") < F.col("dst")).agg(
+                F.count("*").cast("long").alias("n_edges_alive")
+            )
+        )
+        .crossJoin(degf.agg(F.min("d").cast("long").alias("min_degree_alive")))
+        .select(
+            F.lit(n_start).cast("long").alias("n_nodes_start"),
+            "n_alive",
+            "n_edges_alive",
+            "min_degree_alive",
+            F.lit(k).cast("int").alias("k"),
+            F.lit(rounds).cast("int").alias("rounds"),
+        )
+        .localCheckpoint()
+    )
+    und.unpersist()
+    return summary

@@ -3855,3 +3855,113 @@ def ridge_regression_price(lineitem: DataFrame) -> DataFrame:
         qround(intercept, 4).alias("intercept"),
         qround(F.lit(1.0) - sse / cyy, 9).alias("r_squared"),
     )
+
+
+# Abramowitz & Stegun 26.2.17 normal-tail polynomial (public handbook):
+# |error| < 7.5e-8, far inside the 1e-6 release quantum below.
+AS_T = 0.2316419
+AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+INV_SQRT_2PI = 0.3989422804014327
+BH_Q = 0.05
+
+
+def _norm_sf_expr(x: Column) -> Column:
+    """Upper-tail normal probability Q(x) for x ≥ 0, Horner-evaluated with
+    the EXACT same association order as :func:`sql_norm_sf` — the two
+    texts must produce bit-identical doubles given identical inputs."""
+    b1, b2, b3, b4, b5 = AS_B
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(AS_T) * x)
+    poly = t * (
+        F.lit(b1)
+        + t * (F.lit(b2) + t * (F.lit(b3) + t * (F.lit(b4) + t * F.lit(b5))))
+    )
+    return F.lit(INV_SQRT_2PI) * F.exp(F.lit(-0.5) * x * x) * poly
+
+
+def sql_norm_sf(x: str) -> str:
+    b1, b2, b3, b4, b5 = AS_B
+    t = f"(1.0 / (1.0 + {AS_T} * ({x})))"
+    poly = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    return f"({INV_SQRT_2PI} * exp(-0.5 * ({x}) * ({x})) * {poly})"
+
+
+def bh_fdr_brand_price(
+    lineitem: DataFrame, part: DataFrame, q: float = BH_Q
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995, public)
+    over the family of per-brand "does this brand's line price differ
+    from the rest?" z-tests — the multiple-testing layer every screening
+    pipeline needs on top of single-test primitives like welch_ttest
+    (25 brands = 25 chances for a spurious 0.05 hit).
+
+    Per-brand z from one shuffle join (lineitem ⋈ part on partkey — both
+    sides data-sized, no broadcast) and ONE map-side-combined moment
+    aggregate; the rest-population moments are the broadcast global row
+    minus the brand row (no second pass). Two-sided p from the A&S
+    normal-tail polynomial — quantized to 1e-6 BEFORE any decision, so
+    the rank ordering and every p ≤ q·i/m comparison happen on
+    engine-identical doubles (a raw exp() 1-ulp drift could otherwise
+    flip a rejection). The BH step-up runs on the BRAND frame: bounded
+    cardinality by schema (~25 rows), so the unpartitioned rank window
+    is constant-size at any corpus scale.
+
+    Output per brand: n_items, z_score, p_value, bh_rank, bh_threshold,
+    rejected (0/1 int).
+    """
+    y = F.col("l_extendedprice").cast("double")
+    j = lineitem.select("l_partkey", y.alias("y")).join(
+        part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    g = j.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("nb"),
+        _dsum38(F.col("y")).alias("sx"),
+        _dsum38(F.col("y") * F.col("y")).alias("sxx"),
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum(F.col("nb").cast(DEC38)).cast("double").alias("n_all"),
+            F.sum(F.col("sx").cast(DEC38)).cast("double").alias("sx_all"),
+            F.sum(F.col("sxx").cast(DEC38)).cast("double").alias("sxx_all"),
+        )
+    )
+    x = g.crossJoin(tot)
+    nb, nr = F.col("nb"), F.col("n_all") - F.col("nb")
+    sxr = F.col("sx_all") - F.col("sx")
+    sxxr = F.col("sxx_all") - F.col("sxx")
+    mb, mr = F.col("sx") / nb, sxr / nr
+    vb = (F.col("sxx") - F.col("sx") * F.col("sx") / nb) / (nb - 1)
+    vr = (sxxr - sxr * sxr / nr) / (nr - 1)
+    z = (mb - mr) / F.sqrt(vb / nb + vr / nr)
+    scored = x.select(
+        F.col("p_brand").alias("brand"),
+        nb.cast("long").alias("n_items"),
+        qround(z, 6).alias("z_score"),
+        qround(F.lit(2.0) * _norm_sf_expr(F.abs(z)), 6).alias("p_value"),
+    )
+    w_rank = Window.orderBy("p_value", "brand")
+    w_all = Window.partitionBy()
+    ranked = scored.withColumn("bh_rank", F.row_number().over(w_rank)).withColumn(
+        "m", F.count("*").over(w_all)
+    )
+    thr = qround(F.lit(q) * F.col("bh_rank") / F.col("m"), 6)
+    ranked = ranked.withColumn("bh_threshold", thr).withColumn(
+        "max_pass",
+        F.max(
+            F.when(F.col("p_value") <= F.col("bh_threshold"), F.col("bh_rank"))
+        ).over(w_all),
+    )
+    return ranked.select(
+        "brand",
+        "n_items",
+        "z_score",
+        "p_value",
+        "bh_rank",
+        "bh_threshold",
+        F.when(
+            F.col("bh_rank") <= F.coalesce(F.col("max_pass"), F.lit(0)), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )

@@ -466,3 +466,196 @@ def _array_hof_sql() -> str:
 
 
 register("array_hof_stats", _q_array_hof, _array_hof_sql())
+
+
+# ===========================================================================
+# multiple testing: Benjamini–Hochberg FDR over per-brand z-tests
+# ===========================================================================
+
+
+def _q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR control over 25 per-brand price z-tests
+    (operators/relational.py:bh_fdr_brand_price) — the multiple-testing
+    layer over the single-test primitives (welch_ttest et al.)."""
+    return relational.bh_fdr_brand_price(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _bh_fdr_sql() -> str:
+    from .operators.relational import BH_Q, sql_norm_sf
+
+    z = (
+        "((sx / nb) - ((sx_all - sx) / (n_all - nb)))"
+        " / sqrt(((sxx - sx * sx / nb) / (nb - 1)) / nb"
+        " + (((sxx_all - sxx) - (sx_all - sx) * (sx_all - sx) / (n_all - nb))"
+        " / ((n_all - nb) - 1)) / (n_all - nb))"
+    )
+    return f"""
+        WITH j AS (
+          SELECT p_brand, CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        g AS (
+          SELECT p_brand, CAST(count(*) AS DOUBLE) AS nb,
+                 {_d38('y')} AS sx, {_d38('y * y')} AS sxx
+          FROM j GROUP BY 1),
+        tot AS (
+          SELECT {_d38('nb')} AS n_all, {_d38('sx')} AS sx_all,
+                 {_d38('sxx')} AS sxx_all
+          FROM g),
+        zc AS (
+          SELECT p_brand, nb, {z} AS z
+          FROM g CROSS JOIN tot),
+        scored AS (
+          SELECT p_brand AS brand, CAST(nb AS BIGINT) AS n_items,
+                 {_q('z', 6)} AS z_score,
+                 {_q('2.0 * ' + sql_norm_sf('abs(z)'), 6)} AS p_value
+          FROM zc),
+        ranked AS (
+          SELECT brand, n_items, z_score, p_value,
+                 row_number() OVER (ORDER BY p_value, brand) AS bh_rank,
+                 count(*) OVER () AS m
+          FROM scored),
+        thr AS (
+          SELECT *, {_q(f'{BH_Q} * bh_rank / m', 6)} AS bh_threshold
+          FROM ranked),
+        fin AS (
+          SELECT *, max(CASE WHEN p_value <= bh_threshold THEN bh_rank END)
+                      OVER () AS max_pass
+          FROM thr)
+        SELECT brand, n_items, z_score, p_value,
+               CAST(bh_rank AS INT) AS bh_rank, bh_threshold,
+               CAST(CASE WHEN bh_rank <= coalesce(max_pass, 0)
+                         THEN 1 ELSE 0 END AS INT) AS rejected
+        FROM fin"""
+
+
+register("bh_fdr_brand_price", _q_bh_fdr, _bh_fdr_sql())
+
+
+# ===========================================================================
+# graph: bounded k-core peeling
+# ===========================================================================
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-round k-core peel of the 1995Q1 supplier co-order graph
+    (operators/graph.py:kcore_peel; edges: registry_ext._co_order_edges,
+    the triangle_count/graph_bfs_levels graph). Exactly-R-rounds contract
+    — no fixpoint detection to diverge between engines."""
+    from .operators import graph as _g
+    from .registry_ext import _co_order_edges
+
+    return _g.kcore_peel(_co_order_edges(spark, sf_dir))
+
+
+def _kcore_sql() -> str:
+    from .operators.graph import KCORE_K, KCORE_ROUNDS
+
+    ctes = """WITH sl AS (
+          SELECT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1995-04-01'),
+        e AS (
+          SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM sl x JOIN sl y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        a0 AS (SELECT DISTINCT a AS node FROM und)"""
+    prev = "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes += f""",
+        a{i} AS (
+          SELECT u.a AS node FROM und u
+          JOIN {prev} x ON u.a = x.node
+          JOIN {prev} y ON u.b = y.node
+          GROUP BY u.a HAVING count(*) >= {KCORE_K})"""
+        prev = f"a{i}"
+    return f"""{ctes}
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a0) AS n_nodes_start,
+               (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS n_alive,
+               (SELECT CAST(count(*) AS BIGINT) FROM e
+                JOIN {prev} x ON e.a = x.node
+                JOIN {prev} y ON e.b = y.node) AS n_edges_alive,
+               (SELECT CAST(min(d) AS BIGINT) FROM (
+                  SELECT u.a, count(*) AS d FROM und u
+                  JOIN {prev} x ON u.a = x.node
+                  JOIN {prev} y ON u.b = y.node
+                  GROUP BY u.a) t) AS min_degree_alive,
+               CAST({KCORE_K} AS INT) AS k,
+               CAST({KCORE_ROUNDS} AS INT) AS rounds"""
+
+
+register("kcore_peel_rounds", _q_kcore, _kcore_sql())
+
+
+# ===========================================================================
+# corpus: Heaps'-law vocabulary growth
+# ===========================================================================
+
+
+def _q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) ≈ k·N^β over doc-id prefixes
+    (operators/corpus.py:heaps_law_fit) — vocabulary growth for
+    tokenizer capacity planning; zipf_fit's growth-curve twin."""
+    from .operators import corpus as _c
+
+    return _c.heaps_law_fit(load(spark, sf_dir, "documents"))
+
+
+def _heaps_sql() -> str:
+    from .operators.corpus import HEAPS_CHECKPOINTS as J
+
+    v_cols = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN first < (mx * {j}) // {J} THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) AS v{j}"
+        for j in range(1, J + 1)
+    )
+    n_cols = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN doc_id < (mx * {j}) // {J} THEN nt ELSE 0 END)"
+        f" AS DOUBLE) AS n{j}"
+        for j in range(1, J + 1)
+    )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT vocab_total, tokens_total, v{j} AS v, n{j} AS n"
+        " FROM v CROSS JOIN n"
+        for j in range(1, J + 1)
+    )
+    beta = "(sxy - sx * sy / np) / (sxx - sx * sx / np)"
+    return f"""
+        WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        firsts AS (
+          SELECT term, min(doc_id) AS first
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents) t
+          GROUP BY term),
+        v AS (
+          SELECT CAST(count(*) AS BIGINT) AS vocab_total,
+                 {v_cols}
+          FROM firsts CROSS JOIN mx),
+        dt AS (SELECT doc_id, len(string_split(text, ' ')) AS nt
+               FROM documents),
+        n AS (
+          SELECT CAST(sum(nt) AS BIGINT) AS tokens_total,
+                 {n_cols}
+          FROM dt CROSS JOIN mx),
+        pts AS (
+          SELECT vocab_total, tokens_total,
+                 {_q('ln(n)', 9)} AS x, {_q('ln(v)', 9)} AS y
+          FROM ({unions}) u
+          WHERE v > 0 AND n > 0),
+        r AS (
+          SELECT CAST(count(*) AS DOUBLE) AS np,
+                 max(vocab_total) AS vocab_total,
+                 max(tokens_total) AS tokens_total,
+                 {_d38('x')} AS sx, {_d38('y')} AS sy,
+                 {_d38('x * x')} AS sxx, {_d38('x * y')} AS sxy
+          FROM pts)
+        SELECT CAST(np AS BIGINT) AS n_points,
+               {_q(beta, 6)} AS heaps_beta,
+               {_q(f'exp((sy - ({beta}) * sx) / np)', 4)} AS heaps_k,
+               vocab_total, tokens_total
+        FROM r"""
+
+
+register("heaps_law_fit", _q_heaps, _heaps_sql())

@@ -272,6 +272,9 @@ BENCH_QUERIES = [
     "bh_fdr_brand_price",
     "kcore_peel_rounds",
     "heaps_law_fit",
+    "permutation_test_price",
+    "conformal_interval_price",
+    "mutual_info_features",
 ]
 
 

@@ -873,3 +873,71 @@ def column_entropy(tables: dict) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("column_name")
+
+
+MI_QTY_BIN = 10.0  # l_quantity decile-ish bins (1..50 -> 5 bins)
+MI_LN_SCALE = 9  # per-cell ln quantum (libm lane convention)
+
+
+def mutual_info_features(lineitem: DataFrame) -> DataFrame:
+    """Mutual information (in nats) between the discretized
+    (l_quantity, l_discount) feature pair, with the normalized variant
+    MI/√(H_x·H_y) — the model-free feature-redundancy screen
+    (correlation_matrix sees only LINEAR association; MI sees any).
+
+    One map-side-combined aggregate collapses the table to the joint
+    histogram — bounded by the SCHEMA (≤ 5 quantity bins × 11 discount
+    values), never by the corpus — then every probability and log runs
+    on that tiny frame. Each per-cell ln is quantized to 1e-9 before the
+    order-insensitive decimal sum (the engine-shared libm lane), exactly
+    the corpus_drift_kl convention.
+
+        MI = Σ_ij (c_ij/N) · ln(c_ij·N / (c_i·c_j))
+
+    Output (single row): n_rows, n_cells, mi_nats, h_x, h_y, nmi.
+    """
+    from ..numeric import qround
+
+    DEC38 = "decimal(38,8)"
+    xb = F.floor(F.col("l_quantity").cast("double") / F.lit(MI_QTY_BIN))
+    yb = F.col("l_discount").cast("double")
+    joint = lineitem.groupBy(xb.alias("xb"), yb.alias("yb")).agg(
+        F.count("*").alias("c")
+    )
+    wx = Window.partitionBy("xb")
+    wy = Window.partitionBy("yb")
+    wall = Window.partitionBy()
+    cells = (
+        joint.withColumn("cx", F.sum("c").over(wx))
+        .withColumn("cy", F.sum("c").over(wy))
+        .withColumn("nn", F.sum("c").over(wall))
+    )
+    c, cx, cy, nn = (
+        F.col("c").cast("double"),
+        F.col("cx").cast("double"),
+        F.col("cy").cast("double"),
+        F.col("nn").cast("double"),
+    )
+    mi_term = qround(c / nn * F.log(c * nn / (cx * cy)), MI_LN_SCALE)
+    # marginal-entropy terms: weight each cell by its share of the
+    # marginal so H comes from the SAME bounded frame (cells of one
+    # marginal value repeat; divide by the repeat count)
+    hx_term = qround(-(c / nn) * F.log(cx / nn), MI_LN_SCALE)
+    hy_term = qround(-(c / nn) * F.log(cy / nn), MI_LN_SCALE)
+    agg = cells.agg(
+        F.max("nn").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(mi_term.cast(DEC38)).cast("double").alias("mi"),
+        F.sum(hx_term.cast(DEC38)).cast("double").alias("hx"),
+        F.sum(hy_term.cast(DEC38)).cast("double").alias("hy"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_cells",
+        qround(F.col("mi"), 6).alias("mi_nats"),
+        qround(F.col("hx"), 6).alias("h_x"),
+        qround(F.col("hy"), 6).alias("h_y"),
+        qround(
+            F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6
+        ).alias("nmi"),
+    )

@@ -3965,3 +3965,279 @@ def bh_fdr_brand_price(
         .cast("int")
         .alias("rejected"),
     )
+
+
+PERM_B = 200  # permutation replicates (one deterministic pass, the
+# bootstrap_ci_revenue explode-x-B shape)
+
+
+def permutation_test_price(orders: DataFrame, b_reps: int = PERM_B) -> DataFrame:
+    """Randomization test for the mean-price difference between the two
+    welch_ttest priority populations — the assumption-free companion to
+    the t/U tests: the null distribution is built by RE-ASSIGNING group
+    labels, not by formulas.
+
+    Like bootstrap_ci_revenue, the whole test is ONE deterministic pass:
+    replicate b re-labels each order via the engine-shared md5 lane
+    (u(o,b) < n_a/n — binomial randomization, the label-exchange variant
+    that needs no per-replicate sort; group sizes vary ~√n around the
+    observed split, documented), so the explode ×B is map-local and the
+    B replicate statistics come from one map-side-combined aggregate.
+    p = (1 + #{|stat_b| ≥ |obs|}) / (B + 1), the add-one permutation
+    convention (Phipson & Smyth 2010, public). Every comparison happens
+    on doubles produced by identical expression shapes on both engines.
+    """
+    from ..tables import spread
+    from .text import md5_prefix_value
+
+    a = F.col("o_orderpriority") == TTEST_GROUP_A
+    base = orders.filter(
+        F.col("o_orderpriority").isin(TTEST_GROUP_A, TTEST_GROUP_B)
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("x"),
+        a.alias("isa"),
+    )
+    obs = base.agg(
+        F.count(F.when(F.col("isa"), 1)).cast("double").alias("na"),
+        F.count(F.when(~F.col("isa"), 1)).cast("double").alias("nb"),
+        _dsum38(F.when(F.col("isa"), F.col("x"))).alias("sxa"),
+        _dsum38(F.when(~F.col("isa"), F.col("x"))).alias("sxb"),
+    ).select(
+        "na",
+        "nb",
+        (F.col("sxa") / F.col("na") - F.col("sxb") / F.col("nb")).alias("obs"),
+        (F.col("na") / (F.col("na") + F.col("nb"))).alias("pa"),
+    )
+    rep = spread(base).select(
+        "okey", "x", F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b")
+    )
+    u = md5_prefix_value(
+        F.concat_ws(":", F.col("okey").cast("string"), F.col("b").cast("string")), 8
+    ).cast("double") / F.lit(4294967296.0)
+    stats = (
+        rep.crossJoin(F.broadcast(obs.select("pa")))
+        .withColumn("toa", u < F.col("pa"))
+        .groupBy("b")
+        .agg(
+            (
+                _dsum38(F.when(F.col("toa"), F.col("x")))
+                / F.nullif(
+                    F.count(F.when(F.col("toa"), 1)), F.lit(0)
+                ).cast("double")
+                - _dsum38(F.when(~F.col("toa"), F.col("x")))
+                / F.nullif(
+                    F.count(F.when(~F.col("toa"), 1)), F.lit(0)
+                ).cast("double")
+            ).alias("stat")
+        )
+    )
+    res = stats.crossJoin(F.broadcast(obs)).agg(
+        F.count("*").cast("long").alias("b_reps"),
+        F.sum(
+            F.when(F.abs(F.col("stat")) >= F.abs(F.col("obs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.first("obs").alias("obs"),
+    )
+    return res.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        qround(F.col("obs"), 4).alias("obs_diff"),
+        "b_reps",
+        "n_extreme",
+        qround(
+            (F.lit(1.0) + F.col("n_extreme"))
+            / (F.col("b_reps").cast("double") + 1.0),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def effect_sizes_priority(orders: DataFrame) -> DataFrame:
+    """Effect-size family for the welch_ttest pair — the MAGNITUDE layer
+    the significance tests (t / U / permutation) deliberately don't
+    report: Cohen's d (pooled-SD standardized difference), Hedges' g
+    (small-sample bias correction, the 1 − 3/(4N−9) approximation),
+    Cliff's delta and the common-language effect size (both exact
+    transforms of the Mann–Whitney U already computed by the rank-free
+    bucketed plan — this entry COMPOSES :func:`mann_whitney_u` with one
+    extra moment aggregate rather than re-deriving ranks).
+    """
+    mw = mann_whitney_u(orders).select("u_a")
+    x = F.col("o_totalprice").cast("double")
+    a = F.col("o_orderpriority") == TTEST_GROUP_A
+    b = F.col("o_orderpriority") == TTEST_GROUP_B
+    mom = orders.agg(
+        F.count(F.when(a, 1)).cast("double").alias("na"),
+        F.count(F.when(b, 1)).cast("double").alias("nb"),
+        _dsum38(F.when(a, x)).alias("sxa"),
+        _dsum38(F.when(a, x * x)).alias("sxxa"),
+        _dsum38(F.when(b, x)).alias("sxb"),
+        _dsum38(F.when(b, x * x)).alias("sxxb"),
+    )
+    j = mom.crossJoin(F.broadcast(mw))
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sxa") / na, F.col("sxb") / nb
+    va = (F.col("sxxa") - F.col("sxa") * F.col("sxa") / na) / (na - 1)
+    vb = (F.col("sxxb") - F.col("sxb") * F.col("sxb") / nb) / (nb - 1)
+    sp = F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = (ma - mb) / sp
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0)))
+    cles = F.col("u_a") / (na * nb)
+    return j.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        qround(d, 6).alias("cohens_d"),
+        qround(g, 6).alias("hedges_g"),
+        qround(F.lit(2.0) * cles - F.lit(1.0), 6).alias("cliffs_delta"),
+        qround(cles, 6).alias("cles"),
+    )
+
+
+CONF_ALPHA = 0.1  # split-conformal miscoverage target (90% intervals)
+CONF_BUCKET = 1000.0  # |residual| bucket width for the two-pass rank
+
+
+def conformal_interval_price(lineitem: DataFrame) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. 2005 /
+    Papadopoulos et al. 2002, public) around the ridge price model: fit
+    :func:`ridge_regression_price`'s closed form on the TRAIN half of a
+    deterministic hash split, then the 90% interval half-width is the
+    ⌈(n_cal+1)(1−α)⌉-th smallest absolute calibration residual — the
+    distribution-free guarantee every 100 TB feature pipeline can afford
+    (two aggregates + one order statistic, no refitting).
+
+    The split is the engine-shared md5 lane on (orderkey, linenumber) —
+    the hash_split convention. The order statistic never sorts globally:
+    the bucketed two-pass prefix sum (mann_whitney_u machinery) finds
+    the target rank with per-bucket windows only. Output includes the
+    achieved calibration coverage (≥ 1−α by construction — pinned, not
+    assumed).
+    """
+    from .text import md5_prefix_value
+
+    y = F.col("l_extendedprice").cast("double")
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    lane = md5_prefix_value(key, 8).cast("double") / F.lit(4294967296.0)
+    base = lineitem.select(
+        y.alias("y"),
+        x1.alias("x1"),
+        x2.alias("x2"),
+        (lane < F.lit(0.5)).alias("is_train"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+    ).localCheckpoint()
+    tr = F.col("is_train")
+    m = base.agg(
+        F.count(F.when(tr, 1)).cast("double").alias("n"),
+        _dsum38(F.when(tr, F.col("x1"))).alias("s1"),
+        _dsum38(F.when(tr, F.col("x2"))).alias("s2"),
+        _dsum38(F.when(tr, F.col("y"))).alias("sy"),
+        _dsum38(F.when(tr, F.col("x1") * F.col("x1"))).alias("s11"),
+        _dsum38(F.when(tr, F.col("x2") * F.col("x2"))).alias("s22"),
+        _dsum38(F.when(tr, F.col("x1") * F.col("x2"))).alias("s12"),
+        _dsum38(F.when(tr, F.col("x1") * F.col("y"))).alias("s1y"),
+        _dsum38(F.when(tr, F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    lam = F.lit(RIDGE_LAMBDA_PER_ROW) * n
+    det = (c11 + lam) * (c22 + lam) - c12 * c12
+    fit = F.broadcast(
+        m.select(
+            n.alias("n_train"),
+            (((c22 + lam) * c1y - c12 * c2y) / det).alias("b1"),
+            (((c11 + lam) * c2y - c12 * c1y) / det).alias("b2"),
+            "s1",
+            "s2",
+            "sy",
+        ).select(
+            "n_train",
+            "b1",
+            "b2",
+            (
+                (F.col("sy") - F.col("b1") * F.col("s1") - F.col("b2") * F.col("s2"))
+                / F.col("n_train")
+            ).alias("b0"),
+        )
+    )
+    cal = (
+        base.filter(~tr)
+        .crossJoin(fit)
+        .select(
+            F.abs(
+                F.col("y")
+                - (
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1")
+                    + F.col("b2") * F.col("x2")
+                )
+            ).alias("r"),
+            "okey",
+            "lno",
+        )
+        .withColumn("bucket", F.floor(F.col("r") / F.lit(CONF_BUCKET)))
+        .localCheckpoint()
+    )
+    buckets = cal.groupBy("bucket").agg(F.count("*").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(F.col("bucket").alias("pb"), F.col("bt").alias("pt"))
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    ncal = F.broadcast(cal.agg(F.count("*").alias("n_cal")))
+    w_in = Window.partitionBy("bucket").orderBy("r", "okey", "lno")
+    ranked = (
+        cal.join(F.broadcast(offsets), "bucket")
+        .crossJoin(ncal)
+        .withColumn("rk", F.col("off") + F.row_number().over(w_in))
+        .withColumn(
+            "target",
+            F.ceil(
+                (F.col("n_cal").cast("double") + 1.0) * F.lit(1.0 - CONF_ALPHA)
+            ),
+        )
+    )
+    q = ranked.filter(F.col("rk") == F.col("target")).select(
+        F.col("r").alias("q_width"), F.col("n_cal").alias("n_cal")
+    )
+    cov = (
+        cal.crossJoin(F.broadcast(q))
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("q_width"), 1).otherwise(0))
+            .cast("double")
+            .alias("n_in"),
+            F.count("*").cast("double").alias("nc"),
+        )
+        .select((F.col("n_in") / F.col("nc")).alias("coverage"))
+    )
+    return (
+        fit.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            qround(F.col("b1"), 6).alias("beta_qty"),
+            qround(F.col("b2"), 4).alias("beta_discount"),
+            qround(F.col("b0"), 4).alias("intercept"),
+            qround(F.col("q_width"), 4).alias("q_width"),
+            qround(F.col("coverage"), 6).alias("coverage"),
+        )
+    )

@@ -659,3 +659,255 @@ def _heaps_sql() -> str:
 
 
 register("heaps_law_fit", _q_heaps, _heaps_sql())
+
+
+# ===========================================================================
+# randomization inference / effect sizes / conformal intervals / MI
+# ===========================================================================
+
+
+def _q_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test for the priority-pair mean gap
+    (operators/relational.py:permutation_test_price): explode ×B with
+    md5-lane label reassignment, one aggregate for all B replicates —
+    the bootstrap_ci_revenue shape applied to hypothesis testing."""
+    return relational.permutation_test_price(load(spark, sf_dir, "orders"))
+
+
+def _perm_sql() -> str:
+    from .operators.relational import PERM_B, TTEST_GROUP_A, TTEST_GROUP_B
+    from .registry_ops import _sql_md5_prefix_value
+
+    key = "CAST(okey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+    u = f"(CAST({_sql_md5_prefix_value(key, 8)} AS DOUBLE) / 4294967296.0)"
+    return f"""
+        WITH base AS (
+          SELECT o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS x,
+                 o_orderpriority = '{TTEST_GROUP_A}' AS isa
+          FROM orders
+          WHERE o_orderpriority IN ('{TTEST_GROUP_A}', '{TTEST_GROUP_B}')),
+        obs AS (
+          SELECT CAST(count(CASE WHEN isa THEN 1 END) AS DOUBLE) AS na,
+                 CAST(count(CASE WHEN NOT isa THEN 1 END) AS DOUBLE) AS nb,
+                 {_d38('CASE WHEN isa THEN x END')} AS sxa,
+                 {_d38('CASE WHEN NOT isa THEN x END')} AS sxb
+          FROM base),
+        obs2 AS (
+          SELECT na, nb, sxa / na - sxb / nb AS obs, na / (na + nb) AS pa
+          FROM obs),
+        rep AS (
+          SELECT okey, x, r.b FROM base
+          CROSS JOIN (SELECT unnest(range({PERM_B})) AS b) r),
+        drawn AS (
+          SELECT x, b, {u} < pa AS toa FROM rep CROSS JOIN obs2),
+        stats AS (
+          SELECT b,
+                 {_d38('CASE WHEN toa THEN x END')}
+                   / CAST(NULLIF(count(CASE WHEN toa THEN 1 END), 0)
+                          AS DOUBLE)
+                 - {_d38('CASE WHEN NOT toa THEN x END')}
+                   / CAST(NULLIF(count(CASE WHEN NOT toa THEN 1 END), 0)
+                          AS DOUBLE) AS stat
+          FROM drawn GROUP BY b),
+        res AS (
+          SELECT CAST(count(*) AS BIGINT) AS b_reps,
+                 CAST(sum(CASE WHEN abs(stat) >= abs(obs) THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_extreme,
+                 max(na) AS na, max(nb) AS nb, max(obs) AS obs
+          FROM stats CROSS JOIN obs2)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               {_q('obs', 4)} AS obs_diff, b_reps, n_extreme,
+               {_q('(1.0 + n_extreme) / (CAST(b_reps AS DOUBLE) + 1.0)', 6)}
+                 AS p_value
+        FROM res"""
+
+
+register("permutation_test_price", _q_perm, _perm_sql())
+
+
+def _q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g / Cliff's delta / CLES for the welch_ttest
+    priority pair (operators/relational.py:effect_sizes_priority) —
+    composes mann_whitney_u's rank-free U with one moment aggregate."""
+    return relational.effect_sizes_priority(load(spark, sf_dir, "orders"))
+
+
+def _effect_sizes_sql() -> str:
+    from .operators.relational import TTEST_GROUP_A, TTEST_GROUP_B
+
+    return f"""
+        WITH base AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 o_orderpriority = '{TTEST_GROUP_A}' AS isa
+          FROM orders
+          WHERE o_orderpriority IN ('{TTEST_GROUP_A}', '{TTEST_GROUP_B}')),
+        vals AS (
+          SELECT v, count(CASE WHEN isa THEN 1 END) AS ca,
+                 count(CASE WHEN NOT isa THEN 1 END) AS cb
+          FROM base GROUP BY v),
+        ranked AS (
+          SELECT v, ca, cb, ca + cb AS t,
+                 coalesce(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+          FROM vals),
+        u AS (
+          SELECT CAST(sum(CAST(ca AS DECIMAL(38,0))) AS DOUBLE) AS na,
+                 CAST(sum(CAST(cb AS DECIMAL(38,0))) AS DOUBLE) AS nb,
+                 CAST(sum(CAST(ca * (2 * cum_lt + t + 1) AS DECIMAL(38,0)))
+                      AS DOUBLE) AS r2a
+          FROM ranked),
+        uu AS (SELECT na, nb, (r2a - na * (na + 1)) / 2.0 AS u_a FROM u),
+        mom AS (
+          SELECT {_d38('CASE WHEN isa THEN v END')} AS sxa,
+                 {_d38('CASE WHEN isa THEN v * v END')} AS sxxa,
+                 {_d38('CASE WHEN NOT isa THEN v END')} AS sxb,
+                 {_d38('CASE WHEN NOT isa THEN v * v END')} AS sxxb
+          FROM base),
+        j AS (
+          SELECT na, nb, u_a,
+                 sxa / na AS ma, sxb / nb AS mb,
+                 (sxxa - sxa * sxa / na) / (na - 1) AS va,
+                 (sxxb - sxb * sxb / nb) / (nb - 1) AS vb
+          FROM uu CROSS JOIN mom),
+        d AS (
+          SELECT na, nb, u_a,
+                 (ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb)
+                                  / (na + nb - 2)) AS cd
+          FROM j)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               {_q('cd', 6)} AS cohens_d,
+               {_q('cd * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))', 6)}
+                 AS hedges_g,
+               {_q('2.0 * (u_a / (na * nb)) - 1.0', 6)} AS cliffs_delta,
+               {_q('u_a / (na * nb)', 6)} AS cles
+        FROM d"""
+
+
+register("effect_sizes_priority", _q_effect_sizes, _effect_sizes_sql())
+
+
+def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval around the ridge price model
+    (operators/relational.py:conformal_interval_price): hash split,
+    closed-form fit on train, exact order-statistic width from the
+    calibration residuals via the bucketed two-pass rank."""
+    return relational.conformal_interval_price(load(spark, sf_dir, "lineitem"))
+
+
+def _conformal_sql() -> str:
+    from .operators.relational import (
+        CONF_ALPHA,
+        RIDGE_LAMBDA_PER_ROW,
+    )
+    from .registry_ops import _sql_md5_prefix_value
+
+    key = (
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    )
+    u = f"(CAST({_sql_md5_prefix_value(key, 8)} AS DOUBLE) / 4294967296.0)"
+    mom = lambda e: _d38(f"CASE WHEN is_train THEN {e} END")  # noqa: E731
+    return f"""
+        WITH base AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2,
+                 {u} < 0.5 AS is_train,
+                 l_orderkey AS okey, l_linenumber AS lno
+          FROM lineitem),
+        m AS (
+          SELECT CAST(count(CASE WHEN is_train THEN 1 END) AS DOUBLE) AS n,
+                 {mom('x1')} AS s1, {mom('x2')} AS s2, {mom('y')} AS sy,
+                 {mom('x1 * x1')} AS s11, {mom('x2 * x2')} AS s22,
+                 {mom('x1 * x2')} AS s12, {mom('x1 * y')} AS s1y,
+                 {mom('x2 * y')} AS s2y
+          FROM base),
+        c AS (
+          SELECT n, s1, s2, sy,
+                 s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+                 s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+                 s2y - s2 * sy / n AS c2y,
+                 {RIDGE_LAMBDA_PER_ROW} * n AS lam
+          FROM m),
+        fit AS (
+          SELECT n AS n_train, s1, s2, sy,
+                 ((c22 + lam) * c1y - c12 * c2y)
+                   / ((c11 + lam) * (c22 + lam) - c12 * c12) AS b1,
+                 ((c11 + lam) * c2y - c12 * c1y)
+                   / ((c11 + lam) * (c22 + lam) - c12 * c12) AS b2
+          FROM c),
+        fit2 AS (
+          SELECT n_train, b1, b2,
+                 (sy - b1 * s1 - b2 * s2) / n_train AS b0
+          FROM fit),
+        cal AS (
+          SELECT abs(y - (b0 + b1 * x1 + b2 * x2)) AS r, okey, lno
+          FROM base CROSS JOIN fit2 WHERE NOT is_train),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        ranked AS (
+          SELECT r, row_number() OVER (ORDER BY r, okey, lno) AS rk
+          FROM cal),
+        q AS (
+          SELECT r AS q_width, n_cal FROM ranked CROSS JOIN nc
+          WHERE rk = CAST(ceil((CAST(n_cal AS DOUBLE) + 1.0)
+                               * {1.0 - CONF_ALPHA}) AS BIGINT)),
+        cov AS (
+          SELECT CAST(sum(CASE WHEN r <= q_width THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS coverage
+          FROM cal CROSS JOIN q)
+        SELECT CAST(n_train AS BIGINT) AS n_train, n_cal,
+               {_q('b1', 6)} AS beta_qty,
+               {_q('b2', 4)} AS beta_discount,
+               {_q('b0', 4)} AS intercept,
+               {_q('q_width', 4)} AS q_width,
+               {_q('coverage', 6)} AS coverage
+        FROM fit2 CROSS JOIN q CROSS JOIN cov"""
+
+
+register("conformal_interval_price", _q_conformal, _conformal_sql())
+
+
+def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between discretized (quantity, discount)
+    (operators/profiling.py:mutual_info_features) — the nonlinear
+    feature-redundancy screen next to correlation_matrix."""
+    from .operators import profiling as _p
+
+    return _p.mutual_info_features(load(spark, sf_dir, "lineitem"))
+
+
+def _mutual_info_sql() -> str:
+    from .operators.profiling import MI_LN_SCALE, MI_QTY_BIN
+
+    return f"""
+        WITH joint AS (
+          SELECT floor(CAST(l_quantity AS DOUBLE) / {MI_QTY_BIN}) AS xb,
+                 CAST(l_discount AS DOUBLE) AS yb, count(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        cells AS (
+          SELECT c, sum(c) OVER (PARTITION BY xb) AS cxr,
+                 sum(c) OVER (PARTITION BY yb) AS cyr,
+                 sum(c) OVER () AS nnr
+          FROM joint),
+        terms AS (
+          SELECT CAST(c AS DOUBLE) AS c, CAST(cxr AS DOUBLE) AS cx,
+                 CAST(cyr AS DOUBLE) AS cy, CAST(nnr AS DOUBLE) AS nn,
+                 nnr
+          FROM cells),
+        agg AS (
+          SELECT CAST(max(nnr) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 {_d38(_q('c / nn * ln(c * nn / (cx * cy))', MI_LN_SCALE))}
+                   AS mi,
+                 {_d38(_q('-(c / nn) * ln(cx / nn)', MI_LN_SCALE))} AS hx,
+                 {_d38(_q('-(c / nn) * ln(cy / nn)', MI_LN_SCALE))} AS hy
+          FROM terms)
+        SELECT n_rows, n_cells,
+               {_q('mi', 6)} AS mi_nats,
+               {_q('hx', 6)} AS h_x,
+               {_q('hy', 6)} AS h_y,
+               {_q('mi / sqrt(hx * hy)', 6)} AS nmi
+        FROM agg"""
+
+
+register("mutual_info_features", _q_mutual_info, _mutual_info_sql())

@@ -275,6 +275,9 @@ BENCH_QUERIES = [
     "permutation_test_price",
     "conformal_interval_price",
     "mutual_info_features",
+    "vif_features",
+    "regression_influence_topk",
+    "levene_brown_forsythe",
 ]
 
 

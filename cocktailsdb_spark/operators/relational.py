@@ -4241,3 +4241,293 @@ def conformal_interval_price(lineitem: DataFrame) -> DataFrame:
             qround(F.col("coverage"), 6).alias("coverage"),
         )
     )
+
+
+def vif_features(lineitem: DataFrame) -> DataFrame:
+    """Variance inflation factors for the (l_quantity, l_discount, l_tax)
+    feature set — the multicollinearity gate a feature pipeline runs
+    before trusting any regression's coefficients (VIF_j = 1/(1−R²_j),
+    R²_j from regressing feature j on the other two).
+
+    ONE map-side-combined aggregate produces every pairwise moment
+    (exact DECIMAL(38,8) sums); each R²_j is then a closed-form 2×2
+    Cramer solve on the single moment row — no per-feature passes, no
+    iteration, identical scalar expression shape on both engines.
+    """
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    x3 = F.col("l_tax").cast("double")
+    m = lineitem.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(x1).alias("s1"),
+        _dsum38(x2).alias("s2"),
+        _dsum38(x3).alias("s3"),
+        _dsum38(x1 * x1).alias("s11"),
+        _dsum38(x2 * x2).alias("s22"),
+        _dsum38(x3 * x3).alias("s33"),
+        _dsum38(x1 * x2).alias("s12"),
+        _dsum38(x1 * x3).alias("s13"),
+        _dsum38(x2 * x3).alias("s23"),
+    )
+    n = F.col("n")
+
+    def c(i: str, j: str) -> Column:
+        a, b = sorted((i, j))
+        return F.col(f"s{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}") / n
+
+    def r2(y: str, a: str, b: str) -> Column:
+        # regress x_y on (x_a, x_b): Cramer on the centered 2x2 system
+        caa, cbb, cab = c(a, a), c(b, b), c(a, b)
+        cay, cby = c(a, y), c(b, y)
+        det = caa * cbb - cab * cab
+        b1 = (cbb * cay - cab * cby) / det
+        b2 = (caa * cby - cab * cay) / det
+        return (b1 * cay + b2 * cby) / c(y, y)
+
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        qround(F.lit(1.0) / (F.lit(1.0) - r2("1", "2", "3")), 6).alias("vif_qty"),
+        qround(F.lit(1.0) / (F.lit(1.0) - r2("2", "1", "3")), 6).alias(
+            "vif_discount"
+        ),
+        qround(F.lit(1.0) / (F.lit(1.0) - r2("3", "1", "2")), 6).alias("vif_tax"),
+    )
+
+
+def partial_corr_price(lineitem: DataFrame) -> DataFrame:
+    """First-order partial correlation of (l_extendedprice, l_quantity)
+    CONTROLLING for l_discount — how much of the price–quantity
+    association survives once the discount channel is removed:
+
+        r_xy.z = (r_xy − r_xz·r_zy) / √((1 − r_xz²)(1 − r_zy²))
+
+    All three pairwise correlations come from the same single moment
+    aggregate (exact decimal sums); one row out.
+    """
+    x = F.col("l_extendedprice").cast("double")
+    y = F.col("l_quantity").cast("double")
+    z = F.col("l_discount").cast("double")
+    m = lineitem.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(x).alias("sx"),
+        _dsum38(y).alias("sy"),
+        _dsum38(z).alias("sz"),
+        _dsum38(x * x).alias("sxx"),
+        _dsum38(y * y).alias("syy"),
+        _dsum38(z * z).alias("szz"),
+        _dsum38(x * y).alias("sxy"),
+        _dsum38(x * z).alias("sxz"),
+        _dsum38(y * z).alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(a: str, b: str) -> Column:
+        ab = "s" + "".join(sorted((a, b)))
+        caa = F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}") / n
+        cbb = F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}") / n
+        cab = F.col(ab) - F.col(f"s{a}") * F.col(f"s{b}") / n
+        return cab / F.sqrt(caa * cbb)
+
+    rxy, rxz, rzy = corr("x", "y"), corr("x", "z"), corr("y", "z")
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        qround(rxy, 6).alias("r_price_qty"),
+        qround(rxz, 6).alias("r_price_discount"),
+        qround(rzy, 6).alias("r_qty_discount"),
+        qround(
+            (rxy - rxz * rzy)
+            / F.sqrt((F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - rzy * rzy)),
+            6,
+        ).alias("partial_r"),
+    )
+
+
+INFLUENCE_TOPK = 10
+
+
+def regression_influence_topk(
+    lineitem: DataFrame, top_k: int = INFLUENCE_TOPK
+) -> DataFrame:
+    """Cook's-distance influence screen for the OLS price model
+    (y = l_extendedprice ~ l_quantity + l_discount): the model-diagnostics
+    layer — WHICH rows move the fit, before anyone trusts it.
+
+        h_i = 1/n + x̃_iᵀ C⁻¹ x̃_i          (leverage, centered features)
+        D_i = e_i²/(p·s²) · h_i/(1−h_i)²    (p = 3, s² = SSE/(n−p))
+
+    One moment aggregate fits the model AND inverts the 2×2 centered
+    Gram in closed form (broadcast scalar row); leverage, residual and
+    D are then per-row map arithmetic — no second shuffle — and top-k is
+    a TakeOrderedAndProject (never a global sort). Deterministic: ties
+    broken by (orderkey, linenumber).
+    """
+    y = F.col("l_extendedprice").cast("double")
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    base = lineitem.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+        y.alias("y"),
+        x1.alias("x1"),
+        x2.alias("x2"),
+    )
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(F.col("x1")).alias("s1"),
+        _dsum38(F.col("x2")).alias("s2"),
+        _dsum38(F.col("y")).alias("sy"),
+        _dsum38(F.col("x1") * F.col("x1")).alias("s11"),
+        _dsum38(F.col("x2") * F.col("x2")).alias("s22"),
+        _dsum38(F.col("x1") * F.col("x2")).alias("s12"),
+        _dsum38(F.col("x1") * F.col("y")).alias("s1y"),
+        _dsum38(F.col("x2") * F.col("y")).alias("s2y"),
+        _dsum38(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    sse = cyy - b1 * c1y - b2 * c2y
+    fit = F.broadcast(
+        m.select(
+            n.alias("nn"),
+            b1.alias("b1"),
+            b2.alias("b2"),
+            (F.col("s1") / n).alias("m1"),
+            (F.col("s2") / n).alias("m2"),
+            (F.col("sy") / n).alias("my"),
+            (c22 / det).alias("i11"),
+            (-c12 / det).alias("i12"),
+            (c11 / det).alias("i22"),
+            (sse / (n - 3)).alias("s2e"),
+        )
+    )
+    per = base.crossJoin(fit)
+    d1 = F.col("x1") - F.col("m1")
+    d2 = F.col("x2") - F.col("m2")
+    h = (
+        F.lit(1.0) / F.col("nn")
+        + d1 * (F.col("i11") * d1 + F.col("i12") * d2)
+        + d2 * (F.col("i12") * d1 + F.col("i22") * d2)
+    )
+    e = F.col("y") - (
+        F.col("my")
+        + F.col("b1") * d1
+        + F.col("b2") * d2
+    )
+    cook = (
+        e * e / (F.lit(3.0) * F.col("s2e")) * (h / ((F.lit(1.0) - h) * (F.lit(1.0) - h)))
+    )
+    scored = per.select(
+        "okey",
+        "lno",
+        qround(h, 9).alias("leverage"),
+        qround(e, 4).alias("residual"),
+        cook.alias("cook_raw"),
+    )
+    top = scored.orderBy(
+        F.col("cook_raw").desc(), F.col("okey"), F.col("lno")
+    ).limit(top_k)
+    w = Window.orderBy(F.col("cook_raw").desc(), F.col("okey"), F.col("lno"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("okey").alias("l_orderkey"),
+        F.col("lno").alias("l_linenumber"),
+        "leverage",
+        "residual",
+        qround(F.col("cook_raw"), 9).alias("cooks_d"),
+    )
+
+
+def levene_brown_forsythe(orders: DataFrame) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974,
+    public) of ``o_totalprice`` across the five priorities: one-way
+    ANOVA on z = |x − median_g| — the median-centred Levene variant
+    that stays valid under skew. Completes the classical suite next to
+    anova_oneway_priority (means) and kruskal_wallis_priority (ranks).
+
+    Pass 1 finds each group's EXACT median (type-1 lower order
+    statistic, rank ⌈n_g/2⌉) with the per-group bucketed prefix rank —
+    distinct-value frames keyed (group, bucket), per-bucket windows
+    only, the group key never sorts more than one bucket (the
+    mann_whitney_u machinery partitioned by group). Pass 2 is the
+    one-aggregate ANOVA F on |x − med_g| with the broadcast 5-row
+    median table. Two data passes total at any corpus size.
+    """
+    x = F.col("o_totalprice").cast("double")
+    base = orders.select(F.col("o_orderpriority").alias("grp"), x.alias("v"))
+    vals = (
+        base.groupBy("grp", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("bucket", F.floor(F.col("v") / F.lit(KS_BUCKET_WIDTH)))
+        .localCheckpoint()
+    )
+    buckets = vals.groupBy("grp", "bucket").agg(F.sum("cnt").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(
+            F.col("grp").alias("pg"), F.col("bucket").alias("pb"),
+            F.col("bt").alias("pt"),
+        )
+    )
+    offsets = (
+        buckets.join(
+            prev,
+            (F.col("pg") == F.col("grp")) & (F.col("pb") < F.col("bucket")),
+            "left",
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    ng = F.broadcast(
+        vals.groupBy("grp").agg(F.sum("cnt").alias("n_g"))
+    )
+    w_in = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        vals.join(F.broadcast(offsets), ["grp", "bucket"])
+        .join(ng, "grp")
+        .withColumn("cum", F.col("off") + F.sum("cnt").over(w_in))
+    )
+    med = F.broadcast(
+        ranked.filter(
+            (F.col("cum") - F.col("cnt"))
+            < F.ceil(F.col("n_g").cast("double") / 2.0)
+        )
+        .filter(F.col("cum") >= F.ceil(F.col("n_g").cast("double") / 2.0))
+        .select("grp", F.col("v").alias("med"))
+    )
+    z = F.abs(F.col("v") - F.col("med"))
+    g = base.join(med, "grp").groupBy("grp").agg(
+        F.count("*").cast("double").alias("ng"),
+        _dsum38(z).alias("sz"),
+        _dsum38(z * z).alias("szz"),
+    )
+    agg = g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(F.col("ng").cast(DEC38)).cast("double").alias("n_total"),
+        F.sum(F.col("sz").cast(DEC38)).cast("double").alias("sz_all"),
+        F.sum(F.col("szz").cast(DEC38)).cast("double").alias("szz_all"),
+        F.sum((F.col("sz") * F.col("sz") / F.col("ng")).cast(DEC38))
+        .cast("double")
+        .alias("sb_raw"),
+    )
+    n, k = F.col("n_total"), F.col("k_groups").cast("double")
+    ssb = F.col("sb_raw") - F.col("sz_all") * F.col("sz_all") / n
+    sst = F.col("szz_all") - F.col("sz_all") * F.col("sz_all") / n
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return agg.select(
+        n.cast("long").alias("n_total"),
+        "k_groups",
+        qround(f, 6).alias("f_stat"),
+        qround(ssb / sst, 9).alias("eta_squared"),
+    )

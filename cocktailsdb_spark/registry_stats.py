@@ -911,3 +911,227 @@ def _mutual_info_sql() -> str:
 
 
 register("mutual_info_features", _q_mutual_info, _mutual_info_sql())
+
+
+# ===========================================================================
+# regression diagnostics: VIF / partial correlation / Cook's distance
+# ===========================================================================
+
+
+def _q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for (quantity, discount, tax)
+    (operators/relational.py:vif_features): one moment aggregate, three
+    closed-form 2x2 solves."""
+    return relational.vif_features(load(spark, sf_dir, "lineitem"))
+
+
+def _c(i: str, j: str) -> str:
+    a, b = sorted((i, j))
+    return f"(s{a}{b} - s{a} * s{b} / n)"
+
+
+def _vif_sql() -> str:
+    def r2(y: str, a: str, b: str) -> str:
+        caa, cbb, cab = _c(a, a), _c(b, b), _c(a, b)
+        cay, cby = _c(a, y), _c(b, y)
+        det = f"({caa} * {cbb} - {cab} * {cab})"
+        b1 = f"(({cbb} * {cay} - {cab} * {cby}) / {det})"
+        b2 = f"(({caa} * {cby} - {cab} * {cay}) / {det})"
+        return f"(({b1} * {cay} + {b2} * {cby}) / {_c(y, y)})"
+
+    return f"""
+        WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('CAST(l_quantity AS DOUBLE)')} AS s1,
+                 {_d38('CAST(l_discount AS DOUBLE)')} AS s2,
+                 {_d38('CAST(l_tax AS DOUBLE)')} AS s3,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_quantity AS DOUBLE)')} AS s11,
+                 {_d38('CAST(l_discount AS DOUBLE)'
+                       ' * CAST(l_discount AS DOUBLE)')} AS s22,
+                 {_d38('CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE)')} AS s33,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_discount AS DOUBLE)')} AS s12,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_tax AS DOUBLE)')} AS s13,
+                 {_d38('CAST(l_discount AS DOUBLE)'
+                       ' * CAST(l_tax AS DOUBLE)')} AS s23
+          FROM lineitem)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q(f"1.0 / (1.0 - {r2('1', '2', '3')})", 6)} AS vif_qty,
+               {_q(f"1.0 / (1.0 - {r2('2', '1', '3')})", 6)} AS vif_discount,
+               {_q(f"1.0 / (1.0 - {r2('3', '1', '2')})", 6)} AS vif_tax
+        FROM m"""
+
+
+register("vif_features", _q_vif, _vif_sql())
+
+
+def _q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of price~quantity controlling for
+    discount (operators/relational.py:partial_corr_price)."""
+    return relational.partial_corr_price(load(spark, sf_dir, "lineitem"))
+
+
+def _partial_corr_sql() -> str:
+    def corr(a: str, b: str) -> str:
+        ab = "s" + "".join(sorted((a, b)))
+        caa = f"(s{a}{a} - s{a} * s{a} / n)"
+        cbb = f"(s{b}{b} - s{b} * s{b} / n)"
+        cab = f"({ab} - s{a} * s{b} / n)"
+        return f"({cab} / sqrt({caa} * {cbb}))"
+
+    rxy, rxz, rzy = corr("x", "y"), corr("x", "z"), corr("y", "z")
+    return f"""
+        WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('CAST(l_extendedprice AS DOUBLE)')} AS sx,
+                 {_d38('CAST(l_quantity AS DOUBLE)')} AS sy,
+                 {_d38('CAST(l_discount AS DOUBLE)')} AS sz,
+                 {_d38('CAST(l_extendedprice AS DOUBLE)'
+                       ' * CAST(l_extendedprice AS DOUBLE)')} AS sxx,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_quantity AS DOUBLE)')} AS syy,
+                 {_d38('CAST(l_discount AS DOUBLE)'
+                       ' * CAST(l_discount AS DOUBLE)')} AS szz,
+                 {_d38('CAST(l_extendedprice AS DOUBLE)'
+                       ' * CAST(l_quantity AS DOUBLE)')} AS sxy,
+                 {_d38('CAST(l_extendedprice AS DOUBLE)'
+                       ' * CAST(l_discount AS DOUBLE)')} AS sxz,
+                 {_d38('CAST(l_quantity AS DOUBLE)'
+                       ' * CAST(l_discount AS DOUBLE)')} AS syz
+          FROM lineitem)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q(rxy, 6)} AS r_price_qty,
+               {_q(rxz, 6)} AS r_price_discount,
+               {_q(rzy, 6)} AS r_qty_discount,
+               {_q(f'({rxy} - {rxz} * {rzy})'
+                   f' / sqrt((1.0 - {rxz} * {rxz})'
+                   f' * (1.0 - {rzy} * {rzy}))', 6)} AS partial_r
+        FROM m"""
+
+
+register("partial_corr_price", _q_partial_corr, _partial_corr_sql())
+
+
+def _q_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's-distance top-10 influence screen for the OLS price model
+    (operators/relational.py:regression_influence_topk): closed-form fit
+    + per-row leverage as map arithmetic, TakeOrderedAndProject top-k."""
+    return relational.regression_influence_topk(load(spark, sf_dir, "lineitem"))
+
+
+def _influence_sql() -> str:
+    from .operators.relational import INFLUENCE_TOPK
+
+    return f"""
+        WITH base AS (
+          SELECT l_orderkey AS okey, l_linenumber AS lno,
+                 CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2
+          FROM lineitem),
+        m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('x1')} AS s1, {_d38('x2')} AS s2, {_d38('y')} AS sy,
+                 {_d38('x1 * x1')} AS s11, {_d38('x2 * x2')} AS s22,
+                 {_d38('x1 * x2')} AS s12, {_d38('x1 * y')} AS s1y,
+                 {_d38('x2 * y')} AS s2y, {_d38('y * y')} AS syy
+          FROM base),
+        c AS (
+          SELECT n, s1, s2, sy,
+                 s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+                 s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+                 s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy
+          FROM m),
+        f0 AS (
+          SELECT n, s1, s2, sy, c11, c22, c12, c1y, c2y, cyy,
+                 c11 * c22 - c12 * c12 AS det
+          FROM c),
+        fit AS (
+          SELECT n AS nn,
+                 (c22 * c1y - c12 * c2y) / det AS b1,
+                 (c11 * c2y - c12 * c1y) / det AS b2,
+                 s1 / n AS m1, s2 / n AS m2, sy / n AS my,
+                 c22 / det AS i11, -c12 / det AS i12, c11 / det AS i22,
+                 (cyy - ((c22 * c1y - c12 * c2y) / det) * c1y
+                      - ((c11 * c2y - c12 * c1y) / det) * c2y) / (n - 3)
+                   AS s2e
+          FROM f0),
+        per AS (
+          SELECT okey, lno,
+                 1.0 / nn + (x1 - m1) * (i11 * (x1 - m1) + i12 * (x2 - m2))
+                          + (x2 - m2) * (i12 * (x1 - m1) + i22 * (x2 - m2))
+                   AS h,
+                 y - (my + b1 * (x1 - m1) + b2 * (x2 - m2)) AS e,
+                 s2e
+          FROM base CROSS JOIN fit),
+        scored AS (
+          SELECT okey, lno, {_q('h', 9)} AS leverage, {_q('e', 4)} AS residual,
+                 e * e / (3.0 * s2e) * (h / ((1.0 - h) * (1.0 - h)))
+                   AS cook_raw
+          FROM per),
+        top AS (
+          SELECT * FROM scored
+          ORDER BY cook_raw DESC, okey, lno LIMIT {INFLUENCE_TOPK})
+        SELECT CAST(row_number() OVER (ORDER BY cook_raw DESC, okey, lno)
+                    AS INT) AS rank,
+               okey AS l_orderkey, lno AS l_linenumber,
+               leverage, residual, {_q('cook_raw', 9)} AS cooks_d
+        FROM top"""
+
+
+register("regression_influence_topk", _q_influence, _influence_sql())
+
+
+def _q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity F across the five priorities
+    (operators/relational.py:levene_brown_forsythe): exact per-group
+    medians via the group-partitioned bucketed rank, then one-aggregate
+    ANOVA on |x - median_g|."""
+    return relational.levene_brown_forsythe(load(spark, sf_dir, "orders"))
+
+
+def _levene_sql() -> str:
+    return f"""
+        WITH base AS (
+          SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders),
+        vals AS (SELECT grp, v, count(*) AS cnt FROM base GROUP BY 1, 2),
+        ng AS (SELECT grp, sum(cnt) AS n_g FROM vals GROUP BY 1),
+        ranked AS (
+          SELECT grp, v, cnt,
+                 sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM vals),
+        med AS (
+          SELECT r.grp, r.v AS med
+          FROM ranked r JOIN ng USING (grp)
+          WHERE r.cum - r.cnt < ceil(CAST(n_g AS DOUBLE) / 2.0)
+            AND r.cum >= ceil(CAST(n_g AS DOUBLE) / 2.0)),
+        g AS (
+          SELECT b.grp, CAST(count(*) AS DOUBLE) AS ng2,
+                 {_d38('abs(v - med)')} AS sz,
+                 {_d38('abs(v - med) * abs(v - med)')} AS szz
+          FROM base b JOIN med USING (grp) GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 {_d38('ng2')} AS n_total,
+                 {_d38('sz')} AS sz_all,
+                 {_d38('szz')} AS szz_all,
+                 {_d38('sz * sz / ng2')} AS sb_raw
+          FROM g)
+        SELECT CAST(n_total AS BIGINT) AS n_total, k_groups,
+               {_q('((sb_raw - sz_all * sz_all / n_total)'
+                   ' / (CAST(k_groups AS DOUBLE) - 1))'
+                   ' / (((szz_all - sz_all * sz_all / n_total)'
+                   '     - (sb_raw - sz_all * sz_all / n_total))'
+                   '    / (n_total - CAST(k_groups AS DOUBLE)))', 6)}
+                 AS f_stat,
+               {_q('(sb_raw - sz_all * sz_all / n_total)'
+                   ' / (szz_all - sz_all * sz_all / n_total)', 9)}
+                 AS eta_squared
+        FROM agg"""
+
+
+register("levene_brown_forsythe", _q_levene, _levene_sql())

@@ -278,6 +278,10 @@ BENCH_QUERIES = [
     "vif_features",
     "regression_influence_topk",
     "levene_brown_forsythe",
+    "jarque_bera_price",
+    "breusch_pagan_price",
+    "durbin_watson_daily",
+    "chow_break_test",
 ]
 
 

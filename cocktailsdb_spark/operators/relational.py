@@ -4531,3 +4531,394 @@ def levene_brown_forsythe(orders: DataFrame) -> DataFrame:
         qround(f, 6).alias("f_stat"),
         qround(ssb / sst, 9).alias("eta_squared"),
     )
+
+
+# --- econometric / time-series diagnostics (round-9 session 2, batch 5) ----
+
+JB_SCALE = 100_000.0  # price rescale: skew/kurtosis are scale-invariant,
+# and x^4 on O(1) values keeps the DECIMAL(38,8) lanes far from range
+
+
+def jarque_bera_price(orders: DataFrame) -> DataFrame:
+    """Jarque–Bera normality test (Jarque & Bera 1980, public) of order
+    values: JB = n/6·(S² + (K−3)²/4) from exact third/fourth moments —
+    the distribution-shape screen behind every "assume normal" step.
+
+    ONE map-side-combined aggregate of Σx..Σx⁴ (x pre-scaled by 1e-5 —
+    skewness/kurtosis are scale-invariant and the quartic stays O(1) per
+    row, keeping the DECIMAL(38,8) sums far inside range at any SF);
+    central moments, S, K, JB are scalar expressions with the identical
+    shape on both engines. p = exp(−JB/2) is the EXACT χ²(2) survival
+    function — no approximation polynomial needed.
+    """
+    x = F.col("o_totalprice").cast("double") / F.lit(JB_SCALE)
+    m = orders.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(x).alias("s1"),
+        _dsum38(x * x).alias("s2"),
+        _dsum38(x * x * x).alias("s3"),
+        _dsum38(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3.0) * mu * F.col("s2") / n + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * F.col("s3") / n
+        + F.lit(6.0) * mu * mu * F.col("s2") / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    s = m3 / (m2 * F.sqrt(m2))
+    k = m4 / (m2 * m2)
+    jb = n / F.lit(6.0) * (s * s + (k - F.lit(3.0)) * (k - F.lit(3.0)) / F.lit(4.0))
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        qround(s, 6).alias("skewness"),
+        qround(k, 6).alias("kurtosis"),
+        qround(jb, 4).alias("jb_stat"),
+        qround(F.exp(F.lit(-0.5) * jb), 6).alias("p_value"),
+    )
+
+
+def durbin_watson_daily(orders: DataFrame) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic of the residuals from
+    the daily-revenue-on-time OLS trend: DW = Σ(e_t−e_{t−1})² / Σe_t² —
+    the "is the trend model leaving structure behind" diagnostic that
+    pairs with autocorr_daily_revenue (raw series) and forecast_backtest
+    (model errors).
+
+    The daily frame is CALENDAR-BOUNDED (the theil_sen argument), so the
+    one ordered lag window is schema-bounded; the data-sized work is the
+    single daily aggregate. Fit and residuals use exact decimal moment
+    sums and identical scalar shapes on both engines.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("y")
+    )
+    d = daily.select(
+        F.datediff(F.col("day"), F.lit(TS_BASE_DATE).cast("date"))
+        .cast("double")
+        .alias("t"),
+        "y",
+        "day",
+    )
+    m = F.broadcast(
+        d.agg(
+            F.count("*").cast("double").alias("n"),
+            _dsum38(F.col("t")).alias("st"),
+            _dsum38(F.col("y")).alias("sy"),
+            _dsum38(F.col("t") * F.col("t")).alias("stt"),
+            _dsum38(F.col("t") * F.col("y")).alias("sty"),
+        ).select(
+            "n",
+            (
+                (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+                / (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+            ).alias("slope"),
+            "st",
+            "sy",
+        ).select(
+            "n",
+            "slope",
+            ((F.col("sy") - F.col("slope") * F.col("st")) / F.col("n")).alias(
+                "icept"
+            ),
+        )
+    )
+    e = d.crossJoin(m).select(
+        "day",
+        "n",
+        "slope",
+        (F.col("y") - (F.col("icept") + F.col("slope") * F.col("t"))).alias("e"),
+    )
+    w = Window.orderBy("day")
+    lagged = e.select("n", "slope", "e", F.lag("e", 1).over(w).alias("ep"))
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("slope").alias("slope"),
+        _dsum38(F.col("e") * F.col("e")).alias("sse"),
+        _dsum38(
+            (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+        ).alias("sdd"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        qround(F.col("slope"), 6).alias("slope_per_day"),
+        qround(F.col("sdd") / F.col("sse"), 6).alias("dw_stat"),
+    )
+
+
+def breusch_pagan_price(lineitem: DataFrame) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity test (Breusch & Pagan 1979 /
+    Koenker 1981 studentized form, public) for the OLS price model:
+    regress squared residuals on the features; LM = n·R²_aux ~ χ²(2).
+    The diagnostic that says whether regression_influence_topk's s² is
+    even a constant — and the third member of the closed-form-GLM family
+    (fit → influence → specification).
+
+    Two aggregates total: the OLS fit (broadcast one-row), then a second
+    moment aggregate over (e², x1, x2) with e² computed as per-row map
+    arithmetic. p = exp(−LM/2), the exact χ²(2) survival.
+    """
+    y = F.col("l_extendedprice").cast("double")
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    base = lineitem.select(y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(F.col("x1")).alias("s1"),
+        _dsum38(F.col("x2")).alias("s2"),
+        _dsum38(F.col("y")).alias("sy"),
+        _dsum38(F.col("x1") * F.col("x1")).alias("s11"),
+        _dsum38(F.col("x2") * F.col("x2")).alias("s22"),
+        _dsum38(F.col("x1") * F.col("x2")).alias("s12"),
+        _dsum38(F.col("x1") * F.col("y")).alias("s1y"),
+        _dsum38(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    fit = F.broadcast(
+        m.select(
+            ((c22 * c1y - c12 * c2y) / det).alias("b1"),
+            ((c11 * c2y - c12 * c1y) / det).alias("b2"),
+            (F.col("s1") / n).alias("m1"),
+            (F.col("s2") / n).alias("m2"),
+            (F.col("sy") / n).alias("my"),
+        )
+    )
+    u = base.crossJoin(fit).select(
+        "x1",
+        "x2",
+        (
+            (
+                F.col("y")
+                - (
+                    F.col("my")
+                    + F.col("b1") * (F.col("x1") - F.col("m1"))
+                    + F.col("b2") * (F.col("x2") - F.col("m2"))
+                )
+            )
+        ).alias("e"),
+    ).select("x1", "x2", (F.col("e") * F.col("e")).alias("u"))
+    a = u.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(F.col("x1")).alias("s1"),
+        _dsum38(F.col("x2")).alias("s2"),
+        _dsum38(F.col("u")).alias("su"),
+        _dsum38(F.col("x1") * F.col("x1")).alias("s11"),
+        _dsum38(F.col("x2") * F.col("x2")).alias("s22"),
+        _dsum38(F.col("x1") * F.col("x2")).alias("s12"),
+        _dsum38(F.col("x1") * F.col("u")).alias("s1u"),
+        _dsum38(F.col("x2") * F.col("u")).alias("s2u"),
+        _dsum38(F.col("u") * F.col("u")).alias("suu"),
+    )
+    d11 = F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")
+    d22 = F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")
+    d12 = F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")
+    d1u = F.col("s1u") - F.col("s1") * F.col("su") / F.col("n")
+    d2u = F.col("s2u") - F.col("s2") * F.col("su") / F.col("n")
+    duu = F.col("suu") - F.col("su") * F.col("su") / F.col("n")
+    ddet = d11 * d22 - d12 * d12
+    g1 = (d22 * d1u - d12 * d2u) / ddet
+    g2 = (d11 * d2u - d12 * d1u) / ddet
+    r2 = (g1 * d1u + g2 * d2u) / duu
+    lm = F.col("n") * r2
+    return a.select(
+        F.col("n").cast("long").alias("n_rows"),
+        qround(r2, 9).alias("r2_aux"),
+        qround(lm, 4).alias("lm_stat"),
+        qround(F.exp(F.lit(-0.5) * lm), 6).alias("p_value"),
+    )
+
+
+CHOW_BREAK_DATE = "1995-07-01"
+
+
+def chow_break_test(orders: DataFrame) -> DataFrame:
+    """Chow structural-break test (Chow 1960, public) of the daily
+    revenue trend at a candidate break date: did (intercept, slope)
+    change between the two regimes?
+
+        F = ((SSE_p − SSE_1 − SSE_2) / k) / ((SSE_1 + SSE_2) / (n − 2k))
+
+    with k = 2. All three fits come from ONE aggregate over the
+    calendar-bounded daily frame — pooled moments are the sums of the
+    per-regime conditional moments, so nothing is scanned twice; SSE is
+    the closed form Cyy − (Cty)²/Ctt per regime. cusum_changepoint finds
+    WHERE the break is; this tests WHETHER a hypothesized one is real.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("y")
+    )
+    d = daily.select(
+        F.datediff(F.col("day"), F.lit(TS_BASE_DATE).cast("date"))
+        .cast("double")
+        .alias("t"),
+        "y",
+        (F.col("day") < F.lit(CHOW_BREAK_DATE).cast("date")).alias("pre"),
+    )
+
+    def side(pred, tag):
+        w = F.when(pred, F.col("t")), F.when(pred, F.col("y"))
+        return [
+            F.count(F.when(pred, 1)).cast("double").alias(f"n_{tag}"),
+            _dsum38(w[0]).alias(f"st_{tag}"),
+            _dsum38(w[1]).alias(f"sy_{tag}"),
+            _dsum38(F.when(pred, F.col("t") * F.col("t"))).alias(f"stt_{tag}"),
+            _dsum38(F.when(pred, F.col("t") * F.col("y"))).alias(f"sty_{tag}"),
+            _dsum38(F.when(pred, F.col("y") * F.col("y"))).alias(f"syy_{tag}"),
+        ]
+
+    m = d.agg(*side(F.col("pre"), "a"), *side(~F.col("pre"), "b"))
+
+    def sse(tag: str) -> Column:
+        n = F.col(f"n_{tag}")
+        ctt = F.col(f"stt_{tag}") - F.col(f"st_{tag}") * F.col(f"st_{tag}") / n
+        cty = F.col(f"sty_{tag}") - F.col(f"st_{tag}") * F.col(f"sy_{tag}") / n
+        cyy = F.col(f"syy_{tag}") - F.col(f"sy_{tag}") * F.col(f"sy_{tag}") / n
+        return cyy - cty * cty / ctt
+
+    na, nb = F.col("n_a"), F.col("n_b")
+    np_ = na + nb
+    stp = F.col("st_a") + F.col("st_b")
+    syp = F.col("sy_a") + F.col("sy_b")
+    cttp = F.col("stt_a") + F.col("stt_b") - stp * stp / np_
+    ctyp = F.col("sty_a") + F.col("sty_b") - stp * syp / np_
+    cyyp = F.col("syy_a") + F.col("syy_b") - syp * syp / np_
+    sse_p = cyyp - ctyp * ctyp / cttp
+    s1, s2 = sse("a"), sse("b")
+    f = ((sse_p - s1 - s2) / F.lit(2.0)) / ((s1 + s2) / (np_ - F.lit(4.0)))
+    return m.select(
+        na.cast("long").alias("n_days_pre"),
+        nb.cast("long").alias("n_days_post"),
+        qround(f, 4).alias("f_stat"),
+        qround((sse_p - s1 - s2) / sse_p, 9).alias("sse_drop_share"),
+    )
+
+
+def runs_test_daily(orders: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test of randomness for daily revenue around
+    its median: too FEW runs of above/below-median days means sticky
+    regimes (trend/autocorrelation), too many means oscillation.
+
+        z = (R − E[R]) / √Var[R],  E[R] = 1 + 2·n₁n₂/n
+
+    The frame is calendar-bounded; the median is the exact type-1 lower
+    order statistic over ~2.4k days (one bounded window), days equal to
+    the median are excluded (the standard convention), and the run count
+    is a lag comparison over the ordered bounded frame.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("y")
+    )
+    nrow = daily.agg(F.count("*").alias("nd"))
+    w_rank = Window.orderBy("y", "day")
+    med = F.broadcast(
+        daily.crossJoin(F.broadcast(nrow))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == F.ceil(F.col("nd").cast("double") / 2.0))
+        .select(F.col("y").alias("med"))
+    )
+    signs = (
+        daily.crossJoin(med)
+        .filter(F.col("y") != F.col("med"))
+        .select("day", (F.col("y") > F.col("med")).alias("up"))
+    )
+    w = Window.orderBy("day")
+    runs = signs.select(
+        "up",
+        F.when(
+            F.lag("up", 1).over(w).isNull()
+            | (F.lag("up", 1).over(w) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(~F.col("up"), 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum("new_run").cast("double").alias("r"),
+    )
+    n, n1, n2, r = F.col("n"), F.col("n1"), F.col("n2"), F.col("r")
+    er = F.lit(1.0) + F.lit(2.0) * n1 * n2 / n
+    vr = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - 1))
+    )
+    return agg.select(
+        n.cast("long").alias("n_days_used"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        # one-sided degenerate input (every kept day on the same side of
+        # the median) has Var[R] = 0 — z is undefined; NULL on BOTH
+        # engines (the forecast_backtest MAPE-guard convention)
+        F.when(vr > 0, qround((r - er) / F.sqrt(vr), 6)).alias("z_score"),
+    )
+
+
+def pacf_daily_revenue(orders: DataFrame) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1–3 via the
+    closed-form Durbin–Levinson/Cramer solutions on the sample ACF —
+    autocorr_daily_revenue says WHAT correlates; PACF says what remains
+    AFTER shorter lags are regressed out (the AR-order pick):
+
+        φ₁₁ = r₁,   φ₂₂ = (r₂ − r₁²)/(1 − r₁²),
+        φ₃₃ = det(T₃ with col 3 := r) / det(T₃)       (3×3 Toeplitz)
+
+    Same bounded-frame plan as the ACF (one daily aggregate, one
+    calendar-bounded lag window); the Toeplitz determinants are scalar
+    expressions with identical shapes on both engines.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (dsum(F.col("o_totalprice")) / F.lit(ACF_REV_SCALE)).alias("x")
+    )
+    mu = daily.agg(
+        (dsum(F.col("x")) / F.count("*").cast("double")).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("x") - F.col("mu")).alias("dv")
+    )
+    w = Window.orderBy("day")
+    lagged = dev.select(
+        "dv", *[F.lag("dv", k).over(w).alias(f"l{k}") for k in (1, 2, 3)]
+    )
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        dsum(F.col("dv") * F.col("dv")).alias("den"),
+        *[dsum(F.col("dv") * F.col(f"l{k}")).alias(f"num{k}") for k in (1, 2, 3)],
+    )
+    r1 = F.col("num1") / F.col("den")
+    r2 = F.col("num2") / F.col("den")
+    r3 = F.col("num3") / F.col("den")
+    p2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    det_t = (
+        F.lit(1.0)
+        - F.lit(2.0) * r1 * r1
+        - r2 * r2
+        + F.lit(2.0) * r1 * r1 * r2
+    )
+    # det of T3 with column 3 := (r1,r2,r3), expanded along row 1:
+    # M = [[1,r1,r1],[r1,1,r2],[r2,r1,r3]]
+    det_m = (
+        (r3 - r1 * r2)
+        - r1 * (r1 * r3 - r2 * r2)
+        + r1 * (r1 * r1 - r2)
+    )
+    return agg.select(
+        "n_days",
+        qround(r1, 6).alias("r1"),
+        qround(r2, 6).alias("r2"),
+        qround(r3, 6).alias("r3"),
+        qround(r1, 6).alias("pacf1"),
+        qround(p2, 6).alias("pacf2"),
+        qround(det_m / det_t, 6).alias("pacf3"),
+    )

@@ -1135,3 +1135,321 @@ def _levene_sql() -> str:
 
 
 register("levene_brown_forsythe", _q_levene, _levene_sql())
+
+
+# ===========================================================================
+# econometric / time-series diagnostics
+# ===========================================================================
+
+
+def _q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of order values
+    (operators/relational.py:jarque_bera_price): one quartic-moment
+    aggregate; p = exp(-JB/2), the exact chi-square(2) survival."""
+    return relational.jarque_bera_price(load(spark, sf_dir, "orders"))
+
+
+def _jarque_bera_sql() -> str:
+    from .operators.relational import JB_SCALE
+
+    x = f"(CAST(o_totalprice AS DOUBLE) / {JB_SCALE})"
+    mu = "(s1 / n)"
+    m2 = f"(s2 / n - {mu} * {mu})"
+    m3 = f"(s3 / n - 3.0 * {mu} * s2 / n + 2.0 * {mu} * {mu} * {mu})"
+    m4 = (
+        f"(s4 / n - 4.0 * {mu} * s3 / n + 6.0 * {mu} * {mu} * s2 / n"
+        f" - 3.0 * {mu} * {mu} * {mu} * {mu})"
+    )
+    s = f"({m3} / ({m2} * sqrt({m2})))"
+    k = f"({m4} / ({m2} * {m2}))"
+    jb = f"(n / 6.0 * ({s} * {s} + ({k} - 3.0) * ({k} - 3.0) / 4.0))"
+    return f"""
+        WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38(x)} AS s1, {_d38(f'{x} * {x}')} AS s2,
+                 {_d38(f'{x} * {x} * {x}')} AS s3,
+                 {_d38(f'{x} * {x} * {x} * {x}')} AS s4
+          FROM orders)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q(s, 6)} AS skewness,
+               {_q(k, 6)} AS kurtosis,
+               {_q(jb, 4)} AS jb_stat,
+               {_q(f'exp(-0.5 * {jb})', 6)} AS p_value
+        FROM m"""
+
+
+register("jarque_bera_price", _q_jarque_bera, _jarque_bera_sql())
+
+
+def _q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the daily-trend OLS residuals
+    (operators/relational.py:durbin_watson_daily); calendar-bounded
+    frame."""
+    return relational.durbin_watson_daily(load(spark, sf_dir, "orders"))
+
+
+def _durbin_watson_sql() -> str:
+    from .operators.relational import TS_BASE_DATE
+
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, {_d('o_totalprice')} AS y
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT CAST(datediff('day', DATE '{TS_BASE_DATE}', day) AS DOUBLE)
+                   AS t, y, day
+          FROM daily),
+        m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('t')} AS st, {_d38('y')} AS sy,
+                 {_d38('t * t')} AS stt, {_d38('t * y')} AS sty
+          FROM d),
+        m2 AS (
+          SELECT n, (sty - st * sy / n) / (stt - st * st / n) AS slope,
+                 st, sy
+          FROM m),
+        m3 AS (SELECT n, slope, (sy - slope * st) / n AS icept FROM m2),
+        e AS (
+          SELECT day, n, slope, y - (icept + slope * t) AS e
+          FROM d CROSS JOIN m3),
+        lagd AS (
+          SELECT n, slope, e, lag(e, 1) OVER (ORDER BY day) AS ep FROM e),
+        agg AS (
+          SELECT max(n) AS n, max(slope) AS slope,
+                 {_d38('e * e')} AS sse,
+                 {_d38('(e - ep) * (e - ep)')} AS sdd
+          FROM lagd)
+        SELECT CAST(n AS BIGINT) AS n_days,
+               {_q('slope', 6)} AS slope_per_day,
+               {_q('sdd / sse', 6)} AS dw_stat
+        FROM agg"""
+
+
+register("durbin_watson_daily", _q_durbin_watson, _durbin_watson_sql())
+
+
+def _q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity LM test for the OLS price model
+    (operators/relational.py:breusch_pagan_price): fit, then auxiliary
+    R2 of squared residuals on the features; p = exp(-LM/2)."""
+    return relational.breusch_pagan_price(load(spark, sf_dir, "lineitem"))
+
+
+def _breusch_pagan_sql() -> str:
+    return f"""
+        WITH base AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2
+          FROM lineitem),
+        m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('x1')} AS s1, {_d38('x2')} AS s2, {_d38('y')} AS sy,
+                 {_d38('x1 * x1')} AS s11, {_d38('x2 * x2')} AS s22,
+                 {_d38('x1 * x2')} AS s12, {_d38('x1 * y')} AS s1y,
+                 {_d38('x2 * y')} AS s2y
+          FROM base),
+        c AS (
+          SELECT n, s1 / n AS m1, s2 / n AS m2, sy / n AS my,
+                 s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+                 s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+                 s2y - s2 * sy / n AS c2y
+          FROM m),
+        fit AS (
+          SELECT m1, m2, my,
+                 (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+                 (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+          FROM c),
+        uu AS (
+          SELECT x1, x2,
+                 (y - (my + b1 * (x1 - m1) + b2 * (x2 - m2)))
+                 * (y - (my + b1 * (x1 - m1) + b2 * (x2 - m2))) AS u
+          FROM base CROSS JOIN fit),
+        a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('x1')} AS s1, {_d38('x2')} AS s2, {_d38('u')} AS su,
+                 {_d38('x1 * x1')} AS s11, {_d38('x2 * x2')} AS s22,
+                 {_d38('x1 * x2')} AS s12, {_d38('x1 * u')} AS s1u,
+                 {_d38('x2 * u')} AS s2u, {_d38('u * u')} AS suu
+          FROM uu),
+        dd AS (
+          SELECT n,
+                 s11 - s1 * s1 / n AS d11, s22 - s2 * s2 / n AS d22,
+                 s12 - s1 * s2 / n AS d12, s1u - s1 * su / n AS d1u,
+                 s2u - s2 * su / n AS d2u, suu - su * su / n AS duu
+          FROM a),
+        r AS (
+          SELECT n,
+                 (((d22 * d1u - d12 * d2u) / (d11 * d22 - d12 * d12)) * d1u
+                  + ((d11 * d2u - d12 * d1u) / (d11 * d22 - d12 * d12)) * d2u)
+                 / duu AS r2
+          FROM dd)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q('r2', 9)} AS r2_aux,
+               {_q('n * r2', 4)} AS lm_stat,
+               {_q('exp(-0.5 * n * r2)', 6)} AS p_value
+        FROM r"""
+
+
+register("breusch_pagan_price", _q_breusch_pagan, _breusch_pagan_sql())
+
+
+def _q_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F test of the daily trend at the candidate
+    break date (operators/relational.py:chow_break_test): one
+    conditional-moment aggregate, closed-form SSEs."""
+    return relational.chow_break_test(load(spark, sf_dir, "orders"))
+
+
+def _chow_sql() -> str:
+    from .operators.relational import CHOW_BREAK_DATE, TS_BASE_DATE
+
+    def side(tag: str, pred: str) -> str:
+        return (
+            f"CAST(count(CASE WHEN {pred} THEN 1 END) AS DOUBLE) AS n_{tag},\n"
+            f"                 {_d38(f'CASE WHEN {pred} THEN t END')} AS st_{tag},\n"
+            f"                 {_d38(f'CASE WHEN {pred} THEN y END')} AS sy_{tag},\n"
+            f"                 {_d38(f'CASE WHEN {pred} THEN t * t END')} AS stt_{tag},\n"
+            f"                 {_d38(f'CASE WHEN {pred} THEN t * y END')} AS sty_{tag},\n"
+            f"                 {_d38(f'CASE WHEN {pred} THEN y * y END')} AS syy_{tag}"
+        )
+
+    def sse(tag: str) -> str:
+        n = f"n_{tag}"
+        ctt = f"(stt_{tag} - st_{tag} * st_{tag} / {n})"
+        cty = f"(sty_{tag} - st_{tag} * sy_{tag} / {n})"
+        cyy = f"(syy_{tag} - sy_{tag} * sy_{tag} / {n})"
+        return f"({cyy} - {cty} * {cty} / {ctt})"
+
+    np_ = "(n_a + n_b)"
+    stp, syp = "(st_a + st_b)", "(sy_a + sy_b)"
+    cttp = f"(stt_a + stt_b - {stp} * {stp} / {np_})"
+    ctyp = f"(sty_a + sty_b - {stp} * {syp} / {np_})"
+    cyyp = f"(syy_a + syy_b - {syp} * {syp} / {np_})"
+    sse_p = f"({cyyp} - {ctyp} * {ctyp} / {cttp})"
+    s1, s2 = sse("a"), sse("b")
+    f = (
+        f"((({sse_p} - {s1} - {s2}) / 2.0)"
+        f" / (({s1} + {s2}) / ({np_} - 4.0)))"
+    )
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, {_d('o_totalprice')} AS y
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT CAST(datediff('day', DATE '{TS_BASE_DATE}', day) AS DOUBLE)
+                   AS t, y,
+                 day < DATE '{CHOW_BREAK_DATE}' AS pre
+          FROM daily),
+        m AS (
+          SELECT {side('a', 'pre')},
+                 {side('b', 'NOT pre')}
+          FROM d)
+        SELECT CAST(n_a AS BIGINT) AS n_days_pre,
+               CAST(n_b AS BIGINT) AS n_days_post,
+               {_q(f, 4)} AS f_stat,
+               {_q(f'({sse_p} - {s1} - {s2}) / {sse_p}', 9)}
+                 AS sse_drop_share
+        FROM m"""
+
+
+register("chow_break_test", _q_chow, _chow_sql())
+
+
+def _q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of daily-revenue randomness around the
+    exact median (operators/relational.py:runs_test_daily)."""
+    return relational.runs_test_daily(load(spark, sf_dir, "orders"))
+
+
+def _runs_test_sql() -> str:
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, {_d('o_totalprice')} AS y
+          FROM orders GROUP BY 1),
+        nrow AS (SELECT count(*) AS nd FROM daily),
+        med AS (
+          SELECT y AS med FROM (
+            SELECT y, row_number() OVER (ORDER BY y, day) AS rk
+            FROM daily) t CROSS JOIN nrow
+          WHERE rk = ceil(CAST(nd AS DOUBLE) / 2.0)),
+        signs AS (
+          SELECT day, y > med AS up FROM daily CROSS JOIN med
+          WHERE y <> med),
+        runs AS (
+          SELECT up,
+                 CASE WHEN lag(up, 1) OVER (ORDER BY day) IS NULL
+                        OR lag(up, 1) OVER (ORDER BY day) <> up
+                      THEN 1 ELSE 0 END AS new_run
+          FROM signs),
+        agg AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                 CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n2,
+                 CAST(sum(new_run) AS DOUBLE) AS r
+          FROM runs)
+        SELECT CAST(n AS BIGINT) AS n_days_used,
+               CAST(n1 AS BIGINT) AS n_above,
+               CAST(n2 AS BIGINT) AS n_below,
+               CAST(r AS BIGINT) AS n_runs,
+               CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                         / (n * n * (n - 1)) > 0
+                    THEN {_q('(r - (1.0 + 2.0 * n1 * n2 / n))'
+                             ' / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)'
+                             ' / (n * n * (n - 1)))', 6)}
+               END AS z_score
+        FROM agg"""
+
+
+register("runs_test_daily", _q_runs_test, _runs_test_sql())
+
+
+def _q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1-3 via
+    closed-form Durbin-Levinson/Cramer on the sample ACF
+    (operators/relational.py:pacf_daily_revenue)."""
+    return relational.pacf_daily_revenue(load(spark, sf_dir, "orders"))
+
+
+def _pacf_sql() -> str:
+    from .operators.relational import ACF_REV_SCALE
+
+    r1, r2, r3 = "(num1 / den)", "(num2 / den)", "(num3 / den)"
+    p2 = f"(({r2} - {r1} * {r1}) / (1.0 - {r1} * {r1}))"
+    det_t = (
+        f"(1.0 - 2.0 * {r1} * {r1} - {r2} * {r2}"
+        f" + 2.0 * {r1} * {r1} * {r2})"
+    )
+    det_m = (
+        f"(({r3} - {r1} * {r2})"
+        f" - {r1} * ({r1} * {r3} - {r2} * {r2})"
+        f" + {r1} * ({r1} * {r1} - {r2}))"
+    )
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} / {ACF_REV_SCALE} AS x
+          FROM orders GROUP BY 1),
+        m AS (SELECT {_d('x')} / CAST(count(*) AS DOUBLE) AS mu FROM daily),
+        dev AS (SELECT day, x - mu AS dv FROM daily CROSS JOIN m),
+        lagd AS (
+          SELECT dv, lag(dv, 1) OVER (ORDER BY day) AS l1,
+                 lag(dv, 2) OVER (ORDER BY day) AS l2,
+                 lag(dv, 3) OVER (ORDER BY day) AS l3
+          FROM dev),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 {_d('dv * dv')} AS den,
+                 {_d('dv * l1')} AS num1, {_d('dv * l2')} AS num2,
+                 {_d('dv * l3')} AS num3
+          FROM lagd)
+        SELECT n_days,
+               {_q(r1, 6)} AS r1, {_q(r2, 6)} AS r2, {_q(r3, 6)} AS r3,
+               {_q(r1, 6)} AS pacf1,
+               {_q(p2, 6)} AS pacf2,
+               {_q(f'{det_m} / {det_t}', 6)} AS pacf3
+        FROM agg"""
+
+
+register("pacf_daily_revenue", _q_pacf, _pacf_sql())

@@ -125,6 +125,20 @@ AUDIT = [
     "decision_stump_train",
     "abandoned_views_daily",
     "cohort_ltv",
+    # round-9 session-2: distribution tests / diagnostics / SQL surface
+    "ks_test_two_sample",
+    "kruskal_wallis_priority",
+    "levene_brown_forsythe",
+    "permutation_test_price",
+    "conformal_interval_price",
+    "bh_fdr_brand_price",
+    "ridge_regression_price",
+    "regression_influence_topk",
+    "heaps_law_fit",
+    "recursive_cte_paths",
+    "lateral_topk_per_nation",
+    "array_hof_stats",
+    "mutual_info_features",
 ]
 
 

@@ -282,6 +282,10 @@ BENCH_QUERIES = [
     "breusch_pagan_price",
     "durbin_watson_daily",
     "chow_break_test",
+    "ngram_novelty_rate",
+    "window_funnel_timebound",
+    "abc_xyz_parts",
+    "price_elasticity_by_brand",
 ]
 
 

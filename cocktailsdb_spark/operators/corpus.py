@@ -1720,8 +1720,10 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
     checkpoint counts come from ONE pass of conditional sums over the
     term frame (never ten scans); N(c) likewise from per-doc token
     counts without any explode. The 10-point frame fits log V = log k +
-    β·log N by exact OLS: each ln is quantized to 1e-9 first (the libm
-    lane convention), sums are order-insensitive DECIMAL(38,8).
+    β·log N by exact OLS: each ln is quantized to 1e-8 first (the libm
+    lane convention — never finer than the DECIMAL sum scale, or the
+    engines' cast tie-breaking diverges), sums are order-insensitive
+    DECIMAL(38,8).
 
     Output (single row): n_points, heaps_beta, heaps_k, vocab_total,
     tokens_total.
@@ -1772,8 +1774,8 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
         .select(
             "vocab_total",
             "tokens_total",
-            qround(F.log(F.col("n")), 9).alias("x"),
-            qround(F.log(F.col("v")), 9).alias("y"),
+            qround(F.log(F.col("n")), 8).alias("x"),
+            qround(F.log(F.col("v")), 8).alias("y"),
         )
     )
     from .relational import DEC38
@@ -1798,4 +1800,47 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
         qround(F.exp(intercept), 4).alias("heaps_k"),
         "vocab_total",
         "tokens_total",
+    )
+
+
+def ngram_novelty_rate(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-source n-gram novelty: for each document, the fraction of its
+    distinct n-grams whose FIRST corpus appearance (by doc_id order) is
+    this document — the memorization/staleness lens on a training
+    corpus: a stream whose novelty rate collapses is re-feeding the
+    model what it already saw (duplicate_spans finds the copies; this
+    scores the trend).
+
+    One explode builds the (doc, gram) frame; one vocab-sized
+    min-aggregate finds each gram's first document; the novelty join is
+    gram-keyed and co-partitioned with the aggregate (no broadcast of a
+    data-sized side). Per-doc rates reduce to one row per source.
+    Integer counts everywhere; the only division is the final exact
+    ratio, qround-pinned.
+    """
+    from .dedup import shingles
+
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(F.split(F.col("text"), " "), n)).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+        qround(
+            F.sum("n_novel").cast("double") / F.sum("n_grams").cast("double"), 6
+        ).alias("novelty_rate"),
     )

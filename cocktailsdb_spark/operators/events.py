@@ -1042,3 +1042,67 @@ def burn_readout(hourly: DataFrame, target: float = SLO_ERROR_TARGET) -> DataFra
         )
         .orderBy("hour")
     )
+
+
+WF_WINDOW_MIN = 60  # windowFunnel horizon: steps must fit in this window
+
+
+def window_funnel_timebound(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_min: int = WF_WINDOW_MIN,
+) -> DataFrame:
+    """Time-bound ordered funnel (the ClickHouse ``windowFunnel`` shape,
+    public): a user reaches level L when steps 1..L occur in ORDER with
+    every step inside ``window_min`` minutes of the level-1 anchor —
+    unlike funnel_conversion (whole-history order), this is the
+    campaign-attribution form where late conversions don't count.
+
+    Deterministic chain-of-first-occurrences semantics: t₁ = min ts of
+    step 1; tₖ = min ts of step k with tₖ > tₖ₋₁ and tₖ ≤ t₁ + W. Each
+    level is ONE user-keyed conditional min over the (user, step) events
+    joined to the broadcast-free previous-level frame — k−1
+    co-partitioned shuffle joins for k steps, all on the user key, so
+    AQE coalesces them onto one exchange footprint. Output: one row per
+    level with reached-user counts and conversion from level 1.
+    """
+    ev = events.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("et"), "ts"
+    ).filter(F.col("et").isin(*steps))
+    lvl = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t1"))
+    )
+    reached = [lvl.select("u", F.col("t1"), F.col("t1").alias("tk"))]
+    horizon = F.col("t1") + F.expr(f"INTERVAL {window_min} MINUTES")
+    for k, step in enumerate(steps[1:], start=2):
+        prev = reached[-1].select("u", "t1", F.col("tk").alias("tprev"))
+        nxt = (
+            ev.filter(F.col("et") == step)
+            .join(prev, "u")
+            .filter((F.col("ts") > F.col("tprev")) & (F.col("ts") <= horizon))
+            .groupBy("u", "t1")
+            .agg(F.min("ts").alias("tk"))
+        )
+        reached.append(nxt)
+    counts = [
+        df.agg(F.count("*").cast("long").alias("n")) for df in reached
+    ]
+    out = None
+    for k, c in enumerate(counts, start=1):
+        row = c.select(
+            F.lit(k).cast("int").alias("level"),
+            F.lit(steps[k - 1]).alias("step"),
+            F.col("n").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    base = F.broadcast(counts[0].select(F.col("n").alias("n1")))
+    return out.crossJoin(base).select(
+        "level",
+        "step",
+        "n_users",
+        qround(F.col("n_users").cast("double") / F.col("n1"), 6).alias(
+            "conversion_from_l1"
+        ),
+    )

@@ -876,7 +876,8 @@ def column_entropy(tables: dict) -> DataFrame:
 
 
 MI_QTY_BIN = 10.0  # l_quantity decile-ish bins (1..50 -> 5 bins)
-MI_LN_SCALE = 9  # per-cell ln quantum (libm lane convention)
+MI_LN_SCALE = 8  # per-cell ln quantum; must not exceed the DECIMAL
+# sum scale (8) or the cast tie-breaks (HALF_UP vs HALF_EVEN) diverge
 
 
 def mutual_info_features(lineitem: DataFrame) -> DataFrame:

@@ -4922,3 +4922,193 @@ def pacf_daily_revenue(orders: DataFrame) -> DataFrame:
         qround(p2, 6).alias("pacf2"),
         qround(det_m / det_t, 6).alias("pacf3"),
     )
+
+
+def max_drawdown_daily(orders: DataFrame) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series: the worst
+    peak-to-trough decline (running max minus current, relative to the
+    peak) — the risk-ops lens on revenue volatility that cusum/hampel
+    (level shifts, point outliers) don't capture.
+
+    Calendar-bounded daily frame (theil_sen argument): one data-sized
+    aggregate, then a running-max window and an argmax pick over ~2.4k
+    rows. Deterministic: drawdown ties broken by earliest day; exact
+    decimal daily sums; the relative drawdown is the only division.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("y")
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn("peak", F.max("y").over(w_run)).select(
+        "day",
+        "y",
+        "peak",
+        (F.col("peak") - F.col("y")).alias("dd_abs"),
+        ((F.col("peak") - F.col("y")) / F.col("peak")).alias("dd_rel"),
+    )
+    w_pick = Window.orderBy(F.col("dd_rel").desc(), F.col("day"))
+    worst = dd.withColumn("rk", F.row_number().over(w_pick)).filter(
+        F.col("rk") == 1
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return worst.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("day").cast("date").cast("timestamp").alias("trough_day"),
+        qround(F.col("peak"), 4).alias("peak_revenue"),
+        qround(F.col("y"), 4).alias("trough_revenue"),
+        qround(F.col("dd_abs"), 4).alias("max_drawdown_abs"),
+        qround(F.col("dd_rel"), 6).alias("max_drawdown_rel"),
+    )
+
+
+ABC_CUTS = (0.5, 0.8)  # cumulative revenue share: A <= 50%, B <= 80%, C rest
+XYZ_CUTS = (0.5, 1.0)  # monthly-demand CV: X < 0.5, Y < 1.0, Z rest
+ABC_BUCKET_LOG = 10.0  # revenue-magnitude bucket base for the prefix rank
+
+
+def abc_xyz_parts(lineitem: DataFrame) -> DataFrame:
+    """ABC–XYZ inventory classification (classic operations analytics,
+    public): ABC = cumulative-revenue-share class of each part (ranked
+    by revenue, descending); XYZ = demand-variability class from the
+    coefficient of variation of monthly ordered quantity. The 3×3 matrix
+    of (value, predictability) drives stocking policy.
+
+    The ABC cumulative share over the part frame (data-sized: millions
+    of parts at 100 TB) uses the bucketed two-pass prefix: parts bucket
+    by floor(log10(revenue)), bucket totals broadcast as exclusive
+    offsets, within-bucket running sums — no unpartitioned window over
+    the part frame anywhere. XYZ moments come from the same
+    (part, month) aggregate. Output: 9-cell matrix with part counts and
+    revenue share per cell.
+    """
+    base = lineitem.select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("double")).alias("rev"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+    )
+    pm = base.groupBy("l_partkey", "month").agg(
+        dsum(F.col("qty")).alias("mq"), dsum(F.col("rev")).alias("mr")
+    )
+    parts = pm.groupBy("l_partkey").agg(
+        F.sum(F.col("mr").cast(DEC38)).cast("double").alias("rev"),
+        F.count("*").cast("double").alias("nm"),
+        F.sum(F.col("mq").cast(DEC38)).cast("double").alias("sq"),
+        F.sum((F.col("mq") * F.col("mq")).cast(DEC38)).cast("double").alias("sqq"),
+    )
+    # XYZ: CV of monthly quantity (population SD over observed months)
+    mean_q = F.col("sq") / F.col("nm")
+    var_q = F.col("sqq") / F.col("nm") - mean_q * mean_q
+    cv = F.sqrt(F.greatest(var_q, F.lit(0.0))) / mean_q
+    # ABC: bucketed exclusive prefix of revenue DESC
+    scored = parts.select(
+        "l_partkey",
+        "rev",
+        cv.alias("cv"),
+        (-F.floor(F.log10(F.greatest(F.col("rev"), F.lit(1.0))))).alias("bucket"),
+    ).localCheckpoint()
+    buckets = scored.groupBy("bucket").agg(
+        F.sum(F.col("rev").cast(DEC38)).cast("double").alias("bt")
+    )
+    prev = F.broadcast(
+        buckets.select(F.col("bucket").alias("pb"), F.col("bt").alias("pt"))
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum(F.col("pt").cast(DEC38)).cast("double"), F.lit(0.0)).alias(
+                "off"
+            )
+        )
+    )
+    tot = F.broadcast(
+        parts.agg(F.sum(F.col("rev").cast(DEC38)).cast("double").alias("tr"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        scored.join(F.broadcast(offsets), "bucket")
+        .crossJoin(tot)
+        .withColumn(
+            "cum_before",
+            F.col("off")
+            + F.coalesce(
+                F.sum(F.col("rev").cast(DEC38)).over(w_in).cast("double"),
+                F.lit(0.0),
+            ),
+        )
+    )
+    share_before = F.col("cum_before") / F.col("tr")
+    abc = (
+        F.when(share_before < ABC_CUTS[0], "A")
+        .when(share_before < ABC_CUTS[1], "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("cv") < XYZ_CUTS[0], "X")
+        .when(F.col("cv") < XYZ_CUTS[1], "Y")
+        .otherwise("Z")
+    )
+    return (
+        ranked.select(abc.alias("abc"), xyz.alias("xyz"), "rev", "tr")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            qround(
+                F.sum(F.col("rev").cast(DEC38)).cast("double") / F.max("tr"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+# lane quantum must be COARSER than the DECIMAL(38,8) sum scale: a
+# 1e-9-quantized value is an exact tie at the 8th decimal ~10% of the
+# time, and Spark (HALF_UP) and DuckDB (HALF_EVEN) break ties differently
+ELASTICITY_LN_SCALE = 8
+
+
+def price_elasticity_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log OLS slope of
+    quantity on unit price within each brand — THE pricing-analytics
+    primitive (ε < −1 elastic, −1 < ε < 0 inelastic).
+
+    One lineitem⋈part shuffle join, then ONE map-side-combined moment
+    aggregate per brand over (ln unit_price, ln qty) — both logs
+    quantized to 1e-9 (the engine-shared libm lane) so the per-brand
+    closed-form slope/R² are bit-identical across engines. ~25 rows out;
+    the brand frame is schema-bounded.
+    """
+    up = F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast(
+        "double"
+    )
+    x = qround(F.log(up), ELASTICITY_LN_SCALE)
+    y = qround(F.log(F.col("l_quantity").cast("double")), ELASTICITY_LN_SCALE)
+    j = lineitem.select("l_partkey", x.alias("x"), y.alias("y")).join(
+        part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    g = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(F.col("x")).alias("sx"),
+        _dsum38(F.col("y")).alias("sy"),
+        _dsum38(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum38(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum38(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return g.select(
+        "brand",
+        n.cast("long").alias("n_items"),
+        qround(cxy / cxx, 6).alias("elasticity"),
+        # 6 dp, not 9: the 1e-9 ln lanes leave a ~1e-12 relative drift in
+        # the moment sums (a few per-row quantizations sit on engine ulp
+        # boundaries), which a 9-dp pin would re-expose in R**2
+        qround(cxy * cxy / (cxx * cyy), 6).alias("r_squared"),
+    )

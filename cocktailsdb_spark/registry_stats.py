@@ -641,7 +641,7 @@ def _heaps_sql() -> str:
           FROM dt CROSS JOIN mx),
         pts AS (
           SELECT vocab_total, tokens_total,
-                 {_q('ln(n)', 9)} AS x, {_q('ln(v)', 9)} AS y
+                 {_q('ln(n)', 8)} AS x, {_q('ln(v)', 8)} AS y
           FROM ({unions}) u
           WHERE v > 0 AND n > 0),
         r AS (
@@ -1453,3 +1453,238 @@ def _pacf_sql() -> str:
 
 
 register("pacf_daily_revenue", _q_pacf, _pacf_sql())
+
+
+# ===========================================================================
+# corpus novelty / funnel / risk / inventory / pricing
+# ===========================================================================
+
+
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty rate
+    (operators/corpus.py:ngram_novelty_rate): fraction of each doc's
+    distinct 3-grams first seen in that doc, reduced per source."""
+    from .operators import corpus as _c
+
+    return _c.ngram_novelty_rate(load(spark, sf_dir, "documents"))
+
+
+def _novelty_sql() -> str:
+    n = 3
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id, source, unnest(list_distinct(
+                 [array_to_string(tk[i:i+{n - 1}], ' ')
+                  for i in range(1, len(tk)-{n - 2})])) AS g
+          FROM toks),
+        first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+        per_doc AS (
+          SELECT doc_id, source, count(*) AS n_grams,
+                 sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+          FROM grams JOIN first USING (g)
+          GROUP BY 1, 2)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_grams) AS BIGINT) AS n_grams,
+               CAST(sum(n_novel) AS BIGINT) AS n_novel,
+               {_q('CAST(sum(n_novel) AS DOUBLE)'
+                   ' / CAST(sum(n_grams) AS DOUBLE)', 6)} AS novelty_rate
+        FROM per_doc GROUP BY source"""
+
+
+register("ngram_novelty_rate", _q_novelty, _novelty_sql())
+
+
+def _q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound ordered funnel, the ClickHouse windowFunnel shape
+    (operators/events.py:window_funnel_timebound): chain-of-first-
+    occurrence levels within a 60-minute anchor window."""
+    from .operators import events as _e
+
+    return _e.window_funnel_timebound(load(spark, sf_dir, "events"))
+
+
+def _window_funnel_sql() -> str:
+    from .operators.events import FUNNEL_STEPS, WF_WINDOW_MIN
+
+    steps = FUNNEL_STEPS
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"""ev AS (
+          SELECT user_id AS u, event_type AS et, ts FROM events
+          WHERE event_type IN ({in_list}))""",
+        f"""l1 AS (
+          SELECT u, min(ts) AS t1, min(ts) AS tk FROM ev
+          WHERE et = '{steps[0]}' GROUP BY u)""",
+    ]
+    for k, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""l{k} AS (
+          SELECT e.u, p.t1, min(e.ts) AS tk
+          FROM ev e JOIN l{k - 1} p ON e.u = p.u
+          WHERE e.et = '{step}' AND e.ts > p.tk
+            AND e.ts <= p.t1 + INTERVAL {WF_WINDOW_MIN} MINUTE
+          GROUP BY 1, 2)"""
+        )
+    unions = "\n          UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS level, '{steps[k - 1]}' AS step,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM l{k}) AS n_users"
+        for k in range(1, len(steps) + 1)
+    )
+    return f"""
+        WITH {','.join(ctes)},
+        lv AS ({unions}),
+        base AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM l1)
+        SELECT level, step, n_users,
+               {_q('CAST(n_users AS DOUBLE) / n1', 6)} AS conversion_from_l1
+        FROM lv CROSS JOIN base"""
+
+
+register("window_funnel_timebound", _q_window_funnel, _window_funnel_sql())
+
+
+def _q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily revenue
+    (operators/relational.py:max_drawdown_daily); calendar-bounded
+    running-max window + deterministic argmax pick."""
+    return relational.max_drawdown_daily(load(spark, sf_dir, "orders"))
+
+
+def _drawdown_sql() -> str:
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, {_d('o_totalprice')} AS y
+          FROM orders GROUP BY 1),
+        dd AS (
+          SELECT day, y,
+                 max(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+          FROM daily),
+        scored AS (
+          SELECT day, y, peak, peak - y AS dd_abs,
+                 (peak - y) / peak AS dd_rel
+          FROM dd),
+        worst AS (
+          SELECT * FROM scored
+          ORDER BY dd_rel DESC, day LIMIT 1),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        SELECT n_days, day AS trough_day,
+               {_q('peak', 4)} AS peak_revenue,
+               {_q('y', 4)} AS trough_revenue,
+               {_q('dd_abs', 4)} AS max_drawdown_abs,
+               {_q('dd_rel', 6)} AS max_drawdown_rel
+        FROM worst CROSS JOIN nd"""
+
+
+register("max_drawdown_daily", _q_drawdown, _drawdown_sql())
+
+
+def _q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix (operators/relational.py:abc_xyz_parts):
+    bucketed-prefix cumulative revenue share x monthly-demand CV."""
+    return relational.abc_xyz_parts(load(spark, sf_dir, "lineitem"))
+
+
+def _abc_xyz_sql() -> str:
+    from .operators.relational import ABC_CUTS, XYZ_CUTS
+
+    dec = "DECIMAL(38,8)"
+    return f"""
+        WITH base AS (
+          SELECT l_partkey, CAST(l_extendedprice AS DOUBLE) AS rev,
+                 CAST(l_quantity AS DOUBLE) AS qty,
+                 date_trunc('month', l_shipdate) AS month
+          FROM lineitem),
+        pm AS (
+          SELECT l_partkey, month, {_d('qty')} AS mq, {_d('rev')} AS mr
+          FROM base GROUP BY 1, 2),
+        parts AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(mr AS {dec})) AS DOUBLE) AS rev,
+                 CAST(count(*) AS DOUBLE) AS nm,
+                 CAST(sum(CAST(mq AS {dec})) AS DOUBLE) AS sq,
+                 CAST(sum(CAST(mq * mq AS {dec})) AS DOUBLE) AS sqq
+          FROM pm GROUP BY 1),
+        scored AS (
+          SELECT l_partkey, rev,
+                 sqrt(greatest(sqq / nm - (sq / nm) * (sq / nm), 0.0))
+                   / (sq / nm) AS cv,
+                 -floor(log10(greatest(rev, 1.0))) AS bucket
+          FROM parts),
+        buckets AS (
+          SELECT bucket, CAST(sum(CAST(rev AS {dec})) AS DOUBLE) AS bt
+          FROM scored GROUP BY 1),
+        offsets AS (
+          SELECT b.bucket,
+                 coalesce(CAST(sum(CAST(p.bt AS {dec})) AS DOUBLE), 0.0)
+                   AS off
+          FROM buckets b
+          LEFT JOIN buckets p ON p.bucket < b.bucket
+          GROUP BY b.bucket),
+        tot AS (
+          SELECT CAST(sum(CAST(rev AS {dec})) AS DOUBLE) AS tr FROM parts),
+        ranked AS (
+          SELECT s.rev, s.cv, t.tr,
+                 o.off + coalesce(CAST(sum(CAST(s.rev AS {dec})) OVER (
+                     PARTITION BY s.bucket
+                     ORDER BY s.rev DESC, s.l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS DOUBLE), 0.0) AS cum_before
+          FROM scored s JOIN offsets o ON s.bucket = o.bucket
+          CROSS JOIN tot t),
+        cls AS (
+          SELECT CASE WHEN cum_before / tr < {ABC_CUTS[0]} THEN 'A'
+                      WHEN cum_before / tr < {ABC_CUTS[1]} THEN 'B'
+                      ELSE 'C' END AS abc,
+                 CASE WHEN cv < {XYZ_CUTS[0]} THEN 'X'
+                      WHEN cv < {XYZ_CUTS[1]} THEN 'Y'
+                      ELSE 'Z' END AS xyz,
+                 rev, tr
+          FROM ranked)
+        SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+               {_q(f'CAST(sum(CAST(rev AS {dec})) AS DOUBLE) / max(tr)', 6)}
+                 AS revenue_share
+        FROM cls GROUP BY 1, 2"""
+
+
+register("abc_xyz_parts", _q_abc_xyz, _abc_xyz_sql())
+
+
+def _q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log price elasticity of demand
+    (operators/relational.py:price_elasticity_by_brand): one join, one
+    moment aggregate, closed-form slope/R2 per brand."""
+    return relational.price_elasticity_by_brand(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _elasticity_sql() -> str:
+    from .operators.relational import ELASTICITY_LN_SCALE as LS
+
+    x = _q("ln(CAST(l_extendedprice AS DOUBLE)"
+           " / CAST(l_quantity AS DOUBLE))", LS)
+    y = _q("ln(CAST(l_quantity AS DOUBLE))", LS)
+    return f"""
+        WITH j AS (
+          SELECT p_brand AS brand, {x} AS x, {y} AS y
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        g AS (
+          SELECT brand, CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('x')} AS sx, {_d38('y')} AS sy,
+                 {_d38('x * x')} AS sxx, {_d38('x * y')} AS sxy,
+                 {_d38('y * y')} AS syy
+          FROM j GROUP BY 1)
+        SELECT brand, CAST(n AS BIGINT) AS n_items,
+               {_q('(sxy - sx * sy / n) / (sxx - sx * sx / n)', 6)}
+                 AS elasticity,
+               {_q('(sxy - sx * sy / n) * (sxy - sx * sy / n)'
+                   ' / ((sxx - sx * sx / n) * (syy - sy * sy / n))', 6)}
+                 AS r_squared
+        FROM g"""
+
+
+register("price_elasticity_by_brand", _q_elasticity, _elasticity_sql())

@@ -286,6 +286,13 @@ BENCH_QUERIES = [
     "window_funnel_timebound",
     "abc_xyz_parts",
     "price_elasticity_by_brand",
+    "percentile_cont_priority",
+    "theil_index_revenue",
+    "hhi_brand_concentration",
+    "streaming_window_funnel",
+    "rmst_retention",
+    "tukey_hsd_priority",
+    "frequent_token_subsample",
 ]
 
 

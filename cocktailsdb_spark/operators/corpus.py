@@ -1844,3 +1844,67 @@ def ngram_novelty_rate(docs: DataFrame, n: int = 3) -> DataFrame:
             F.sum("n_novel").cast("double") / F.sum("n_grams").cast("double"), 6
         ).alias("novelty_rate"),
     )
+
+
+SUBSAMPLE_T = 1e-4  # word2vec subsampling threshold (Mikolov 2013, public)
+
+
+def frequent_token_subsample(docs: DataFrame, t: float = SUBSAMPLE_T) -> DataFrame:
+    """word2vec-style frequent-token subsampling (Mikolov et al. 2013,
+    public): each token OCCURRENCE survives with probability
+    p(w) = min(1, √(t/f(w)) + t/f(w)) — high-frequency glue words are
+    aggressively dropped, the long tail kept — the standard
+    token-budget shaper before embedding training.
+
+    Deterministic: the keep draw is the engine-shared md5 lane on
+    (doc_id, position), so reruns and the DuckDB twin agree row-for-row
+    (the stratified_sample convention). One posexplode pass builds the
+    (doc, pos, term) stream; term frequencies come from one vocab-sized
+    aggregate joined back term-keyed (co-partitioned, no broadcast of a
+    data-sized side). Output (single row): token/vocab counts before and
+    after, kept rate.
+    """
+    from .text import md5_prefix_value
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = F.broadcast(tf.agg(F.sum("c").cast("double").alias("nt")))
+    rates = tf.crossJoin(tot).select(
+        "term",
+        "c",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.lit(t) * F.col("nt") / F.col("c"))
+            + F.lit(t) * F.col("nt") / F.col("c"),
+        ).alias("p_keep"),
+    )
+    u = (
+        md5_prefix_value(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("pos").cast("string")
+            ),
+            8,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = toks.withColumn("u", u).join(rates, "term").withColumn(
+        "keep", F.col("u") < F.col("p_keep")
+    )
+    return kept.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        qround(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("kept_rate"),
+        F.countDistinct("term").cast("long").alias("vocab_before"),
+        F.countDistinct(F.when(F.col("keep"), F.col("term")))
+        .cast("long")
+        .alias("vocab_after"),
+    )

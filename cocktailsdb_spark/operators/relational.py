@@ -5112,3 +5112,533 @@ def price_elasticity_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame
         # boundaries), which a 9-dp pin would re-expose in R**2
         qround(cxy * cxy / (cxx * cyy), 6).alias("r_squared"),
     )
+
+
+# --- interpolated quantiles / concentration / sampling design (batch 8) ----
+
+PCONT_PS = (0.25, 0.5, 0.75)
+
+
+def percentile_cont_priority(orders: DataFrame) -> DataFrame:
+    """Interpolated PERCENTILE_CONT(0.25/0.5/0.75) of order value per
+    priority — the SQL-standard linear-interpolation quantile surface
+    (the discrete cousins live in quantile_disc_price /
+    segment_percentiles). Both engines compute the SAME construction
+    (h = (n−1)p + 1; x_⌊h⌋ + frac·(x_⌊h⌋₊₁ − x_⌊h⌋)) rather than
+    trusting either engine's native quantile_cont, so the interpolation
+    arithmetic is engine-identical by shape.
+
+    Scale: the group-partitioned bucketed prefix rank (the
+    levene_brown_forsythe machinery) indexes distinct values without any
+    group-wide sort; the six needed order statistics per group are
+    conditional picks over the ranked distinct-value frame.
+    """
+    x = F.col("o_totalprice").cast("double")
+    base = orders.select(F.col("o_orderpriority").alias("grp"), x.alias("v"))
+    vals = (
+        base.groupBy("grp", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("bucket", F.floor(F.col("v") / F.lit(KS_BUCKET_WIDTH)))
+        .localCheckpoint()
+    )
+    buckets = vals.groupBy("grp", "bucket").agg(F.sum("cnt").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(
+            F.col("grp").alias("pg"), F.col("bucket").alias("pb"),
+            F.col("bt").alias("pt"),
+        )
+    )
+    offsets = (
+        buckets.join(
+            prev,
+            (F.col("pg") == F.col("grp")) & (F.col("pb") < F.col("bucket")),
+            "left",
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    ng = F.broadcast(vals.groupBy("grp").agg(F.sum("cnt").alias("n_g")))
+    w_in = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        vals.join(F.broadcast(offsets), ["grp", "bucket"])
+        .join(ng, "grp")
+        .withColumn("cum", F.col("off") + F.sum("cnt").over(w_in))
+    )
+
+    def stat_at(idx: Column) -> Column:
+        # value of the idx-th order statistic: the distinct value whose
+        # cumulative range covers idx
+        covers = ((F.col("cum") - F.col("cnt")) < idx) & (F.col("cum") >= idx)
+        return F.max(F.when(covers, F.col("v")))
+
+    aggs: list[Column] = [F.max("n_g").cast("long").alias("n")]
+    for p in PCONT_PS:
+        tag = str(int(p * 100))
+        h = (F.col("n_g").cast("double") - 1.0) * F.lit(p) + 1.0
+        lo = F.floor(h)
+        aggs.append(stat_at(lo).alias(f"lo{tag}"))
+        aggs.append(stat_at(lo + 1).alias(f"hi{tag}"))
+        aggs.append(F.max(h - lo.cast("double")).alias(f"fr{tag}"))
+    g = ranked.groupBy("grp").agg(*aggs)
+    outs: list[Column] = [F.col("grp").alias("priority"), F.col("n")]
+    for p in PCONT_PS:
+        tag = str(int(p * 100))
+        lo, hi, fr = F.col(f"lo{tag}"), F.col(f"hi{tag}"), F.col(f"fr{tag}")
+        v = lo + fr * (F.coalesce(hi, lo) - lo)
+        outs.append(qround(v, 4).alias(f"p{tag}"))
+    return g.select(*outs)
+
+
+def hhi_brand_concentration(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Herfindahl–Hirschman index of brand revenue concentration — the
+    antitrust-grade market-structure scalar (Σ of squared percent
+    shares, 0..10000; >2500 = highly concentrated) plus the effective
+    number of competitors 1/Σ share². One join + one brand aggregate +
+    one 25-row reduction; shares are exact decimal-sum ratios.
+    """
+    j = lineitem.select(
+        "l_partkey", F.col("l_extendedprice").cast("double").alias("rev")
+    ).join(
+        part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    g = j.groupBy("p_brand").agg(_dsum38(F.col("rev")).alias("rev"))
+    tot = F.broadcast(
+        g.agg(F.sum(F.col("rev").cast(DEC38)).cast("double").alias("tr"))
+    )
+    s = g.crossJoin(tot).select((F.col("rev") / F.col("tr")).alias("share"))
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum(
+            (
+                (F.lit(100.0) * F.col("share"))
+                * (F.lit(100.0) * F.col("share"))
+            ).cast(DEC38)
+        )
+        .cast("double")
+        .alias("hhi_raw"),
+        F.sum((F.col("share") * F.col("share")).cast(DEC38))
+        .cast("double")
+        .alias("ss"),
+        F.max("share").alias("top"),
+    )
+    return agg.select(
+        "n_brands",
+        qround(F.col("hhi_raw"), 4).alias("hhi"),
+        qround(F.lit(1.0) / F.col("ss"), 4).alias("effective_n"),
+        qround(F.col("top"), 6).alias("top_share"),
+    )
+
+
+THEIL_LN_SCALE = 8  # ln lane — never finer than the DECIMAL sum scale
+
+
+def theil_index_revenue(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Theil T inequality index of per-customer revenue with its exact
+    between/within-segment decomposition — the lens Gini can't give:
+    HOW MUCH of the concentration is segment structure vs within-segment
+    spread (T = T_between + Σ_g s_g·T_g).
+
+        T = (1/n) Σᵢ (xᵢ/μ)·ln(xᵢ/μ)
+
+    Two customer-frame passes (the frame is customer-sized, the
+    data-sized work is one orders aggregate): global/segment totals,
+    then per-row ln terms on 1e-8 lanes summed in DECIMAL(38,8). The
+    three indices are each computed directly from their own definition —
+    no residual subtraction, so lane noise can't masquerade as a
+    component.
+    """
+    percust = (
+        orders.groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("x"))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            "o_custkey",
+        )
+        .localCheckpoint()
+    )
+    tot = F.broadcast(
+        percust.agg(
+            F.count("*").cast("double").alias("n"),
+            _dsum38(F.col("x")).alias("sx"),
+        )
+    )
+    seg = percust.groupBy("seg").agg(
+        F.count("*").cast("double").alias("n_g"),
+        _dsum38(F.col("x")).alias("sx_g"),
+    )
+    # T_total: per-customer terms against the global mean
+    rowt = percust.crossJoin(tot).select(
+        (
+            (F.col("x") / (F.col("sx") / F.col("n")))
+            * qround(
+                F.log(F.col("x") / (F.col("sx") / F.col("n"))), THEIL_LN_SCALE
+            )
+        ).alias("t")
+    )
+    t_total = rowt.agg(
+        (F.sum(F.col("t").cast(DEC38)).cast("double")).alias("st")
+    ).crossJoin(tot).select((F.col("st") / F.col("n")).alias("t_total"))
+    # T_between: segment shares vs population shares (5-row frame)
+    segx = seg.crossJoin(tot).select(
+        (
+            (F.col("sx_g") / F.col("sx"))
+            * qround(
+                F.log(
+                    (F.col("sx_g") / F.col("sx")) / (F.col("n_g") / F.col("n"))
+                ),
+                THEIL_LN_SCALE,
+            )
+        ).alias("tb")
+    )
+    t_between = segx.agg(
+        F.sum(F.col("tb").cast(DEC38)).cast("double").alias("t_between")
+    )
+    # T_within: Σ_g (X_g/X) T_g with T_g from per-row terms vs segment mean
+    roww = percust.join(F.broadcast(seg), "seg").select(
+        "seg",
+        (
+            (F.col("x") / (F.col("sx_g") / F.col("n_g")))
+            * qround(
+                F.log(F.col("x") / (F.col("sx_g") / F.col("n_g"))),
+                THEIL_LN_SCALE,
+            )
+        ).alias("t"),
+        F.col("n_g"),
+        F.col("sx_g"),
+    )
+    tg = roww.groupBy("seg").agg(
+        (F.sum(F.col("t").cast(DEC38)).cast("double") / F.max("n_g")).alias(
+            "t_g"
+        ),
+        F.max("sx_g").alias("sx_g"),
+    )
+    t_within = tg.crossJoin(tot).agg(
+        F.sum(((F.col("sx_g") / F.col("sx")) * F.col("t_g")).cast(DEC38))
+        .cast("double")
+        .alias("t_within")
+    )
+    n_out = percust.agg(F.count("*").cast("long").alias("n_customers"))
+    return (
+        n_out.crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(t_between))
+        .crossJoin(F.broadcast(t_within))
+        .select(
+            "n_customers",
+            qround(F.col("t_total"), 6).alias("theil_total"),
+            qround(F.col("t_between"), 6).alias("theil_between"),
+            qround(F.col("t_within"), 6).alias("theil_within"),
+        )
+    )
+
+
+NEYMAN_BUDGET = 10_000
+
+
+def neyman_allocation(customer: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation (Neyman 1934, public)
+    for estimating mean account balance with segment strata:
+    n_h ∝ N_h·S_h — the sampling-design layer on top of the engine's
+    samplers (stratified_sample draws; this says HOW MANY to draw).
+
+    One moment aggregate per stratum; S_h is the exact-decimal sample
+    SD; the allocation shares and rounded sizes are scalar arithmetic on
+    the 5-row frame.
+    """
+    x = F.col("c_acctbal").cast("double")
+    g = customer.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("double").alias("nh"),
+        _dsum38(x).alias("sx"),
+        _dsum38(x * x).alias("sxx"),
+    )
+    sh = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nh"))
+        / (F.col("nh") - 1)
+    )
+    scored = g.select("segment", "nh", sh.alias("sh"))
+    tot = F.broadcast(
+        scored.agg(
+            F.sum((F.col("nh") * F.col("sh")).cast(DEC38))
+            .cast("double")
+            .alias("d")
+        )
+    )
+    out = scored.crossJoin(tot).select(
+        "segment",
+        F.col("nh").cast("long").alias("n_population"),
+        qround(F.col("sh"), 6).alias("stratum_sd"),
+        qround(F.col("nh") * F.col("sh") / F.col("d"), 6).alias("alloc_share"),
+        F.ceil(F.lit(float(budget)) * F.col("nh") * F.col("sh") / F.col("d"))
+        .cast("long")
+        .alias("n_sample"),
+    )
+    return out
+
+
+AB_Z_ALPHA2 = 1.959963984540054  # z_{0.025}: two-sided alpha = 0.05 (public)
+AB_Z_BETA = 0.8416212335729143  # z_{0.20}: power = 0.80 (public)
+AB_MDE_REL = 0.01  # minimum detectable effect: 1% of the mean
+
+
+def ab_sample_size(orders: DataFrame) -> DataFrame:
+    """A/B test sample-size planner: per-group n to detect a 1% lift in
+    mean order value at alpha = 0.05 (two-sided), power = 0.80 —
+
+        n = 2σ²(z_{α/2} + z_β)² / δ²
+
+    the experimentation-design closer for the test family (welch /
+    mann-whitney / permutation decide AFTER; this budgets BEFORE). One
+    moment aggregate; the z constants are public table values baked as
+    literals, so both engines run pure arithmetic.
+    """
+    x = F.col("o_totalprice").cast("double")
+    m = orders.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(x).alias("sx"),
+        _dsum38(x * x).alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    delta = F.lit(AB_MDE_REL) * mu
+    zsum = F.lit(AB_Z_ALPHA2) + F.lit(AB_Z_BETA)
+    n_req = F.lit(2.0) * var * zsum * zsum / (delta * delta)
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        qround(mu, 4).alias("mean_value"),
+        qround(F.sqrt(var), 4).alias("sd_value"),
+        qround(delta, 4).alias("mde_abs"),
+        F.ceil(n_req).cast("long").alias("n_per_group"),
+    )
+
+
+RMST_TAU = 365  # restricted-mean horizon (days)
+
+
+def rmst_retention(orders: DataFrame, tau: int = RMST_TAU) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 lineage,
+    public): the area under the Kaplan–Meier curve up to τ — "expected
+    retained days in the first year", the scalar that makes two survival
+    curves comparable when medians never cross. COMPOSES
+    :func:`kaplan_meier_retention` (shares its quantized-ln exactness)
+    rather than re-deriving the curve.
+
+        RMST(τ) = ∫₀^τ S(t) dt = Σ S(t_{i−1})·(min(t_i,τ) − t_{i−1}) + tail
+
+    All post-KM work runs on the distinct-lifetime frame (bounded, ≤ a
+    few thousand rows); per-segment areas are qround(·,6) lanes summed
+    in DECIMAL(38,8) — coarser than the sum scale, per the lane rule.
+    """
+    km = kaplan_meier_retention(orders).select("t_days", "survival")
+    w = Window.orderBy("t_days")
+    s = km.withColumn(
+        "prev_t", F.coalesce(F.lag("t_days").over(w), F.lit(0))
+    ).withColumn("prev_s", F.coalesce(F.lag("survival").over(w), F.lit(1.0)))
+    seg_area = qround(
+        F.col("prev_s")
+        * (
+            F.least(F.col("t_days").cast("double"), F.lit(float(tau)))
+            - F.col("prev_t").cast("double")
+        ),
+        6,
+    )
+    segs = s.filter(F.col("prev_t") < tau).select(seg_area.alias("a"))
+    area1 = segs.agg(
+        F.sum(F.col("a").cast(DEC38)).cast("double").alias("area_steps"),
+        F.count("*").cast("long").alias("n_steps"),
+    )
+    # tail beyond the last event time, and S at tau (last step with t <= tau)
+    last = s.agg(
+        F.max("t_days").alias("t_last"),
+        F.max(F.struct("t_days", "survival")).alias("last_row"),
+        F.max(
+            F.when(
+                F.col("t_days") <= tau, F.struct("t_days", "survival")
+            )
+        ).alias("at_tau"),
+    ).select(
+        "t_last",
+        F.col("last_row.survival").alias("s_last"),
+        F.coalesce(F.col("at_tau.survival"), F.lit(1.0)).alias("s_at_tau"),
+    )
+    tail = last.select(
+        "t_last",
+        "s_at_tau",
+        F.when(
+            F.col("t_last") < tau,
+            qround(
+                F.col("s_last") * (F.lit(float(tau)) - F.col("t_last").cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("area_tail"),
+    )
+    return area1.crossJoin(F.broadcast(tail)).select(
+        F.lit(tau).cast("int").alias("tau_days"),
+        "n_steps",
+        qround(F.col("area_steps") + F.col("area_tail"), 4).alias("rmst_days"),
+        qround(F.col("s_at_tau"), 6).alias("survival_at_tau"),
+    )
+
+
+TUKEY_Q_CRIT = 3.858  # studentized range q(0.05; k=5, df=inf), public table
+
+
+def tukey_hsd_priority(orders: DataFrame) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons after the one-way ANOVA
+    (Tukey 1949, public): WHICH priority pairs differ once
+    anova_oneway_priority says "some do".
+
+        q_ij = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j))
+
+    (the Tukey–Kramer unequal-n form). One moment aggregate builds the
+    5-row group frame and the pooled MSW; the 10 pairs come from a
+    self-join of that bounded frame. Significance is flagged against
+    the public q(0.05; k=5, ∞) critical value on the qround'd statistic
+    so the boundary decision is engine-identical.
+    """
+    x = F.col("o_totalprice").cast("double")
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("double").alias("ng"),
+        _dsum38(x).alias("sx"),
+        _dsum38(x * x).alias("sxx"),
+    )
+    msw = F.broadcast(
+        g.agg(
+            (
+                F.sum(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("ng")).cast(
+                        DEC38
+                    )
+                ).cast("double")
+                / (
+                    F.sum(F.col("ng").cast(DEC38)).cast("double")
+                    - F.count("*").cast("double")
+                )
+            ).alias("msw")
+        )
+    )
+    a = g.select(
+        F.col("grp").alias("group_a"),
+        F.col("ng").alias("na"),
+        (F.col("sx") / F.col("ng")).alias("ma"),
+    )
+    b = g.select(
+        F.col("grp").alias("group_b"),
+        F.col("ng").alias("nb"),
+        (F.col("sx") / F.col("ng")).alias("mb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(msw)
+    qstat = F.abs(F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("msw") / F.lit(2.0) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        qround(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+        qround(qstat, 4).alias("q_stat"),
+        F.when(qround(qstat, 4) > F.lit(TUKEY_Q_CRIT), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+HW_ALPHA = 0.5  # level smoothing — exact binary fraction
+HW_BETA = 0.25  # trend smoothing — exact binary fraction
+HW_GAMMA = 0.25  # seasonal smoothing — exact binary fraction
+HW_PERIOD = 7  # weekday cycle on the daily series
+HW_Q = 1_000_000.0  # per-step state quantum (the Holt convention)
+HW_HORIZONS = (7, 14)
+
+
+def _hw_q(x: float) -> float:
+    import math
+
+    return math.floor(x * HW_Q + 0.5) / HW_Q
+
+
+def holt_winters_forecast(
+    orders: DataFrame,
+    customer: DataFrame,
+    alpha: float = HW_ALPHA,
+    beta: float = HW_BETA,
+    gamma: float = HW_GAMMA,
+) -> DataFrame:
+    """Holt–Winters additive triple exponential smoothing (Winters 1960,
+    public) of per-segment DAILY revenue with a weekday (m = 7) season —
+    the seasonal completion of holt_linear_forecast:
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+        ŷ_{T+h} = l_T + h·b_T + s_{T+h−m⌈h/m⌉}
+
+    Textbook init: l = mean of week 1, b = (mean week 2 − mean week 1)/m,
+    s_k = x_k − l. Same execution contract as Holt: the daily aggregate
+    is the only full-data pass (JVM, exact decimal sums); the inherently
+    sequential recursion runs one Arrow batch per segment in
+    ``applyInPandas`` (parallelism = #series, state never leaves the
+    executor). Every state value is quantized to 1e-6 per step and
+    α/β/γ are exact binary fractions, so the DuckDB recursive-CTE twin —
+    which carries the 7-slot seasonal ring as seven state columns —
+    replays the trajectory bit-for-bit.
+    """
+    m = HW_PERIOD
+    daily = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.col("o_orderdate")).alias("day"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("x"))
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        seg = pdf["segment"].iloc[0]
+        xs = pdf["x"].tolist()
+        cols = ["segment", "n_days", "level", "trend"] + [
+            f"forecast_{h}" for h in HW_HORIZONS
+        ]
+        if len(xs) < 2 * m:
+            return pd.DataFrame(columns=cols)
+        # ordered left-fold sums — the SQL twin writes the same chain
+        w1 = 0.0
+        for v in xs[:m]:
+            w1 = w1 + v
+        w2 = 0.0
+        for v in xs[m : 2 * m]:
+            w2 = w2 + v
+        lvl = _hw_q(w1 / m)
+        trd = _hw_q((w2 - w1) / (m * m))
+        s = [_hw_q(xs[k] - lvl) for k in range(m)]
+        for t in range(m, len(xs)):
+            k = t % m
+            prev = lvl
+            lvl = _hw_q(alpha * (xs[t] - s[k]) + (1.0 - alpha) * (lvl + trd))
+            trd = _hw_q(beta * (lvl - prev) + (1.0 - beta) * trd)
+            s[k] = _hw_q(gamma * (xs[t] - lvl) + (1.0 - gamma) * s[k])
+        n = len(xs)
+        row = {"segment": seg, "n_days": n, "level": lvl, "trend": trd}
+        for h in HW_HORIZONS:
+            slot = (n - 1 + h) % m
+            row[f"forecast_{h}"] = _hw_q(lvl + float(h) * trd + s[slot])
+        return pd.DataFrame([row])
+
+    schema = (
+        "segment string, n_days long, level double, trend double, "
+        + ", ".join(f"forecast_{h} double" for h in HW_HORIZONS)
+    )
+    return daily.groupBy("segment").applyInPandas(fit, schema)

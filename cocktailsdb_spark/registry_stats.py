@@ -1688,3 +1688,492 @@ def _elasticity_sql() -> str:
 
 
 register("price_elasticity_by_brand", _q_elasticity, _elasticity_sql())
+
+
+# streaming twin of the time-bound funnel — shares the batch oracle
+def _q_streaming_wfunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowFunnel via applyInPandasWithState
+    (streaming/stream_queries.py:streaming_window_funnel); per-user
+    (anchor, last-step, level) state machine, oracle shared verbatim
+    with the batch window_funnel_timebound."""
+    from .streaming import stream_queries as _sq
+
+    return _sq.streaming_window_funnel(spark, sf_dir)
+
+
+register("streaming_window_funnel", _q_streaming_wfunnel, _window_funnel_sql())
+
+
+# ===========================================================================
+# interpolated quantiles / concentration / sampling design
+# ===========================================================================
+
+
+def _q_pcont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PERCENTILE_CONT per priority
+    (operators/relational.py:percentile_cont_priority): both engines run
+    the same h = (n-1)p + 1 interpolation over group-partitioned
+    bucketed ranks."""
+    return relational.percentile_cont_priority(load(spark, sf_dir, "orders"))
+
+
+def _pcont_sql() -> str:
+    from .operators.relational import PCONT_PS
+
+    picks = []
+    outs = []
+    for p in PCONT_PS:
+        tag = str(int(p * 100))
+        h = f"((CAST(n_g AS DOUBLE) - 1.0) * {p} + 1.0)"
+        picks.append(
+            f"max(CASE WHEN cum - cnt < floor({h}) AND cum >= floor({h})"
+            f" THEN v END) AS lo{tag}"
+        )
+        picks.append(
+            f"max(CASE WHEN cum - cnt < floor({h}) + 1"
+            f" AND cum >= floor({h}) + 1 THEN v END) AS hi{tag}"
+        )
+        picks.append(f"max({h} - floor({h})) AS fr{tag}")
+        outs.append(
+            _q(f"lo{tag} + fr{tag} * (coalesce(hi{tag}, lo{tag}) - lo{tag})", 4)
+            + f" AS p{tag}"
+        )
+    return f"""
+        WITH base AS (
+          SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders),
+        vals AS (SELECT grp, v, count(*) AS cnt FROM base GROUP BY 1, 2),
+        ng AS (SELECT grp, sum(cnt) AS n_g FROM vals GROUP BY 1),
+        ranked AS (
+          SELECT grp, v, cnt,
+                 sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM vals),
+        g AS (
+          SELECT r.grp, max(n_g) AS n_g,
+                 {', '.join(picks)}
+          FROM ranked r JOIN ng USING (grp)
+          GROUP BY r.grp)
+        SELECT grp AS priority, CAST(n_g AS BIGINT) AS n,
+               {', '.join(outs)}
+        FROM g"""
+
+
+register("percentile_cont_priority", _q_pcont, _pcont_sql())
+
+
+def _q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman brand concentration + effective-N
+    (operators/relational.py:hhi_brand_concentration)."""
+    return relational.hhi_brand_concentration(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _hhi_sql() -> str:
+    dec = "DECIMAL(38,8)"
+    return f"""
+        WITH j AS (
+          SELECT p_brand, CAST(l_extendedprice AS DOUBLE) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        g AS (SELECT p_brand, {_d38('rev')} AS rev FROM j GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(CAST(rev AS {dec})) AS DOUBLE) AS tr FROM g),
+        s AS (SELECT rev / tr AS share FROM g CROSS JOIN tot),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_brands,
+                 CAST(sum(CAST((100.0 * share) * (100.0 * share) AS {dec}))
+                      AS DOUBLE) AS hhi_raw,
+                 CAST(sum(CAST(share * share AS {dec})) AS DOUBLE) AS ss,
+                 max(share) AS top
+          FROM s)
+        SELECT n_brands, {_q('hhi_raw', 4)} AS hhi,
+               {_q('1.0 / ss', 4)} AS effective_n,
+               {_q('top', 6)} AS top_share
+        FROM agg"""
+
+
+register("hhi_brand_concentration", _q_hhi, _hhi_sql())
+
+
+def _q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality with exact between/within-segment decomposition
+    (operators/relational.py:theil_index_revenue)."""
+    return relational.theil_index_revenue(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+def _theil_sql() -> str:
+    from .operators.relational import THEIL_LN_SCALE as LS
+
+    dec = "DECIMAL(38,8)"
+    return f"""
+        WITH percust AS (
+          SELECT o_custkey, {_d('o_totalprice')} AS x, c_mktsegment AS seg
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey, c_mktsegment),
+        tot AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n, {_d38('x')} AS sx
+          FROM percust),
+        seg AS (
+          SELECT seg, CAST(count(*) AS DOUBLE) AS n_g, {_d38('x')} AS sx_g
+          FROM percust GROUP BY 1),
+        rowt AS (
+          SELECT (x / (sx / n)) * {_q('ln(x / (sx / n))', LS)} AS t
+          FROM percust CROSS JOIN tot),
+        t_total AS (
+          SELECT CAST(sum(CAST(t AS {dec})) AS DOUBLE) / max(n) AS t_total
+          FROM rowt CROSS JOIN tot),
+        segx AS (
+          SELECT (sx_g / sx)
+                 * {_q('ln((sx_g / sx) / (n_g / n))', LS)} AS tb
+          FROM seg CROSS JOIN tot),
+        t_between AS (
+          SELECT CAST(sum(CAST(tb AS {dec})) AS DOUBLE) AS t_between
+          FROM segx),
+        roww AS (
+          SELECT p.seg,
+                 (x / (sx_g / n_g)) * {_q('ln(x / (sx_g / n_g))', LS)} AS t,
+                 n_g, sx_g
+          FROM percust p JOIN seg USING (seg)),
+        tg AS (
+          SELECT seg,
+                 CAST(sum(CAST(t AS {dec})) AS DOUBLE) / max(n_g) AS t_g,
+                 max(sx_g) AS sx_g
+          FROM roww GROUP BY 1),
+        t_within AS (
+          SELECT CAST(sum(CAST((sx_g / sx) * t_g AS {dec})) AS DOUBLE)
+                   AS t_within
+          FROM tg CROSS JOIN tot),
+        n_out AS (SELECT CAST(count(*) AS BIGINT) AS n_customers FROM percust)
+        SELECT n_customers,
+               {_q('t_total', 6)} AS theil_total,
+               {_q('t_between', 6)} AS theil_between,
+               {_q('t_within', 6)} AS theil_within
+        FROM n_out CROSS JOIN t_total CROSS JOIN t_between CROSS JOIN t_within"""
+
+
+register("theil_index_revenue", _q_theil, _theil_sql())
+
+
+def _q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation over customer segments
+    (operators/relational.py:neyman_allocation)."""
+    return relational.neyman_allocation(load(spark, sf_dir, "customer"))
+
+
+def _neyman_sql() -> str:
+    from .operators.relational import NEYMAN_BUDGET
+
+    dec = "DECIMAL(38,8)"
+    sh = (
+        "sqrt((sxx - sx * sx / nh) / (nh - 1))"
+    )
+    return f"""
+        WITH g AS (
+          SELECT c_mktsegment AS segment, CAST(count(*) AS DOUBLE) AS nh,
+                 {_d38('CAST(c_acctbal AS DOUBLE)')} AS sx,
+                 {_d38('CAST(c_acctbal AS DOUBLE)'
+                       ' * CAST(c_acctbal AS DOUBLE)')} AS sxx
+          FROM customer GROUP BY 1),
+        scored AS (SELECT segment, nh, {sh} AS sh FROM g),
+        tot AS (
+          SELECT CAST(sum(CAST(nh * sh AS {dec})) AS DOUBLE) AS d
+          FROM scored)
+        SELECT segment, CAST(nh AS BIGINT) AS n_population,
+               {_q('sh', 6)} AS stratum_sd,
+               {_q('nh * sh / d', 6)} AS alloc_share,
+               CAST(ceil({float(NEYMAN_BUDGET)} * nh * sh / d) AS BIGINT)
+                 AS n_sample
+        FROM scored CROSS JOIN tot"""
+
+
+register("neyman_allocation", _q_neyman, _neyman_sql())
+
+
+def _q_ab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B per-group sample-size planner at alpha=.05 / power=.80 / 1% MDE
+    (operators/relational.py:ab_sample_size)."""
+    return relational.ab_sample_size(load(spark, sf_dir, "orders"))
+
+
+def _ab_size_sql() -> str:
+    from .operators.relational import AB_MDE_REL, AB_Z_ALPHA2, AB_Z_BETA
+
+    mu = "(sx / n)"
+    var = "((sxx - sx * sx / n) / (n - 1))"
+    delta = f"({AB_MDE_REL!r} * {mu})"
+    zsum = f"({AB_Z_ALPHA2!r} + {AB_Z_BETA!r})"
+    return f"""
+        WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('CAST(o_totalprice AS DOUBLE)')} AS sx,
+                 {_d38('CAST(o_totalprice AS DOUBLE)'
+                       ' * CAST(o_totalprice AS DOUBLE)')} AS sxx
+          FROM orders)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q(mu, 4)} AS mean_value,
+               {_q(f'sqrt({var})', 4)} AS sd_value,
+               {_q(delta, 4)} AS mde_abs,
+               CAST(ceil(2.0 * {var} * {zsum} * {zsum}
+                         / ({delta} * {delta})) AS BIGINT) AS n_per_group
+        FROM m"""
+
+
+register("ab_sample_size", _q_ab_size, _ab_size_sql())
+
+
+# ===========================================================================
+# survival RMST / post-hoc pairs / token subsampling
+# ===========================================================================
+
+
+def _q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at 365 days over the KM curve
+    (operators/relational.py:rmst_retention) — composes
+    kaplan_meier_retention."""
+    return relational.rmst_retention(load(spark, sf_dir, "orders"))
+
+
+def _rmst_sql() -> str:
+    from .operators.relational import RMST_TAU
+    from .registry_ext import _km_sql
+
+    km = _km_sql().rstrip()
+    assert km.endswith("ORDER BY 1")
+    km_body = km[: -len("ORDER BY 1")]
+    tau = float(RMST_TAU)
+    dec = "DECIMAL(38,8)"
+    return f"""
+        WITH km AS ({km_body}),
+        s AS (
+          SELECT t_days, survival,
+                 coalesce(lag(t_days) OVER (ORDER BY t_days), 0) AS prev_t,
+                 coalesce(lag(survival) OVER (ORDER BY t_days), 1.0)
+                   AS prev_s
+          FROM km),
+        segs AS (
+          SELECT {_q(f'prev_s * (least(CAST(t_days AS DOUBLE), {tau})'
+                     f' - CAST(prev_t AS DOUBLE))', 6)} AS a
+          FROM s WHERE prev_t < {RMST_TAU}),
+        area1 AS (
+          SELECT CAST(sum(CAST(a AS {dec})) AS DOUBLE) AS area_steps,
+                 CAST(count(*) AS BIGINT) AS n_steps
+          FROM segs),
+        lastrow AS (
+          SELECT max(t_days) AS t_last,
+                 max_by(survival, t_days) AS s_last,
+                 coalesce(max_by(survival, CASE WHEN t_days <= {RMST_TAU}
+                                  THEN t_days END), 1.0) AS s_at_tau
+          FROM s),
+        tail AS (
+          SELECT t_last, s_at_tau,
+                 CASE WHEN t_last < {RMST_TAU}
+                      THEN {_q(f's_last * ({tau} - CAST(t_last AS DOUBLE))', 6)}
+                      ELSE 0.0 END AS area_tail
+          FROM lastrow)
+        SELECT CAST({RMST_TAU} AS INT) AS tau_days, n_steps,
+               {_q('area_steps + area_tail', 4)} AS rmst_days,
+               {_q('s_at_tau', 6)} AS survival_at_tau
+        FROM area1 CROSS JOIN tail"""
+
+
+register("rmst_retention", _q_rmst, _rmst_sql())
+
+
+def _q_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD pairwise q statistics over the five priorities
+    (operators/relational.py:tukey_hsd_priority)."""
+    return relational.tukey_hsd_priority(load(spark, sf_dir, "orders"))
+
+
+def _tukey_sql() -> str:
+    from .operators.relational import TUKEY_Q_CRIT
+
+    dec = "DECIMAL(38,8)"
+    q = (
+        "abs(ma - mb) / sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb))"
+    )
+    return f"""
+        WITH g AS (
+          SELECT o_orderpriority AS grp, CAST(count(*) AS DOUBLE) AS ng,
+                 {_d38('CAST(o_totalprice AS DOUBLE)')} AS sx,
+                 {_d38('CAST(o_totalprice AS DOUBLE)'
+                       ' * CAST(o_totalprice AS DOUBLE)')} AS sxx
+          FROM orders GROUP BY 1),
+        msw AS (
+          SELECT CAST(sum(CAST(sxx - sx * sx / ng AS {dec})) AS DOUBLE)
+                 / (CAST(sum(CAST(ng AS {dec})) AS DOUBLE)
+                    - CAST(count(*) AS DOUBLE)) AS msw
+          FROM g),
+        pairs AS (
+          SELECT a.grp AS group_a, b.grp AS group_b,
+                 a.ng AS na, b.ng AS nb,
+                 a.sx / a.ng AS ma, b.sx / b.ng AS mb, msw
+          FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN msw)
+        SELECT group_a, group_b,
+               {_q('ma - mb', 4)} AS mean_diff,
+               {_q(q, 4)} AS q_stat,
+               CAST(CASE WHEN {_q(q, 4)} > {TUKEY_Q_CRIT} THEN 1 ELSE 0 END
+                    AS INT) AS significant
+        FROM pairs"""
+
+
+register("tukey_hsd_priority", _q_tukey, _tukey_sql())
+
+
+def _q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec frequent-token subsampling summary
+    (operators/corpus.py:frequent_token_subsample): md5-lane keep draws,
+    per-term keep probability min(1, sqrt(t/f) + t/f)."""
+    from .operators import corpus as _c
+
+    return _c.frequent_token_subsample(load(spark, sf_dir, "documents"))
+
+
+def _subsample_sql() -> str:
+    from .operators.corpus import SUBSAMPLE_T
+    from .registry_ops import _sql_md5_prefix_value
+
+    key = "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+    u = f"(CAST({_sql_md5_prefix_value(key, 8)} AS DOUBLE) / 4294967296.0)"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(range(0, len(string_split(text, ' ')))) AS pos,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM tf),
+        rates AS (
+          SELECT term,
+                 least(1.0, sqrt({SUBSAMPLE_T!r} * nt / c)
+                            + {SUBSAMPLE_T!r} * nt / c) AS p_keep
+          FROM tf CROSS JOIN tot),
+        kept AS (
+          SELECT t.term, {u} < p_keep AS keep
+          FROM toks t JOIN rates USING (term))
+        SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               {_q('CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)'
+                   ' / count(*)', 6)} AS kept_rate,
+               CAST(count(DISTINCT term) AS BIGINT) AS vocab_before,
+               CAST(count(DISTINCT CASE WHEN keep THEN term END) AS BIGINT)
+                 AS vocab_after
+        FROM kept"""
+
+
+register("frequent_token_subsample", _q_subsample, _subsample_sql())
+
+
+# ===========================================================================
+# Holt-Winters triple smoothing (seasonal forecasting completion)
+# ===========================================================================
+
+
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing of per-segment daily
+    revenue (operators/relational.py:holt_winters_forecast): sequential
+    state via applyInPandas, 1e-6 state quanta; DuckDB twin replays the
+    trajectory with the 7-slot seasonal ring as recursion columns."""
+    return relational.holt_winters_forecast(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+def _holt_winters_sql() -> str:
+    from .operators.relational import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_HORIZONS,
+        HW_PERIOD,
+    )
+
+    m = HW_PERIOD
+    a, ca = repr(HW_ALPHA), repr(1.0 - HW_ALPHA)
+    b_, cb = repr(HW_BETA), repr(1.0 - HW_BETA)
+    g_, cg = repr(HW_GAMMA), repr(1.0 - HW_GAMMA)
+
+    def chain(lo: int, hi: int) -> str:  # ordered left-fold (x{lo}+...+x{hi})
+        expr = f"x{lo}"
+        for k in range(lo + 1, hi + 1):
+            expr = f"({expr} + x{k})"
+        return expr
+
+    piv_cols = ",\n                 ".join(
+        f"max(CASE WHEN i = {k} THEN x END) AS x{k}" for k in range(1, 2 * m + 1)
+    )
+    w1, w2 = chain(1, m), chain(m + 1, 2 * m)
+    l_init = _q(f"({w1}) / {float(m)}", 6)
+    b_init = _q(f"(({w2}) - ({w1})) / {float(m * m)}", 6)
+    s_init = ",\n                 ".join(
+        _q(f"x{k + 1} - ({l_init})", 6) + f" AS s{k}" for k in range(m)
+    )
+    s_pick = (
+        "CASE r.i % 7 "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(m))
+        + " END"
+    )
+    l_new = _q(f"{a} * (xx.x - ({s_pick})) + {ca} * (r.l + r.b)", 6)
+    b_new = _q(f"{b_} * (({l_new}) - r.l) + {cb} * r.b", 6)
+    s_cols = ",\n                 ".join(
+        f"CASE WHEN r.i % 7 = {j} THEN "
+        + _q(f"{g_} * (xx.x - ({l_new})) + {cg} * r.s{j}", 6)
+        + f" ELSE r.s{j} END AS s{j}"
+        for j in range(m)
+    )
+    fcasts = []
+    joiner = ",\n               "
+    for h in HW_HORIZONS:
+        slot = (
+            f"CASE (nn.n_days - 1 + {h}) % 7 "
+            + " ".join(f"WHEN {j} THEN rec.s{j}" for j in range(m))
+            + " END"
+        )
+        fcasts.append(
+            _q(f"rec.l + {float(h)} * rec.b + ({slot})", 6)
+            + f" AS forecast_{h}"
+        )
+    return f"""
+        WITH RECURSIVE
+        daily AS (
+          SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        idx AS (
+          SELECT segment, x,
+                 row_number() OVER (PARTITION BY segment ORDER BY day) AS i
+          FROM daily),
+        nn AS (SELECT segment, CAST(max(i) AS BIGINT) AS n_days
+               FROM idx GROUP BY 1),
+        piv AS (
+          SELECT segment,
+                 {piv_cols}
+          FROM idx WHERE i <= {2 * m} GROUP BY 1),
+        init AS (
+          SELECT segment,
+                 {l_init} AS l,
+                 {b_init} AS b,
+                 {s_init}
+          FROM piv),
+        rec AS (
+          SELECT segment, CAST({m} AS BIGINT) AS i, l, b,
+                 {', '.join(f's{j}' for j in range(m))}
+          FROM init
+          UNION ALL
+          SELECT r.segment, r.i + 1,
+                 {l_new} AS l,
+                 {b_new} AS b,
+                 {s_cols}
+          FROM rec r JOIN idx xx ON xx.segment = r.segment AND xx.i = r.i + 1)
+        SELECT rec.segment, nn.n_days, rec.l AS level, rec.b AS trend,
+               {joiner.join(fcasts)}
+        FROM rec JOIN nn ON rec.segment = nn.segment AND rec.i = nn.n_days
+        ORDER BY rec.segment"""
+
+
+register("holt_winters_forecast", _q_holt_winters, _holt_winters_sql())

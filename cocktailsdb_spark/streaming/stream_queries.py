@@ -886,3 +886,112 @@ def streaming_error_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def streaming_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the time-bound ordered funnel
+    (operators/events.py:window_funnel_timebound): a per-user
+    ``applyInPandasWithState`` state machine holding (anchor time,
+    last-step time, level); each micro-batch advances the
+    chain-of-first-occurrences — step k counts only when it lands after
+    step k−1 and within the 60-minute anchor horizon. The registered
+    result is the per-level reach rollup of each user's final level,
+    equal to the batch operator (and its DuckDB oracle) on the same
+    events.
+
+    Same ordering contract as streaming_last_touch: rows are sorted by
+    (ts, event_id) inside the state function; the fixture streams as one
+    micro-batch so event-time order is total, and in production the
+    log-stream-ordered source carries the guarantee. State is two int64
+    nanosecond stamps + a level — constant per user, the smallest
+    possible funnel state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import FUNNEL_STEPS, WF_WINDOW_MIN
+
+    steps = list(FUNNEL_STEPS)
+    horizon_ns = WF_WINDOW_MIN * 60 * 1_000_000_000
+
+    name = "stream_wfunnel_" + uuid.uuid4().hex[:8]
+    workdir = tempfile.mkdtemp(prefix="cdbspark_wfun_")
+    input_dir = _materialize_events(spark, sf_dir, workdir)
+
+    def advance(key, pdf_iter, state: GroupState):
+        t1, tk, level = state.get if state.exists else (None, None, 0)
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["ts", "event_id"])
+        for r in rows.itertuples():
+            ts_ns = r.ts.value
+            if level == 0:
+                if r.event_type == steps[0]:
+                    t1 = tk = ts_ns
+                    level = 1
+            elif level < len(steps):
+                if (
+                    r.event_type == steps[level]
+                    and ts_ns > tk
+                    and ts_ns <= t1 + horizon_ns
+                ):
+                    tk = ts_ns
+                    level += 1
+        state.update((t1, tk, level))
+        yield pd.DataFrame({"u": [key[0]], "level": [level]})
+
+    stream = (
+        _events_stream(spark, input_dir + "/*")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            advance,
+            outputStructType="u long, level int",
+            stateStructType="t1 long, tk long, level int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    with _low_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finals = (
+        spark.table(name)
+        .groupBy("u")
+        .agg(F.max("level").alias("lvl"))
+        .filter(F.col("lvl") >= 1)
+    )
+    per_level = None
+    for k, step in enumerate(steps, start=1):
+        row = finals.filter(F.col("lvl") >= k).agg(
+            F.lit(k).cast("int").alias("level"),
+            F.lit(step).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        per_level = row if per_level is None else per_level.unionByName(row)
+    base = F.broadcast(
+        finals.agg(F.count("*").cast("double").alias("n1"))
+    )
+    from ..numeric import qround
+
+    out = (
+        per_level.crossJoin(base)
+        .select(
+            "level",
+            "step",
+            "n_users",
+            qround(F.col("n_users").cast("double") / F.col("n1"), 6).alias(
+                "conversion_from_l1"
+            ),
+        )
+        .cache()
+    )
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

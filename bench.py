@@ -293,6 +293,10 @@ BENCH_QUERIES = [
     "rmst_retention",
     "tukey_hsd_priority",
     "frequent_token_subsample",
+    "oaxaca_price_gap",
+    "lorenz_curve_deciles",
+    "granger_causality_daily",
+    "holt_winters_forecast",
 ]
 
 

@@ -5642,3 +5642,223 @@ def holt_winters_forecast(
         + ", ".join(f"forecast_{h} double" for h in HW_HORIZONS)
     )
     return daily.groupBy("segment").applyInPandas(fit, schema)
+
+
+def oaxaca_price_gap(lineitem: DataFrame) -> DataFrame:
+    """Oaxaca–Blinder decomposition (Oaxaca 1973 / Blinder 1973, public)
+    of the 1996→1997 mean line-price gap: how much is a change in the
+    ORDER MIX (quantity/discount endowments) vs a change in PRICING
+    (coefficients)?
+
+        ȳ_B − ȳ_A = (x̄_B − x̄_A)'β_A  +  x̄_B'(β_B − β_A)   (+ intercepts)
+                      [endowment]          [coefficient]
+
+    Both regime OLS fits come from ONE conditional-moment aggregate
+    (the chow_break_test shape — nothing scans twice); the decomposition
+    identity holds exactly in the closed forms, pinned by construction:
+    gap = endowment + coefficient to the last bit.
+    """
+    yr = F.year("l_shipdate")
+    base = lineitem.filter(yr.isin(1996, 1997)).select(
+        (yr == 1996).alias("is_a"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+    )
+
+    def side(tag: str):
+        p = F.col("is_a") if tag == "a" else ~F.col("is_a")
+        return [
+            F.count(F.when(p, 1)).cast("double").alias(f"n_{tag}"),
+            _dsum38(F.when(p, F.col("x1"))).alias(f"s1_{tag}"),
+            _dsum38(F.when(p, F.col("x2"))).alias(f"s2_{tag}"),
+            _dsum38(F.when(p, F.col("y"))).alias(f"sy_{tag}"),
+            _dsum38(F.when(p, F.col("x1") * F.col("x1"))).alias(f"s11_{tag}"),
+            _dsum38(F.when(p, F.col("x2") * F.col("x2"))).alias(f"s22_{tag}"),
+            _dsum38(F.when(p, F.col("x1") * F.col("x2"))).alias(f"s12_{tag}"),
+            _dsum38(F.when(p, F.col("x1") * F.col("y"))).alias(f"s1y_{tag}"),
+            _dsum38(F.when(p, F.col("x2") * F.col("y"))).alias(f"s2y_{tag}"),
+        ]
+
+    m = base.agg(*side("a"), *side("b"))
+
+    def fit(tag: str):
+        n = F.col(f"n_{tag}")
+        c11 = F.col(f"s11_{tag}") - F.col(f"s1_{tag}") * F.col(f"s1_{tag}") / n
+        c22 = F.col(f"s22_{tag}") - F.col(f"s2_{tag}") * F.col(f"s2_{tag}") / n
+        c12 = F.col(f"s12_{tag}") - F.col(f"s1_{tag}") * F.col(f"s2_{tag}") / n
+        c1y = F.col(f"s1y_{tag}") - F.col(f"s1_{tag}") * F.col(f"sy_{tag}") / n
+        c2y = F.col(f"s2y_{tag}") - F.col(f"s2_{tag}") * F.col(f"sy_{tag}") / n
+        det = c11 * c22 - c12 * c12
+        b1 = (c22 * c1y - c12 * c2y) / det
+        b2 = (c11 * c2y - c12 * c1y) / det
+        m1, m2, my = (
+            F.col(f"s1_{tag}") / n,
+            F.col(f"s2_{tag}") / n,
+            F.col(f"sy_{tag}") / n,
+        )
+        b0 = my - b1 * m1 - b2 * m2
+        return b0, b1, b2, m1, m2, my
+
+    a0, a1, a2, am1, am2, amy = fit("a")
+    b0, b1, b2, bm1, bm2, bmy = fit("b")
+    gap = bmy - amy
+    endow = (bm1 - am1) * a1 + (bm2 - am2) * a2
+    coeff = (b0 - a0) + bm1 * (b1 - a1) + bm2 * (b2 - a2)
+    return m.select(
+        F.col("n_a").cast("long").alias("n_1996"),
+        F.col("n_b").cast("long").alias("n_1997"),
+        qround(gap, 4).alias("mean_gap"),
+        qround(endow, 4).alias("endowment_effect"),
+        qround(coeff, 4).alias("coefficient_effect"),
+        qround(gap - endow - coeff, 6).alias("identity_residual"),
+    )
+
+
+LORENZ_DECILES = 10
+
+
+def lorenz_curve_deciles(orders: DataFrame) -> DataFrame:
+    """Lorenz curve of per-customer revenue at population deciles — the
+    curve behind gini_revenue's scalar: cumulative revenue share held by
+    the poorest 10%, 20%, … (the '80/20' chart itself).
+
+    Rank-free at scale: per-customer revenue collapses to the
+    distinct-value frame, the bucketed two-pass prefix sum assigns each
+    distinct value its cumulative customer count AND cumulative revenue
+    (same machinery as gini_revenue), and each decile's share is read
+    off the frame with a conditional pick — the decile boundary falls
+    INSIDE a tied value group, so the boundary group contributes
+    pro-rata (exact rational arithmetic: heads·value, never a float
+    estimate of the split).
+    """
+    percust = orders.groupBy("o_custkey").agg(
+        (dsum(F.col("o_totalprice")) / F.lit(GINI_REV_SCALE)).alias("x")
+    )
+    vals = (
+        percust.groupBy("x")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("x") / F.lit(GINI_BUCKET_WIDTH / GINI_REV_SCALE)),
+        )
+        .localCheckpoint()
+    )
+    buckets = vals.groupBy("bucket").agg(
+        F.sum("c").alias("bc"),
+        F.sum((F.col("x") * F.col("c")).cast(DEC38)).cast("double").alias("bx"),
+    )
+    prev = F.broadcast(
+        buckets.select(
+            F.col("bucket").alias("pb"),
+            F.col("bc").alias("pc"),
+            F.col("bx").alias("px"),
+        )
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("pc"), F.lit(0)).alias("offc"),
+            F.coalesce(F.sum(F.col("px").cast(DEC38)).cast("double"), F.lit(0.0))
+            .alias("offx"),
+        )
+    )
+    tot = F.broadcast(
+        vals.agg(
+            F.sum("c").alias("nc"),
+            F.sum((F.col("x") * F.col("c")).cast(DEC38))
+            .cast("double")
+            .alias("tx"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        vals.join(F.broadcast(offsets), "bucket")
+        .crossJoin(tot)
+        .withColumn("cumc", F.col("offc") + F.sum("c").over(w_in))
+        .withColumn(
+            "cumx",
+            F.col("offx")
+            + F.sum((F.col("x") * F.col("c")).cast(DEC38))
+            .over(w_in)
+            .cast("double"),
+        )
+    )
+    # decile d boundary at k_d = floor(nc*d/10) customers: cumulative
+    # revenue = cumx at the last value fully below + pro-rata heads into
+    # the boundary tie group
+    aggs: list[Column] = [F.max("nc").cast("long").alias("n_customers")]
+    for d in range(1, LORENZ_DECILES + 1):
+        k = F.expr(f"(nc * {d}) DIV {LORENZ_DECILES}")
+        full_below = F.max(F.when(F.col("cumc") <= k, F.col("cumx")))
+        boundary = F.max(
+            F.when(
+                (F.col("cumc") - F.col("c") < k) & (F.col("cumc") > k),
+                (k - (F.col("cumc") - F.col("c"))).cast("double") * F.col("x"),
+            )
+        )
+        share = (F.coalesce(full_below, F.lit(0.0)) + F.coalesce(boundary, F.lit(0.0))) / F.max(
+            "tx"
+        )
+        aggs.append(qround(share, 6).alias(f"share_p{d * 10}"))
+    return ranked.agg(*aggs)
+
+
+def granger_causality_daily(orders: DataFrame) -> DataFrame:
+    """Lag-1 Granger causality test (Granger 1969, public): do yesterday's
+    ORDER COUNTS improve today's revenue forecast beyond yesterday's
+    revenue? Restricted model y_t ~ y_{t−1} vs unrestricted
+    y_t ~ y_{t−1} + x_{t−1};
+
+        F = (SSE_r − SSE_u) / (SSE_u / (n − 3))
+
+    Calendar-bounded daily frame; one lag window builds the regression
+    rows, one DECIMAL(38,8) moment aggregate feeds both closed-form
+    fits (1-var and Cramer 2-var); identical scalar shapes both engines.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (dsum(F.col("o_totalprice")) / F.lit(ACF_REV_SCALE)).alias("y"),
+        F.count("*").cast("double").alias("x"),
+    )
+    w = Window.orderBy("day")
+    rows = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("yl"),
+        F.lag("x", 1).over(w).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    m = rows.agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum38(F.col("y")).alias("sy"),
+        _dsum38(F.col("yl")).alias("s1"),
+        _dsum38(F.col("xl")).alias("s2"),
+        _dsum38(F.col("yl") * F.col("yl")).alias("s11"),
+        _dsum38(F.col("xl") * F.col("xl")).alias("s22"),
+        _dsum38(F.col("yl") * F.col("xl")).alias("s12"),
+        _dsum38(F.col("yl") * F.col("y")).alias("s1y"),
+        _dsum38(F.col("xl") * F.col("y")).alias("s2y"),
+        _dsum38(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    sse_r = cyy - c1y * c1y / c11
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    sse_u = cyy - b1 * c1y - b2 * c2y
+    f = (sse_r - sse_u) / (sse_u / (n - 3.0))
+    return m.select(
+        n.cast("long").alias("n_days"),
+        qround(b2, 6).alias("beta_lag_count"),
+        qround(f, 4).alias("f_stat"),
+        qround((sse_r - sse_u) / sse_r, 9).alias("sse_drop_share"),
+    )

@@ -2177,3 +2177,196 @@ def _holt_winters_sql() -> str:
 
 
 register("holt_winters_forecast", _q_holt_winters, _holt_winters_sql())
+
+
+# ===========================================================================
+# decomposition / inequality curve / causality
+# ===========================================================================
+
+
+def _q_oaxaca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the 1996->1997 mean line-price gap
+    (operators/relational.py:oaxaca_price_gap): one conditional-moment
+    aggregate, two closed-form fits, exact identity."""
+    return relational.oaxaca_price_gap(load(spark, sf_dir, "lineitem"))
+
+
+def _oaxaca_sql() -> str:
+    def side(tag: str, pred: str) -> str:
+        cols = [
+            f"CAST(count(CASE WHEN {pred} THEN 1 END) AS DOUBLE) AS n_{tag}"
+        ]
+        for nm, e in (
+            ("s1", "x1"), ("s2", "x2"), ("sy", "y"),
+            ("s11", "x1 * x1"), ("s22", "x2 * x2"), ("s12", "x1 * x2"),
+            ("s1y", "x1 * y"), ("s2y", "x2 * y"),
+        ):
+            cols.append(
+                _d38(f"CASE WHEN {pred} THEN {e} END") + f" AS {nm}_{tag}"
+            )
+        return ",\n                 ".join(cols)
+
+    def fit(tag: str) -> dict:
+        n = f"n_{tag}"
+        c11 = f"(s11_{tag} - s1_{tag} * s1_{tag} / {n})"
+        c22 = f"(s22_{tag} - s2_{tag} * s2_{tag} / {n})"
+        c12 = f"(s12_{tag} - s1_{tag} * s2_{tag} / {n})"
+        c1y = f"(s1y_{tag} - s1_{tag} * sy_{tag} / {n})"
+        c2y = f"(s2y_{tag} - s2_{tag} * sy_{tag} / {n})"
+        det = f"({c11} * {c22} - {c12} * {c12})"
+        b1 = f"(({c22} * {c1y} - {c12} * {c2y}) / {det})"
+        b2 = f"(({c11} * {c2y} - {c12} * {c1y}) / {det})"
+        m1, m2, my = f"(s1_{tag} / {n})", f"(s2_{tag} / {n})", f"(sy_{tag} / {n})"
+        b0 = f"({my} - {b1} * {m1} - {b2} * {m2})"
+        return dict(b0=b0, b1=b1, b2=b2, m1=m1, m2=m2, my=my)
+
+    A, B = fit("a"), fit("b")
+    gap = f"({B['my']} - {A['my']})"
+    endow = (
+        f"(({B['m1']} - {A['m1']}) * {A['b1']}"
+        f" + ({B['m2']} - {A['m2']}) * {A['b2']})"
+    )
+    coeff = (
+        f"(({B['b0']} - {A['b0']})"
+        f" + {B['m1']} * ({B['b1']} - {A['b1']})"
+        f" + {B['m2']} * ({B['b2']} - {A['b2']}))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT year(l_shipdate) = 1996 AS is_a,
+                 CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2
+          FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)),
+        m AS (
+          SELECT {side('a', 'is_a')},
+                 {side('b', 'NOT is_a')}
+          FROM base)
+        SELECT CAST(n_a AS BIGINT) AS n_1996, CAST(n_b AS BIGINT) AS n_1997,
+               {_q(gap, 4)} AS mean_gap,
+               {_q(endow, 4)} AS endowment_effect,
+               {_q(coeff, 4)} AS coefficient_effect,
+               {_q(f'{gap} - {endow} - {coeff}', 6)} AS identity_residual
+        FROM m"""
+
+
+register("oaxaca_price_gap", _q_oaxaca, _oaxaca_sql())
+
+
+def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at customer deciles
+    (operators/relational.py:lorenz_curve_deciles): gini_revenue's
+    bucketed-prefix machinery with exact pro-rata boundary splits."""
+    return relational.lorenz_curve_deciles(load(spark, sf_dir, "orders"))
+
+
+def _lorenz_sql() -> str:
+    from .operators.relational import (
+        GINI_BUCKET_WIDTH,
+        GINI_REV_SCALE,
+        LORENZ_DECILES,
+    )
+
+    dec = "DECIMAL(38,8)"
+    picks = ["CAST(max(nc) AS BIGINT) AS n_customers"]
+    for d in range(1, LORENZ_DECILES + 1):
+        k = f"((nc * {d}) // {LORENZ_DECILES})"
+        full_below = f"max(CASE WHEN cumc <= {k} THEN cumx END)"
+        boundary = (
+            f"max(CASE WHEN cumc - c < {k} AND cumc > {k}"
+            f" THEN CAST({k} - (cumc - c) AS DOUBLE) * x END)"
+        )
+        picks.append(
+            _q(
+                f"(coalesce({full_below}, 0.0) + coalesce({boundary}, 0.0))"
+                " / max(tx)",
+                6,
+            )
+            + f" AS share_p{d * 10}"
+        )
+    return f"""
+        WITH percust AS (
+          SELECT o_custkey,
+                 {_d('o_totalprice')} / {GINI_REV_SCALE} AS x
+          FROM orders GROUP BY 1),
+        vals AS (
+          SELECT x, count(*) AS c,
+                 floor(x / {GINI_BUCKET_WIDTH / GINI_REV_SCALE!r}) AS bucket
+          FROM percust GROUP BY 1),
+        buckets AS (
+          SELECT bucket, sum(c) AS bc,
+                 CAST(sum(CAST(x * c AS {dec})) AS DOUBLE) AS bx
+          FROM vals GROUP BY 1),
+        offsets AS (
+          SELECT b.bucket,
+                 coalesce(sum(p.bc), 0) AS offc,
+                 coalesce(CAST(sum(CAST(p.bx AS {dec})) AS DOUBLE), 0.0)
+                   AS offx
+          FROM buckets b LEFT JOIN buckets p ON p.bucket < b.bucket
+          GROUP BY b.bucket),
+        tot AS (
+          SELECT sum(c) AS nc,
+                 CAST(sum(CAST(x * c AS {dec})) AS DOUBLE) AS tx
+          FROM vals),
+        ranked AS (
+          SELECT v.x, v.c, t.nc, t.tx,
+                 o.offc + sum(v.c) OVER w AS cumc,
+                 o.offx + CAST(sum(CAST(v.x * v.c AS {dec})) OVER w
+                               AS DOUBLE) AS cumx
+          FROM vals v JOIN offsets o ON v.bucket = o.bucket
+          CROSS JOIN tot t
+          WINDOW w AS (PARTITION BY v.bucket ORDER BY v.x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT {', '.join(picks)}
+        FROM ranked"""
+
+
+register("lorenz_curve_deciles", _q_lorenz, _lorenz_sql())
+
+
+def _q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality of order counts on revenue
+    (operators/relational.py:granger_causality_daily)."""
+    return relational.granger_causality_daily(load(spark, sf_dir, "orders"))
+
+
+def _granger_sql() -> str:
+    from .operators.relational import ACF_REV_SCALE
+
+    c11 = "(s11 - s1 * s1 / n)"
+    c22 = "(s22 - s2 * s2 / n)"
+    c12 = "(s12 - s1 * s2 / n)"
+    c1y = "(s1y - s1 * sy / n)"
+    c2y = "(s2y - s2 * sy / n)"
+    cyy = "(syy - sy * sy / n)"
+    det = f"({c11} * {c22} - {c12} * {c12})"
+    b1 = f"(({c22} * {c1y} - {c12} * {c2y}) / {det})"
+    b2 = f"(({c11} * {c2y} - {c12} * {c1y}) / {det})"
+    sse_r = f"({cyy} - {c1y} * {c1y} / {c11})"
+    sse_u = f"({cyy} - {b1} * {c1y} - {b2} * {c2y})"
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} / {ACF_REV_SCALE} AS y,
+                 CAST(count(*) AS DOUBLE) AS x
+          FROM orders GROUP BY 1),
+        rows_ AS (
+          SELECT y, lag(y, 1) OVER (ORDER BY day) AS yl,
+                 lag(x, 1) OVER (ORDER BY day) AS xl
+          FROM daily),
+        m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('y')} AS sy, {_d38('yl')} AS s1, {_d38('xl')} AS s2,
+                 {_d38('yl * yl')} AS s11, {_d38('xl * xl')} AS s22,
+                 {_d38('yl * xl')} AS s12, {_d38('yl * y')} AS s1y,
+                 {_d38('xl * y')} AS s2y, {_d38('y * y')} AS syy
+          FROM rows_ WHERE yl IS NOT NULL)
+        SELECT CAST(n AS BIGINT) AS n_days,
+               {_q(b2, 6)} AS beta_lag_count,
+               {_q(f'({sse_r} - {sse_u}) / ({sse_u} / (n - 3.0))', 4)}
+                 AS f_stat,
+               {_q(f'({sse_r} - {sse_u}) / {sse_r}', 9)} AS sse_drop_share
+        FROM m"""
+
+
+register("granger_causality_daily", _q_granger, _granger_sql())

@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "lorenz_curve_deciles",
     "granger_causality_daily",
     "holt_winters_forecast",
+    "anderson_darling_price",
 ]
 
 

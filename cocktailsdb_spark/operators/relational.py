@@ -5862,3 +5862,97 @@ def granger_causality_daily(orders: DataFrame) -> DataFrame:
         qround(f, 4).alias("f_stat"),
         qround((sse_r - sse_u) / sse_r, 9).alias("sse_drop_share"),
     )
+
+
+AD_LN_FLOOR = 1e-300  # ln() guard for extreme tails (same clip both engines)
+
+
+def anderson_darling_price(orders: DataFrame) -> DataFrame:
+    """Anderson–Darling normality test (Anderson & Darling 1952, public)
+    of order values — the tail-weighted EDF statistic that catches what
+    Jarque–Bera's moments blur:
+
+        A² = −n − (1/n)·Σᵢ [(2i−1)·ln Φ(zᵢ) + (2(n−i)+1)·ln(1−Φ(zᵢ))]
+
+    (the single-pass algebraic form of the textbook i ↔ n+1−i pairing).
+    Rank-free at scale: ranks never materialise per row — a tied value
+    group with c members starting after cum_lt smaller rows contributes
+    exact integer weight sums t₁ = c·(2·cum_lt + c) and
+    t₂ = c·(2(n−cum_lt) − c), so the whole statistic reduces to one pass
+    over the distinct-value frame with the bucketed two-pass prefix
+    (mann_whitney machinery). Φ comes from the engine-shared A&S
+    polynomial (bh_fdr convention); per-value terms are pre-scaled by
+    1/n and quantized at 1e-4 before the DECIMAL(38,8) sum (lane rule).
+    The case-0.05 critical value (0.787, de-meaned/de-scaled variant
+    A*² with the small-n factor) is reported alongside raw A².
+    """
+    x = F.col("o_totalprice").cast("double")
+    mom = F.broadcast(
+        orders.agg(
+            F.count("*").cast("double").alias("n"),
+            _dsum38(x).alias("sx"),
+            _dsum38(x * x).alias("sxx"),
+        ).select(
+            "n",
+            (F.col("sx") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+    )
+    vals = (
+        orders.groupBy(x.alias("v"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("bucket", F.floor(F.col("v") / F.lit(KS_BUCKET_WIDTH)))
+        .localCheckpoint()
+    )
+    buckets = vals.groupBy("bucket").agg(F.sum("c").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(F.col("bucket").alias("pb"), F.col("bt").alias("pt"))
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        vals.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum_lt", F.col("off") + F.coalesce(F.sum("c").over(w_in), F.lit(0))
+        )
+        .crossJoin(mom)
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    phi = F.when(
+        z >= 0, F.lit(1.0) - _norm_sf_expr(z)
+    ).otherwise(_norm_sf_expr(-z))
+    ln_lo = F.log(F.greatest(phi, F.lit(AD_LN_FLOOR)))
+    ln_hi = F.log(F.greatest(F.lit(1.0) - phi, F.lit(AD_LN_FLOOR)))
+    c, n = F.col("c").cast("double"), F.col("n")
+    t1 = c * (2.0 * F.col("cum_lt").cast("double") + c)
+    t2 = c * (2.0 * (n - F.col("cum_lt").cast("double")) - c)
+    term = qround((t1 * ln_lo + t2 * ln_hi) / n, 4)
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(term.cast(DEC38)).cast("double").alias("s"),
+    )
+    # terms are already pre-scaled by 1/n inside the quantized lane
+    a2 = -F.col("n") - F.col("s")
+    a2_star = a2 * (
+        F.lit(1.0) + F.lit(0.75) / F.col("n") + F.lit(2.25) / (F.col("n") * F.col("n"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        qround(a2, 4).alias("a2_stat"),
+        qround(a2_star, 4).alias("a2_star"),
+        F.when(qround(a2_star, 4) > F.lit(0.787), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_normal_05"),
+    )

@@ -2370,3 +2370,67 @@ def _granger_sql() -> str:
 
 
 register("granger_causality_daily", _q_granger, _granger_sql())
+
+
+def _q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality A2 over order values
+    (operators/relational.py:anderson_darling_price): single-pass
+    algebraic form with exact tie weight sums over the bucketed ranks,
+    A&S normal CDF."""
+    return relational.anderson_darling_price(load(spark, sf_dir, "orders"))
+
+
+def _anderson_darling_sql() -> str:
+    from .operators.relational import AD_LN_FLOOR, sql_norm_sf
+
+    phi = (
+        f"(CASE WHEN z >= 0 THEN 1.0 - {sql_norm_sf('z')}"
+        f" ELSE {sql_norm_sf('-z')} END)"
+    )
+    term_expr = (
+        f"(c * (2.0 * cum_lt + c)"
+        f" * ln(greatest({phi}, {AD_LN_FLOOR!r}))"
+        f" + c * (2.0 * (n - cum_lt) - c)"
+        f" * ln(greatest(1.0 - {phi}, {AD_LN_FLOOR!r}))) / n"
+    )
+    return f"""
+        WITH mom AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('CAST(o_totalprice AS DOUBLE)')} AS sx,
+                 {_d38('CAST(o_totalprice AS DOUBLE)'
+                       ' * CAST(o_totalprice AS DOUBLE)')} AS sxx
+          FROM orders),
+        mom2 AS (
+          SELECT n, sx / n AS mu,
+                 sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+          FROM mom),
+        vals AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS c
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT v, c,
+                 coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+          FROM vals),
+        scored AS (
+          SELECT (v - mu) / sd AS z, CAST(c AS DOUBLE) AS c,
+                 CAST(cum_lt AS DOUBLE) AS cum_lt, n
+          FROM ranked CROSS JOIN mom2),
+        terms AS (
+          SELECT n, {_q(term_expr, 4)} AS term
+          FROM scored),
+        agg AS (
+          SELECT max(n) AS n,
+                 CAST(sum(CAST(term AS DECIMAL(38,8))) AS DOUBLE) AS s
+          FROM terms)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q('-n - s', 4)} AS a2_stat,
+               {_q('(-n - s) * (1.0 + 0.75 / n + 2.25 / (n * n))', 4)}
+                 AS a2_star,
+               CAST(CASE WHEN {_q('(-n - s) * (1.0 + 0.75 / n'
+                                  ' + 2.25 / (n * n))', 4)} > 0.787
+                         THEN 1 ELSE 0 END AS INT) AS reject_normal_05
+        FROM agg"""
+
+
+register("anderson_darling_price", _q_anderson_darling, _anderson_darling_sql())

@@ -161,3 +161,19 @@ def test_pacf_consistency_formulas(spark):
     # recompute pacf2 from the reported r's (rounded inputs -> loose tol)
     exp_p2 = (r.r2 - r.r1**2) / (1 - r.r1**2)
     assert r.pacf2 == pytest.approx(exp_p2, abs=1e-4)
+
+
+def test_anderson_darling_normal_vs_skewed(spark):
+    # symmetric triangular-ish data: A2* small; heavy one-sided outliers:
+    # A2* large and flagged
+    sym = []
+    for i in range(200):
+        # near-normal via sum of 3 uniform lanes (deterministic)
+        u = ((i * 37) % 100 + (i * 61) % 100 + (i * 89) % 100) / 3.0
+        sym.append(1000.0 + u)
+    r_sym = rel.anderson_darling_price(_daily(spark, sym)).collect()[0]
+    skw = [1000.0] * 190 + [9000.0 + i for i in range(10)]
+    r_skw = rel.anderson_darling_price(_daily(spark, skw)).collect()[0]
+    assert r_skw.a2_star > r_sym.a2_star
+    assert r_skw.reject_normal_05 == 1
+    assert r_sym.a2_stat > 0.0

@@ -139,6 +139,36 @@ AUDIT = [
     "lateral_topk_per_nation",
     "array_hof_stats",
     "mutual_info_features",
+    "ngram_novelty_rate",
+    "window_funnel_timebound",
+    "abc_xyz_parts",
+    "price_elasticity_by_brand",
+    "percentile_cont_priority",
+    "theil_index_revenue",
+    "hhi_brand_concentration",
+    "rmst_retention",
+    "tukey_hsd_priority",
+    "frequent_token_subsample",
+    "holt_winters_forecast",
+    "oaxaca_price_gap",
+    "lorenz_curve_deciles",
+    "granger_causality_daily",
+    "max_drawdown_daily",
+    "jarque_bera_price",
+    "durbin_watson_daily",
+    "breusch_pagan_price",
+    "chow_break_test",
+    "runs_test_daily",
+    "pacf_daily_revenue",
+    "conformal_interval_price",
+    "permutation_test_price",
+    "effect_sizes_priority",
+    "vif_features",
+    "partial_corr_price",
+    "regression_influence_topk",
+    "levene_brown_forsythe",
+    "neyman_allocation",
+    "ab_sample_size",
 ]
 
 

@@ -367,16 +367,23 @@ def _evidence_order() -> list[str] | None:
         evidence = json.loads(path.read_text())
     except (OSError, ValueError):
         return None
-    front: list[str] = []
+    never: list[str] = []
+    changed: list[str] = []
     rest: list[tuple[int, str]] = []
     for name in QUERIES:
         rec = evidence.get(name)
-        if rec is None or rec.get("hash") != entry_source_hash(name):
-            front.append(name)  # never checked, or changed since checked
+        if rec is None:
+            never.append(name)  # zero driver evidence ever — highest risk
+        elif rec.get("hash") != entry_source_hash(name):
+            changed.append(name)  # evidence exists but for older code
         else:
             rest.append((rec.get("last_round", 0), name))
     rest.sort(key=lambda t: t[0])
-    return front + [n for _, n in rest]
+    # never-checked BEFORE changed-since-checked: when the front exceeds
+    # the driver's ~50-entry sample, entries with no driver row at all
+    # must win the slots (a changed entry still has historical evidence
+    # of its oracle contract; a never-checked one has none)
+    return never + changed + [n for _, n in rest]
 
 
 def _apply_driver_priority() -> None:

@@ -298,6 +298,9 @@ BENCH_QUERIES = [
     "granger_causality_daily",
     "holt_winters_forecast",
     "anderson_darling_price",
+    "adaboost_two_stumps",
+    "ks_normality_price",
+    "event_rate_test",
 ]
 
 

@@ -1908,3 +1908,252 @@ def frequent_token_subsample(docs: DataFrame, t: float = SUBSAMPLE_T) -> DataFra
         .cast("long")
         .alias("vocab_after"),
     )
+
+
+def adaboost_two_stumps(docs: DataFrame, label_lang: str = STUMP_LABEL_LANG) -> DataFrame:
+    """Two rounds of AdaBoost over histogram decision stumps (Freund &
+    Schapire 1997, public) on the stump task (predict ``lang`` from the
+    three text features) — the BOOSTING shape of distributed tree
+    learning next to decision_stump_train (single tree) and
+    stump_cross_validation (evaluation).
+
+    The classic exp-reweighting is EXACT here: after round 1 with m
+    misclassified of n, every correct row's weight is e^{−α} and every
+    wrong row's e^{+α}, a ratio of e^{2α} = (1−ε)/ε = (n−m)/m — a
+    RATIONAL. Scaling all weights by m makes round 2's histogram
+    weights the integers (correct → m, wrong → n−m); weighted Gini is
+    scale-invariant, so the round-2 split search runs on pure integer
+    split stats in DECIMAL(38,0) lanes — no float weight ever exists.
+    α's are the only logs (½·ln((n−m)/m), quantized 1e-6, engine-shared
+    lane) and enter ONLY the final vote, which compares quantized
+    values identically on both engines.
+
+    Three row-frame passes (histogram₁ → classify+weighted histogram₂ →
+    ensemble vote), each map-side-combined; candidate frames are
+    (feature × 1e-2 bins), schema-bounded. Output (single row): both
+    rounds' splits/errors/α's and the round-1 vs ensemble train
+    accuracy.
+    """
+    base = docs.select(
+        (F.col("lang") == label_lang).cast("int").alias("y"),
+        qround(F.size(tokens()) / F.lit(100.0), STUMP_GRID).alias("f1"),
+        qround(F.col("n_chars") / F.lit(1000.0), STUMP_GRID).alias("f2"),
+        qround(
+            F.size(F.array_distinct(tokens())).cast("double")
+            / F.size(tokens()).cast("double"),
+            STUMP_GRID,
+        ).alias("f3"),
+    ).localCheckpoint()
+    feats = ("f1", "f2", "f3")
+    big = "decimal(38,0)"
+
+    def stump(rows: DataFrame, w: Column) -> DataFrame:
+        """Weighted histogram stump: returns a 1-row frame with
+        (feature, threshold, pred_left, pred_right) — weights must be
+        integer-valued Columns."""
+        long = rows.select(
+            "y",
+            w.alias("w"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(f).alias("feature"), F.col(f).alias("bin"))
+                        for f in feats
+                    ]
+                )
+            ).alias("fb"),
+        ).select(
+            F.col("fb.feature").alias("feature"),
+            F.col("fb.bin").alias("bin"),
+            "y",
+            "w",
+        )
+        hist = (
+            long.filter(F.col("bin").isNotNull())
+            .groupBy("feature", "bin")
+            .agg(
+                F.sum(F.col("w").cast(big)).alias("n"),
+                F.sum((F.col("w") * F.col("y")).cast(big)).alias("pos"),
+            )
+        )
+        wcum = (
+            Window.partitionBy("feature")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wtot = Window.partitionBy("feature")
+        cand = (
+            hist.withColumn("nl", F.sum("n").over(wcum))
+            .withColumn("pl", F.sum("pos").over(wcum))
+            .withColumn("nt", F.sum("n").over(wtot))
+            .withColumn("pt", F.sum("pos").over(wtot))
+            .filter(F.col("nl") < F.col("nt"))
+        )
+        nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+        nt, pt = F.col("nt").cast("double"), F.col("pt").cast("double")
+        nr, pr = nt - nl, pt - pl
+
+        def gini(p: Column, n_: Column) -> Column:
+            a = p / n_
+            b = (n_ - p) / n_
+            return F.lit(1.0) - a * a - b * b
+
+        weighted = (nl / nt) * gini(pl, nl) + (nr / nt) * gini(pr, nr)
+        w_pick = Window.orderBy(
+            F.asc(qround(weighted, 6)), F.asc("feature"), F.asc("bin")
+        )
+        return (
+            cand.withColumn("rk", F.row_number().over(w_pick))
+            .filter(F.col("rk") == 1)
+            .select(
+                "feature",
+                F.col("bin").alias("threshold"),
+                # majority per side; weight ties predict 1 (>= on ints)
+                (F.lit(2) * F.col("pl") >= F.col("nl"))
+                .cast("int")
+                .alias("pred_left"),
+                (
+                    F.lit(2) * (F.col("pt") - F.col("pl"))
+                    >= (F.col("nt") - F.col("nl"))
+                )
+                .cast("int")
+                .alias("pred_right"),
+            )
+        )
+
+    def h_of(split_prefix: str) -> Column:
+        f = F.col(f"{split_prefix}_feature")
+        t = F.col(f"{split_prefix}_threshold")
+        v = (
+            F.when(f == "f1", F.col("f1"))
+            .when(f == "f2", F.col("f2"))
+            .otherwise(F.col("f3"))
+        )
+        # NULL feature value goes RIGHT on both engines (v <= t is
+        # NULL -> otherwise branch)
+        return F.when(v <= t, F.col(f"{split_prefix}_pred_left")).otherwise(
+            F.col(f"{split_prefix}_pred_right")
+        )
+
+    s1 = F.broadcast(
+        stump(base, F.lit(1)).select(
+            F.col("feature").alias("s1_feature"),
+            F.col("threshold").alias("s1_threshold"),
+            F.col("pred_left").alias("s1_pred_left"),
+            F.col("pred_right").alias("s1_pred_right"),
+        )
+    )
+    scored1 = base.crossJoin(s1).withColumn(
+        "correct1", (h_of("s1") == F.col("y")).cast("int")
+    ).localCheckpoint()
+    err1 = F.broadcast(
+        scored1.agg(
+            F.count("*").alias("n"),
+            F.sum(F.lit(1) - F.col("correct1")).alias("m"),
+        )
+    )
+    # round-2 integer weights: correct -> m, wrong -> n - m
+    w2frame = scored1.crossJoin(err1).select(
+        "y",
+        "f1",
+        "f2",
+        "f3",
+        F.when(F.col("correct1") == 1, F.col("m"))
+        .otherwise(F.col("n") - F.col("m"))
+        .alias("w2"),
+        "n",
+        "m",
+        "s1_feature",
+        "s1_threshold",
+        "s1_pred_left",
+        "s1_pred_right",
+        "correct1",
+    )
+    s2 = F.broadcast(
+        stump(w2frame, F.col("w2")).select(
+            F.col("feature").alias("s2_feature"),
+            F.col("threshold").alias("s2_threshold"),
+            F.col("pred_left").alias("s2_pred_left"),
+            F.col("pred_right").alias("s2_pred_right"),
+        )
+    )
+    voted = w2frame.crossJoin(s2)
+    n, m = F.col("n").cast("double"), F.col("m").cast("double")
+    alpha1 = qround(F.lit(0.5) * F.log((n - m) / m), 6)
+    # round-2 weighted error: Σ w over wrong2 / Σ w — integers
+    h2 = h_of("s2")
+    wrong2w = F.sum(
+        F.when(h2 != F.col("y"), F.col("w2")).otherwise(F.lit(0)).cast(big)
+    ).cast("double")
+    totw = F.sum(F.col("w2").cast(big)).cast("double")
+    agg = voted.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.first("s1_feature").alias("r1_feature"),
+        F.first("s1_threshold").alias("r1_threshold"),
+        F.first("s2_feature").alias("r2_feature"),
+        F.first("s2_threshold").alias("r2_threshold"),
+        wrong2w.alias("w2_wrong"),
+        totw.alias("w2_tot"),
+        F.sum("correct1").alias("c1"),
+        # ensemble vote needs alphas — compute after via the scalar frame;
+        # here collect the four vote-bucket counts (h1, h2, y) suffice:
+        # vote value is monotone in (h1, h2) given fixed alphas
+        F.sum(
+            F.when((h_of("s1") == 1) & (h2 == 1) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("b111"),
+        F.sum(
+            F.when((h_of("s1") == 1) & (h2 == 1) & (F.col("y") == 0), 1).otherwise(0)
+        ).alias("b110"),
+        F.sum(
+            F.when((h_of("s1") == 1) & (h2 == 0) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("b101"),
+        F.sum(
+            F.when((h_of("s1") == 1) & (h2 == 0) & (F.col("y") == 0), 1).otherwise(0)
+        ).alias("b100"),
+        F.sum(
+            F.when((h_of("s1") == 0) & (h2 == 1) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("b011"),
+        F.sum(
+            F.when((h_of("s1") == 0) & (h2 == 1) & (F.col("y") == 0), 1).otherwise(0)
+        ).alias("b010"),
+        F.sum(
+            F.when((h_of("s1") == 0) & (h2 == 0) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("b001"),
+        F.sum(
+            F.when((h_of("s1") == 0) & (h2 == 0) & (F.col("y") == 0), 1).otherwise(0)
+        ).alias("b000"),
+    )
+    eps1 = m / n
+    eps2 = F.col("w2_wrong") / F.col("w2_tot")
+    a1 = qround(F.lit(0.5) * F.log((F.lit(1.0) - eps1) / eps1), 6)
+    a2 = qround(F.lit(0.5) * F.log((F.lit(1.0) - eps2) / eps2), 6)
+    # ensemble prediction per (h1, h2): sign of a1*(2h1-1) + a2*(2h2-1);
+    # ties predict 1 (>= 0), identical on both engines over quantized a's
+    def pred(h1: int, h2: int) -> Column:
+        v = a1 * F.lit(float(2 * h1 - 1)) + a2 * F.lit(float(2 * h2 - 1))
+        return (v >= 0).cast("int")
+
+    correct_ens = (
+        F.when(pred(1, 1) == 1, F.col("b111")).otherwise(F.col("b110"))
+        + F.when(pred(1, 0) == 1, F.col("b101")).otherwise(F.col("b100"))
+        + F.when(pred(0, 1) == 1, F.col("b011")).otherwise(F.col("b010"))
+        + F.when(pred(0, 0) == 1, F.col("b001")).otherwise(F.col("b000"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        "r1_feature",
+        qround(F.col("r1_threshold"), 2).alias("r1_threshold"),
+        qround(eps1, 6).alias("r1_error"),
+        a1.alias("alpha1"),
+        "r2_feature",
+        qround(F.col("r2_threshold"), 2).alias("r2_threshold"),
+        qround(eps2, 6).alias("r2_error"),
+        a2.alias("alpha2"),
+        qround(F.col("c1").cast("double") / F.col("n"), 6).alias(
+            "train_acc_round1"
+        ),
+        qround(correct_ens.cast("double") / F.col("n"), 6).alias(
+            "train_acc_ensemble"
+        ),
+    )

@@ -1106,3 +1106,59 @@ def window_funnel_timebound(
             "conversion_from_l1"
         ),
     )
+
+
+RATE_TEST_EVENT = "error"
+RATE_TEST_SPLIT = "2024-01-08"  # week 1 vs the rest of the fixture month
+
+
+def event_rate_test(
+    events: DataFrame,
+    event_type: str = RATE_TEST_EVENT,
+    split: str = RATE_TEST_SPLIT,
+) -> DataFrame:
+    """Two-period Poisson rate comparison for an event type — the SRE
+    "did the error rate change after the deploy" primitive next to
+    error_budget_burn (thresholds) and cusum (changepoint search):
+
+        z = (r₁ − r₂) / √(n₁/T₁² + n₂/T₂²),   rᵢ = nᵢ/Tᵢ
+
+    (normal approximation to the two-sample Poisson test; exposures are
+    exact day counts from the observed span). ONE conditional aggregate
+    over the filtered scan; everything else is scalar arithmetic on the
+    single result row, identical shape both engines.
+    """
+    ev = events.filter(F.col("event_type") == event_type).select(
+        (F.to_date("ts") < F.lit(split).cast("date")).alias("in_a"), "ts"
+    )
+    span = F.broadcast(
+        events.agg(
+            F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+        ).select(
+            F.datediff(F.lit(split).cast("date"), F.col("d0"))
+            .cast("double")
+            .alias("t1"),
+            (F.datediff(F.col("d1"), F.lit(split).cast("date")) + 1)
+            .cast("double")
+            .alias("t2"),
+        )
+    )
+    g = ev.agg(
+        F.count(F.when(F.col("in_a"), 1)).cast("double").alias("n1"),
+        F.count(F.when(~F.col("in_a"), 1)).cast("double").alias("n2"),
+    ).crossJoin(span)
+    r1, r2 = F.col("n1") / F.col("t1"), F.col("n2") / F.col("t2")
+    z = (r1 - r2) / F.sqrt(
+        F.col("n1") / (F.col("t1") * F.col("t1"))
+        + F.col("n2") / (F.col("t2") * F.col("t2"))
+    )
+    return g.select(
+        F.col("n1").cast("long").alias("n_events_pre"),
+        F.col("n2").cast("long").alias("n_events_post"),
+        F.col("t1").cast("int").alias("days_pre"),
+        F.col("t2").cast("int").alias("days_post"),
+        qround(r1, 6).alias("rate_pre"),
+        qround(r2, 6).alias("rate_post"),
+        qround(r2 / r1, 6).alias("rate_ratio"),
+        qround(z, 6).alias("z_score"),
+    )

@@ -5956,3 +5956,76 @@ def anderson_darling_price(orders: DataFrame) -> DataFrame:
         .cast("int")
         .alias("reject_normal_05"),
     )
+
+
+def ks_normality_price(orders: DataFrame) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov / Lilliefors-type normality check of
+    order values against the FITTED Normal(μ̂, σ̂): D = sup over the data
+    of max(|F_n(x) − Φ(z)|, |F_n(x⁻) − Φ(z)|) — both EDF sides, the
+    textbook two-sided statistic. Completes the normality triad next to
+    jarque_bera_price (moments) and anderson_darling_price (tail-
+    weighted integral): KS weighs the CENTER.
+
+    Same machinery as the two-sample KS: distinct-value frame + bucketed
+    prefix ranks (no global sort); Φ from the shared A&S polynomial.
+    The α=0.05 decision uses the public Lilliefors large-n approximation
+    0.886/√n, compared on qround'd values.
+    """
+    x = F.col("o_totalprice").cast("double")
+    mom = F.broadcast(
+        orders.agg(
+            F.count("*").cast("double").alias("n"),
+            _dsum38(x).alias("sx"),
+            _dsum38(x * x).alias("sxx"),
+        ).select(
+            "n",
+            (F.col("sx") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+    )
+    vals = (
+        orders.groupBy(x.alias("v"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("bucket", F.floor(F.col("v") / F.lit(KS_BUCKET_WIDTH)))
+        .localCheckpoint()
+    )
+    buckets = vals.groupBy("bucket").agg(F.sum("c").alias("bt"))
+    prev = F.broadcast(
+        buckets.select(F.col("bucket").alias("pb"), F.col("bt").alias("pt"))
+    )
+    offsets = (
+        buckets.join(prev, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("off"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        vals.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("off") + F.sum("c").over(w_in))
+        .crossJoin(mom)
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    phi = F.when(z >= 0, F.lit(1.0) - _norm_sf_expr(z)).otherwise(
+        _norm_sf_expr(-z)
+    )
+    hi = F.col("cum").cast("double") / F.col("n")
+    lo = (F.col("cum") - F.col("c")).cast("double") / F.col("n")
+    d_row = F.greatest(F.abs(hi - phi), F.abs(lo - phi))
+    agg = ranked.agg(F.max("n").alias("n"), F.max(d_row).alias("d"))
+    crit = F.lit(0.886) / F.sqrt(F.col("n"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        qround(F.col("d"), 6).alias("d_stat"),
+        qround(F.sqrt(F.col("n")) * F.col("d"), 4).alias("sqrt_n_d"),
+        F.when(qround(F.col("d"), 6) > qround(crit, 6), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_normal_05"),
+    )

@@ -2434,3 +2434,251 @@ def _anderson_darling_sql() -> str:
 
 
 register("anderson_darling_price", _q_anderson_darling, _anderson_darling_sql())
+
+
+# ===========================================================================
+# boosting / KS normality / Poisson rate test
+# ===========================================================================
+
+
+def _q_adaboost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round AdaBoost over histogram stumps with EXACT integer
+    reweighting (operators/corpus.py:adaboost_two_stumps): round-2
+    weights are the integers (m, n-m) since e^{2*alpha} = (1-eps)/eps is
+    rational; alphas are the only logs and enter only the quantized
+    final vote."""
+    from .operators import corpus as _c
+
+    return _c.adaboost_two_stumps(load(spark, sf_dir, "documents"))
+
+
+def _adaboost_sql() -> str:
+    from .operators.corpus import STUMP_GRID, STUMP_LABEL_LANG
+
+    g = STUMP_GRID
+
+    def q2(e):  # feature grid quantization
+        return _q(e, g)
+
+    feat_defs = f"""
+          SELECT CASE WHEN lang = '{STUMP_LABEL_LANG}' THEN 1 ELSE 0 END AS y,
+                 {q2("len(string_split(text, ' ')) / 100.0")} AS f1,
+                 {q2('n_chars / 1000.0')} AS f2,
+                 {q2("CAST(len(list_distinct(string_split(text, ' ')))"
+                     " AS DOUBLE) / len(string_split(text, ' '))")} AS f3
+          FROM documents"""
+
+    def stump_ctes(p: str, rows: str, w: str) -> str:
+        """CTE chain picking the weighted stump from `rows` (must expose
+        y, f1..f3 and the weight expr w)."""
+        return f"""
+        {p}long AS (
+          SELECT u.feature, CASE u.feature WHEN 'f1' THEN f1
+                 WHEN 'f2' THEN f2 ELSE f3 END AS bin, y, {w} AS w
+          FROM {rows} CROSS JOIN (SELECT unnest(['f1','f2','f3']) AS feature) u),
+        {p}hist AS (
+          SELECT feature, bin,
+                 sum(CAST(w AS DECIMAL(38,0))) AS n,
+                 sum(CAST(w * y AS DECIMAL(38,0))) AS pos
+          FROM {p}long WHERE bin IS NOT NULL GROUP BY 1, 2),
+        {p}cand AS (
+          SELECT feature, bin,
+                 sum(n) OVER (PARTITION BY feature ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+                 sum(pos) OVER (PARTITION BY feature ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+                 sum(n) OVER (PARTITION BY feature) AS nt,
+                 sum(pos) OVER (PARTITION BY feature) AS pt
+          FROM {p}hist),
+        {p}scored AS (
+          SELECT feature, bin, nl, pl, nt, pt,
+                 {_q('(CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))'
+                     ' * (1.0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))'
+                     '   * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))'
+                     '   - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))'
+                     '   * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)))'
+                     ' + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))'
+                     ' * (1.0 - (CAST(pt - pl AS DOUBLE)'
+                     '       / CAST(nt - nl AS DOUBLE))'
+                     '   * (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))'
+                     '   - (CAST((nt - nl) - (pt - pl) AS DOUBLE)'
+                     '       / CAST(nt - nl AS DOUBLE))'
+                     '   * (CAST((nt - nl) - (pt - pl) AS DOUBLE)'
+                     '       / CAST(nt - nl AS DOUBLE)))', 6)} AS gini
+          FROM {p}cand WHERE nl < nt),
+        {p}pick AS (
+          SELECT feature, bin AS threshold,
+                 CAST(2 * pl >= nl AS INT) AS pred_left,
+                 CAST(2 * (pt - pl) >= (nt - nl) AS INT) AS pred_right
+          FROM {p}scored
+          ORDER BY gini, feature, bin LIMIT 1)"""
+
+    h = lambda p: (  # noqa: E731 — stump p's prediction for the row
+        f"(CASE WHEN (CASE {p}.feature WHEN 'f1' THEN f1 WHEN 'f2' THEN f2"
+        f" ELSE f3 END) <= {p}.threshold THEN {p}.pred_left"
+        f" ELSE {p}.pred_right END)"
+    )
+    a1 = _q("0.5 * ln((CAST(n AS DOUBLE) - CAST(m AS DOUBLE))"
+            " / CAST(m AS DOUBLE))", 6)
+    a2 = _q("0.5 * ln((1.0 - CAST(w2_wrong AS DOUBLE) / CAST(w2_tot AS DOUBLE))"
+            " / (CAST(w2_wrong AS DOUBLE) / CAST(w2_tot AS DOUBLE)))", 6)
+    vote = lambda h1, h2: (  # noqa: E731
+        f"(CASE WHEN ({a1}) * {float(2 * h1 - 1)}"
+        f" + ({a2}) * {float(2 * h2 - 1)} >= 0 THEN 1 ELSE 0 END)"
+    )
+    ens = " + ".join(
+        f"(CASE WHEN {vote(h1, h2)} = 1 THEN b{h1}{h2}1 ELSE b{h1}{h2}0 END)"
+        for h1 in (1, 0)
+        for h2 in (1, 0)
+    )
+    bucket_cols = ",\n                 ".join(
+        f"sum(CASE WHEN h1v = {h1} AND h2v = {h2} AND y = {y} THEN 1"
+        f" ELSE 0 END) AS b{h1}{h2}{y}"
+        for h1 in (1, 0)
+        for h2 in (1, 0)
+        for y in (1, 0)
+    )
+    return f"""
+        WITH base AS ({feat_defs}),
+        {stump_ctes('s1', 'base', '1')},
+        scored1 AS (
+          SELECT base.*, CASE WHEN {h('s1pick')} = y THEN 1 ELSE 0 END
+                   AS correct1
+          FROM base CROSS JOIN s1pick),
+        err1 AS (
+          SELECT count(*) AS n, sum(1 - correct1) AS m FROM scored1),
+        w2f AS (
+          SELECT scored1.*, CASE WHEN correct1 = 1 THEN m ELSE n - m END
+                   AS w2, n, m
+          FROM scored1 CROSS JOIN err1),
+        {stump_ctes('s2', 'w2f', 'w2')},
+        voted AS (
+          SELECT w2f.*, {h('s2pick')} AS h2v,
+                 CASE WHEN correct1 = 1
+                      THEN (CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                      ELSE (CASE WHEN y = 1 THEN 0 ELSE 1 END) END AS h1v,
+                 s2pick.feature AS s2_feature,
+                 s2pick.threshold AS s2_threshold
+          FROM w2f CROSS JOIN s2pick),
+        agg AS (
+          SELECT max(n) AS n, max(m) AS m,
+                 max(s2_feature) AS r2_feature,
+                 max(s2_threshold) AS r2_threshold,
+                 sum(CASE WHEN h2v <> y THEN w2 ELSE 0 END) AS w2_wrong,
+                 sum(w2) AS w2_tot,
+                 sum(correct1) AS c1,
+                 {bucket_cols}
+          FROM voted)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               (SELECT feature FROM s1pick) AS r1_feature,
+               {_q('(SELECT threshold FROM s1pick)', 2)} AS r1_threshold,
+               {_q('CAST(m AS DOUBLE) / CAST(n AS DOUBLE)', 6)} AS r1_error,
+               {a1} AS alpha1,
+               r2_feature,
+               {_q('r2_threshold', 2)} AS r2_threshold,
+               {_q('CAST(w2_wrong AS DOUBLE) / CAST(w2_tot AS DOUBLE)', 6)}
+                 AS r2_error,
+               {a2} AS alpha2,
+               {_q('CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)', 6)}
+                 AS train_acc_round1,
+               {_q(f'CAST({ens} AS DOUBLE) / CAST(n AS DOUBLE)', 6)}
+                 AS train_acc_ensemble
+        FROM agg"""
+
+
+register("adaboost_two_stumps", _q_adaboost, _adaboost_sql())
+
+
+def _q_ks_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS/Lilliefors normality of order values vs the fitted
+    normal (operators/relational.py:ks_normality_price): both EDF sides,
+    bucketed ranks, A&S CDF."""
+    return relational.ks_normality_price(load(spark, sf_dir, "orders"))
+
+
+def _ks_normality_sql() -> str:
+    from .operators.relational import sql_norm_sf
+
+    phi = (
+        f"(CASE WHEN z >= 0 THEN 1.0 - {sql_norm_sf('z')}"
+        f" ELSE {sql_norm_sf('-z')} END)"
+    )
+    return f"""
+        WITH mom AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_d38('CAST(o_totalprice AS DOUBLE)')} AS sx,
+                 {_d38('CAST(o_totalprice AS DOUBLE)'
+                       ' * CAST(o_totalprice AS DOUBLE)')} AS sxx
+          FROM orders),
+        mom2 AS (
+          SELECT n, sx / n AS mu,
+                 sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+          FROM mom),
+        vals AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS c
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT v, c,
+                 sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM vals),
+        scored AS (
+          SELECT (v - mu) / sd AS z, CAST(cum AS DOUBLE) AS cum,
+                 CAST(c AS DOUBLE) AS c, n
+          FROM ranked CROSS JOIN mom2),
+        agg AS (
+          SELECT max(n) AS n,
+                 max(greatest(abs(cum / n - {phi}),
+                              abs((cum - c) / n - {phi}))) AS d
+          FROM scored)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_q('d', 6)} AS d_stat,
+               {_q('sqrt(n) * d', 4)} AS sqrt_n_d,
+               CAST(CASE WHEN {_q('d', 6)} > {_q('0.886 / sqrt(n)', 6)}
+                         THEN 1 ELSE 0 END AS INT) AS reject_normal_05
+        FROM agg"""
+
+
+register("ks_normality_price", _q_ks_normality, _ks_normality_sql())
+
+
+def _q_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period Poisson rate test for error events
+    (operators/events.py:event_rate_test): week 1 vs the rest of the
+    observed span; one conditional aggregate."""
+    from .operators import events as _e
+
+    return _e.event_rate_test(load(spark, sf_dir, "events"))
+
+
+def _event_rate_sql() -> str:
+    from .operators.events import RATE_TEST_EVENT, RATE_TEST_SPLIT
+
+    return f"""
+        WITH span AS (
+          SELECT CAST(datediff('day', CAST(min(ts) AS DATE),
+                               DATE '{RATE_TEST_SPLIT}') AS DOUBLE) AS t1,
+                 CAST(datediff('day', DATE '{RATE_TEST_SPLIT}',
+                               CAST(max(ts) AS DATE)) + 1 AS DOUBLE) AS t2
+          FROM events),
+        g AS (
+          SELECT CAST(count(CASE WHEN CAST(ts AS DATE)
+                              < DATE '{RATE_TEST_SPLIT}' THEN 1 END)
+                      AS DOUBLE) AS n1,
+                 CAST(count(CASE WHEN CAST(ts AS DATE)
+                              >= DATE '{RATE_TEST_SPLIT}' THEN 1 END)
+                      AS DOUBLE) AS n2
+          FROM events WHERE event_type = '{RATE_TEST_EVENT}')
+        SELECT CAST(n1 AS BIGINT) AS n_events_pre,
+               CAST(n2 AS BIGINT) AS n_events_post,
+               CAST(t1 AS INT) AS days_pre,
+               CAST(t2 AS INT) AS days_post,
+               {_q('n1 / t1', 6)} AS rate_pre,
+               {_q('n2 / t2', 6)} AS rate_post,
+               {_q('(n2 / t2) / (n1 / t1)', 6)} AS rate_ratio,
+               {_q('(n1 / t1 - n2 / t2) / sqrt(n1 / (t1 * t1)'
+                   ' + n2 / (t2 * t2))', 6)} AS z_score
+        FROM g CROSS JOIN span"""
+
+
+register("event_rate_test", _q_event_rate, _event_rate_sql())

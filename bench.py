@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "adaboost_two_stumps",
     "ks_normality_price",
     "event_rate_test",
+    "cramers_v_pairs",
 ]
 
 

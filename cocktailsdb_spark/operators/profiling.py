@@ -942,3 +942,129 @@ def mutual_info_features(lineitem: DataFrame) -> DataFrame:
             F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6
         ).alias("nmi"),
     )
+
+
+CRAMERS_PAIRS = (
+    ("l_returnflag", "l_linestatus"),
+    ("l_returnflag", "l_tax_band"),
+    ("l_linestatus", "l_tax_band"),
+)
+
+
+def cramers_v_pairs(lineitem: DataFrame) -> DataFrame:
+    """Cramér's V association strength for categorical column pairs —
+    chisq_contingency gives one pair's test statistic; this is the
+    normalized 0..1 ASSOCIATION MATRIX a profiler reports across pairs
+    (V = √(χ²/(n·(min(r,c)−1))), Cramér 1946, public). Tax values are
+    banded to a categorical (3 bands) so the pair set exercises a
+    derived category too.
+
+    One joint-count aggregate per pair over the same scan (Catalyst
+    shares the scan; each aggregate is map-side combined and its cell
+    frame is schema-bounded), χ² from the classic observed-vs-expected
+    sum on the tiny cell frame with exact integer counts.
+    """
+    from ..numeric import qround
+
+    DEC38 = "decimal(38,8)"
+    band = (
+        F.when(F.col("l_tax").cast("double") < 0.03, "low")
+        .when(F.col("l_tax").cast("double") < 0.06, "mid")
+        .otherwise("high")
+    )
+    base = lineitem.select(
+        F.col("l_returnflag"), F.col("l_linestatus"), band.alias("l_tax_band")
+    )
+    out = None
+    for a, b in CRAMERS_PAIRS:
+        joint = base.groupBy(F.col(a).alias("va"), F.col(b).alias("vb")).agg(
+            F.count("*").alias("c")
+        )
+        # ZERO cells matter: chi-square sums (0 - E)^2/E over EMPTY cells
+        # too, so the grid is the cross of the marginals, left-joined to
+        # the observed cells (a 2x2 with a perfect diagonal must reach
+        # V = 1, not 1/sqrt(2))
+        ma = joint.groupBy("va").agg(F.sum("c").alias("ca"))
+        mb = joint.groupBy("vb").agg(F.sum("c").alias("cb"))
+        grid = ma.crossJoin(F.broadcast(mb)).join(joint, ["va", "vb"], "left")
+        wall = Window.partitionBy()
+        cells = (
+            grid.withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+            .withColumn("nn", F.sum("c").over(wall))
+            .withColumn("ra", F.size(F.collect_set("va").over(wall)))
+            .withColumn("rb", F.size(F.collect_set("vb").over(wall)))
+        )
+        e = (
+            F.col("ca").cast("double")
+            * F.col("cb").cast("double")
+            / F.col("nn").cast("double")
+        )
+        term = qround(
+            (F.col("c").cast("double") - e) * (F.col("c").cast("double") - e) / e,
+            6,
+        )
+        agg = cells.agg(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.max("nn").cast("long").alias("n_rows"),
+            F.sum(term.cast(DEC38)).cast("double").alias("chi2"),
+            F.max("ra").alias("ra"),
+            F.max("rb").alias("rb"),
+        )
+        row = agg.select(
+            "col_a",
+            "col_b",
+            "n_rows",
+            qround(F.col("chi2"), 4).alias("chi2"),
+            # a single-category column has min(r,c) = 1: V is undefined
+            # (NULL on both engines, never a divide-by-zero)
+            F.when(
+                F.least(F.col("ra"), F.col("rb")) > 1,
+                qround(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n_rows").cast("double")
+                            * (
+                                F.least(F.col("ra"), F.col("rb")).cast("double")
+                                - 1.0
+                            )
+                        )
+                    ),
+                    6,
+                ),
+            ).alias("cramers_v"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def simpson_diversity_sources(docs: DataFrame) -> DataFrame:
+    """Simpson diversity of the corpus's source mix (Simpson 1949,
+    public): D = 1 − Σ pᵢ² — the probability two random documents come
+    from different sources, plus the inverse-Simpson effective source
+    count. The corpus-composition twin of column_entropy (Shannon lens)
+    and the documents-side sibling of hhi_brand_concentration.
+
+    One map-side-combined count per source; the reduction runs on the
+    source frame (schema-bounded).
+    """
+    from ..numeric import qround
+
+    DEC38 = "decimal(38,8)"
+    g = docs.groupBy("source").agg(F.count("*").alias("c"))
+    tot = F.broadcast(g.agg(F.sum("c").cast("double").alias("nn")))
+    s = g.crossJoin(tot).select(
+        (F.col("c").cast("double") / F.col("nn")).alias("p"), F.col("nn")
+    )
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("nn").cast("long").alias("n_docs"),
+        F.sum((F.col("p") * F.col("p")).cast(DEC38)).cast("double").alias("ss"),
+    )
+    return agg.select(
+        "n_sources",
+        "n_docs",
+        qround(F.lit(1.0) - F.col("ss"), 6).alias("simpson_d"),
+        qround(F.lit(1.0) / F.col("ss"), 4).alias("inverse_simpson"),
+    )

@@ -2682,3 +2682,100 @@ def _event_rate_sql() -> str:
 
 
 register("event_rate_test", _q_event_rate, _event_rate_sql())
+
+
+# ===========================================================================
+# categorical association / corpus composition
+# ===========================================================================
+
+
+def _q_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over three categorical pairs
+    (operators/profiling.py:cramers_v_pairs)."""
+    from .operators import profiling as _p
+
+    return _p.cramers_v_pairs(load(spark, sf_dir, "lineitem"))
+
+
+def _cramers_sql() -> str:
+    from .operators.profiling import CRAMERS_PAIRS
+
+    dec = "DECIMAL(38,8)"
+    parts = []
+    for a, b in CRAMERS_PAIRS:
+        parts.append(f"""
+        SELECT col_a, col_b, n_rows, {_q('chi2r', 4)} AS chi2,
+               CASE WHEN least(ra, rb) > 1 THEN
+                 {_q('sqrt(chi2r / (CAST(n_rows AS DOUBLE)'
+                     ' * (CAST(least(ra, rb) AS DOUBLE) - 1.0)))', 6)}
+               END AS cramers_v
+        FROM (
+          SELECT '{a}' AS col_a, '{b}' AS col_b,
+                 CAST(max(nn) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(term AS {dec})) AS DOUBLE) AS chi2r,
+                 max(ra) AS ra, max(rb) AS rb
+          FROM (
+            SELECT c, nn, ra, rb,
+                   {_q('(CAST(c AS DOUBLE) - CAST(ca AS DOUBLE)'
+                       ' * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE))'
+                       ' * (CAST(c AS DOUBLE) - CAST(ca AS DOUBLE)'
+                       ' * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE))'
+                       ' / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)'
+                       ' / CAST(nn AS DOUBLE))', 6)} AS term
+            FROM (
+              SELECT coalesce(j0.c, 0) AS c, ma.ca, mb.cb,
+                     sum(coalesce(j0.c, 0)) OVER () AS nn,
+                     count(DISTINCT ma.va) OVER () AS ra,
+                     count(DISTINCT mb.vb) OVER () AS rb
+              FROM (SELECT va, sum(c) AS ca FROM
+                      (SELECT {a} AS va, {b} AS vb, count(*) AS c
+                       FROM base GROUP BY 1, 2) x GROUP BY 1) ma
+              CROSS JOIN (SELECT vb, sum(c) AS cb FROM
+                      (SELECT {a} AS va, {b} AS vb, count(*) AS c
+                       FROM base GROUP BY 1, 2) y GROUP BY 1) mb
+              LEFT JOIN (SELECT {a} AS va, {b} AS vb, count(*) AS c
+                         FROM base GROUP BY 1, 2) j0
+                ON j0.va = ma.va AND j0.vb = mb.vb
+            ) j1
+          ) j2
+        ) j3""")
+    un = "\n        UNION ALL".join(parts)
+    return f"""
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus,
+                 CASE WHEN CAST(l_tax AS DOUBLE) < 0.03 THEN 'low'
+                      WHEN CAST(l_tax AS DOUBLE) < 0.06 THEN 'mid'
+                      ELSE 'high' END AS l_tax_band
+          FROM lineitem)
+        {un}"""
+
+
+register("cramers_v_pairs", _q_cramers, _cramers_sql())
+
+
+def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity + inverse-Simpson effective source count of the
+    corpus source mix (operators/profiling.py:simpson_diversity_sources)."""
+    from .operators import profiling as _p
+
+    return _p.simpson_diversity_sources(load(spark, sf_dir, "documents"))
+
+
+def _simpson_sql() -> str:
+    dec = "DECIMAL(38,8)"
+    return f"""
+        WITH g AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM g),
+        s AS (SELECT CAST(c AS DOUBLE) / nn AS p, nn FROM g CROSS JOIN tot),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                 CAST(max(nn) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(p * p AS {dec})) AS DOUBLE) AS ss
+          FROM s)
+        SELECT n_sources, n_docs,
+               {_q('1.0 - ss', 6)} AS simpson_d,
+               {_q('1.0 / ss', 4)} AS inverse_simpson
+        FROM agg"""
+
+
+register("simpson_diversity_sources", _q_simpson, _simpson_sql())

@@ -113,3 +113,44 @@ def test_ab_sample_size_closed_form(spark):
     exp = math.ceil(2.0 * var * zsum * zsum / (delta * delta))
     assert r.n_per_group == exp
     assert r.mean_value == pytest.approx(mu, abs=1e-6)
+
+
+def test_cramers_v_bounds_and_independence(spark):
+    from cocktailsdb_spark.operators import profiling
+
+    # perfectly associated pair: flag determines status -> V = 1
+    rows = [("A", "O", 0.0)] * 10 + [("R", "F", 0.08)] * 10
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, l_tax double"
+    )
+    out = {(r.col_a, r.col_b): r for r in profiling.cramers_v_pairs(df).collect()}
+    assert out[("l_returnflag", "l_linestatus")].cramers_v == pytest.approx(
+        1.0, abs=1e-6
+    )
+    # independent pair (balanced cross): V = 0
+    rows2 = [(f, s, 0.0) for f in ("A", "R") for s in ("O", "F") for _ in range(5)]
+    df2 = spark.createDataFrame(
+        rows2, "l_returnflag string, l_linestatus string, l_tax double"
+    )
+    out2 = {(r.col_a, r.col_b): r for r in profiling.cramers_v_pairs(df2).collect()}
+    assert out2[("l_returnflag", "l_linestatus")].cramers_v == pytest.approx(
+        0.0, abs=1e-6
+    )
+
+
+def test_simpson_diversity_hand_values(spark):
+    from cocktailsdb_spark.operators import profiling
+
+    docs = spark.createDataFrame(
+        [(i, "s1" if i < 5 else "s2") for i in range(10)],
+        "doc_id long, source string",
+    )
+    r = profiling.simpson_diversity_sources(docs).collect()[0]
+    # p = (.5, .5): D = 1 - .5 = .5 ; inverse = 2
+    assert r.simpson_d == pytest.approx(0.5, abs=1e-9)
+    assert r.inverse_simpson == pytest.approx(2.0, abs=1e-6)
+    mono = spark.createDataFrame(
+        [(i, "only") for i in range(7)], "doc_id long, source string"
+    )
+    r2 = profiling.simpson_diversity_sources(mono).collect()[0]
+    assert r2.simpson_d == 0.0 and r2.inverse_simpson == pytest.approx(1.0, abs=1e-6)

@@ -315,7 +315,37 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Settle loop (VERDICT r9 item 4): the driver's BENCH_r09 started at
+    # loadavg 2.71 and produced an artifact reading 1.44x on untouched
+    # plans (quiet-box re-runs: all <=1.31x). A hot start makes the
+    # artifact garbage, so refuse to start until the box quiets down —
+    # bounded, then proceed anyway with the contention flagged in the
+    # output so the row is adjudicable.
+    settle_load = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOAD", "1.0"))
+    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX_SEC", "600"))
+    settle_t0 = time.monotonic()
+    while (
+        os.getloadavg()[0] >= settle_load
+        and time.monotonic() - settle_t0 < settle_max
+    ):
+        print(
+            f"bench: box contended (loadavg {os.getloadavg()[0]:.2f} >= "
+            f"{settle_load}) — waiting for it to settle "
+            f"({time.monotonic() - settle_t0:.0f}/{settle_max:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+    settle_wait = round(time.monotonic() - settle_t0, 1)
+
     loadavg_start = os.getloadavg()[0]
+    contended_start = loadavg_start >= settle_load
+    if contended_start:
+        print(
+            f"bench: STARTING CONTENDED after {settle_wait}s wait "
+            f"(loadavg {loadavg_start:.2f}) — artifact will carry "
+            f'"contended_start": true',
+            file=sys.stderr,
+        )
     spark = get_spark("bench")
     # warm-up: JVM startup + parquet footer/file-index caches for every
     # table — session cost, not per-query cost (first-touch scan setup
@@ -419,7 +449,10 @@ def main() -> None:
         # exactly this — bench_aging_probe_r9.json).
         "loadavg_start": round(loadavg_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
+        "settle_wait_sec": settle_wait,
     }
+    if contended_start:
+        out["contended_start"] = True
     if noisy:
         out["noisy"] = noisy
     if errors:

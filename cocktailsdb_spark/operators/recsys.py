@@ -209,7 +209,11 @@ def recommendation_hitrate(
         .join(test_new.select("custkey").distinct(), "custkey")
         .localCheckpoint()  # user-sized; consumed by three branches
     )
-    recs_eval = recs.join(F.broadcast(eval_users), "custkey")
+    # no broadcast hint: eval_users is user-cardinality (grows with the
+    # fact table), so a forced broadcast blows the ceiling at 100x scale;
+    # plain equi-join lets AQE pick broadcast only while it is small
+    # (VERDICT r9 item 3).
+    recs_eval = recs.join(eval_users, "custkey")
     hits = recs_eval.join(
         test_new.withColumnRenamed("item", "rec"), ["custkey", "rec"]
     )

@@ -3288,9 +3288,9 @@ def _km_sql() -> str:
         tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_total FROM by_t),
         risk AS (
           SELECT t, d_events,
-                 n_total - COALESCE(sum(n_exit) OVER (
+                 CAST(n_total - COALESCE(sum(n_exit) OVER (
                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND 1 PRECEDING), 0) AS n_risk
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
           FROM by_t CROSS JOIN tot),
         steps AS (
           SELECT t, d_events, n_risk,
@@ -4315,9 +4315,9 @@ def _nelson_aalen_sql() -> str:
         tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_total FROM by_t),
         risk AS (
           SELECT t, d_events,
-                 n_total - COALESCE(sum(n_exit) OVER (
+                 CAST(n_total - COALESCE(sum(n_exit) OVER (
                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND 1 PRECEDING), 0) AS n_risk
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
           FROM by_t CROSS JOIN tot),
         steps AS (
           SELECT t, d_events, n_risk,

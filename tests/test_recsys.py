@@ -118,3 +118,46 @@ def test_recommendation_hitrate_constructed_hit(spark):
     assert out.n_users_eval == 1
     assert out.n_hits == 1 and out.n_hit_users == 1
     assert out.hit_rate == 1.0
+
+
+def test_recommendation_hitrate_no_forced_broadcast_on_eval_users(spark):
+    """The eval_users frame is user-cardinality (data-sized) — a forced
+    broadcast hint on it would blow the broadcast ceiling at 100x scale
+    (VERDICT r9 item 3). The plan may STILL pick a broadcast join at this
+    tiny size via AQE; what must be absent is the explicit hint on that
+    edge. We assert by disabling auto-broadcast: with the hint gone, no
+    BroadcastHashJoin may appear on the eval_users join."""
+    import datetime as dt
+
+    from cocktailsdb_spark.operators import recsys
+
+    orders = spark.createDataFrame(
+        [(1, 10, dt.date(1997, 1, 1)), (2, 10, dt.date(1997, 8, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate date",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2)], "l_orderkey long, l_partkey long"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = (
+            recsys.recommendation_hitrate(lineitem, orders)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    # the only hinted broadcasts left are genuinely bounded frames: the
+    # three item-sized tables inside user_item_recommendations (ni, nr,
+    # sims) and the 1-row final agg crossJoin; a 4th BHJ would mean the
+    # eval_users edge got its hint back
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_bnl = plan.count("BroadcastNestedLoopJoin")
+    assert n_bhj <= 3 and n_bnl <= 1, (
+        f"unexpected forced broadcasts: BHJ={n_bhj} BNLJ={n_bnl}\n{plan[:4000]}"
+    )

@@ -54,6 +54,45 @@ def test_every_entry_has_current_oracle_evidence():
     )
 
 
+def test_cell_is_type_faithful_int_vs_float():
+    """VERDICT r9: a bare %.10g rendered BIGINT 1496 and DOUBLE 1496.0
+    identically, so the sweep gate passed two survival entries the
+    driver's stricter value hash failed. The normalizer must keep the
+    numeric KIND distinct."""
+    import numpy as np
+
+    from tools.selfcheck import _cell
+
+    assert _cell(1496) != _cell(1496.0)
+    assert _cell(np.int64(1496)) != _cell(np.float64(1496.0))
+    # width is deliberately NOT distinguished (int32 vs int64 both fine)
+    assert _cell(np.int32(7)) == _cell(np.int64(7))
+    # float formatting tolerance retained within the float kind
+    assert _cell(0.1 + 0.2) == _cell(0.3)
+
+
+def test_driver_coverage_sla():
+    """README 'Verification-coverage SLA' rule 1 (VERDICT r9 item 8): the
+    backlog of entries that have NEVER appeared in any driver
+    CORRECTNESS_r*.json must fit in one driver round's ~50-entry sample
+    plus a small registration allowance (5), so every entry gets
+    independent driver evidence within at most two rounds of registration
+    and the backlog fully drains on any round that registers few entries.
+    Registering more new entries than the driver can verify fails the
+    suite — velocity is capped at verification capacity."""
+    from cocktailsdb_spark.registry import QUERIES
+
+    checked: set[str] = set()
+    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.loads(path.read_text()))
+    never = sorted(set(QUERIES) - checked)
+    assert len(never) <= 55, (
+        f"{len(never)} entries have never been driver-checked (> 55 = one "
+        f"round's sampling capacity + allowance): {never} — stop "
+        f"registering new entries until the driver catches up"
+    )
+
+
 def test_no_entry_is_failing_in_ledger():
     from cocktailsdb_spark.registry import QUERIES
 

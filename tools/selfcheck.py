@@ -25,12 +25,18 @@ from cocktailsdb_spark.tables import TABLES  # noqa: E402
 
 
 def _cell(x) -> str:
+    # Type-faithful on numeric KIND (int vs float): the driver's value
+    # hash distinguishes BIGINT 1496 from DOUBLE 1496.0, and in r9 a bare
+    # "%.10g" here rendered both as "1496", masking a DuckDB
+    # HUGEINT->float64 oracle divergence the driver caught
+    # (kaplan_meier_retention / nelson_aalen_hazard). Width (int32 vs
+    # int64) is NOT distinguished — only the pandas dtype kind is.
     if x is None or (isinstance(x, float) and np.isnan(x)):
         return "NULL"
     if isinstance(x, (np.floating, float)):
-        return f"{float(x):.10g}"
+        return f"f:{float(x):.10g}"
     if isinstance(x, (np.integer, int)) and not isinstance(x, bool):
-        return str(int(x))
+        return f"i:{int(x)}"
     if isinstance(x, (pd.Timestamp, dt.datetime, np.datetime64)):
         ts = pd.Timestamp(x)
         if ts.tzinfo is not None:

@@ -302,6 +302,12 @@ BENCH_QUERIES = [
     "ks_normality_price",
     "event_rate_test",
     "cramers_v_pairs",
+    # round-10: Ljung–Box whiteness (daily agg + calendar-bounded lags),
+    # Friedman blocked ranks (month×priority agg), CMH stratified 2×2
+    # (one lineitem-sized groupBy) — all single data-sized aggregates
+    "ljung_box_daily",
+    "friedman_test_priority",
+    "cmh_discount_returns",
 ]
 
 

@@ -6029,3 +6029,232 @@ def ks_normality_price(orders: DataFrame) -> DataFrame:
         .cast("int")
         .alias("reject_normal_05"),
     )
+
+
+# --- round-10 additions: Ljung–Box, Friedman, Cochran–Mantel–Haenszel ------
+
+LB_MAX_LAG = 7
+
+
+def ljung_box_daily(orders: DataFrame, max_lag: int = LB_MAX_LAG) -> DataFrame:
+    """Ljung–Box portmanteau test (Ljung & Box 1978, public) on the daily
+    revenue series — "is there ANY autocorrelation in the first m lags",
+    the whiteness gate a forecasting pipeline runs before trusting
+    residual-based intervals:
+
+        Q(k) = n(n+2) Σ_{j=1..k} r_j² / (n−j)
+
+    emitted as a running statistic per lag (Q(k) at lag k has k degrees
+    of freedom) alongside the sample ACF r_k itself.
+
+    Scale: identical posture to autocorr_daily_revenue — the data-sized
+    work is ONE map-side-combined daily aggregate; the lag window runs on
+    the CALENDAR-BOUNDED daily frame (~2.4k rows at any corpus size).
+    Exactness: daily revenue is an exact decimal sum scaled 1e-6; lag
+    products are dsum-summed (order-free); r_j = num_j/den and the Q
+    accumulation run the identical IEEE double expression shape on both
+    engines; display values qround-pinned. A constant series (den = 0)
+    yields NULL acf/Q rather than an ANSI divide-by-zero.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (dsum(F.col("o_totalprice")) / F.lit(ACF_REV_SCALE)).alias("x")
+    )
+    mu = daily.agg(
+        (dsum(F.col("x")) / F.count("*").cast("double")).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("x") - F.col("mu")).alias("dv")
+    )
+    w = Window.orderBy("day")
+    lagged = dev.select(
+        "dv",
+        *[F.lag("dv", k).over(w).alias(f"l{k}") for k in range(1, max_lag + 1)],
+    )
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        dsum(F.col("dv") * F.col("dv")).alias("den"),
+        *[
+            dsum(F.col("dv") * F.col(f"l{k}")).alias(f"num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    n = F.col("n_days").cast("double")
+    den_ok = F.col("den") != F.lit(0.0)
+
+    def r(j: int) -> Column:
+        return F.col(f"num{j}") / F.col("den")
+
+    def q(k: int) -> Column:
+        acc = None
+        for j in range(1, k + 1):
+            term = r(j) * r(j) / (n - F.lit(float(j)))
+            acc = term if acc is None else acc + term
+        return n * (n + F.lit(2.0)) * acc
+
+    scored = agg.select(
+        "n_days",
+        *[F.when(den_ok, qround(r(k), 6)).alias(f"r{k}") for k in range(1, max_lag + 1)],
+        *[F.when(den_ok, qround(q(k), 6)).alias(f"q{k}") for k in range(1, max_lag + 1)],
+    )
+    stack_args = ", ".join(f"{k}, r{k}, q{k}" for k in range(1, max_lag + 1))
+    return scored.select(
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, acf, q_stat)"),
+        "n_days",
+    ).select(
+        F.col("lag").cast("int").alias("lag"), "acf", "q_stat", "n_days"
+    )
+
+
+FRIEDMAN_K = 5  # TPC-H order priorities form the treatment set
+
+
+def friedman_test_priority(orders: DataFrame) -> DataFrame:
+    """Friedman rank test (Friedman 1937, public) — do the five order
+    priorities differ in average order value, treating each calendar
+    MONTH as a block (the repeated-measures / randomized-block companion
+    to kruskal_wallis_priority, which ignores blocking):
+
+        Q = 12 / (n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)
+
+    over n complete blocks (months where all k=5 priorities appear),
+    R_j = sum over blocks of priority j's within-month average rank
+    (ties on the qround-pinned cell mean share the average rank).
+
+    Scale: the data-sized work is ONE map-side-combined (month, priority)
+    aggregate; every window after it runs on the CALENDAR-BOUNDED cell
+    frame (months × 5 rows — ~420 at any corpus size). Exactness: cell
+    means are exact decimal sums qround-pinned to 6 BEFORE ranking, so
+    the rank permutation is identical on both engines; rank sums are
+    half-integers summed exactly via decimal lanes.
+    """
+    cell = (
+        orders.groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mth"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+        )
+        .agg(
+            qround(
+                dsum(F.col("o_totalprice")) / F.count("*").cast("double"), 6
+            ).alias("mval")
+        )
+    )
+    wm = Window.partitionBy("mth")
+    full = cell.withColumn("kk", F.count("*").over(wm)).filter(
+        F.col("kk") == F.lit(FRIEDMAN_K)
+    )
+    wr = Window.partitionBy("mth").orderBy("mval")
+    wt = Window.partitionBy("mth", "mval")
+    ranked = (
+        full.withColumn("rmin", F.rank().over(wr))
+        .withColumn("tied", F.count("*").over(wt))
+        .withColumn(
+            "ar",
+            F.col("rmin").cast("double")
+            + (F.col("tied").cast("double") - F.lit(1.0)) / F.lit(2.0),
+        )
+    )
+    per = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("nb"),
+        dsum(F.col("ar")).alias("rsum"),
+    )
+    k = F.lit(float(FRIEDMAN_K))
+    tot = per.agg(
+        dsum(F.col("rsum") * F.col("rsum")).alias("ss"),
+        F.max("nb").alias("nb"),
+    )
+    qstat = (
+        F.lit(12.0) / (F.col("nb") * k * (k + F.lit(1.0))) * F.col("ss")
+        - F.lit(3.0) * F.col("nb") * (k + F.lit(1.0))
+    )
+    stat = F.broadcast(
+        tot.select(
+            qround(qstat, 6).alias("q_stat"),
+            F.col("nb").cast("long").alias("n_blocks"),
+        )
+    )
+    return per.crossJoin(stat).select(
+        "o_orderpriority",
+        F.col("n_blocks"),
+        qround(F.col("rsum"), 6).alias("rank_sum"),
+        qround(F.col("rsum") / F.col("nb"), 6).alias("mean_rank"),
+        F.col("q_stat"),
+        F.lit(FRIEDMAN_K - 1).cast("int").alias("df"),
+    )
+
+
+CMH_DISCOUNT_CUT = 0.05
+
+
+def cmh_discount_returns(lineitem: DataFrame) -> DataFrame:
+    """Cochran–Mantel–Haenszel test (Mantel & Haenszel 1959, public) for
+    the association between deep discounting (l_discount > 0.05) and
+    returns (l_returnflag = 'R'), STRATIFIED by ship year — the
+    confounder-adjusted 2×2×K companion to a naive chi-square: each ship
+    year contributes its own 2×2 table and the test pools evidence
+    without assuming the strata share a baseline rate. Also emits the
+    Mantel–Haenszel common odds-ratio estimate.
+
+        CMH = (|Σa_k − ΣE_k| − ½)² / ΣV_k        (continuity-corrected)
+        E_k = n1_k·m1_k/n_k
+        V_k = n1_k·n0_k·m1_k·m0_k / (n_k²·(n_k−1))
+        OR_MH = Σ(a_k·d_k/n_k) / Σ(b_k·c_k/n_k)
+
+    Scale: ONE map-side-combined groupBy over the ~7 ship years (stratum
+    cardinality is calendar-bounded), then a single-row reduction — no
+    window, no join, linear in the fact table at any SF. Exactness: all
+    cell counts are exact integers; per-stratum E/V/OR terms run the
+    identical IEEE double expression shape on both engines and are
+    summed order-free via decimal lanes; strata too small for a variance
+    (n_k < 2) are excluded identically on both engines.
+    """
+    exp = F.col("l_discount") > F.lit(CMH_DISCOUNT_CUT)
+    out = F.col("l_returnflag") == F.lit("R")
+    s = (
+        lineitem.groupBy(F.year("l_shipdate").alias("stratum"))
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.count(F.when(exp, 1)).cast("double").alias("n1"),
+            F.count(F.when(out, 1)).cast("double").alias("m1"),
+            F.count(F.when(exp & out, 1)).cast("double").alias("a"),
+        )
+        .filter(F.col("n") > F.lit(1.0))
+    )
+    n, n1, m1, a = F.col("n"), F.col("n1"), F.col("m1"), F.col("a")
+    b = n1 - a          # exposed, not returned
+    c = m1 - a          # unexposed, returned
+    d = n - n1 - m1 + a  # unexposed, not returned
+    e = n1 * m1 / n
+    v = n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - F.lit(1.0)))
+    per = s.select(
+        a.alias("a"),
+        e.alias("e"),
+        v.alias("v"),
+        (a * d / n).alias("or_num"),
+        (b * c / n).alias("or_den"),
+        n.alias("n"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("k_strata"),
+        dsum(F.col("n")).cast("long").alias("n_total"),
+        dsum(F.col("a")).cast("long").alias("sum_exposed_returns"),
+        dsum(F.col("e")).alias("se"),
+        dsum(F.col("v")).alias("sv"),
+        dsum(F.col("or_num")).alias("son"),
+        dsum(F.col("or_den")).alias("sod"),
+    )
+    dev = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col("sum_exposed_returns").cast("double") - F.col("se"))
+        - F.lit(0.5),
+    )
+    return agg.select(
+        "k_strata",
+        "n_total",
+        "sum_exposed_returns",
+        qround(F.col("se"), 6).alias("expected_returns"),
+        qround(F.col("sv"), 6).alias("variance_sum"),
+        F.when(F.col("sv") != F.lit(0.0), qround(dev * dev / F.col("sv"), 6))
+        .alias("cmh_stat"),
+        F.when(F.col("sod") != F.lit(0.0), qround(F.col("son") / F.col("sod"), 6))
+        .alias("mh_odds_ratio"),
+    )

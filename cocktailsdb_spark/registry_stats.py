@@ -2779,3 +2779,165 @@ def _simpson_sql() -> str:
 
 
 register("simpson_diversity_sources", _q_simpson, _simpson_sql())
+
+
+# ===========================================================================
+# round-10: Ljung–Box whiteness, Friedman blocked ranks, CMH stratified 2x2
+# ===========================================================================
+
+
+def _q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test on daily revenue, running
+    Q(k) per lag 1..7 (operators/relational.py:ljung_box_daily) — the
+    forecast-residual gate next to autocorr_daily_revenue."""
+    return relational.ljung_box_daily(load(spark, sf_dir, "orders"))
+
+
+def _ljung_box_sql() -> str:
+    m = relational.LB_MAX_LAG
+    lags = ", ".join(
+        f"lag(dv, {j}) OVER (ORDER BY day) AS l{j}" for j in range(1, m + 1)
+    )
+    nums = ", ".join(f"{_d(f'dv * l{j}')} AS num{j}" for j in range(1, m + 1))
+    rs = ", ".join(
+        f"CASE WHEN den <> 0.0 THEN {_q(f'num{j} / den', 6)} END AS r{j}"
+        for j in range(1, m + 1)
+    )
+
+    def q_expr(k: int) -> str:
+        terms = " + ".join(
+            f"(num{j} / den) * (num{j} / den) / (nd - {j}.0)"
+            for j in range(1, k + 1)
+        )
+        return f"nd * (nd + 2.0) * ({terms})"
+
+    qs = ", ".join(
+        f"CASE WHEN den <> 0.0 THEN {_q(q_expr(k), 6)} END AS q{k}"
+        for k in range(1, m + 1)
+    )
+    acase = "CASE l.lag " + " ".join(
+        f"WHEN {j} THEN r{j}" for j in range(1, m + 1)
+    ) + " END"
+    qcase = "CASE l.lag " + " ".join(
+        f"WHEN {j} THEN q{j}" for j in range(1, m + 1)
+    ) + " END"
+    vals = ", ".join(f"({j})" for j in range(1, m + 1))
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 {_d('o_totalprice')} / {relational.ACF_REV_SCALE} AS x
+          FROM orders GROUP BY 1),
+        m AS (SELECT {_d('x')} / CAST(count(*) AS DOUBLE) AS mu FROM daily),
+        dev AS (SELECT day, x - mu AS dv FROM daily CROSS JOIN m),
+        lagd AS (SELECT dv, {lags} FROM dev),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(count(*) AS DOUBLE) AS nd,
+                       {_d('dv * dv')} AS den, {nums}
+                FROM lagd),
+        scored AS (SELECT n_days, {rs}, {qs} FROM agg)
+        SELECT CAST(l.lag AS INT) AS lag, {acase} AS acf, {qcase} AS q_stat,
+               n_days
+        FROM scored CROSS JOIN (VALUES {vals}) l(lag)
+        ORDER BY 1"""
+
+
+register("ljung_box_daily", _q_ljung_box, _ljung_box_sql())
+
+
+def _q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across the five order priorities with calendar
+    months as blocks (operators/relational.py:friedman_test_priority) —
+    the randomized-block companion to kruskal_wallis_priority."""
+    return relational.friedman_test_priority(load(spark, sf_dir, "orders"))
+
+
+def _friedman_sql() -> str:
+    k = relational.FRIEDMAN_K
+    kf, k1 = f"{float(k)}", f"{float(k + 1)}"
+    mean = _q(f"{_d('o_totalprice')} / CAST(count(*) AS DOUBLE)", 6)
+    return f"""
+        WITH cell AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+                 o_orderpriority, {mean} AS mval
+          FROM orders GROUP BY 1, 2),
+        full_b AS (
+          SELECT mth, o_orderpriority, mval FROM (
+            SELECT mth, o_orderpriority, mval,
+                   count(*) OVER (PARTITION BY mth) AS kk
+            FROM cell) WHERE kk = {k}),
+        ranked AS (
+          SELECT o_orderpriority,
+                 CAST(rank() OVER (PARTITION BY mth ORDER BY mval) AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY mth, mval) AS DOUBLE)
+                    - 1.0) / 2.0 AS ar
+          FROM full_b),
+        per AS (
+          SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS nb,
+                 {_d('ar')} AS rsum
+          FROM ranked GROUP BY 1),
+        tot AS (SELECT {_d('rsum * rsum')} AS ss, max(nb) AS nb FROM per),
+        stat AS (
+          SELECT {_q(f'12.0 / (nb * {kf} * {k1}) * ss - 3.0 * nb * {k1}', 6)}
+                   AS q_stat,
+                 CAST(nb AS BIGINT) AS n_blocks
+          FROM tot)
+        SELECT o_orderpriority, n_blocks,
+               {_q('rsum', 6)} AS rank_sum,
+               {_q('rsum / nb', 6)} AS mean_rank,
+               q_stat, CAST({k - 1} AS INT) AS df
+        FROM per CROSS JOIN stat
+        ORDER BY 1"""
+
+
+register("friedman_test_priority", _q_friedman, _friedman_sql())
+
+
+def _q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 association (deep discount
+    × returned, strata = ship year) + MH common odds ratio
+    (operators/relational.py:cmh_discount_returns)."""
+    return relational.cmh_discount_returns(load(spark, sf_dir, "lineitem"))
+
+
+def _cmh_sql() -> str:
+    cut = relational.CMH_DISCOUNT_CUT
+    g = "greatest(0.0, abs(CAST(sum_exposed_returns AS DOUBLE) - se) - 0.5)"
+    return f"""
+        WITH s AS (
+          SELECT year(l_shipdate) AS stratum,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(count(CASE WHEN l_discount > {cut} THEN 1 END)
+                      AS DOUBLE) AS n1,
+                 CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                      AS DOUBLE) AS m1,
+                 CAST(count(CASE WHEN l_discount > {cut}
+                                  AND l_returnflag = 'R' THEN 1 END)
+                      AS DOUBLE) AS a
+          FROM lineitem GROUP BY 1
+          HAVING CAST(count(*) AS DOUBLE) > 1.0),
+        per AS (
+          SELECT a,
+                 n1 * m1 / n AS e,
+                 n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - 1.0)) AS v,
+                 a * (n - n1 - m1 + a) / n AS or_num,
+                 (n1 - a) * (m1 - a) / n AS or_den,
+                 n
+          FROM s),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                 CAST({_d('n')} AS BIGINT) AS n_total,
+                 CAST({_d('a')} AS BIGINT) AS sum_exposed_returns,
+                 {_d('e')} AS se, {_d('v')} AS sv,
+                 {_d('or_num')} AS son, {_d('or_den')} AS sod
+          FROM per)
+        SELECT k_strata, n_total, sum_exposed_returns,
+               {_q('se', 6)} AS expected_returns,
+               {_q('sv', 6)} AS variance_sum,
+               CASE WHEN sv <> 0.0
+                    THEN {_q(f'{g} * {g} / sv', 6)} END AS cmh_stat,
+               CASE WHEN sod <> 0.0
+                    THEN {_q('son / sod', 6)} END AS mh_odds_ratio
+        FROM agg"""
+
+
+register("cmh_discount_returns", _q_cmh, _cmh_sql())

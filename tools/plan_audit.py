@@ -169,6 +169,10 @@ AUDIT = [
     "levene_brown_forsythe",
     "neyman_allocation",
     "ab_sample_size",
+    # round-10: whiteness / blocked-rank / stratified-2x2 tests
+    "ljung_box_daily",
+    "friedman_test_priority",
+    "cmh_discount_returns",
 ]
 
 

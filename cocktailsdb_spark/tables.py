@@ -79,9 +79,19 @@ def spread(df: DataFrame) -> DataFrame:
     per-row hashing) otherwise serialize on however few splits the scan
     produced — a single small parquet file becomes ONE task doing 100× its
     input volume. At real scale (thousands of input splits ≥ cores) the
-    guard makes this a no-op, so no gratuitous shuffle is added."""
+    guard makes this a no-op, so no gratuitous shuffle is added.
+
+    The guard compares PLANNED splits to the full target, not target/2:
+    planned byte-range splits of one large parquet file are only usable at
+    row-group boundaries, so a single-row-group file planned as 16 splits
+    still executes as ONE non-empty task — measured in round 10, a 200×
+    explode behind such a scan ran ~14× slower than the same volume behind
+    a repartitioned scan (scaling_r10_s3.json, permutation_test_price).
+    Repartitioning whenever planned < defaultParallelism costs a shuffle
+    of the UN-amplified input only when cores would otherwise idle, and
+    buys even distribution of the amplified work."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

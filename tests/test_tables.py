@@ -167,3 +167,21 @@ def test_load_normalizes_date_and_decimal_encodings(spark, sf_dir, kind, table, 
         assert got == baseline
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_spread_repartitions_below_full_parallelism(spark):
+    """Round-10 regression: spread()'s old `< target//2` guard let a
+    16-planned-split scan of a single-row-group parquet file through on a
+    32-core box — all rows execute in ONE task (byte-range splits of one
+    file are empty past the first row-group boundary), so a 200x explode
+    behind it ran ~14x slow. The guard must repartition whenever planned
+    partitions < defaultParallelism."""
+    from cocktailsdb_spark.tables import spread
+
+    target = spark.sparkContext.defaultParallelism
+    if target < 3:
+        pytest.skip("needs parallelism >= 3 to distinguish the guard")
+    under = spark.range(1000).repartition(target - 1)
+    assert spread(under).rdd.getNumPartitions() == target
+    at = spark.range(1000).repartition(target)
+    assert spread(at).rdd.getNumPartitions() == target  # no-op, no extra shuffle

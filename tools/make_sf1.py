@@ -93,6 +93,16 @@ def main() -> None:
                     ),
                 )
             df = df.drop("_rep", "_off")
+        if t in FACTS or t == "events":
+            # realistic multi-file layout: the replicate crossJoin keeps
+            # the source's 1-3 partitions, which writes ONE parquet file
+            # with ONE row group — Spark then plans byte-range splits that
+            # are empty past the first row-group boundary, so every scan
+            # of the fixture executes single-threaded (measured round 10:
+            # all 15M sf10 orders rows landed in one task). Real fact
+            # tables arrive as many ~128MB files; write the fixture the
+            # same way so scan parallelism is honest.
+            df = df.repartition(max(32, args.replicas))
         df.write.mode("overwrite").parquet(out)
         n = spark.read.parquet(out).count()
         print(f"{t}: {n} rows -> {out}")

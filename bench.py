@@ -308,6 +308,13 @@ BENCH_QUERIES = [
     "ljung_box_daily",
     "friedman_test_priority",
     "cmh_discount_returns",
+    # round-11: at-rest-index evaluation entries — the drift dial over
+    # the upserted IVF index (per-cell aggregate) and the banding-
+    # precision dial (candidate join + in-row verify: the DETECTOR bill,
+    # not an all-pairs truth, so the truth-bound exclusion above does
+    # not apply)
+    "ann_index_drift_monitor",
+    "neardup_band_precision",
 ]
 
 

@@ -1064,6 +1064,57 @@ def minhash_band_recall(
     return out.orderBy("n_bands")
 
 
+def minhash_band_precision(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    band_counts: tuple[int, ...] = MBR_BAND_COUNTS,
+) -> DataFrame:
+    """Precision of the banded-MinHash CANDIDATE generator per banding
+    configuration — the cost half of the dial whose quality half is
+    :func:`minhash_band_recall`: more bands of fewer rows buys recall by
+    admitting MORE candidate pairs, every one of which pays an exact
+    Jaccard verify. n_candidates is that verify bill; band_precision =
+    n_verified / n_candidates is the fraction of the bill that yields a
+    real near-duplicate. Together the two entries put measured numbers
+    on the LSH s-curve trade a 100 TB dedup run must tune before
+    spending cluster-days.
+
+    One shingle+signature pass shared across configurations
+    (:func:`minhash_sig_base`), then per config ONE (band_id, band key)
+    equi-join and an in-row verify — counts only, so output is
+    |band_counts| rows regardless of corpus size."""
+    sig_base = minhash_sig_base(docs, n)
+    out = None
+    for b in band_counts:
+        cand = minhash_banded_candidates(docs, n, n_bands=b, sig_base=sig_base)
+        inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+        union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
+        jac = qround(inter.cast("double") / union, 4)
+        row = (
+            cand.select(jac.alias("jaccard"))
+            .agg(
+                F.count("*").alias("nc"),
+                F.sum(
+                    F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
+                ).alias("nv"),
+            )
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(MINHASH_H // b).cast("int").alias("rows_per_band"),
+                F.col("nc").cast("long").alias("n_candidates"),
+                F.col("nv").cast("long").alias("n_verified"),
+                qround(
+                    F.col("nv").cast("double")
+                    / F.nullif(F.col("nc"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("band_precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")
+
+
 STC_HAMMING_CUTOFFS = (1, 2, 3)
 
 

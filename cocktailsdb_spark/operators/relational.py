@@ -3986,6 +3986,22 @@ def permutation_test_price(orders: DataFrame, b_reps: int = PERM_B) -> DataFrame
     p = (1 + #{|stat_b| ≥ |obs|}) / (B + 1), the add-one permutation
     convention (Phipson & Smyth 2010, public). Every comparison happens
     on doubles produced by identical expression shapes on both engines.
+
+    Scale shape (round 11 — this was the steepest scaling row at
+    8.3×/decade; the md5 draw is the stated cost of exactness, but the
+    N×B aggregation lanes were paying DECIMAL(38) arithmetic they don't
+    need): o_totalprice is a 2-decimal quantity, so each replicate's
+    group-A sum accumulates exact integer CENTS (floor(x·100 + 0.5) as
+    BIGINT — recovery is exact because a 2-dp value's double is within
+    4e-9 of c/100, and Σ|cents| < 2⁵³ through ~10⁹ orders), and the
+    B-side sum is derived by exact integer subtraction from the one
+    unconditional total instead of a second conditional lane. The
+    resulting per-replicate doubles are BIT-IDENTICAL to the previous
+    DECIMAL(38,8) lanes (cast(longΣ)/100.0 and the decimal cast both
+    round the same exact rational to nearest double), so the DuckDB
+    oracle — which keeps the decimal formulation — still hash-matches,
+    pinned by tests/test_inference_family.py::
+    test_permutation_cents_lanes_match_decimal_lanes.
     """
     from ..tables import spread
     from .text import md5_prefix_value
@@ -4003,14 +4019,22 @@ def permutation_test_price(orders: DataFrame, b_reps: int = PERM_B) -> DataFrame
         F.count(F.when(~F.col("isa"), 1)).cast("double").alias("nb"),
         _dsum38(F.when(F.col("isa"), F.col("x"))).alias("sxa"),
         _dsum38(F.when(~F.col("isa"), F.col("x"))).alias("sxb"),
+        F.sum(F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long")).alias(
+            "s_cents"
+        ),
+        F.count("*").alias("c_all"),
     ).select(
         "na",
         "nb",
+        "s_cents",
+        "c_all",
         (F.col("sxa") / F.col("na") - F.col("sxb") / F.col("nb")).alias("obs"),
         (F.col("na") / (F.col("na") + F.col("nb"))).alias("pa"),
     )
     rep = spread(base).select(
-        "okey", "x", F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b")
+        "okey",
+        F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long").alias("xc"),
+        F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b"),
     )
     u = md5_prefix_value(
         F.concat_ws(":", F.col("okey").cast("string"), F.col("b").cast("string")), 8
@@ -4020,16 +4044,22 @@ def permutation_test_price(orders: DataFrame, b_reps: int = PERM_B) -> DataFrame
         .withColumn("toa", u < F.col("pa"))
         .groupBy("b")
         .agg(
+            F.sum(F.when(F.col("toa"), F.col("xc"))).alias("sac"),
+            F.count(F.when(F.col("toa"), 1)).alias("ca"),
+        )
+        .crossJoin(F.broadcast(obs.select("s_cents", "c_all")))
+        .select(
+            "b",
             (
-                _dsum38(F.when(F.col("toa"), F.col("x")))
-                / F.nullif(
-                    F.count(F.when(F.col("toa"), 1)), F.lit(0)
-                ).cast("double")
-                - _dsum38(F.when(~F.col("toa"), F.col("x")))
-                / F.nullif(
-                    F.count(F.when(~F.col("toa"), 1)), F.lit(0)
-                ).cast("double")
-            ).alias("stat")
+                F.col("sac").cast("double")
+                / F.lit(100.0)
+                / F.nullif(F.col("ca"), F.lit(0)).cast("double")
+                - (F.col("s_cents") - F.col("sac")).cast("double")
+                / F.lit(100.0)
+                / F.nullif(F.col("c_all") - F.col("ca"), F.lit(0)).cast(
+                    "double"
+                )
+            ).alias("stat"),
         )
     )
     res = stats.crossJoin(F.broadcast(obs)).agg(
@@ -6126,6 +6156,15 @@ def friedman_test_priority(orders: DataFrame) -> DataFrame:
     means are exact decimal sums qround-pinned to 6 BEFORE ranking, so
     the rank permutation is identical on both engines; rank sums are
     half-integers summed exactly via decimal lanes.
+
+    Q is the CLASSIC, tie-UNCORRECTED statistic (no
+    1 − Σ(t³−t)/(n·k·(k²−1)) denominator): ties between qround-pinned
+    month-mean cells are essentially impossible on real-valued data, and
+    both engines use the identical formula, so oracle parity is exact —
+    but if cells DO tie, Q is conservative relative to
+    scipy.stats.friedmanchisquare, which applies the correction (ADVICE
+    r10: stated here so downstream scipy comparisons aren't misread as
+    engine mismatches).
     """
     cell = (
         orders.groupBy(

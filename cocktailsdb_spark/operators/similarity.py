@@ -798,13 +798,26 @@ def ivf_centroid_drift(spark, cache_dir: str, vec_col: str = "embedding") -> Dat
     """Per-cell drift dial for the rebuild decision: rounded L2 distance
     between each stored centroid and its cell's CURRENT mean vector
     (post-upserts), plus the cell population. One posexplode aggregate
-    (histogram-sized output: cells × dim), centroid side broadcast."""
+    (histogram-sized output: cells × dim), centroid side broadcast.
+
+    Cell means use the label_centroids exactness shape (decimal-exact
+    sum / count, qround to SIM_ROUND) rather than F.avg, so each mean
+    component — and therefore the drift — is reproducible by the DuckDB
+    oracle on the registered ``ann_index_drift_monitor`` entry
+    (a float avg's summation order is partitioning-dependent)."""
+    from ..numeric import DEC
+
     labels, vecs, _ = _stored_centroids(cache_dir)
     stored = spark.read.parquet(cache_dir)
     comp = (
         stored.select("cell", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
         .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            qround(
+                F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*"),
+                SIM_ROUND,
+            ).alias("m")
+        )
     )
     means = comp.groupBy("cell").agg(
         F.transform(

@@ -836,8 +836,17 @@ def _mb_sql(extra_where: str = "", n_bands: int | None = None) -> str:
     a delta filter); ``n_bands`` overrides the banding configuration
     (the recall-dial entry sweeps it)."""
     nb = n_bands or dedup.MINHASH_BANDS_N
+    return f"""WITH {_mb_ctes(nb)}
+        SELECT doc_a, doc_b, jaccard FROM j
+        WHERE jaccard >= {MB_T}{extra_where}"""
+
+
+def _mb_ctes(nb: int) -> str:
+    """The shared WITH-body (shingles → signatures → bands → candidate
+    pairs → exact Jaccard ``j``) behind _mb_sql and the precision dial —
+    ``j`` holds EVERY banded candidate with its true Jaccard, unfiltered."""
     rpb = dedup.MINHASH_H // nb
-    return f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    return f"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         shd AS (SELECT doc_id, list_distinct(
                   [array_to_string(t[i:i+{MB_N - 1}], ' ')
                    for i in range(1, len(t)-{MB_N - 2})]) AS sh
@@ -873,9 +882,7 @@ def _mb_sql(extra_where: str = "", n_bands: int | None = None) -> str:
                 JOIN shf sb ON sb.doc_id = c.doc_b),
         j AS (SELECT doc_a, doc_b,
                      {sql_qround("CAST(i AS DOUBLE) / (na + nb - i)", 4)} AS jaccard
-              FROM ver)
-        SELECT doc_a, doc_b, jaccard FROM j
-        WHERE jaccard >= {MB_T}{extra_where}"""
+              FROM ver)"""
 
 
 register("minhash_banded_pairs", _q_minhash_banded, _mb_sql())
@@ -1284,6 +1291,84 @@ register(
     f"CAST({TOPK} AS BIGINT) AS n_rebuild, CAST({TOPK} AS BIGINT) AS n_common "
     "FROM (VALUES " + ", ".join(f"({q})" for q in QUERY_IDS) + ") t(q)",
 )
+
+
+def _q_ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index maintenance (round 11) — EMBEDDING-DRIFT MONITOR over
+    the at-rest IVF index: per-cell L2 distance between the FROZEN
+    quantizer centroid (built from the base 19/20, persisted in the
+    index manifest) and the cell's CURRENT mean after the delta upsert,
+    plus the cell population (similarity.ivf_centroid_drift). This is
+    the dial that decides when accumulated upserts have moved the data
+    far enough off the frozen quantizer to justify a rebuild — the
+    missing evaluation step between ann_index_upsert_probe (upserts are
+    exact) and ivf_kmeans_recall_at_k (the quantizer is good). Oracle:
+    recompute the base label-centroids, re-assign ALL vectors to their
+    nearest frozen centroid, and take decimal-exact cell means — exact
+    because index cells were assigned with the same qround'd distances
+    and the manifest round-trips centroid doubles losslessly."""
+    import os
+
+    from .operators.similarity import (
+        INDEX_MANIFEST,
+        ivf_centroid_drift,
+        ivf_index_upsert,
+        ivf_index_write,
+    )
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 20 != 19)
+    delta = e.filter(F.col("vec_id") % 20 == 19)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    d_up = _cache_path("embeddings_upsert_ix", sf_dir)
+    m = _read_manifest(d_up, INDEX_MANIFEST) if _cache_fresh(d_up, src) else None
+    if not m or m.get("version", 0) < 2:
+        ivf_index_write(spark, base, d_up, src)
+        ivf_index_upsert(spark, d_up, delta)
+    d = ivf_centroid_drift(spark, d_up)
+    return d.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "drift",
+    )
+
+
+_DRIFT_SQL = f"""
+    WITH allv AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+        bse AS (SELECT * FROM allv WHERE vec_id % 20 <> 19),
+        cex AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM bse),
+        cd AS (SELECT label, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY label, pos),
+        cv AS (SELECT label AS cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY label),
+        ad AS (SELECT a.vec_id, a.v, cv.cell,
+                      {sql_qround("list_sum([(a.v[i] - cv.cvec[i]) * (a.v[i] - cv.cvec[i]) for i in range(1, len(a.v) + 1)])", 6)} AS d2
+               FROM allv a CROSS JOIN cv),
+        assign AS (SELECT vec_id, v, cell FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM ad)
+                   WHERE rn = 1),
+        mex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM assign),
+        md AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS m
+               FROM mex GROUP BY cell, pos),
+        mv AS (SELECT cell, list(m ORDER BY pos) AS mean_vec
+               FROM md GROUP BY cell),
+        cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+                FROM assign GROUP BY cell)
+    SELECT CAST(mv.cell AS INT) AS cell, cnt.n_vecs,
+           {sql_qround("sqrt(list_sum([(mv.mean_vec[i] - cv.cvec[i]) * (mv.mean_vec[i] - cv.cvec[i]) for i in range(1, len(mv.mean_vec) + 1)]))", 6)} AS drift
+    FROM mv JOIN cv ON mv.cell = cv.cell JOIN cnt ON cnt.cell = mv.cell"""
+
+register("ann_index_drift_monitor", _q_ann_drift_monitor, _DRIFT_SQL)
 
 
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4255,6 +4340,36 @@ def _mbr_sql() -> str:
 
 
 register("minhash_band_recall", _q_minhash_band_recall, _mbr_sql())
+
+
+def _q_minhash_band_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality metric (round 11) — the COST half of the banding dial:
+    candidate count and precision (verified / candidates) per banding
+    configuration (operators/dedup.py:minhash_band_precision).
+    minhash_band_recall says what a config finds; this says what the
+    exact-verify bill was to find it — the pair a 100 TB dedup run tunes
+    against before committing cluster-days."""
+    return dedup.minhash_band_precision(load(spark, sf_dir, "documents"))
+
+
+def _mbp_sql() -> str:
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT CAST({b} AS INT) AS n_bands,
+               CAST({dedup.MINHASH_H // b} AS INT) AS rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN jaccard >= {MB_T} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_verified,
+               {sql_qround(
+                   f"CAST(sum(CASE WHEN jaccard >= {MB_T} THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / CAST(NULLIF(count(*), 0) AS DOUBLE)", 6)}
+                 AS band_precision
+        FROM (WITH {_mb_ctes(b)} SELECT jaccard FROM j) cj{b}"""
+        for b in dedup.MBR_BAND_COUNTS
+    )
+    return f"SELECT * FROM ({arms}) ORDER BY n_bands"
+
+
+register("neardup_band_precision", _q_minhash_band_precision, _mbp_sql())
 
 
 def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,24 +57,37 @@ def _low_shuffle(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, input_dir: str, max_files: int = 1
+) -> DataFrame:
     return (
         spark.readStream.format("parquet")
         .schema(EVENTS_DDL)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files))
         .load(input_dir)
     )
 
 
-def _materialize_events(spark: SparkSession, sf_dir: str, workdir: str) -> str:
+def _materialize_events(
+    spark: SparkSession, sf_dir: str, workdir: str, parts: int = 1
+) -> str:
     """File streams need a DIRECTORY source; write the (ns→µs converted)
-    events there once and stream from it."""
+    events there once and stream from it.
+
+    ``parts=1`` (default) → one part file → deterministic micro-batch
+    boundaries under ``maxFilesPerTrigger=1`` (update-mode sinks would
+    otherwise record per-batch intermediate state). Callers whose
+    readout is multi-batch-safe (e.g. the funnel's max-level rollup) can
+    pass ``parts>1`` for a parallel write AND a parallel scan — a single
+    coalesced file is written by ONE task and read by ONE task (one row
+    group — the round-10 fixture-layout lesson), which serializes the
+    whole pipeline at sf10. Such callers must raise maxFilesPerTrigger
+    to ≥ parts so the batch boundary stays deterministic (all files in
+    one trigger)."""
     input_dir = os.path.join(workdir, "in")
-    # one part file → deterministic micro-batch boundaries (update-mode
-    # sinks would otherwise record per-batch intermediate state)
-    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(input_dir, "batch1.parquet")
-    )
+    df = load(spark, sf_dir, "events")
+    df = df.coalesce(1) if parts <= 1 else df.repartition(parts)
+    df.write.mode("overwrite").parquet(os.path.join(input_dir, "batch1.parquet"))
     return input_dir
 
 
@@ -905,7 +918,20 @@ def streaming_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-stream-ordered source carries the guarantee. State is two int64
     nanosecond stamps + a level — constant per user, the smallest
     possible funnel state.
+
+    Scale shape (round 11 — this was the steepest corrected scaling row
+    at 6.7×/decade): (a) non-step event types are filtered JVM-side
+    BEFORE the state shuffle (they can never advance the machine), so
+    the Arrow transfer and Python workers see only funnel-relevant rows;
+    (b) the per-user advance is vectorized — one numpy first-hit scan
+    per REMAINING level (|steps| array ops) instead of a Python loop
+    over every event; (c) the source is materialized as a multi-file
+    batch and the state stage runs at defaultParallelism once the event
+    count warrants the extra state stores (the max-level readout is
+    multi-batch-safe, so all files ride ONE trigger and batch
+    boundaries stay deterministic).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -916,31 +942,44 @@ def streaming_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_wfunnel_" + uuid.uuid4().hex[:8]
     workdir = tempfile.mkdtemp(prefix="cdbspark_wfun_")
-    input_dir = _materialize_events(spark, sf_dir, workdir)
+    n_events = load(spark, sf_dir, "events").count()
+    # fixture scale keeps the 8-store single-file layout; past ~200k
+    # events the per-event work dwarfs state-store setup, so spend the
+    # full core count on both the scan and the state stage
+    par = spark.sparkContext.defaultParallelism
+    wide = n_events > 200_000
+    n_parts = par if wide else 1
+    input_dir = _materialize_events(spark, sf_dir, workdir, parts=n_parts)
 
     def advance(key, pdf_iter, state: GroupState):
         t1, tk, level = state.get if state.exists else (None, None, 0)
         rows = pd.concat(list(pdf_iter))
         rows = rows.sort_values(["ts", "event_id"])
-        for r in rows.itertuples():
-            ts_ns = r.ts.value
-            if level == 0:
-                if r.event_type == steps[0]:
-                    t1 = tk = ts_ns
-                    level = 1
-            elif level < len(steps):
-                if (
-                    r.event_type == steps[level]
-                    and ts_ns > tk
-                    and ts_ns <= t1 + horizon_ns
-                ):
-                    tk = ts_ns
-                    level += 1
+        ts = rows["ts"].values.astype("datetime64[ns]").astype("int64")
+        et = rows["event_type"].values
+        if level == 0:
+            hit = np.flatnonzero(et == steps[0])
+            if hit.size:
+                t1 = tk = int(ts[hit[0]])
+                level = 1
+        while 0 < level < len(steps):
+            # first event of the next step type STRICTLY after the last
+            # step and within the anchor horizon; rows are ts-sorted, so
+            # the first qualifying index is the loop's first qualifying
+            # event — identical semantics to the row-at-a-time machine
+            hit = np.flatnonzero(
+                (et == steps[level]) & (ts > tk) & (ts <= t1 + horizon_ns)
+            )
+            if hit.size == 0:
+                break
+            tk = int(ts[hit[0]])
+            level += 1
         state.update((t1, tk, level))
         yield pd.DataFrame({"u": [key[0]], "level": [level]})
 
     stream = (
-        _events_stream(spark, input_dir + "/*")
+        _events_stream(spark, input_dir + "/*", max_files=max(n_parts, 1))
+        .filter(F.col("event_type").isin(steps))
         .groupBy("user_id")
         .applyInPandasWithState(
             advance,
@@ -950,7 +989,7 @@ def streaming_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    with _low_shuffle(spark):
+    with _low_shuffle(spark, n=par if wide else 8):
         q = (
             stream.writeStream.outputMode("update")
             .format("memory")

@@ -89,9 +89,25 @@ def spread(df: DataFrame) -> DataFrame:
     a repartitioned scan (scaling_r10_s3.json, permutation_test_price).
     Repartitioning whenever planned < defaultParallelism costs a shuffle
     of the UN-amplified input only when cores would otherwise idle, and
-    buys even distribution of the amplified work."""
+    buys even distribution of the amplified work.
+
+    A single-FILE scan is repartitioned even when its planned split
+    count reaches the target: e.g. 32 byte-range splits of one
+    single-row-group file report getNumPartitions() == 32 yet still
+    execute as ONE non-empty task (exactly the round-10 pathology, just
+    past the count guard), so the planned count proves nothing there.
+    Row-group layout isn't visible through the DataFrame API, so one
+    file gets the one-shuffle insurance unconditionally; multi-file
+    inputs (what any real table at scale looks like) keep the pure
+    count guard and stay shuffle-free."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — in-memory/foreign frames: no files
+        files = None
+    if files is not None and len(files) == 1:
         return df.repartition(target)
     return df
 

@@ -159,3 +159,67 @@ def test_mutual_info_deterministic_function_is_entropy(spark):
     r = profiling.mutual_info_features(_li_mi(spark, rows)).collect()[0]
     assert r.mi_nats == pytest.approx(math.log(2.0), abs=1e-6)
     assert r.nmi == pytest.approx(1.0, abs=1e-6)
+
+def test_permutation_cents_lanes_match_decimal_lanes(spark, sf_dir):
+    """Round-11 rewrite pin: the integer-CENTS replicate lanes must be
+    BIT-identical, per replicate, to the DECIMAL(38,8) lanes the DuckDB
+    oracle still computes (relational.permutation_test_price docstring
+    has the exactness argument: 2-dp values recover exactly, Σ|cents|
+    < 2^53, and both paths round the same exact rational to nearest
+    double)."""
+    from pyspark.sql import functions as F
+
+    from cocktailsdb_spark.operators.relational import _dsum38
+    from cocktailsdb_spark.operators.text import md5_prefix_value
+    from cocktailsdb_spark.tables import load, spread
+
+    orders = load(spark, sf_dir, "orders")
+    a = F.col("o_orderpriority") == A
+    base = orders.filter(F.col("o_orderpriority").isin(A, B)).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("x"),
+        a.alias("isa"),
+    )
+    pa_df = base.agg(
+        F.count(F.when(F.col("isa"), 1)).cast("double").alias("na"),
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long")).alias(
+            "s_cents"
+        ),
+        F.count("*").alias("c_all"),
+    ).select("s_cents", "c_all", (F.col("na") / F.col("n")).alias("pa"))
+    n_b = 40
+    rep = spread(base).select(
+        "okey",
+        "x",
+        F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long").alias("xc"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_b - 1))).alias("b"),
+    )
+    u = md5_prefix_value(
+        F.concat_ws(":", F.col("okey").cast("string"), F.col("b").cast("string")),
+        8,
+    ).cast("double") / F.lit(4294967296.0)
+    drawn = rep.crossJoin(F.broadcast(pa_df)).withColumn("toa", u < F.col("pa"))
+    both = (
+        drawn.groupBy("b")
+        .agg(
+            # decimal lanes (the oracle's shape)
+            _dsum38(F.when(F.col("toa"), F.col("x"))).alias("sad"),
+            _dsum38(F.when(~F.col("toa"), F.col("x"))).alias("sbd"),
+            # cents lanes (the round-11 engine shape)
+            F.sum(F.when(F.col("toa"), F.col("xc"))).alias("sac"),
+            F.count(F.when(F.col("toa"), 1)).alias("ca"),
+            F.first("s_cents").alias("s_cents"),
+            F.first("c_all").alias("c_all"),
+            F.count(F.when(~F.col("toa"), 1)).alias("cb"),
+        )
+        .collect()
+    )
+    assert len(both) == n_b
+    for r in both:
+        dec_stat = r.sad / r.ca - r.sbd / r.cb
+        cents_stat = (
+            float(r.sac) / 100.0 / r.ca
+            - float(r.s_cents - r.sac) / 100.0 / (r.c_all - r.ca)
+        )
+        assert dec_stat == cents_stat, (r.b, dec_stat, cents_stat)

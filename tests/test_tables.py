@@ -183,5 +183,28 @@ def test_spread_repartitions_below_full_parallelism(spark):
         pytest.skip("needs parallelism >= 3 to distinguish the guard")
     under = spark.range(1000).repartition(target - 1)
     assert spread(under).rdd.getNumPartitions() == target
+    # plan identity, not just a partition count: repartition(target) from
+    # target partitions also yields target partitions, so a count assert
+    # passes whether or not spread() short-circuits (ADVICE r10)
     at = spark.range(1000).repartition(target)
-    assert spread(at).rdd.getNumPartitions() == target  # no-op, no extra shuffle
+    assert spread(at) is at  # no-op: same DataFrame, no shuffle added
+
+
+def test_spread_repartitions_single_file_scan(spark, tmp_path):
+    """ADVICE r10: a single parquet FILE planned as >= target byte-range
+    splits still executes as ONE non-empty task when it has one row
+    group — the planned count passes the guard while the pathology it
+    documents survives. spread() must repartition any single-file scan
+    regardless of its planned split count."""
+    from cocktailsdb_spark.tables import spread
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(100_000).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    out = spread(df)
+    assert out is not df
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

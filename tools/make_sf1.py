@@ -11,9 +11,16 @@ Jaccard at ~n/(n+1), so minhash/Jaccard verified-pair output still grows
 ~quadratically in the replica count — a property of the replicated
 workload, not the plans. The scaling sweep therefore normalizes those two
 rows by output size (tools/neardup_pair_counts.py records pair counts and
-sec-per-1k-pairs; see BASELINE.md round-6). (Embeddings are NOT
-replicated — the ANN families index a fixed embedding corpus; their
-scaling story is the recall-dial/cell-count analysis, not this sweep.)
+sec-per-1k-pairs; see BASELINE.md round-6).
+
+Embeddings ARE replicated since round 11 (they were fixed at 2,000
+vectors before, which left the at-rest ANN index lifecycle with no
+scaling axis): replica 0 keeps the original vectors — so the registered
+QUERY_IDS still reference unchanged query points — and every other
+replica perturbs each component with a deterministic md5-derived offset
+in [-0.05, 0.05) (the tools/ann_scale_probe.py scheme), so replicas are
+genuinely distinct points, not duplicate vectors that would collapse
+into ties.
 
 Usage:
     python tools/make_sf1.py                      # sf1  (10x)  -> /tmp/cdbspark_sf1
@@ -70,6 +77,57 @@ def main() -> None:
                 .withColumn("user_id", F.col("user_id") + F.col("_uoff"))
                 .drop("_rep", "_off", "_uoff")
             )
+        elif t == "embeddings":
+            # disjoint vec_ids; replica 0 unchanged, others md5-perturbed
+            # per (vec, replica, dim) so replicated points are distinct
+            # (see module docstring). conv(hex,16,10)/16^4 - 0.5 is a
+            # uniform in [-0.5, 0.5); scaled to [-0.05, 0.05).
+            vstride = df.agg(F.max("vec_id")).first()[0] + 1
+            rep = spark.range(args.replicas).select(F.col("id").alias("_rep"))
+            noise = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("vec_id"), F.col("_rep"), F.col("_d")
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(float(16**4))
+                - F.lit(0.5)
+            ) * F.lit(0.1)
+            df = (
+                df.crossJoin(F.broadcast(rep))
+                .select(
+                    (F.col("vec_id") + F.col("_rep") * vstride).alias("vec_id"),
+                    F.col("label"),
+                    F.col("_rep"),
+                    F.posexplode("embedding").alias("_d", "_x"),
+                )
+                .select(
+                    "vec_id",
+                    "label",
+                    "_d",
+                    F.when(F.col("_rep") == 0, F.col("_x"))
+                    .otherwise(F.col("_x") + noise)
+                    .cast("float")
+                    .alias("_x"),
+                )
+                .groupBy("vec_id", "label")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("_d", "_x"))).alias("_p")
+                )
+                .select(
+                    "vec_id",
+                    F.transform("_p", lambda s: s["_x"]).alias("embedding"),
+                    "label",
+                )
+            )
         elif t in FACTS:
             key = FACTS[t]
             rep = spark.range(args.replicas).select(
@@ -93,7 +151,7 @@ def main() -> None:
                     ),
                 )
             df = df.drop("_rep", "_off")
-        if t in FACTS or t == "events":
+        if t in FACTS or t in ("events", "embeddings"):
             # realistic multi-file layout: the replicate crossJoin keeps
             # the source's 1-3 partitions, which writes ONE parquet file
             # with ONE row group — Spark then plans byte-range splits that

@@ -173,6 +173,21 @@ AUDIT = [
     "ljung_box_daily",
     "friedman_test_priority",
     "cmh_discount_returns",
+    # round-11: the most expensive bench rows that had no audit section
+    # (VERDICT r10 task 7 — cover the top of the cost table, starting
+    # with the #1 row lpa_communities)
+    "lpa_communities",
+    "recommendation_hitrate",
+    "pagerank_top_nodes",
+    "geo_knn_join",
+    "minhash_banded_pairs",
+    "weighted_percentiles_by_brand",
+    "segment_percentiles",
+    "kcore_peel_rounds",
+    "cogroup_asof_pandas",
+    "link_prediction_jaccard",
+    "adaboost_two_stumps",
+    "frequent_itemset_pairs",
 ]
 
 

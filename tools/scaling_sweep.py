@@ -52,10 +52,10 @@ SCALE_QUERIES = [
 ]
 
 
-def run_sf(sf_dir: str) -> dict:
+def run_sf(sf_dir: str, queries: list[str]) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(SCALE_QUERIES)
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(queries)
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
         env=env,
@@ -75,7 +75,13 @@ def main() -> None:
     )
     ap.add_argument("--labels", default="sf0.1,sf1,sf10")
     ap.add_argument("--out", default=str(ROOT / "scaling_r6.json"))
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry entries (default: the round-6 list)",
+    )
     args = ap.parse_args()
+    queries = args.queries.split(",") if args.queries else SCALE_QUERIES
 
     result: dict = {
         "note": (
@@ -85,11 +91,11 @@ def main() -> None:
             "near-duplicate — see neardup_pairs for the output-size "
             "normalization of the two near-dup rows)"
         ),
-        "queries": SCALE_QUERIES,
+        "queries": queries,
     }
     for label, d in zip(args.labels.split(","), args.dirs.split(",")):
         print(f"== {label}: {d}")
-        bench = run_sf(d)
+        bench = run_sf(d, queries)
         result[label] = bench["queries"]
         result[f"{label}_spreads"] = bench.get("spreads", {})
         if bench.get("errors"):

@@ -320,6 +320,40 @@ def test_minhash_band_recall_monotone_and_subset(spark):
         assert out[b].rows_per_band == 16 // b
 
 
+def test_minhash_band_precision_consistency(spark):
+    """The precision dial must agree with the recall dial's bookkeeping
+    on the same corpus: per banding config, n_verified equals
+    band_recall's n_detected (both are the verified-pair count of the
+    same candidate set), n_candidates >= n_verified, candidate counts
+    are non-decreasing in band count (laxer collision test admits more),
+    and band_precision = n_verified / n_candidates."""
+    import pytest
+
+    rows = []
+    base = "join hash scan merge sort window batch stream filter group"
+    for i in range(40):
+        text = base + f" extra{i} tail{i} pad{i} more{i}"
+        rows.append((i, text, "en", len(text)))
+        if i % 2 == 0:
+            rows.append((1000 + i, text + " zz", "en", len(text) + 3))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int"
+    )
+    from cocktailsdb_spark.operators import dedup
+
+    prec = {r.n_bands: r for r in dedup.minhash_band_precision(docs).collect()}
+    rec = {r.n_bands: r for r in dedup.minhash_band_recall(docs).collect()}
+    assert list(prec) == [2, 4, 8]
+    cands = [prec[b].n_candidates for b in (2, 4, 8)]
+    assert cands[0] <= cands[1] <= cands[2]
+    for b in (2, 4, 8):
+        assert prec[b].n_verified == rec[b].n_detected
+        assert prec[b].n_candidates >= prec[b].n_verified
+        assert prec[b].band_precision == pytest.approx(
+            prec[b].n_verified / prec[b].n_candidates, abs=1e-6
+        )
+
+
 def test_simhash_threshold_curve_monotone(spark):
     """Looser hamming cutoff: detected and recall non-decreasing, hits
     bounded by both detected and truth."""

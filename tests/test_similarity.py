@@ -304,6 +304,55 @@ def test_index_upsert_equals_rebuild_and_drift_bounded(spark, sf_dir, tmp_path):
     assert all(r.drift is not None and r.drift >= 0.0 for r in drift.values())
 
 
+def test_centroid_drift_zero_before_upsert_positive_after(spark, tmp_path):
+    """Semantic pin for the ann_index_drift_monitor entry: with tight
+    per-label clusters every vector assigns to its own label's centroid,
+    so the no-upsert drift is ~0 in every cell (mean == centroid up to
+    the qround grid); upserting a batch shifted along dim 0 into one
+    cluster must raise exactly that cell's drift by about the dilution
+    n_new*shift/(n_old+n_new), and leave the untouched cell at ~0."""
+    import os
+
+    dim = 8
+
+    def vec(center, i):
+        # deterministic tiny within-cluster jitter, symmetric so the
+        # cluster mean stays ON the centroid grid after qround
+        return [center + (0.001 if i % 2 else -0.001)] * dim
+
+    rows = [(i, vec(0.0, i), 0) for i in range(20)]
+    rows += [(100 + i, vec(5.0, i), 1) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    src = str(tmp_path / "emb_src")
+    emb.write.parquet(src)
+    d_ix = str(tmp_path / "drift_ix")
+    similarity.ivf_index_write(spark, emb, d_ix, os.path.join(src, "_SUCCESS"))
+    before = {
+        r.cell: r.drift
+        for r in similarity.ivf_centroid_drift(spark, d_ix).collect()
+    }
+    assert before[0] == pytest.approx(0.0, abs=1e-5)
+    assert before[1] == pytest.approx(0.0, abs=1e-5)
+
+    shifted = spark.createDataFrame(
+        [(200 + i, [1.0] + [0.0] * (dim - 1), 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    similarity.ivf_index_upsert(spark, d_ix, shifted)
+    after = {
+        r.cell: (r.drift, r.n_vecs)
+        for r in similarity.ivf_centroid_drift(spark, d_ix).collect()
+    }
+    # cell 0 gained 10 vectors at distance ~1 along each of 0 dims... the
+    # new points sit at [1,0,...,0] vs centroid ~0^dim: mean moves by
+    # (10/30)*[1,0,..0] -> drift ~ 1/3
+    assert after[0][1] == 30
+    assert after[0][0] == pytest.approx(1.0 / 3.0, abs=0.01)
+    assert after[1][0] == pytest.approx(0.0, abs=1e-5)
+
+
 def test_index_upsert_requires_manifest(spark, sf_dir, tmp_path):
     """Upserting into a directory without an index manifest is a named
     error, not a silent mis-celled append."""

@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     # not apply)
     "ann_index_drift_monitor",
     "neardup_band_precision",
+    "semantic_dedup_scaled",
 ]
 
 

@@ -28,9 +28,40 @@ LANG_PRECEDENCE = ["en", "de", "es", "fr", "zh"]
 # engines. plane[k][j] = ((j*31 + k*17) % 7) - 3
 N_PLANES = 4
 EMB_DIM = 64
-PLANES: list[list[int]] = [
-    [((j * 31 + k * 17) % 7) - 3 for j in range(EMB_DIM)] for k in range(N_PLANES)
-]
+
+
+def make_planes(n_planes: int, dim: int = EMB_DIM) -> list[list[int]]:
+    """The PLANES formula at an arbitrary plane count — the bucket-count
+    knob for operators whose partition cardinality must grow with corpus
+    size (semantic_dedup_scaled: +1 plane per doubling keeps the
+    per-bucket population bounded). ``make_planes(N_PLANES)`` is exactly
+    :data:`PLANES`, so the default configurations stay oracle-shared.
+
+    The legacy formula is periodic in k with period 7 (k·17 mod 7
+    cycles), so planes 7+ come from a SECOND generator over modulus 9
+    (coefficients coprime to 9, values −4..4 — disjoint from the legacy
+    −3..3 family, so no cross-family duplicate is possible); that family
+    is periodic with period 9, capping the total at 16 distinct planes
+    (65k sub-buckets per cell — beyond that, store cell ids at write
+    time). A request past the cap is a named error, never a silently
+    duplicated plane that halves the real bucket count."""
+    if n_planes > 16:
+        raise ValueError(
+            "plane generators yield 16 distinct members (7 mod-7 legacy + "
+            "9 mod-9); extend the generator before requesting more"
+        )
+    out = [
+        [((j * 31 + k * 17) % 7) - 3 for j in range(dim)]
+        for k in range(min(n_planes, 7))
+    ]
+    out += [
+        [((j * 29 + k * 23 + 5) % 9) - 4 for j in range(dim)]
+        for k in range(n_planes - 7)
+    ]
+    return out
+
+
+PLANES: list[list[int]] = make_planes(N_PLANES)
 
 # simhash (operators/dedup.py): 64-bit simhash built from the first 16 hex
 # chars of md5(token) — md5 is the one hash both engines share. The

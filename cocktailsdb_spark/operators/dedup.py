@@ -635,6 +635,79 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_scaled(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """SemDeDup with a SCALING partition cardinality — the 100 TB form of
+    :func:`semantic_dedup`, whose per-cell work is quadratic in cell size
+    while its cell count is the FIXED label-centroid set (C=10 on the
+    fixtures). That contract holds only while clusters stay bounded; the
+    round-11 scaled embeddings exposed it (sf1 replicas grew every cell
+    10×, the within-cell self-join 100× — 2.8 s → 52.7 s, and sf10 would
+    be hours). SemDeDup's own answer is a cluster count ∝ N; with a
+    deterministic oracle-shared quantizer we get there by splitting each
+    centroid cell with hyperplane-LSH sign buckets
+    (similarity.plane_bucket — the ivf_topk family's planes): partition =
+    (cell, bucket), +1 plane per corpus doubling keeps the per-partition
+    population — and therefore the quadratic factor — constant.
+
+    Approximation contract (documented, like every LSH family here): a
+    cosine-neighbour pair split across sub-buckets is not compared, so
+    the scaled form KEEPS a superset of semantic_dedup's survivors —
+    finer partitions only ever drop fewer vectors. At real-corpus
+    thresholds (0.9+) near-identical pairs have near-parallel vectors,
+    which agree on every hyperplane sign with probability
+    (1 − θ/π)^H → high; the synthetic fixtures run the demo threshold.
+
+    Output: (vec_id, cell, bucket, kept) — same contract plus the
+    sub-bucket."""
+    from .similarity import (
+        SIM_ROUND,
+        _cells_by_distance,
+        _collect_centroids,
+        dot,
+        plane_bucket,
+        with_norm,
+    )
+
+    cents = _collect_centroids(emb, vec_col)
+    base = with_norm(emb, vec_col).select(id_col, "_vec", "_norm")
+    assign = (
+        base.withColumn(
+            "cell",
+            F.element_at(_cells_by_distance(F.col("_vec"), cents), 1)["cell"],
+        )
+        .withColumn("bucket", plane_bucket(F.col("_vec"), planes))
+        .persist()
+    )
+    assign.count()
+    a, b = assign.alias("a"), assign.alias("b")
+    sim = qround(
+        dot(F.col("a._vec"), F.col("b._vec"))
+        / (F.col("a._norm") * F.col("b._norm")),
+        SIM_ROUND,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return assign.join(dropped, id_col, "left").select(
+        id_col, "cell", "bucket", F.col("_dropped").isNull().alias("kept")
+    )
+
+
 MINHASH_H = 16  # signature length
 MINHASH_BANDS_N = 4  # 4 bands × 4 rows: collide iff a 4-slice matches
 MINHASH_P = (1 << 61) - 1  # Mersenne prime for the universal hash family

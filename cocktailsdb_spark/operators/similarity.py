@@ -399,11 +399,14 @@ def ivf_kmeans_topk(
     )
 
 
-def plane_bucket(vec: Column) -> Column:
+def plane_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
     """Bucket id from the sign pattern of the fixed hyperplane projections
-    (random-hyperplane LSH with deterministic integer planes)."""
+    (random-hyperplane LSH with deterministic integer planes). ``planes``
+    defaults to the engine-shared 4-plane set; callers scaling the bucket
+    count ∝ log(N) (semantic_dedup_scaled) pass
+    :func:`cocktailsdb_spark.constants.make_planes`'s wider sets."""
     bucket = F.lit(0)
-    for bit, plane in enumerate(PLANES):
+    for bit, plane in enumerate(PLANES if planes is None else planes):
         proj = dot(vec, F.array(*[F.lit(float(p)) for p in plane]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
     return bucket

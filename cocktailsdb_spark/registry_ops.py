@@ -1439,6 +1439,36 @@ register(
         SELECT vec_id, cell, kept FROM skept""",
 )
 
+
+def _q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 (round 11) — SemDeDup at a SCALING partition cardinality:
+    (centroid cell × hyperplane-LSH sign bucket), the form whose
+    per-partition quadratic factor stays bounded as the corpus grows
+    (operators/dedup.py:semantic_dedup_scaled — the naive entry's 10
+    fixed cells went quadratic the moment the fixtures' embedding axis
+    scaled; BASELINE.md round-11)."""
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_scaled(e, threshold=SEMDEDUP_T)
+
+
+register(
+    "semantic_dedup_scaled",
+    _q_semantic_dedup_scaled,
+    f"""WITH {_SQL_EMB_BASE}, {_SQL_KMEANS_ASSIGN_CTE},
+        sbk AS (SELECT vec_id, v, nv, cell, {_sql_bucket("v")} AS bucket
+                FROM sassign),
+        sp AS (SELECT b2.vec_id AS drop_id,
+                      {sql_qround(_sql_dot("a2.v", "b2.v") + " / (a2.nv * b2.nv)", 6)} AS sim
+               FROM sbk a2 JOIN sbk b2
+                 ON a2.cell = b2.cell AND a2.bucket = b2.bucket
+                AND a2.vec_id < b2.vec_id),
+        sdrop AS (SELECT DISTINCT drop_id FROM sp WHERE sim >= {SEMDEDUP_T}),
+        skept AS (SELECT a.vec_id, a.cell, CAST(a.bucket AS INT) AS bucket,
+                         (d.drop_id IS NULL) AS kept
+                  FROM sbk a LEFT JOIN sdrop d ON a.vec_id = d.drop_id)
+        SELECT vec_id, cell, bucket, kept FROM skept""",
+)
+
 SQ_RERANK = 4
 
 _SQL_SQ_CTE = f"""

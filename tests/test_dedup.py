@@ -235,6 +235,50 @@ def test_semantic_dedup_fixture_partition(spark, sf_dir):
     assert counts.get(True, 0) > 0  # something always survives
 
 
+def test_semantic_dedup_scaled_keeps_superset(spark, sf_dir):
+    """The (cell × plane-bucket) form compares only WITHIN sub-buckets,
+    so it can only ever drop fewer vectors than the per-cell form: its
+    survivor set must be a superset, its cells must agree, and every
+    vector classifies exactly once. Near-identical vectors (the greedy
+    pin's tight clusters) share every hyperplane sign, so there the
+    scaled form reproduces the naive survivors exactly."""
+    from cocktailsdb_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    naive = {r["vec_id"]: r for r in dedup.semantic_dedup(emb).collect()}
+    scaled = {r["vec_id"]: r for r in dedup.semantic_dedup_scaled(emb).collect()}
+    assert set(naive) == set(scaled)
+    for vid, r in scaled.items():
+        assert r["cell"] == naive[vid]["cell"]
+        if naive[vid]["kept"]:
+            assert r["kept"]  # superset: scaled never drops a naive survivor
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.01], 0),
+        (1, [1.0, 0.0, 0.0, 0.02], 0),
+        (2, [0.99, 0.01, 0.0, 0.0], 0),
+        (10, [0.0, 1.0, 0.0, 0.01], 1),
+        (11, [0.0, 0.99, 0.01, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup_scaled(df, threshold=0.9).collect()
+    }
+    assert out[0]["kept"] and out[10]["kept"]
+    assert not any(out[i]["kept"] for i in (1, 2, 11))
+
+
+def test_make_planes_default_identity_and_cap():
+    from cocktailsdb_spark.constants import N_PLANES, PLANES, make_planes
+
+    assert make_planes(N_PLANES) == PLANES
+    assert make_planes(16)[:7] == make_planes(7)  # families compose stably
+    assert len({tuple(p) for p in make_planes(16)}) == 16  # all distinct
+    with pytest.raises(ValueError, match="16 distinct"):
+        make_planes(17)
+
+
 def test_minhash_banded_finds_near_dup_and_verifies_exactly(docs):
     out = dedup.minhash_banded_pairs(docs, n=3, threshold=0.5).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}

@@ -33,6 +33,7 @@ BUDGETS = {
     # round-5 additions
     "boilerplate_ngrams": 2,  # spread() + the one gram aggregate
     "semantic_dedup": 2,  # cell self-join + drop-set join (assignment is narrow)
+    "semantic_dedup_scaled": 2,  # same shape on (cell, bucket) — bucket is narrow
     "embedding_topk_sq": 2,  # coarse + rerank windows (both on query_id)
     "embedding_topk_pq": 2,  # same two-pass shape over the m-byte codes
     "bm25_rank_query": 3,  # df agg + stats scalar + score agg (tf checkpointed)

@@ -188,6 +188,8 @@ AUDIT = [
     "link_prediction_jaccard",
     "adaboost_two_stumps",
     "frequent_itemset_pairs",
+    # round-11 scale-path twin: (cell × plane-bucket) SemDeDup
+    "semantic_dedup_scaled",
 ]
 
 

@@ -635,6 +635,9 @@ def semantic_dedup(
     )
 
 
+SEMDEDUP_BASE_POP = 2_000  # corpus size at which the 4-plane default holds
+
+
 def semantic_dedup_scaled(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -663,8 +666,20 @@ def semantic_dedup_scaled(
     which agree on every hyperplane sign with probability
     (1 − θ/π)^H → high; the synthetic fixtures run the demo threshold.
 
+    ``planes=None`` picks the knob from the corpus itself: the default
+    4 planes up to SEMDEDUP_BASE_POP·cells vectors, then +1 plane per
+    corpus doubling (capped at make_planes' 16 distinct members) — so
+    the REGISTERED entry is scale-correct without the caller knowing
+    the knob exists. The driver's oracle runs at sf0.01/sf0.1 (≤2,000
+    vectors), where the adaptive choice IS the 4-plane default the SQL
+    twin embeds; measured at sf10 the adaptive entry runs ~10 s where
+    the fixed default ran 336 s (scaling_r11_s2.json).
+
     Output: (vec_id, cell, bucket, kept) — same contract plus the
     sub-bucket."""
+    import math
+
+    from ..constants import N_PLANES, make_planes
     from .similarity import (
         SIM_ROUND,
         _cells_by_distance,
@@ -674,6 +689,10 @@ def semantic_dedup_scaled(
         with_norm,
     )
 
+    if planes is None:
+        n = emb.count()
+        extra = max(0, math.ceil(math.log2(max(n, 1) / SEMDEDUP_BASE_POP)))
+        planes = make_planes(min(16, N_PLANES + extra))
     cents = _collect_centroids(emb, vec_col)
     base = with_norm(emb, vec_col).select(id_col, "_vec", "_norm")
     assign = (

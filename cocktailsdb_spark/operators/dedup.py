@@ -667,13 +667,15 @@ def semantic_dedup_scaled(
     (1 − θ/π)^H → high; the synthetic fixtures run the demo threshold.
 
     ``planes=None`` picks the knob from the corpus itself: the default
-    4 planes up to SEMDEDUP_BASE_POP·cells vectors, then +1 plane per
+    4 planes up to SEMDEDUP_BASE_POP TOTAL vectors, then +1 plane per
     corpus doubling (capped at make_planes' 16 distinct members) — so
     the REGISTERED entry is scale-correct without the caller knowing
-    the knob exists. The driver's oracle runs at sf0.01/sf0.1 (≤2,000
-    vectors), where the adaptive choice IS the 4-plane default the SQL
-    twin embeds; measured at sf10 the adaptive entry runs ~10 s where
-    the fixed default ran 336 s (scaling_r11_s2.json).
+    the knob exists. The registered DuckDB twin computes the SAME
+    count-derived plane gate (registry_ops._sql_bucket_adaptive), so
+    oracle parity holds at every corpus size — verified hash-exact at
+    sf1, where the adaptive choice (8 planes) differs from the 4-plane
+    default. Measured at sf10 the adaptive entry runs ~7 s where a
+    fixed 4-plane run took 336 s (scaling_r11_s2.json).
 
     Output: (vec_id, cell, bucket, kept) — same contract plus the
     sub-bucket."""

@@ -4047,25 +4047,22 @@ def permutation_test_price(orders: DataFrame, b_reps: int = PERM_B) -> DataFrame
             F.sum(F.when(F.col("toa"), F.col("xc"))).alias("sac"),
             F.count(F.when(F.col("toa"), 1)).alias("ca"),
         )
-        .crossJoin(F.broadcast(obs.select("s_cents", "c_all")))
-        .select(
-            "b",
-            (
-                F.col("sac").cast("double")
-                / F.lit(100.0)
-                / F.nullif(F.col("ca"), F.lit(0)).cast("double")
-                - (F.col("s_cents") - F.col("sac")).cast("double")
-                / F.lit(100.0)
-                / F.nullif(F.col("c_all") - F.col("ca"), F.lit(0)).cast(
-                    "double"
-                )
-            ).alias("stat"),
-        )
+    )
+    # s_cents/c_all ride the SAME final obs broadcast the n_extreme
+    # comparison needs — a separate mid-pipeline crossJoin would be a
+    # third obs broadcast, re-running the orders scan+aggregate once more
+    stat = (
+        F.col("sac").cast("double")
+        / F.lit(100.0)
+        / F.nullif(F.col("ca"), F.lit(0)).cast("double")
+        - (F.col("s_cents") - F.col("sac")).cast("double")
+        / F.lit(100.0)
+        / F.nullif(F.col("c_all") - F.col("ca"), F.lit(0)).cast("double")
     )
     res = stats.crossJoin(F.broadcast(obs)).agg(
         F.count("*").cast("long").alias("b_reps"),
         F.sum(
-            F.when(F.abs(F.col("stat")) >= F.abs(F.col("obs")), 1).otherwise(0)
+            F.when(F.abs(stat) >= F.abs(F.col("obs")), 1).otherwise(0)
         )
         .cast("long")
         .alias("n_extreme"),

@@ -1053,6 +1053,24 @@ def _sql_bucket(v: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _sql_bucket_adaptive(v: str, np_expr: str) -> str:
+    """plane_bucket over the FULL 16-plane two-family set
+    (constants.make_planes), with each bit gated on ``np_expr`` — the
+    corpus-derived plane count — so the oracle reproduces
+    semantic_dedup_scaled's adaptive default at EVERY scale factor, not
+    just the ones where the 4-plane default happens to be chosen."""
+    from .constants import make_planes
+
+    terms = []
+    for bit, plane in enumerate(make_planes(16)):
+        dot = " + ".join(f"{v}[{j+1}]*{float(p)}" for j, p in enumerate(plane))
+        terms.append(
+            f"(CASE WHEN {bit} < {np_expr} AND ({dot}) > 0"
+            f" THEN {1 << bit} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — LSH/IVF-bucketed approximate top-k (the scale path: equi-join
     on bucket, not a cross join)."""
@@ -1442,21 +1460,32 @@ register(
 
 def _q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3 (round 11) — SemDeDup at a SCALING partition cardinality:
-    (centroid cell × hyperplane-LSH sign bucket), the form whose
-    per-partition quadratic factor stays bounded as the corpus grows
+    (centroid cell × hyperplane-LSH sign bucket) with the plane count
+    picked from the corpus size, the form whose per-partition quadratic
+    factor stays bounded as the corpus grows
     (operators/dedup.py:semantic_dedup_scaled — the naive entry's 10
     fixed cells went quadratic the moment the fixtures' embedding axis
-    scaled; BASELINE.md round-11)."""
+    scaled; BASELINE.md round-11). The oracle computes the SAME
+    count-derived plane gate (_sql_bucket_adaptive), so parity holds at
+    every scale factor — verified at sf1 (selfcheck_sf1_r11.txt)."""
     e = load(spark, sf_dir, "embeddings")
     return dedup.semantic_dedup_scaled(e, threshold=SEMDEDUP_T)
 
+
+_SDS_NP = (
+    "LEAST(16, 4 + GREATEST(0, CAST(ceil(log2("
+    f"CAST(n AS DOUBLE) / {float(dedup.SEMDEDUP_BASE_POP)})) AS INT)))"
+)
 
 register(
     "semantic_dedup_scaled",
     _q_semantic_dedup_scaled,
     f"""WITH {_SQL_EMB_BASE}, {_SQL_KMEANS_ASSIGN_CTE},
-        sbk AS (SELECT vec_id, v, nv, cell, {_sql_bucket("v")} AS bucket
-                FROM sassign),
+        snv AS (SELECT {_SDS_NP} AS np
+                FROM (SELECT count(*) AS n FROM embeddings)),
+        sbk AS (SELECT vec_id, v, nv, cell,
+                       {_sql_bucket_adaptive("v", "snv.np")} AS bucket
+                FROM sassign CROSS JOIN snv),
         sp AS (SELECT b2.vec_id AS drop_id,
                       {sql_qround(_sql_dot("a2.v", "b2.v") + " / (a2.nv * b2.nv)", 6)} AS sim
                FROM sbk a2 JOIN sbk b2

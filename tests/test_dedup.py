@@ -253,18 +253,31 @@ def test_semantic_dedup_scaled_keeps_superset(spark, sf_dir):
         if naive[vid]["kept"]:
             assert r["kept"]  # superset: scaled never drops a naive survivor
 
+    # full-width 64-dim synthetic clusters (4-dim vectors against 64-dim
+    # planes would null every projection and park everything in bucket 0
+    # — the sub-bucketing would go unexercised, ADVICE-style vacuous)
+    def v64(head, scale):
+        return [float(x) * scale for x in head] + [0.0] * (64 - len(head))
+
+    u0, u1 = [1.0, 0.3, -0.2, 0.05], [-0.4, 1.0, 0.25, -0.1]
     rows = [
-        (0, [1.0, 0.0, 0.0, 0.01], 0),
-        (1, [1.0, 0.0, 0.0, 0.02], 0),
-        (2, [0.99, 0.01, 0.0, 0.0], 0),
-        (10, [0.0, 1.0, 0.0, 0.01], 1),
-        (11, [0.0, 0.99, 0.01, 0.0], 1),
+        # exact scalar multiples: cosine is exactly 1 (>= any threshold)
+        # and sign(proj(c*u)) == sign(proj(u)) for c > 0, so cluster-mates
+        # land in the SAME sub-bucket by construction — the sub-bucketing
+        # is exercised with real non-zero projections but cannot split a
+        # duplicate pair
+        (0, v64(u0, 1.0), 0),
+        (1, v64(u0, 2.0), 0),
+        (2, v64(u0, 0.5), 0),
+        (10, v64(u1, 1.0), 1),
+        (11, v64(u1, 3.0), 1),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = {
         r["vec_id"]: r
         for r in dedup.semantic_dedup_scaled(df, threshold=0.9).collect()
     }
+    assert len({out[i]["bucket"] for i in (0, 1, 2)}) == 1
     assert out[0]["kept"] and out[10]["kept"]
     assert not any(out[i]["kept"] for i in (1, 2, 11))
 

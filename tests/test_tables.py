@@ -200,11 +200,22 @@ def test_spread_repartitions_single_file_scan(spark, tmp_path):
 
     p = str(tmp_path / "one.parquet")
     spark.range(100_000).coalesce(1).write.mode("overwrite").parquet(p)
-    df = spark.read.parquet(p)
-    assert len(df.inputFiles()) == 1
-    out = spread(df)
-    assert out is not df
-    assert (
-        out.rdd.getNumPartitions()
-        == spark.sparkContext.defaultParallelism
-    )
+    # shrink the split size so the ONE file plans >= target byte-range
+    # splits — otherwise planned=1 trips the pre-existing count guard
+    # first and this test would stay green with the single-file branch
+    # deleted (ADVICE-style vacuous coverage)
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        df = spark.read.parquet(p)
+        target = spark.sparkContext.defaultParallelism
+        assert len(df.inputFiles()) == 1
+        assert df.rdd.getNumPartitions() >= target  # count guard passes
+        out = spread(df)
+        assert out is not df  # single-file branch fired anyway
+        assert out.rdd.getNumPartitions() == target
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)

@@ -39,8 +39,11 @@ def make_planes(n_planes: int, dim: int = EMB_DIM) -> list[list[int]]:
 
     The legacy formula is periodic in k with period 7 (k·17 mod 7
     cycles), so planes 7+ come from a SECOND generator over modulus 9
-    (coefficients coprime to 9, values −4..4 — disjoint from the legacy
-    −3..3 family, so no cross-family duplicate is possible); that family
+    (coefficients coprime to 9, values −4..4 — NOT structurally disjoint
+    from the legacy −3..3 family, since −4..4 is a superset; the 16
+    planes' pairwise distinctness is pinned empirically by
+    tests/test_dedup.py::test_make_planes_default_identity_and_cap,
+    which compares the per-plane value tuples); that family
     is periodic with period 9, capping the total at 16 distinct planes
     (65k sub-buckets per cell — beyond that, store cell ids at write
     time). A request past the cap is a named error, never a silently

@@ -691,21 +691,23 @@ def semantic_dedup_scaled(
         with_norm,
     )
 
-    if planes is None:
-        n = emb.count()
-        extra = max(0, math.ceil(math.log2(max(n, 1) / SEMDEDUP_BASE_POP)))
-        planes = make_planes(min(16, N_PLANES + extra))
     cents = _collect_centroids(emb, vec_col)
     base = with_norm(emb, vec_col).select(id_col, "_vec", "_norm")
-    assign = (
-        base.withColumn(
-            "cell",
-            F.element_at(_cells_by_distance(F.col("_vec"), cents), 1)["cell"],
-        )
-        .withColumn("bucket", plane_bucket(F.col("_vec"), planes))
-        .persist()
-    )
-    assign.count()
+    # persist the EXPENSIVE half (norms + C×dim centroid distances) and
+    # let its materializing count double as the adaptive plane gate —
+    # one pass over the corpus instead of a separate emb.count() job
+    # (advice r11). The bucket column stays OUTSIDE the persist: it is
+    # p×dim per row, cheap to recompute per consumer, and computing it
+    # after the count is what lets the gate pick p at all.
+    cells = base.withColumn(
+        "cell",
+        F.element_at(_cells_by_distance(F.col("_vec"), cents), 1)["cell"],
+    ).persist()
+    n = cells.count()
+    if planes is None:
+        extra = max(0, math.ceil(math.log2(max(n, 1) / SEMDEDUP_BASE_POP)))
+        planes = make_planes(min(16, N_PLANES + extra))
+    assign = cells.withColumn("bucket", plane_bucket(F.col("_vec"), planes))
     a, b = assign.alias("a"), assign.alias("b")
     sim = qround(
         dot(F.col("a._vec"), F.col("b._vec"))

@@ -842,6 +842,246 @@ def ivf_centroid_drift(spark, cache_dir: str, vec_col: str = "embedding") -> Dat
     )
 
 
+ANN_BASE_POP = 2_000  # corpus size at which label cells start splitting
+# n_labels × 2^p must stay under MAX_CENTROIDS (fixtures: 10 × 2^8 = 2560)
+ANN_MAX_PLANES = 8
+
+
+def adaptive_plane_count(n: int) -> int:
+    """Plane count for the ADAPTIVE composite quantizer: 0 up to
+    :data:`ANN_BASE_POP` total vectors, then +1 per corpus doubling,
+    capped at :data:`ANN_MAX_PLANES` so the composite cell count
+    (n_labels × 2^p) stays under :data:`MAX_CENTROIDS`. This is the
+    fixed-cardinality fix the round-11 2M-vector probe demanded: the
+    stored index's 10 label cells made probe cost pick up an
+    n_probe/n_cells linear term (0.80 → 2.12 s in the 4th decade,
+    scaling_r11.json) — cells ∝ N keeps per-cell population, and with
+    it probe cost, bounded. The DuckDB twin computes the identical
+    count-derived gate (registry_ops._SQL_ANN_NP), the
+    semantic_dedup_scaled recipe for keeping an exact oracle under a
+    data-adaptive knob."""
+    import math
+
+    return min(ANN_MAX_PLANES, max(0, math.ceil(math.log2(max(n, 1) / ANN_BASE_POP))))
+
+
+def adaptive_cell(vec: Column, label: Column, planes: list[list[int]]) -> Column:
+    """Composite cell id ``label·2^p + plane_bucket(vec)`` — the
+    RULE-based assignment of the adaptive index. Linear in N (p×dim
+    multiplies per row; no distance ranking against the C-cell
+    quantizer), deterministic, and shared verbatim by build, upsert and
+    rebuild — which is what makes upsert ≡ rebuild and delete+compact ≡
+    rebuild provable layout identities (the nearest-centroid assignment
+    of :func:`ivf_index_write` only gets that via a frozen-quantizer
+    rebuild). With p = 0 the id degenerates to the label itself."""
+    return (
+        label.cast("int") * F.lit(1 << len(planes)) + plane_bucket(vec, planes)
+    ).cast("int")
+
+
+def ivf_index_write_adaptive(
+    spark,
+    emb: DataFrame,
+    cache_dir: str,
+    src_file: str,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    planes: list[list[int]] | None = None,
+    cents=None,
+) -> str:
+    """At-rest IVF index with a cell count that GROWS with the corpus:
+    vectors are partitioned by the composite rule cell
+    (:func:`adaptive_cell`, planes picked from ``emb.count()`` unless
+    forced), and the manifest carries BOTH halves of the quantizer —
+    the rule planes (for assignment of future deltas) and the
+    decimal-exact composite-cell centroid means (for probe-side cell
+    ranking; :func:`stored_index_probe` consumes them unchanged).
+    ``planes``/``cents`` force a frozen quantizer for
+    equivalence-invariant rebuilds, mirroring :func:`ivf_index_write`'s
+    ``cents``."""
+    from ..constants import make_planes
+    from ..plans.layout import _cache_fresh
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    if _cache_fresh(cache_dir, src_file) and _read_manifest(cache_dir, INDEX_MANIFEST):
+        return cache_dir
+    n = emb.count()
+    if planes is None:
+        planes = make_planes(adaptive_plane_count(n))
+    assigned = emb.withColumn(
+        "cell", adaptive_cell(_as_double(F.col(vec_col)), F.col(label_col), planes)
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(cache_dir)
+    if cents is None:
+        # probe-side quantizer: decimal-exact mean per composite cell,
+        # bounded by construction (n_labels × 2^p ≤ MAX_CENTROIDS)
+        cents = _collect_centroids(
+            assigned.select(F.col("cell").alias("label"), vec_col), vec_col
+        )
+    labels, vecs, label_dtype = cents
+    _write_manifest(
+        cache_dir,
+        {
+            "version": 1,
+            "rows": n,
+            "tombstones": 0,
+            "planes": planes,
+            "centroids": {
+                "labels": labels,
+                "vecs": vecs,
+                "label_dtype": label_dtype.simpleString(),
+            },
+        },
+        INDEX_MANIFEST,
+    )
+    return cache_dir
+
+
+def _stored_planes(cache_dir: str) -> list[list[int]]:
+    from ..sources.formats import _read_manifest
+
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    if not m or "planes" not in m:
+        raise ValueError(f"no adaptive index manifest with planes under {cache_dir}")
+    return m["planes"]
+
+
+def ivf_index_upsert_adaptive(
+    spark,
+    cache_dir: str,
+    new_vecs: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """Delta append against the adaptive index: the manifest's FROZEN
+    rule planes re-assign the delta exactly as the build did, so the
+    post-upsert layout is byte-identical to a from-scratch rebuild with
+    the same planes — no nearest-centroid drift to reason about.
+    Centroid means in the manifest stay frozen (they are the probe-side
+    quantizer; :func:`ivf_centroid_drift` is the staleness dial)."""
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    planes = _stored_planes(cache_dir)
+    assigned = new_vecs.withColumn(
+        "cell", adaptive_cell(_as_double(F.col(vec_col)), F.col(label_col), planes)
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(cache_dir)
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    _write_manifest(
+        cache_dir,
+        {**m, "version": m["version"] + 1, "rows": m["rows"] + new_vecs.count()},
+        INDEX_MANIFEST,
+    )
+    return cache_dir
+
+
+TOMBSTONE_DIR = "_tombstones"  # underscore: hidden from the parquet scan
+
+
+def ivf_index_delete(
+    spark, cache_dir: str, ids: DataFrame, id_col: str = "vec_id"
+) -> str:
+    """Tombstoned delete — the takedown path a 100 TB training corpus
+    hits first (right-to-be-forgotten): victim ids are captured WITH
+    their cell (one broadcast semi-scan of the index — the id set is
+    request-sized) and appended under ``_tombstones/`` (underscore dir:
+    invisible to the index's parquet scan, like the ``_MANIFEST``
+    pointer). No data file is rewritten; probes anti-join the tombstone
+    set (:func:`stored_index_probe` does this automatically whenever the
+    manifest records live tombstones); :func:`ivf_index_compact`
+    reclaims the space per-cell later. Works on both index kinds — the
+    layout contract (cell-partitioned parquet + manifest) is shared."""
+    import os
+
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    stored = spark.read.parquet(cache_dir)
+    victims = stored.join(F.broadcast(ids.select(id_col).distinct()), id_col).select(
+        id_col, "cell"
+    )
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    tomb_path = os.path.join(cache_dir, TOMBSTONE_DIR)
+    if m.get("tombstones", 0):
+        # idempotence: an id already tombstoned must not be counted twice
+        # (compaction settles `rows` by subtracting the tombstone count)
+        prior = spark.read.parquet(tomb_path).select(id_col)
+        victims = victims.join(F.broadcast(prior), id_col, "left_anti")
+    victims = victims.persist()
+    n_del = victims.count()
+    victims.write.mode("append").parquet(tomb_path)
+    victims.unpersist()
+    _write_manifest(
+        cache_dir,
+        {
+            **m,
+            "version": m["version"] + 1,
+            "tombstones": m.get("tombstones", 0) + n_del,
+        },
+        INDEX_MANIFEST,
+    )
+    return cache_dir
+
+
+def ivf_index_compact(spark, cache_dir: str) -> str:
+    """Reclaim tombstones PER-CELL: only the cell partitions that
+    actually contain tombstoned rows are rewritten (dynamic partition
+    overwrite of the anti-joined survivors; a cell whose rows are all
+    tombstoned has its directory dropped outright), then the tombstone
+    set is cleared and the manifest row count settles to the live
+    count. Cost ∝ affected cells — delete batches cluster in few cells,
+    so compaction is delta-sized, never a corpus rewrite (the shape
+    bm25_compacted_stored established for the text index). The
+    invariant delete+compact ≡ rebuild-on-survivors is oracle-pinned by
+    the ``ann_index_delete_compact`` registry entry."""
+    import os
+    import shutil
+
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    n_tomb = m.get("tombstones", 0)
+    if not n_tomb:
+        return cache_dir
+    tomb_path = os.path.join(cache_dir, TOMBSTONE_DIR)
+    tombs = spark.read.parquet(tomb_path)
+    id_col = [c for c in tombs.columns if c != "cell"][0]
+    # victim cells are bounded by the quantizer (≤ MAX_CENTROIDS):
+    # a driver-side list, like every centroid collect in this module
+    cells = sorted(r["cell"] for r in tombs.select("cell").distinct().collect())
+    stored = spark.read.parquet(cache_dir)
+    keep = stored.filter(F.col("cell").isin(cells)).join(
+        F.broadcast(tombs.select(id_col)), id_col, "left_anti"
+    )
+    # stage survivors OUT of the scanned tree (underscore dir: invisible
+    # to the index scan), then swap directories per cell — an in-place
+    # overwrite would delete the very files the survivor scan is reading,
+    # and the staging swap is also the crash-safe order (a crash before
+    # the manifest bump leaves the old cells plus live tombstones: still
+    # a correct index, since probes keep anti-joining the tombstones)
+    tmp = os.path.join(cache_dir, "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    keep.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    for cell in cells:
+        part = f"cell={cell}"
+        shutil.rmtree(os.path.join(cache_dir, part), ignore_errors=True)
+        src_part = os.path.join(tmp, part)
+        if os.path.isdir(src_part):  # fully-emptied cells stay dropped
+            shutil.move(src_part, os.path.join(cache_dir, part))
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    _write_manifest(
+        cache_dir,
+        {
+            **m,
+            "version": m["version"] + 1,
+            "rows": m["rows"] - n_tomb,
+            "tombstones": 0,
+        },
+        INDEX_MANIFEST,
+    )
+    return cache_dir
+
+
 def ivf_kmeans_topk_stored(
     spark,
     emb: DataFrame,
@@ -879,8 +1119,20 @@ def stored_index_probe(
     """Probe a SELF-CONTAINED at-rest IVF index: centroids come from the
     index MANIFEST (not re-derived from source data — essential once
     upserts exist, since a re-derived quantizer would silently re-cell
-    the probes while the stored layout keeps the old cells)."""
+    the probes while the stored layout keeps the old cells).
+    Tombstone-aware: when the manifest records live tombstones
+    (:func:`ivf_index_delete`), the tombstoned ids are anti-joined out —
+    a broadcast of the request-sized delete set — so deleted vectors
+    stop surfacing immediately, before any compaction runs."""
+    import os
+
+    from ..sources.formats import _read_manifest
+
     stored = spark.read.parquet(path)
+    m = _read_manifest(path, INDEX_MANIFEST) or {}
+    if m.get("tombstones", 0):
+        tombs = spark.read.parquet(os.path.join(path, TOMBSTONE_DIR)).select(id_col)
+        stored = stored.join(F.broadcast(tombs), id_col, "left_anti")
     cents = _stored_centroids(path)
 
     q = with_norm(stored.filter(F.col(id_col).isin(query_ids)), vec_col).select(

@@ -1256,23 +1256,25 @@ def _q_ivf_kmeans_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("embedding_topk_ivf_stored", _q_ivf_kmeans_stored, IVF_KMEANS_TOPK_SQL)
 
 
-def _q_ann_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 index maintenance — INCREMENTAL UPSERT equivalence: build the
-    at-rest IVF index from 19/20 of the vectors, upsert the held-out
-    batch against the STORED quantizer (similarity.ivf_index_upsert),
-    and probe. The same probe runs against a from-scratch rebuild over
-    all vectors with the same frozen centroids; output is the per-query
-    result-count comparison — identical indexes ⇒ every query shows
-    (k, k, k). The upsert is manifest-versioned (v1 = base build,
-    v2 = post-upsert), so reruns never double-append."""
+def _ensure_upsert_index(spark: SparkSession, sf_dir: str):
+    """Build (once per fixture mtime) the base-19/20 + upserted-1/20
+    at-rest IVF index shared by ann_index_upsert_probe and
+    ann_index_drift_monitor. Returns (index_dir, base_df, delta_df, src).
+
+    Crash-safety (advice r11): a crash BETWEEN ivf_index_upsert's parquet
+    append and its manifest version bump leaves version=1 with delta rows
+    already inside the cell partitions; re-running the upsert against that
+    state would double-append the delta and silently skew n_vecs/means
+    until the source mtime changes. So whenever the version<2 guard fires
+    while a manifest already exists, the cache dir is wiped first and the
+    index rebuilt from scratch — rebuilds are idempotent, appends are not."""
     import os
+    import shutil
 
     from .operators.similarity import (
         INDEX_MANIFEST,
         ivf_index_upsert,
         ivf_index_write,
-        stored_index_probe,
-        _stored_centroids,
     )
     from .plans.layout import _cache_fresh, _cache_path
     from .sources.formats import _read_manifest
@@ -1282,10 +1284,36 @@ def _q_ann_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = e.filter(F.col("vec_id") % 20 == 19)
     src = os.path.join(sf_dir, "embeddings.parquet")
     d_up = _cache_path("embeddings_upsert_ix", sf_dir)
-    m = _read_manifest(d_up, INDEX_MANIFEST) if _cache_fresh(d_up, src) else None
+    fresh = _cache_fresh(d_up, src)
+    m = _read_manifest(d_up, INDEX_MANIFEST) if fresh else None
     if not m or m.get("version", 0) < 2:
+        if fresh and m is not None:
+            shutil.rmtree(d_up, ignore_errors=True)
         ivf_index_write(spark, base, d_up, src)
         ivf_index_upsert(spark, d_up, delta)
+    return d_up, base, delta, src
+
+
+def _q_ann_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index maintenance — INCREMENTAL UPSERT equivalence: build the
+    at-rest IVF index from 19/20 of the vectors, upsert the held-out
+    batch against the STORED quantizer (similarity.ivf_index_upsert),
+    and probe. The same probe runs against a from-scratch rebuild over
+    all vectors with the same frozen centroids; output is the per-query
+    result-count comparison — identical indexes ⇒ every query shows
+    (k, k, k). The upsert is manifest-versioned (v1 = base build,
+    v2 = post-upsert), so reruns never double-append; a half-applied
+    upsert (files in, version still 1) triggers a wipe-and-rebuild in
+    :func:`_ensure_upsert_index` instead of a second append."""
+    from .operators.similarity import (
+        ivf_index_write,
+        stored_index_probe,
+        _stored_centroids,
+    )
+    from .plans.layout import _cache_path
+
+    d_up, base, delta, src = _ensure_upsert_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
     d_rb = _cache_path("embeddings_rebuild_ix", sf_dir)
     ivf_index_write(spark, e, d_rb, src, cents=_stored_centroids(d_up))
     up = stored_index_probe(spark, d_up, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
@@ -1325,26 +1353,9 @@ def _q_ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest frozen centroid, and take decimal-exact cell means — exact
     because index cells were assigned with the same qround'd distances
     and the manifest round-trips centroid doubles losslessly."""
-    import os
+    from .operators.similarity import ivf_centroid_drift
 
-    from .operators.similarity import (
-        INDEX_MANIFEST,
-        ivf_centroid_drift,
-        ivf_index_upsert,
-        ivf_index_write,
-    )
-    from .plans.layout import _cache_fresh, _cache_path
-    from .sources.formats import _read_manifest
-
-    e = load(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 20 != 19)
-    delta = e.filter(F.col("vec_id") % 20 == 19)
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    d_up = _cache_path("embeddings_upsert_ix", sf_dir)
-    m = _read_manifest(d_up, INDEX_MANIFEST) if _cache_fresh(d_up, src) else None
-    if not m or m.get("version", 0) < 2:
-        ivf_index_write(spark, base, d_up, src)
-        ivf_index_upsert(spark, d_up, delta)
+    d_up, _base, _delta, _src = _ensure_upsert_index(spark, sf_dir)
     d = ivf_centroid_drift(spark, d_up)
     return d.select(
         F.col("cell").cast("int").alias("cell"),
@@ -1472,9 +1483,12 @@ def _q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup_scaled(e, threshold=SEMDEDUP_T)
 
 
+# GREATEST(n, 1) mirrors the Python gate's max(n, 1): without it an empty
+# corpus makes log2(0/base) = -inf and the INT cast errors — an asymmetric
+# edge the Spark side never hits (advice r11).
 _SDS_NP = (
     "LEAST(16, 4 + GREATEST(0, CAST(ceil(log2("
-    f"CAST(n AS DOUBLE) / {float(dedup.SEMDEDUP_BASE_POP)})) AS INT)))"
+    f"CAST(GREATEST(n, 1) AS DOUBLE) / {float(dedup.SEMDEDUP_BASE_POP)})) AS INT)))"
 )
 
 register(

@@ -1400,6 +1400,274 @@ _DRIFT_SQL = f"""
 register("ann_index_drift_monitor", _q_ann_drift_monitor, _DRIFT_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Adaptive-cell at-rest index (round 12) — the fixed-cardinality fix the
+# round-11 2M-vector probe demanded: cells ∝ N via rule-based composite
+# assignment (label × hyperplane sign bucket), planes gated on the corpus
+# count so the DuckDB twin reproduces the knob at every scale factor.
+# ---------------------------------------------------------------------------
+
+# the count-derived plane gate, shared verbatim with
+# similarity.adaptive_plane_count (GREATEST mirrors Python's max(n, 1))
+_SQL_ANN_NP = (
+    f"LEAST({similarity.ANN_MAX_PLANES}, GREATEST(0, CAST(ceil(log2("
+    f"CAST(GREATEST(n, 1) AS DOUBLE) / {float(similarity.ANN_BASE_POP)})) AS INT)))"
+)
+
+
+def _sql_adaptive_cell(v: str, label: str, np_expr: str) -> str:
+    """label·2^p + plane_bucket — similarity.adaptive_cell's rule in SQL,
+    with the same per-bit gate as :func:`_sql_bucket_adaptive`."""
+    return (
+        f"(CAST({label} AS INT) * (1 << {np_expr})"
+        f" + {_sql_bucket_adaptive(v, np_expr)})"
+    )
+
+
+def _q_ivf_adaptive_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 12) — ANN over the ADAPTIVE-cell at-rest index: the
+    stored index's cell count grows with the corpus (label cells split by
+    hyperplane sign buckets, +1 plane per doubling past ANN_BASE_POP —
+    similarity.ivf_index_write_adaptive), so probe cost stays flat where
+    the fixed 10-label quantizer picked up an n_probe/n_cells linear term
+    at 2M vectors (scaling_r11.json). Assignment is RULE-based (linear in
+    N — no N×C distance ranking at build time); the probe ranks the
+    stored composite-centroid means exactly like the fixed-quantizer
+    entries. The oracle computes the identical count-derived gate, so
+    parity holds at every scale factor (sf1 verified, where p=4 ≠ the
+    p=0 the sf0.01 fixture picks)."""
+    e = load(spark, sf_dir, "embeddings")
+    from .plans.layout import _cache_path
+
+    path = similarity.ivf_index_write_adaptive(
+        spark,
+        e,
+        _cache_path("embeddings_adaptive_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    return similarity.stored_index_probe(
+        spark, path, QUERY_IDS, k=TOPK, n_probe=N_PROBE
+    )
+
+
+_SQL_ADAPTIVE_ASG = f"""
+  anp AS (SELECT {_SQL_ANN_NP} AS np
+          FROM (SELECT count(*) AS n FROM embeddings)),
+  asg AS (SELECT b.vec_id, b.v, b.nv,
+                 {_sql_adaptive_cell("b.v", "b.label", "anp.np")} AS cell
+          FROM nrm b CROSS JOIN anp)
+"""
+
+ADAPTIVE_TOPK_SQL = f"""WITH {_SQL_EMB_BASE}, {_SQL_ADAPTIVE_ASG},
+        cex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg),
+        cd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY cell, pos),
+        cv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cv.cell, {_SQL_QD2} AS qd2
+               FROM q CROSS JOIN cv),
+        probes AS (SELECT query_id, qv, qn, cell FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd)
+                   WHERE rn <= {N_PROBE}),
+        pairs AS (
+          SELECT p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+register("embedding_topk_ivf_adaptive", _q_ivf_adaptive_stored, ADAPTIVE_TOPK_SQL)
+
+
+def _ensure_adaptive_upsert_index(spark: SparkSession, sf_dir: str):
+    """Adaptive-cell twin of :func:`_ensure_upsert_index`: base 19/20
+    built with the count-derived plane gate, held-out 1/20 upserted
+    against the FROZEN manifest planes. Same crash-safety: a manifest at
+    version < 2 alongside data files means a half-applied upsert — wipe
+    and rebuild rather than risk a double append."""
+    import shutil
+
+    from .operators.similarity import INDEX_MANIFEST
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 20 != 19)
+    delta = e.filter(F.col("vec_id") % 20 == 19)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    d_up = _cache_path("embeddings_adaptive_up_ix", sf_dir)
+    fresh = _cache_fresh(d_up, src)
+    m = _read_manifest(d_up, INDEX_MANIFEST) if fresh else None
+    if not m or m.get("version", 0) < 2:
+        if fresh and m is not None:
+            shutil.rmtree(d_up, ignore_errors=True)
+        similarity.ivf_index_write_adaptive(spark, base, d_up, src)
+        similarity.ivf_index_upsert_adaptive(spark, d_up, delta)
+    return d_up, base, delta, src
+
+
+def _q_ann_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index lifecycle (round 12) — TOMBSTONED DELETE + PER-CELL
+    COMPACTION, the takedown path a 100 TB training corpus hits first
+    (right-to-be-forgotten): the 1/20 hold-out is deleted from the
+    full-corpus adaptive index (tombstones under ``_tombstones/``, no
+    data rewrite), then compaction rewrites ONLY the affected cell
+    partitions (similarity.ivf_index_delete / ivf_index_compact —
+    bm25_compacted_stored's shape on the vector side). Output pins the
+    invariant delete+compact ≡ rebuild-on-survivors under the frozen
+    quantizer: per query, the compacted probe, the rebuilt probe, and
+    their intersection must all be exactly k rows — so the oracle is the
+    (k, k, k) constant, and any layout divergence (a tombstone surviving
+    compaction, a survivor lost with its cell, a re-celled delta) breaks
+    the hash. Versions: v1 build, v2 delete, v3 compact; a manifest
+    below v3 alongside data files is a half-applied lifecycle — wiped
+    and rebuilt, never resumed."""
+    import shutil
+
+    from .operators.similarity import INDEX_MANIFEST
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    e = load(spark, sf_dir, "embeddings")
+    survivors = e.filter(F.col("vec_id") % 20 != 19)
+    doomed = e.filter(F.col("vec_id") % 20 == 19)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    d_del = _cache_path("embeddings_adaptive_del_ix", sf_dir)
+    fresh = _cache_fresh(d_del, src)
+    m = _read_manifest(d_del, INDEX_MANIFEST) if fresh else None
+    if not m or m.get("version", 0) < 3:
+        if fresh and m is not None:
+            shutil.rmtree(d_del, ignore_errors=True)
+        similarity.ivf_index_write_adaptive(spark, e, d_del, src)
+        similarity.ivf_index_delete(spark, d_del, doomed.select("vec_id"))
+        similarity.ivf_index_compact(spark, d_del)
+    d_rb = _cache_path("embeddings_adaptive_del_rb", sf_dir)
+    similarity.ivf_index_write_adaptive(
+        spark,
+        survivors,
+        d_rb,
+        src,
+        planes=similarity._stored_planes(d_del),
+        cents=similarity._stored_centroids(d_del),
+    )
+    pc = similarity.stored_index_probe(spark, d_del, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
+    pr = similarity.stored_index_probe(spark, d_rb, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
+    nc = pc.groupBy("query_id").agg(F.count("*").alias("n_compacted"))
+    nr = pr.groupBy("query_id").agg(F.count("*").alias("n_rebuild"))
+    nx = (
+        pc.join(pr, ["query_id", "vec_id", "sim", "rank"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return nc.join(nr, "query_id").join(nx, "query_id").select(
+        "query_id", "n_compacted", "n_rebuild", "n_common"
+    )
+
+
+register(
+    "ann_index_delete_compact",
+    _q_ann_delete_compact,
+    f"SELECT CAST(q AS BIGINT) AS query_id, CAST({TOPK} AS BIGINT) AS n_compacted, "
+    f"CAST({TOPK} AS BIGINT) AS n_rebuild, CAST({TOPK} AS BIGINT) AS n_common "
+    "FROM (VALUES " + ", ".join(f"({q})" for q in QUERY_IDS) + ") t(q)",
+)
+
+
+RECALL_N_PROBES = [1, 2, 4]
+
+
+def _q_ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 evaluation (round 12) — recall@k AS A FUNCTION OF n_probe,
+    measured ON the stored adaptive index AFTER an upsert batch: the
+    question ann_index_drift_monitor defers ("when does quantizer
+    staleness actually cost recall?") answered with the dial an operator
+    would actually turn. The index is the base-19/20 build + 1/20 upsert
+    (frozen planes and centroids — the drift scenario); recall is
+    |stored-probe top-k ∩ exact brute-force top-k| / (|Q|·k) at each
+    n_probe. Oracle recomputes the whole lifecycle in SQL — possible
+    precisely because assignment is rule-based (no N×C re-ranking):
+    planes gated on the BASE count (that is what the build saw),
+    centroid means over base rows only, candidates all rows."""
+    d_up, _base, _delta, _src = _ensure_adaptive_upsert_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(e, QUERY_IDS, k=TOPK).select("query_id", "vec_id")
+    denom = float(len(QUERY_IDS) * TOPK)
+    parts = []
+    for np_ in RECALL_N_PROBES:
+        pr = similarity.stored_index_probe(
+            spark, d_up, QUERY_IDS, k=TOPK, n_probe=np_
+        )
+        parts.append(
+            pr.join(exact, ["query_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(np_).alias("n_probe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                qround(F.col("n_hits").cast("double") / F.lit(denom), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_SQL_RECALL_NPROBE = f"""WITH {_SQL_EMB_BASE},
+        anp AS (SELECT {_SQL_ANN_NP} AS np
+                FROM (SELECT count(*) AS n FROM embeddings
+                      WHERE vec_id % 20 <> 19)),
+        asg AS (SELECT b.vec_id, b.v, b.nv,
+                       {_sql_adaptive_cell("b.v", "b.label", "anp.np")} AS cell
+                FROM nrm b CROSS JOIN anp),
+        cex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg WHERE vec_id % 20 <> 19),
+        cd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY cell, pos),
+        cv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cv.cell, {_SQL_QD2} AS qd2
+               FROM q CROSS JOIN cv),
+        qr AS (SELECT query_id, qv, qn, cell, row_number() OVER (
+                 PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd),
+        nps AS (SELECT unnest({RECALL_N_PROBES}) AS np),
+        probes AS (SELECT nps.np, qr.query_id, qr.qv, qr.qn, qr.cell
+                   FROM qr CROSS JOIN nps WHERE qr.rn <= nps.np),
+        pairs AS (
+          SELECT p.np, p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        ar AS (SELECT *, row_number() OVER (
+                 PARTITION BY np, query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM pairs),
+        approx AS (SELECT np, query_id, vec_id FROM ar WHERE rk <= {TOPK}),
+        exact AS (SELECT query_id, vec_id FROM ({COSINE_TOPK_SQL})),
+        hits AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM approx a JOIN exact e USING (query_id, vec_id)
+                 GROUP BY np)
+        SELECT CAST(nps.np AS INT) AS n_probe,
+               COALESCE(hits.n_hits, 0) AS n_hits,
+               {sql_qround("CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6)} AS recall
+        FROM nps LEFT JOIN hits ON nps.np = hits.np"""
+
+register("ann_recall_vs_nprobe_stored", _q_ann_recall_vs_nprobe, _SQL_RECALL_NPROBE)
+
+
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 quality metric — recall@k of the centroid IVF-Flat path against
     the exact brute-force top-k, per query (the LSH twin is

@@ -421,3 +421,147 @@ def test_pca_project_residual_pythagorean(spark):
     scores = np.array([rows[i].score for i in range(n)])
     resids = np.array([rows[i].resid_norm for i in range(n)])
     assert np.std(scores) > 1.5 * float(np.mean(resids))
+
+
+# --- adaptive-cell at-rest index lifecycle (round 12) ----------------------
+
+
+def test_adaptive_plane_count_gate():
+    """cells ∝ N: 0 planes at/below the base population, +1 per doubling,
+    capped so n_labels × 2^p stays under MAX_CENTROIDS."""
+    assert similarity.adaptive_plane_count(0) == 0
+    assert similarity.adaptive_plane_count(similarity.ANN_BASE_POP) == 0
+    assert similarity.adaptive_plane_count(similarity.ANN_BASE_POP + 1) == 1
+    assert similarity.adaptive_plane_count(4 * similarity.ANN_BASE_POP) == 2
+    assert similarity.adaptive_plane_count(2_000_000) == similarity.ANN_MAX_PLANES
+    assert 10 * (1 << similarity.ANN_MAX_PLANES) <= similarity.MAX_CENTROIDS
+
+
+@pytest.fixture()
+def lifecycle_emb(spark):
+    """60 deterministic vectors over 3 labels, built so label 2 is a
+    small cell that a delete can empty COMPLETELY (the compaction edge
+    where dynamic overwrite writes nothing and the dir must be dropped)."""
+    import random
+
+    rng = random.Random(12)
+    rows = []
+    for i in range(60):
+        label = 2 if i >= 56 else i % 2
+        center = {0: 1.0, 1: -1.0, 2: 0.0}[label]
+        rows.append(
+            (i, [center + rng.uniform(-0.3, 0.3) for _ in range(8)], label)
+        )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _write_src(tmp_path, emb):
+    src = str(tmp_path / "src.parquet")
+    emb.write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_adaptive_upsert_layout_identical_to_rebuild(spark, lifecycle_emb, tmp_path):
+    """Rule-based assignment makes upsert ≡ rebuild a LAYOUT identity,
+    not just a probe-result identity: same (vec_id, cell) set."""
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    base = lifecycle_emb.filter(F.col("vec_id") % 3 != 0)
+    delta = lifecycle_emb.filter(F.col("vec_id") % 3 == 0)
+    planes = make_planes(2)
+    d_up = str(tmp_path / "up_ix")
+    similarity.ivf_index_write_adaptive(spark, base, d_up, src, planes=planes)
+    similarity.ivf_index_upsert_adaptive(spark, d_up, delta)
+    d_rb = str(tmp_path / "rb_ix")
+    similarity.ivf_index_write_adaptive(
+        spark, lifecycle_emb, d_rb, src, planes=planes
+    )
+    up = {(r.vec_id, r.cell) for r in spark.read.parquet(d_up).collect()}
+    rb = {(r.vec_id, r.cell) for r in spark.read.parquet(d_rb).collect()}
+    assert up == rb and len(up) == 60
+
+
+def test_delete_tombstones_probe_then_compact_reclaims(spark, lifecycle_emb, tmp_path):
+    """Before compaction, probes must already exclude tombstoned ids
+    (takedown semantics are immediate); compaction then physically
+    removes them — including dropping a fully-emptied cell directory —
+    and probe results are unchanged by the rewrite."""
+    import os
+
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "del_ix")
+    similarity.ivf_index_write_adaptive(spark, lifecycle_emb, d, src)
+    # victims: every label-2 vector (empties that cell) plus two others
+    victims = lifecycle_emb.filter(
+        (F.col("label") == 2) | F.col("vec_id").isin([3, 9])
+    ).select("vec_id")
+    n_victims = victims.count()
+    similarity.ivf_index_delete(spark, d, victims)
+    m = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m["tombstones"] == n_victims
+    probe_t = sorted(
+        map(tuple, similarity.stored_index_probe(spark, d, [0, 1], k=3).collect())
+    )
+    assert not any(
+        r[1] in {3, 9} or r[1] >= 56 for r in probe_t
+    ), "tombstoned id surfaced in a pre-compaction probe"
+    similarity.ivf_index_compact(spark, d)
+    m2 = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m2["tombstones"] == 0 and m2["rows"] == 60 - n_victims
+    assert spark.read.parquet(d).count() == 60 - n_victims
+    assert not any(
+        p.startswith("cell=") and spark.read.parquet(os.path.join(d, p)).count() == 0
+        for p in os.listdir(d)
+        if os.path.isdir(os.path.join(d, p))
+    )
+    probe_c = sorted(
+        map(tuple, similarity.stored_index_probe(spark, d, [0, 1], k=3).collect())
+    )
+    assert probe_c == probe_t
+    # the emptied label-2 cells are gone from disk entirely
+    live_cells = {r.cell for r in spark.read.parquet(d).select("cell").collect()}
+    planes = similarity._stored_planes(d)
+    assert all(c < 2 * (1 << len(planes)) for c in live_cells)
+
+
+def test_delete_is_idempotent(spark, lifecycle_emb, tmp_path):
+    """Re-deleting already-tombstoned ids must not double-count (compaction
+    settles `rows` by subtracting the tombstone count)."""
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "idem_ix")
+    similarity.ivf_index_write_adaptive(spark, lifecycle_emb, d, src)
+    ids = lifecycle_emb.filter(F.col("vec_id") < 5).select("vec_id")
+    similarity.ivf_index_delete(spark, d, ids)
+    similarity.ivf_index_delete(spark, d, ids)
+    m = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m["tombstones"] == 5
+    similarity.ivf_index_compact(spark, d)
+    assert spark.read.parquet(d).count() == 55
+
+
+def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir):
+    """The adaptive index probe must keep the DPP subquery the fixed-cell
+    stored probe established — cells ∝ N is only a win if the scan still
+    opens n_probe directories, not all of them."""
+    import os
+
+    from cocktailsdb_spark.plans.layout import _cache_path
+
+    e = load(spark, sf_dir, "embeddings")
+    path = similarity.ivf_index_write_adaptive(
+        spark,
+        e,
+        _cache_path("embeddings_adaptive_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    probe = similarity.stored_index_probe(spark, path, [0, 1, 2], k=3, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    assert probe.count() == 9

@@ -1316,8 +1316,12 @@ def _q_ann_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     d_rb = _cache_path("embeddings_rebuild_ix", sf_dir)
     ivf_index_write(spark, e, d_rb, src, cents=_stored_centroids(d_up))
-    up = stored_index_probe(spark, d_up, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
-    rb = stored_index_probe(spark, d_rb, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
+    up = stored_index_probe(
+        spark, d_up, QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=e
+    )
+    rb = stored_index_probe(
+        spark, d_rb, QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=e
+    )
     nu = up.groupBy("query_id").agg(F.count("*").alias("n_upsert"))
     nr = rb.groupBy("query_id").agg(F.count("*").alias("n_rebuild"))
     nc = (
@@ -1446,7 +1450,7 @@ def _q_ivf_adaptive_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
     )
     return similarity.stored_index_probe(
-        spark, path, QUERY_IDS, k=TOPK, n_probe=N_PROBE
+        spark, path, QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=e
     )
 
 
@@ -1559,8 +1563,12 @@ def _q_ann_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=similarity._stored_planes(d_del),
         cents=similarity._stored_centroids(d_del),
     )
-    pc = similarity.stored_index_probe(spark, d_del, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
-    pr = similarity.stored_index_probe(spark, d_rb, QUERY_IDS, k=TOPK, n_probe=N_PROBE)
+    pc = similarity.stored_index_probe(
+        spark, d_del, QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=e
+    )
+    pr = similarity.stored_index_probe(
+        spark, d_rb, QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=e
+    )
     nc = pc.groupBy("query_id").agg(F.count("*").alias("n_compacted"))
     nr = pr.groupBy("query_id").agg(F.count("*").alias("n_rebuild"))
     nx = (
@@ -1604,7 +1612,7 @@ def _q_ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for np_ in RECALL_N_PROBES:
         pr = similarity.stored_index_probe(
-            spark, d_up, QUERY_IDS, k=TOPK, n_probe=np_
+            spark, d_up, QUERY_IDS, k=TOPK, n_probe=np_, queries=e
         )
         parts.append(
             pr.join(exact, ["query_id", "vec_id"])

@@ -676,10 +676,21 @@ def _q_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _perm_sql() -> str:
     from .operators.relational import PERM_B, TTEST_GROUP_A, TTEST_GROUP_B
-    from .registry_ops import _sql_md5_prefix_value
+    from .registry_ops import HEXDIGITS
 
-    key = "CAST(okey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-    u = f"(CAST({_sql_md5_prefix_value(key, 8)} AS DOUBLE) / 4294967296.0)"
+    def hex_at(offset: int) -> str:
+        # parse 8 hex chars of the shared digest column h at `offset` —
+        # the same slice Spark takes with conv(substring(h, offset+1, 8))
+        parts = [
+            f"(strpos('{HEXDIGITS}', substr(h,{offset + i + 1},1))-1)*{16 ** (7 - i)}"
+            for i in range(8)
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    n_groups = (PERM_B + 3) // 4
+    u_list = ", ".join(
+        f"(CAST({hex_at(8 * j)} AS DOUBLE) / 4294967296.0)" for j in range(4)
+    )
     return f"""
         WITH base AS (
           SELECT o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS x,
@@ -696,10 +707,19 @@ def _perm_sql() -> str:
           SELECT na, nb, sxa / na - sxb / nb AS obs, na / (na + nb) AS pa
           FROM obs),
         rep AS (
-          SELECT okey, x, r.b FROM base
-          CROSS JOIN (SELECT unnest(range({PERM_B})) AS b) r),
+          SELECT okey, x, r.bg FROM base
+          CROSS JOIN (SELECT unnest(range({n_groups})) AS bg) r),
+        hx AS (
+          SELECT x, bg,
+                 md5(CAST(okey AS VARCHAR) || ':' || CAST(bg AS VARCHAR)) AS h
+          FROM rep),
+        lanes AS (
+          SELECT x, bg * 4 + unnest([0, 1, 2, 3]) AS b,
+                 unnest([{u_list}]) AS u
+          FROM hx),
         drawn AS (
-          SELECT x, b, {u} < pa AS toa FROM rep CROSS JOIN obs2),
+          SELECT x, b, u < pa AS toa FROM lanes CROSS JOIN obs2
+          WHERE b < {PERM_B}),
         stats AS (
           SELECT b,
                  {_d38('CASE WHEN toa THEN x END')}

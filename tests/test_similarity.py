@@ -3,6 +3,8 @@ IVF structural properties on the fixture embeddings."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -227,8 +229,10 @@ def test_pq_codes_are_codebook_labels(spark, sf_dir):
 
 def test_ivf_stored_index_prunes_partitions_dynamically(spark, sf_dir):
     """The stored (cell-partitioned) index must (a) return exactly the
-    in-plan IVF results and (b) plan a dynamic-partition-pruning
-    subquery on the candidate scan — the at-rest half of the IVF story."""
+    in-plan IVF results and (b) carry a STATIC partition predicate on the
+    candidate scan (the probe routes its request-sized cell selection
+    driver-side; round 12 replaced the DPP subquery, which planned but
+    never pruned at runtime) — the at-rest half of the IVF story."""
     import os
 
     from cocktailsdb_spark.plans.layout import _cache_path
@@ -246,7 +250,7 @@ def test_ivf_stored_index_prunes_partitions_dynamically(spark, sf_dir):
         n_probe=2,
     )
     plan = stored._jdf.queryExecution().executedPlan().toString().lower()
-    assert "dynamicpruning" in plan
+    assert re.search(r"partitionfilters: \[.*cell.* in \(", plan), plan[:2000]
     inplan = similarity.ivf_kmeans_topk(e, qids, k=3, n_probe=2)
     assert sorted(map(tuple, stored.collect())) == sorted(
         map(tuple, inplan.collect())
@@ -547,9 +551,9 @@ def test_delete_is_idempotent(spark, lifecycle_emb, tmp_path):
 
 
 def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir):
-    """The adaptive index probe must keep the DPP subquery the fixed-cell
-    stored probe established — cells ∝ N is only a win if the scan still
-    opens n_probe directories, not all of them."""
+    """The adaptive index probe must statically prune the candidate scan
+    to the probed cells — cells ∝ N is only a win if the scan still opens
+    n_probe directories, not all of them."""
     import os
 
     from cocktailsdb_spark.plans.layout import _cache_path
@@ -563,5 +567,5 @@ def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir):
     )
     probe = similarity.stored_index_probe(spark, path, [0, 1, 2], k=3, n_probe=2)
     plan = probe._jdf.queryExecution().executedPlan().toString().lower()
-    assert "dynamicpruning" in plan
+    assert re.search(r"partitionfilters: \[.*cell.* in \(", plan), plan[:2000]
     assert probe.count() == 9

@@ -1211,6 +1211,71 @@ def minhash_band_precision(
     return out.orderBy("n_bands")
 
 
+def minhash_band_frontier(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    band_counts: tuple[int, ...] = MBR_BAND_COUNTS,
+) -> DataFrame:
+    """The banding COST-QUALITY FRONTIER in one frame (round 12): per
+    configuration, recall vs the exact qualifying pair set
+    (:func:`minhash_band_recall`'s quality dial), candidate precision
+    (:func:`minhash_band_precision`'s cost dial), and the composed
+    number an operator actually budgets with — ``verify_cost_per_true``,
+    the exact-Jaccard verifications paid per real near-duplicate found.
+    This is the single readout a 100 TB dedup run prices the s-curve
+    trade from: walk the frontier rows, pick the cheapest config whose
+    recall clears the mandate.
+
+    One shingle+signature pass (:func:`minhash_sig_base`) and ONE truth
+    count shared across configurations; each config adds one
+    (band_id, key) equi-join + in-row verify. Output is |band_counts|
+    rows regardless of corpus size."""
+    truth = ngram_jaccard_pairs_prefix(docs, n=n, threshold=threshold)
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    sig_base = minhash_sig_base(docs, n)
+    out = None
+    for b in band_counts:
+        cand = minhash_banded_candidates(docs, n, n_bands=b, sig_base=sig_base)
+        inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+        union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
+        jac = qround(inter.cast("double") / union, 4)
+        row = (
+            cand.select(jac.alias("jaccard"))
+            .agg(
+                F.count("*").alias("nc"),
+                F.sum(
+                    F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
+                ).alias("nv"),
+            )
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(MINHASH_H // b).cast("int").alias("rows_per_band"),
+                F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+                F.col("nc").cast("long").alias("n_candidates"),
+                F.col("nv").cast("long").alias("n_verified"),
+                qround(
+                    F.col("nv").cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                ).alias("recall"),
+                qround(
+                    F.col("nv").cast("double")
+                    / F.nullif(F.col("nc"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("band_precision"),
+                qround(
+                    F.col("nc").cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                ).alias("verify_cost_per_true"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")
+
+
 STC_HAMMING_CUTOFFS = (1, 2, 3)
 
 

@@ -4721,6 +4721,58 @@ def _mbp_sql() -> str:
 register("neardup_band_precision", _q_minhash_band_precision, _mbp_sql())
 
 
+def _q_minhash_band_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 cost-quality frontier (round 12) — minhash_band_recall ×
+    neardup_band_precision joined into the single readout a dedup run
+    budgets from: per banding config, recall, candidate precision, and
+    verify_cost_per_true (exact-Jaccard verifications paid per real
+    near-duplicate). One shared shingle/signature pass and one truth
+    count (operators/dedup.py:minhash_band_frontier)."""
+    return dedup.minhash_band_frontier(load(spark, sf_dir, "documents"))
+
+
+def _mbf_sql() -> str:
+    # self-contained truth subquery (own CTE names: nested WITH scopes
+    # shadow, so the per-arm _mb_ctes names stay untouched)
+    truth = f"""(WITH tkt AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+        shdt AS (SELECT doc_id, list_distinct(
+                  [array_to_string(t[i:i+{MB_N - 1}], ' ')
+                   for i in range(1, len(t)-{MB_N - 2})]) AS sh
+                FROM tkt),
+        shft AS (SELECT doc_id, sh FROM shdt WHERE len(sh) >= 1)
+        SELECT count(*) FROM (
+          SELECT sa.doc_id
+          FROM shft sa JOIN shft sb ON sa.doc_id < sb.doc_id
+          WHERE {sql_qround(
+            "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+            " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))",
+            4)} >= {MB_T}))"""
+    nv = f"sum(CASE WHEN jaccard >= {MB_T} THEN 1 ELSE 0 END)"
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT CAST({b} AS INT) AS n_bands,
+               CAST({dedup.MINHASH_H // b} AS INT) AS rows_per_band,
+               CAST({truth} AS BIGINT) AS n_true_pairs,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST({nv} AS BIGINT) AS n_verified,
+               {sql_qround(f"CAST({nv} AS DOUBLE) / CAST({truth} AS DOUBLE)", 6)}
+                 AS recall,
+               {sql_qround(
+                   f"CAST({nv} AS DOUBLE)"
+                   " / CAST(NULLIF(count(*), 0) AS DOUBLE)", 6)}
+                 AS band_precision,
+               {sql_qround(
+                   f"CAST(count(*) AS DOUBLE) / CAST({truth} AS DOUBLE)", 6)}
+                 AS verify_cost_per_true
+        FROM (WITH {_mb_ctes(b)} SELECT jaccard FROM j) cj{b}"""
+        for b in dedup.MBR_BAND_COUNTS
+    )
+    return f"SELECT * FROM ({arms}) ORDER BY n_bands"
+
+
+register("minhash_band_frontier", _q_minhash_band_frontier, _mbf_sql())
+
+
 def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training data — skip-gram positives + hash-deterministic negative
     samples over the corpus vocab index

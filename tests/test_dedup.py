@@ -435,3 +435,33 @@ def test_simhash_threshold_curve_monotone(spark):
     for d in (1, 2, 3):
         assert out[d].n_hits <= out[d].n_detected
         assert out[d].n_hits <= out[d].n_true_pairs
+
+
+def test_minhash_band_frontier_composes_both_dials(spark, sf_dir):
+    """The frontier must agree row-for-row with the two parent dials
+    (same configs, same shared signature pass) and keep its internal
+    invariants: recall non-decreasing in band count, n_verified ≤
+    n_candidates, verify_cost_per_true = candidates / truth."""
+    from cocktailsdb_spark.operators import dedup as D
+    from cocktailsdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    fr = {r.n_bands: r for r in D.minhash_band_frontier(docs).collect()}
+    rec = {r.n_bands: r for r in D.minhash_band_recall(docs).collect()}
+    pre = {r.n_bands: r for r in D.minhash_band_precision(docs).collect()}
+    assert set(fr) == set(rec) == set(pre) == set(D.MBR_BAND_COUNTS)
+    for b, r in fr.items():
+        assert r.n_verified == rec[b].n_detected == pre[b].n_verified
+        assert r.n_candidates == pre[b].n_candidates
+        assert r.n_true_pairs == rec[b].n_true_pairs
+        assert r.recall == rec[b].recall
+        assert r.band_precision == pre[b].band_precision
+        assert r.n_verified <= r.n_candidates
+        assert abs(
+            r.verify_cost_per_true - r.n_candidates / r.n_true_pairs
+        ) < 1e-6
+    bands = sorted(fr)
+    assert all(
+        fr[bands[i]].recall <= fr[bands[i + 1]].recall
+        for i in range(len(bands) - 1)
+    )

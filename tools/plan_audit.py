@@ -190,6 +190,14 @@ AUDIT = [
     "frequent_itemset_pairs",
     # round-11 scale-path twin: (cell × plane-bucket) SemDeDup
     "semantic_dedup_scaled",
+    # round-11 entries that had budget rows but no audit prose (r11 nit)
+    "ann_index_drift_monitor",
+    "neardup_band_precision",
+    # round-12 additions: adaptive-cell index lifecycle + banding frontier
+    "embedding_topk_ivf_adaptive",
+    "ann_index_delete_compact",
+    "ann_recall_vs_nprobe_stored",
+    "minhash_band_frontier",
 ]
 
 

@@ -569,3 +569,23 @@ def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir):
     plan = probe._jdf.queryExecution().executedPlan().toString().lower()
     assert re.search(r"partitionfilters: \[.*cell.* in \(", plan), plan[:2000]
     assert probe.count() == 9
+
+
+def test_centroid_table_manifest_fallback(spark, lifecycle_emb, tmp_path):
+    """Indexes written before the _centroids side table existed must
+    probe identically: deleting the side table falls back to rebuilding
+    the quantizer frame from the manifest (values are identical — parquet
+    stores the exact doubles, manifest JSON round-trips them)."""
+    import shutil
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "compat_ix")
+    similarity.ivf_index_write_adaptive(spark, lifecycle_emb, d, src)
+    with_table = sorted(
+        map(tuple, similarity.stored_index_probe(spark, d, [0, 1], k=3).collect())
+    )
+    shutil.rmtree(f"{d}/{similarity.CENTROID_DIR}")
+    without = sorted(
+        map(tuple, similarity.stored_index_probe(spark, d, [0, 1], k=3).collect())
+    )
+    assert with_table == without and len(without) == 6

@@ -316,6 +316,12 @@ BENCH_QUERIES = [
     "ann_index_drift_monitor",
     "neardup_band_precision",
     "semantic_dedup_scaled",
+    # round-12: adaptive-cell index lifecycle (cells ∝ N, probe statically
+    # pruned to the driver-routed cell selection) — minhash_band_frontier
+    # is EXCLUDED by the same truth-bound convention as minhash_band_recall
+    "embedding_topk_ivf_adaptive",
+    "ann_index_delete_compact",
+    "ann_recall_vs_nprobe_stored",
 ]
 
 

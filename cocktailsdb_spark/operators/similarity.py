@@ -987,6 +987,7 @@ def ivf_index_upsert_adaptive(
 
 TOMBSTONE_DIR = "_tombstones"  # underscore: hidden from the parquet scan
 CENTROID_DIR = "_centroids"  # quantizer as a parquet side table (see probe)
+PROBE_ROUTE_MIN_CELLS = 64  # below this, scanning every cell beats routing
 
 
 def _write_centroid_table(spark, cache_dir: str, cents) -> None:
@@ -1242,12 +1243,23 @@ def stored_index_probe(
     # 1.6–1.8 s with DPP on, off, or with subquery duplication — vs
     # 0.13 s statically pruned; scaling_r12.json). The collect is Q ×
     # n_probe rows of (id, 64 doubles) and round-trips exactly.
-    sel = probes_plan.collect()
-    cells = sorted({r["cell"] for r in sel})
-    probes = F.broadcast(spark.createDataFrame(sel, probes_plan.schema))
-    cand = with_norm(stored.filter(F.col("cell").isin(cells)), vec_col).select(
-        id_col, "cell", "_vec", "_norm"
-    )
+    #
+    # Below PROBE_ROUTE_MIN_CELLS the routing roundtrip costs more than
+    # it saves (an unpruned scan of a 10-cell index is ~0.1 s; the extra
+    # driver job is ~0.6 s — measured on ann_index_upsert_probe, r12
+    # bench), so small indexes keep the single fused lazy plan and scan
+    # every cell. Identical results either way: the pruning predicate
+    # only removes cells no probe row joins with.
+    n_cells = len(m["centroids"]["labels"]) if "centroids" in m else 0
+    if n_cells < PROBE_ROUTE_MIN_CELLS:
+        probes = F.broadcast(probes_plan)
+        cand_src = stored
+    else:
+        sel = probes_plan.collect()
+        cells = sorted({r["cell"] for r in sel})
+        probes = F.broadcast(spark.createDataFrame(sel, probes_plan.schema))
+        cand_src = stored.filter(F.col("cell").isin(cells))
+    cand = with_norm(cand_src, vec_col).select(id_col, "cell", "_vec", "_norm")
     sim = qround(
         dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),
         SIM_ROUND,

@@ -227,7 +227,7 @@ def test_pq_codes_are_codebook_labels(spark, sf_dir):
         assert set(r["codes"]) <= labels
 
 
-def test_ivf_stored_index_prunes_partitions_dynamically(spark, sf_dir):
+def test_ivf_stored_index_prunes_partitions_dynamically(spark, sf_dir, monkeypatch):
     """The stored (cell-partitioned) index must (a) return exactly the
     in-plan IVF results and (b) carry a STATIC partition predicate on the
     candidate scan (the probe routes its request-sized cell selection
@@ -240,6 +240,7 @@ def test_ivf_stored_index_prunes_partitions_dynamically(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
+    monkeypatch.setattr(similarity, "PROBE_ROUTE_MIN_CELLS", 1)
     stored = similarity.ivf_kmeans_topk_stored(
         spark,
         e,
@@ -550,7 +551,7 @@ def test_delete_is_idempotent(spark, lifecycle_emb, tmp_path):
     assert spark.read.parquet(d).count() == 55
 
 
-def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir):
+def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir, monkeypatch):
     """The adaptive index probe must statically prune the candidate scan
     to the probed cells — cells ∝ N is only a win if the scan still opens
     n_probe directories, not all of them."""
@@ -565,10 +566,18 @@ def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir):
         _cache_path("embeddings_adaptive_ix", sf_dir),
         os.path.join(sf_dir, "embeddings.parquet"),
     )
-    probe = similarity.stored_index_probe(spark, path, [0, 1, 2], k=3, n_probe=2)
-    plan = probe._jdf.queryExecution().executedPlan().toString().lower()
+    monkeypatch.setattr(similarity, "PROBE_ROUTE_MIN_CELLS", 1)
+    routed = similarity.stored_index_probe(spark, path, [0, 1, 2], k=3, n_probe=2)
+    plan = routed._jdf.queryExecution().executedPlan().toString().lower()
     assert re.search(r"partitionfilters: \[.*cell.* in \(", plan), plan[:2000]
-    assert probe.count() == 9
+    assert routed.count() == 9
+    # below the routing threshold the probe keeps the single fused lazy
+    # plan (no static predicate, scans the small index) — same results
+    monkeypatch.setattr(similarity, "PROBE_ROUTE_MIN_CELLS", 10_000)
+    lazy = similarity.stored_index_probe(spark, path, [0, 1, 2], k=3, n_probe=2)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, routed.collect())
+    )
 
 
 def test_centroid_table_manifest_fallback(spark, lifecycle_emb, tmp_path):

@@ -1201,8 +1201,34 @@ def stored_index_probe(
 
     from ..sources.formats import _read_manifest
 
-    stored = spark.read.parquet(path)
     m = _read_manifest(path, INDEX_MANIFEST) or {}
+    if m.get("rows", None) == 0:
+        # a fully-taken-down index (every row deleted, then compacted)
+        # has no data files left — the scan cannot even infer a schema,
+        # so answer the degenerate probe directly
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_type = (
+            queries.schema[id_col].dataType if queries is not None else LongType()
+        )
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", id_type),
+                    StructField(id_col, id_type),
+                    StructField("sim", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
+        )
+    stored = spark.read.parquet(path)
     if m.get("tombstones", 0):
         tombs = spark.read.parquet(os.path.join(path, TOMBSTONE_DIR)).select(id_col)
         stored = stored.join(F.broadcast(tombs), id_col, "left_anti")

@@ -598,3 +598,24 @@ def test_centroid_table_manifest_fallback(spark, lifecycle_emb, tmp_path):
         map(tuple, similarity.stored_index_probe(spark, d, [0, 1], k=3).collect())
     )
     assert with_table == without and len(without) == 6
+
+
+def test_probe_on_fully_deleted_index_returns_empty(spark, lifecycle_emb, tmp_path):
+    """A corpus fully taken down (every row deleted, then compacted) is a
+    legitimate index state: the probe must answer empty with the normal
+    schema, not crash on a data-fileless directory."""
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "empty_ix")
+    similarity.ivf_index_write_adaptive(spark, lifecycle_emb, d, src)
+    similarity.ivf_index_delete(spark, d, lifecycle_emb.select("vec_id"))
+    similarity.ivf_index_compact(spark, d)
+    out = similarity.stored_index_probe(spark, d, [0, 1], k=3, queries=lifecycle_emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "sim", "rank"]
+    # and the index stays writable: an upsert resurrects it
+    similarity.ivf_index_upsert_adaptive(spark, d, lifecycle_emb)
+    assert (
+        similarity.stored_index_probe(spark, d, [0, 1], k=3, queries=lifecycle_emb)
+        .count()
+        == 6
+    )

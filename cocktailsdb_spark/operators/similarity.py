@@ -1118,10 +1118,20 @@ def ivf_index_compact(spark, cache_dir: str) -> str:
     ).parquet(tmp)
     for cell in cells:
         part = f"cell={cell}"
-        shutil.rmtree(os.path.join(cache_dir, part), ignore_errors=True)
+        old_p = os.path.join(cache_dir, part)
+        # swap via a hidden backup, not delete-then-move: a crash inside
+        # the window must never leave a cell's LIVE rows unrecoverable
+        # (the backup dir is underscore-prefixed, so a half-swapped index
+        # still scans cleanly; at warehouse scale this ordering is the
+        # table format's commit protocol — this is the local-fs version)
+        bak = os.path.join(cache_dir, f"_compact_bak_{cell}")
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.isdir(old_p):
+            os.rename(old_p, bak)
         src_part = os.path.join(tmp, part)
         if os.path.isdir(src_part):  # fully-emptied cells stay dropped
-            shutil.move(src_part, os.path.join(cache_dir, part))
+            shutil.move(src_part, old_p)
+        shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(tomb_path, ignore_errors=True)
     _write_manifest(

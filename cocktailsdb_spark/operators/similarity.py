@@ -1032,27 +1032,59 @@ def _centroid_table(spark, path: str) -> DataFrame:
 
 
 def ivf_index_delete(
-    spark, cache_dir: str, ids: DataFrame, id_col: str = "vec_id"
+    spark,
+    cache_dir: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
 ) -> str:
     """Tombstoned delete — the takedown path a 100 TB training corpus
     hits first (right-to-be-forgotten): victim ids are captured WITH
-    their cell (one broadcast semi-scan of the index — the id set is
-    request-sized) and appended under ``_tombstones/`` (underscore dir:
+    their cell and appended under ``_tombstones/`` (underscore dir:
     invisible to the index's parquet scan, like the ``_MANIFEST``
     pointer). No data file is rewritten; probes anti-join the tombstone
     set (:func:`stored_index_probe` does this automatically whenever the
     manifest records live tombstones); :func:`ivf_index_compact`
     reclaims the space per-cell later. Works on both index kinds — the
-    layout contract (cell-partitioned parquet + manifest) is shared."""
+    layout contract (cell-partitioned parquet + manifest) is shared.
+
+    Victim-cell mapping is REQUEST-sized whenever the caller passes full
+    rows: a takedown request carries the documents, so their cells come
+    straight from the manifest's quantizer — the rule planes (adaptive
+    kind) or the nearest-centroid literal (fixed kind) — as a narrow map
+    over the delta, with ZERO index scan. Only an ids-only frame falls
+    back to the broadcast semi-scan of the index (one pass, linear in
+    index size — the 100 TB caller should pass rows)."""
     import os
 
     from ..sources.formats import _read_manifest, _write_manifest
 
-    stored = spark.read.parquet(cache_dir)
-    victims = stored.join(F.broadcast(ids.select(id_col).distinct()), id_col).select(
-        id_col, "cell"
-    )
     m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    if "planes" in m and vec_col in ids.columns and label_col in ids.columns:
+        # adaptive kind: cell = label·2^p + plane_bucket — no scan
+        victims = ids.select(
+            F.col(id_col),
+            adaptive_cell(
+                _as_double(F.col(vec_col)), F.col(label_col), m["planes"]
+            ).alias("cell"),
+        ).distinct()
+    elif "planes" not in m and vec_col in ids.columns:
+        # fixed kind: nearest stored centroid, a narrow map over the
+        # request-sized delta (the centroid literal is small here — the
+        # fixed quantizer is the ≤tens-of-cells one by design)
+        cents = _stored_centroids(cache_dir)
+        victims = ids.select(
+            F.col(id_col),
+            F.element_at(
+                _cells_by_distance(_as_double(F.col(vec_col)), cents), 1
+            )["cell"].alias("cell"),
+        ).distinct()
+    else:
+        stored = spark.read.parquet(cache_dir)
+        victims = stored.join(
+            F.broadcast(ids.select(id_col).distinct()), id_col
+        ).select(id_col, "cell")
     tomb_path = os.path.join(cache_dir, TOMBSTONE_DIR)
     if m.get("tombstones", 0):
         # idempotence: an id already tombstoned must not be counted twice
@@ -1102,9 +1134,13 @@ def ivf_index_compact(spark, cache_dir: str) -> str:
     # a driver-side list, like every centroid collect in this module
     cells = sorted(r["cell"] for r in tombs.select("cell").distinct().collect())
     stored = spark.read.parquet(cache_dir)
-    keep = stored.filter(F.col("cell").isin(cells)).join(
-        F.broadcast(tombs.select(id_col)), id_col, "left_anti"
-    )
+    affected = stored.filter(F.col("cell").isin(cells))
+    keep = affected.join(F.broadcast(tombs.select(id_col)), id_col, "left_anti")
+    # settle the row count from what is ACTUALLY removed, not from the
+    # tombstone tally: a rule-mapped delete (ids the caller supplied that
+    # never existed in the index) or a crash-window double-tombstone must
+    # not skew the manifest. Both counts touch only affected cells.
+    n_removed = affected.count() - keep.count()
     # stage survivors OUT of the scanned tree (underscore dir: invisible
     # to the index scan), then swap directories per cell — an in-place
     # overwrite would delete the very files the survivor scan is reading,
@@ -1139,7 +1175,7 @@ def ivf_index_compact(spark, cache_dir: str) -> str:
         {
             **m,
             "version": m["version"] + 1,
-            "rows": m["rows"] - n_tomb,
+            "rows": m["rows"] - n_removed,
             "tombstones": 0,
         },
         INDEX_MANIFEST,

@@ -1552,7 +1552,10 @@ def _q_ann_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         if fresh and m is not None:
             shutil.rmtree(d_del, ignore_errors=True)
         similarity.ivf_index_write_adaptive(spark, e, d_del, src)
-        similarity.ivf_index_delete(spark, d_del, doomed.select("vec_id"))
+        # full rows, not just ids: the takedown request carries the
+        # documents, so victim cells come from the manifest quantizer as
+        # a narrow map over the delta — zero index scan
+        similarity.ivf_index_delete(spark, d_del, doomed)
         similarity.ivf_index_compact(spark, d_del)
     d_rb = _cache_path("embeddings_adaptive_del_rb", sf_dir)
     similarity.ivf_index_write_adaptive(

@@ -619,3 +619,48 @@ def test_probe_on_fully_deleted_index_returns_empty(spark, lifecycle_emb, tmp_pa
         .count()
         == 6
     )
+
+
+def test_delete_rule_mapped_equals_scan_mapped(spark, lifecycle_emb, tmp_path):
+    """A delete given FULL rows maps victim cells from the manifest
+    quantizer (no index scan); given ids only, it falls back to the
+    broadcast semi-scan. Both must tombstone the identical (id, cell)
+    set, on both index kinds; and rule-mapping ids that never existed
+    must not skew the compacted row count."""
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    doomed = lifecycle_emb.filter(F.col("vec_id") % 5 == 1)
+    for kind, build in [
+        ("adaptive", similarity.ivf_index_write_adaptive),
+        ("fixed", similarity.ivf_index_write),
+    ]:
+        d_rule = str(tmp_path / f"{kind}_rule_ix")
+        d_scan = str(tmp_path / f"{kind}_scan_ix")
+        build(spark, lifecycle_emb, d_rule, src)
+        build(spark, lifecycle_emb, d_scan, src)
+        similarity.ivf_index_delete(spark, d_rule, doomed)
+        similarity.ivf_index_delete(spark, d_scan, doomed.select("vec_id"))
+        t_rule = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{d_rule}/{similarity.TOMBSTONE_DIR}").collect(),
+            )
+        )
+        t_scan = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{d_scan}/{similarity.TOMBSTONE_DIR}").collect(),
+            )
+        )
+        assert t_rule == t_scan and len(t_rule) == 12, kind
+    # phantom ids: rule-map a row that is NOT in the index
+    d = str(tmp_path / "phantom_ix")
+    real = lifecycle_emb.filter(F.col("vec_id") < 50)
+    similarity.ivf_index_write_adaptive(spark, real, d, src)
+    similarity.ivf_index_delete(
+        spark, d, lifecycle_emb.filter(F.col("vec_id") >= 45)  # 5 real, 10 phantom
+    )
+    similarity.ivf_index_compact(spark, d)
+    m = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m["rows"] == 45 and spark.read.parquet(d).count() == 45

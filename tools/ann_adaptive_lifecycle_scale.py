@@ -82,7 +82,7 @@ def measure_decade(spark, tag: str, sf_dir: str, fixed_too: bool) -> dict:
     mpf = re.search(r"partitionfilters: \[[^\]]*cell[^\]]* in \(([^)]*)\)", plan)
 
     # delete+compact cost: tombstone 1% of the corpus, reclaim per-cell
-    doomed = e.filter(F.col("vec_id") % 100 == 7).select("vec_id")
+    doomed = e.filter(F.col("vec_id") % 100 == 7)  # full rows: no-scan delete
     t0 = time.perf_counter()
     similarity.ivf_index_delete(spark, ix, doomed)
     t_delete = round(time.perf_counter() - t0, 3)

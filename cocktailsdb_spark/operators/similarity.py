@@ -766,21 +766,89 @@ def _stored_centroids(cache_dir: str):
     return (c["labels"], c["vecs"], _parse_datatype_string(c["label_dtype"]))
 
 
+UPSERT_TMP_DIR = "_upsert_tmp"  # underscore: hidden from the parquet scan
+
+
+def _staged_append(spark, cache_dir: str, assigned: DataFrame, n_new: int) -> None:
+    """Crash-safe delta append shared by both upsert kinds — the
+    EXACTLY-ONCE protocol the r12 advice asked to move out of the
+    registry helpers (registry_ops wipe-on-version<2 guard) and into the
+    library. The raw ``mode("append")`` it replaces had a crash window:
+    delta files landed inside the cell partitions before the manifest
+    version bump, so an external caller re-running a failed upsert
+    double-appended the delta. Here the append is RE-ENTRANT:
+
+    1. stage the assigned delta under ``_upsert_tmp`` (underscore dir —
+       invisible to index scans; ``overwrite`` mode, so a re-run after a
+       crash mid-stage just rewrites it);
+    2. delete any ``upsert_v{V}_*`` files already inside the live cell
+       dirs — leftovers of a PREVIOUS crashed attempt at this same
+       target version V (the manifest version only moves at step 4, so
+       a re-run recomputes the same V and reclaims its own debris);
+    3. rename the staged part files into the live cell dirs under the
+       deterministic ``upsert_v{V}_<i>.parquet`` names step 2 keys on;
+    4. bump the manifest (version V, rows += delta) — the commit point.
+
+    A crash anywhere before step 4 leaves a readable version-(V−1)
+    index; re-running the same upsert converges to exactly one applied
+    delta. This is the local-fs rendition of a table format's
+    snapshot-commit protocol — at warehouse scale Iceberg/Delta's
+    manifest swap plays step 4. Directory renames stay metadata-only
+    because the staging dir lives inside ``cache_dir`` (same fs)."""
+    import os
+    import shutil
+
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    v_next = m["version"] + 1
+    tmp = os.path.join(cache_dir, UPSERT_TMP_DIR)
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    prefix = f"upsert_v{v_next}_"
+    for d in os.listdir(cache_dir):
+        if not d.startswith("cell="):
+            continue
+        live_cd = os.path.join(cache_dir, d)
+        for f in os.listdir(live_cd):
+            if f.startswith(prefix):
+                os.remove(os.path.join(live_cd, f))
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("cell="):
+            continue
+        src_cd = os.path.join(tmp, d)
+        dst_cd = os.path.join(cache_dir, d)
+        os.makedirs(dst_cd, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(src_cd))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(src_cd, f),
+                    os.path.join(dst_cd, f"{prefix}{i}.parquet"),
+                )
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_manifest(
+        cache_dir,
+        {**m, "version": v_next, "rows": m["rows"] + n_new},
+        INDEX_MANIFEST,
+    )
+
+
 def ivf_index_upsert(
     spark, cache_dir: str, new_vecs: DataFrame, vec_col: str = "embedding"
 ) -> str:
     """Incremental index maintenance: assign a NEW vector batch to the
     STORED centroids (never re-derived — cell ids stay stable for data
-    already at rest) and append it into the cell partitions; the manifest
-    version/row count bump atomically afterward, so a crashed upsert
-    leaves a readable version-1 index plus orphan files the next rebuild
-    clears. At 100 TB this is the only affordable maintenance path — a
-    rebuild re-shuffles the corpus, an upsert touches only the delta.
+    already at rest) and append it into the cell partitions via the
+    staged exactly-once protocol (:func:`_staged_append`): a crashed
+    upsert leaves a readable previous-version index, and RE-RUNNING it
+    applies the delta exactly once — no wipe-and-rebuild needed at the
+    call site. At 100 TB this is the only affordable maintenance path —
+    a rebuild re-shuffles the corpus, an upsert touches only the delta.
     Pair with :func:`ivf_centroid_drift` to decide when accumulated
     upserts have moved the data far enough from the frozen quantizer to
     justify a rebuild."""
-    from ..sources.formats import _read_manifest, _write_manifest
-
     cents = _stored_centroids(cache_dir)
     assigned = new_vecs.withColumn(
         "cell",
@@ -788,13 +856,7 @@ def ivf_index_upsert(
             _cells_by_distance(_as_double(F.col(vec_col)), cents), 1
         )["cell"],
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(cache_dir)
-    m = _read_manifest(cache_dir, INDEX_MANIFEST)
-    _write_manifest(
-        cache_dir,
-        {**m, "version": m["version"] + 1, "rows": m["rows"] + new_vecs.count()},
-        INDEX_MANIFEST,
-    )
+    _staged_append(spark, cache_dir, assigned, new_vecs.count())
     return cache_dir
 
 
@@ -966,22 +1028,15 @@ def ivf_index_upsert_adaptive(
     post-upsert layout is byte-identical to a from-scratch rebuild with
     the same planes — no nearest-centroid drift to reason about.
     Centroid means in the manifest stay frozen (they are the probe-side
-    quantizer; :func:`ivf_centroid_drift` is the staleness dial)."""
-    from ..sources.formats import _read_manifest, _write_manifest
-
+    quantizer; :func:`ivf_centroid_drift` is the staleness dial). The
+    append runs through the staged exactly-once protocol
+    (:func:`_staged_append`), so re-running a crashed upsert never
+    double-applies the delta."""
     planes = _stored_planes(cache_dir)
     assigned = new_vecs.withColumn(
         "cell", adaptive_cell(_as_double(F.col(vec_col)), F.col(label_col), planes)
     )
-    assigned.repartition(F.col("cell")).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(cache_dir)
-    m = _read_manifest(cache_dir, INDEX_MANIFEST)
-    _write_manifest(
-        cache_dir,
-        {**m, "version": m["version"] + 1, "rows": m["rows"] + new_vecs.count()},
-        INDEX_MANIFEST,
-    )
+    _staged_append(spark, cache_dir, assigned, new_vecs.count())
     return cache_dir
 
 
@@ -1082,9 +1137,16 @@ def ivf_index_delete(
         ).distinct()
     else:
         stored = spark.read.parquet(cache_dir)
-        victims = stored.join(
-            F.broadcast(ids.select(id_col).distinct()), id_col
-        ).select(id_col, "cell")
+        # .distinct() mirrors the rule-mapped and nearest-centroid paths:
+        # if the index ever holds a duplicated vec_id (the half-applied
+        # upsert window _staged_append now closes, but pre-existing
+        # indexes may carry), the semi-scan must not tombstone — and
+        # tally — the same (id, cell) twice
+        victims = (
+            stored.join(F.broadcast(ids.select(id_col).distinct()), id_col)
+            .select(id_col, "cell")
+            .distinct()
+        )
     tomb_path = os.path.join(cache_dir, TOMBSTONE_DIR)
     if m.get("tombstones", 0):
         # idempotence: an id already tombstoned must not be counted twice
@@ -1127,7 +1189,37 @@ def ivf_index_compact(spark, cache_dir: str) -> str:
     n_tomb = m.get("tombstones", 0)
     if not n_tomb:
         return cache_dir
+    # CRASH RECOVERY (advice r12) — a previous compact that died inside
+    # the per-cell swap window (after os.rename(live, bak), before
+    # shutil.move(staged, live)) left that cell's live rows ONLY in the
+    # hidden _compact_bak_<cell> dir. The survivor scan below would not
+    # see them, and finishing would rmtree the only remaining copy. So
+    # before recomputing survivors: restore every orphaned backup whose
+    # replacement never landed, and drop only backups whose replacement
+    # cell dir verifiably exists (the swap completed; the bak is stale).
+    for name in sorted(os.listdir(cache_dir)):
+        if not name.startswith("_compact_bak_"):
+            continue
+        bak = os.path.join(cache_dir, name)
+        live = os.path.join(cache_dir, f"cell={name[len('_compact_bak_'):]}")
+        if os.path.isdir(live):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, live)
     tomb_path = os.path.join(cache_dir, TOMBSTONE_DIR)
+    if not os.path.isdir(tomb_path):
+        # the other tail window: tombstones already cleared but the
+        # manifest bump never landed — the data work is complete, so
+        # settle the manifest from the live index (rare recovery path;
+        # one count, and only over an index that just compacted)
+        has_cells = any(d.startswith("cell=") for d in os.listdir(cache_dir))
+        live_rows = spark.read.parquet(cache_dir).count() if has_cells else 0
+        _write_manifest(
+            cache_dir,
+            {**m, "version": m["version"] + 1, "rows": live_rows, "tombstones": 0},
+            INDEX_MANIFEST,
+        )
+        return cache_dir
     tombs = spark.read.parquet(tomb_path)
     id_col = [c for c in tombs.columns if c != "cell"][0]
     # victim cells are bounded by the quantizer (≤ MAX_CENTROIDS):

@@ -1261,15 +1261,13 @@ def _ensure_upsert_index(spark: SparkSession, sf_dir: str):
     at-rest IVF index shared by ann_index_upsert_probe and
     ann_index_drift_monitor. Returns (index_dir, base_df, delta_df, src).
 
-    Crash-safety (advice r11): a crash BETWEEN ivf_index_upsert's parquet
-    append and its manifest version bump leaves version=1 with delta rows
-    already inside the cell partitions; re-running the upsert against that
-    state would double-append the delta and silently skew n_vecs/means
-    until the source mtime changes. So whenever the version<2 guard fires
-    while a manifest already exists, the cache dir is wiped first and the
-    index rebuilt from scratch — rebuilds are idempotent, appends are not."""
+    Crash-safety (advice r11, moved into the LIBRARY at r13): a version<2
+    manifest alongside a fresh cache means the upsert never committed.
+    similarity._staged_append made the upsert itself exactly-once — a
+    crashed attempt leaves no delta rows visible past its own re-run's
+    cleanup — so the helper simply re-runs the upsert instead of the old
+    wipe-and-rebuild (tests/test_similarity.py pins the kill-window)."""
     import os
-    import shutil
 
     from .operators.similarity import (
         INDEX_MANIFEST,
@@ -1287,9 +1285,8 @@ def _ensure_upsert_index(spark: SparkSession, sf_dir: str):
     fresh = _cache_fresh(d_up, src)
     m = _read_manifest(d_up, INDEX_MANIFEST) if fresh else None
     if not m or m.get("version", 0) < 2:
-        if fresh and m is not None:
-            shutil.rmtree(d_up, ignore_errors=True)
-        ivf_index_write(spark, base, d_up, src)
+        if not m:
+            ivf_index_write(spark, base, d_up, src)
         ivf_index_upsert(spark, d_up, delta)
     return d_up, base, delta, src
 
@@ -1302,9 +1299,9 @@ def _q_ann_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     all vectors with the same frozen centroids; output is the per-query
     result-count comparison — identical indexes ⇒ every query shows
     (k, k, k). The upsert is manifest-versioned (v1 = base build,
-    v2 = post-upsert), so reruns never double-append; a half-applied
-    upsert (files in, version still 1) triggers a wipe-and-rebuild in
-    :func:`_ensure_upsert_index` instead of a second append."""
+    v2 = post-upsert) and staged-append exactly-once, so reruns never
+    double-append; a half-applied upsert (version still 1) is resumed by
+    simply re-running the upsert in :func:`_ensure_upsert_index`."""
     from .operators.similarity import (
         ivf_index_write,
         stored_index_probe,
@@ -1495,11 +1492,10 @@ register("embedding_topk_ivf_adaptive", _q_ivf_adaptive_stored, ADAPTIVE_TOPK_SQ
 def _ensure_adaptive_upsert_index(spark: SparkSession, sf_dir: str):
     """Adaptive-cell twin of :func:`_ensure_upsert_index`: base 19/20
     built with the count-derived plane gate, held-out 1/20 upserted
-    against the FROZEN manifest planes. Same crash-safety: a manifest at
-    version < 2 alongside data files means a half-applied upsert — wipe
-    and rebuild rather than risk a double append."""
-    import shutil
-
+    against the FROZEN manifest planes. Same crash-safety story: the
+    staged exactly-once append inside ivf_index_upsert_adaptive makes a
+    version<2 manifest safe to resume with a plain re-run of the upsert
+    (no wipe-and-rebuild; the kill-window pytest covers this kind too)."""
     from .operators.similarity import INDEX_MANIFEST
     from .plans.layout import _cache_fresh, _cache_path
     from .sources.formats import _read_manifest
@@ -1512,9 +1508,8 @@ def _ensure_adaptive_upsert_index(spark: SparkSession, sf_dir: str):
     fresh = _cache_fresh(d_up, src)
     m = _read_manifest(d_up, INDEX_MANIFEST) if fresh else None
     if not m or m.get("version", 0) < 2:
-        if fresh and m is not None:
-            shutil.rmtree(d_up, ignore_errors=True)
-        similarity.ivf_index_write_adaptive(spark, base, d_up, src)
+        if not m:
+            similarity.ivf_index_write_adaptive(spark, base, d_up, src)
         similarity.ivf_index_upsert_adaptive(spark, d_up, delta)
     return d_up, base, delta, src
 

@@ -551,6 +551,152 @@ def test_delete_is_idempotent(spark, lifecycle_emb, tmp_path):
     assert spark.read.parquet(d).count() == 55
 
 
+def test_upsert_crash_window_exactly_once_fixed(
+    spark, lifecycle_emb, tmp_path, monkeypatch
+):
+    """Kill between the staged-append file moves and the manifest bump
+    (the r11/r12-advice crash window), then RE-RUN the upsert with no
+    registry-side wipe: the library's _staged_append protocol must apply
+    the delta exactly once — fixed-quantizer kind."""
+    import cocktailsdb_spark.sources.formats as formats
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    base = lifecycle_emb.filter(F.col("vec_id") % 3 != 0)
+    delta = lifecycle_emb.filter(F.col("vec_id") % 3 == 0)
+    d = str(tmp_path / "crash_fixed_ix")
+    similarity.ivf_index_write(spark, base, d, src)
+    n_total = lifecycle_emb.count()
+    real = formats._write_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("kill between append and bump")
+
+    monkeypatch.setattr(formats, "_write_manifest", boom)
+    with pytest.raises(RuntimeError):
+        similarity.ivf_index_upsert(spark, d, delta)
+    monkeypatch.setattr(formats, "_write_manifest", real)
+    m = formats._read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m["version"] == 1, "manifest bumped despite the kill"
+    similarity.ivf_index_upsert(spark, d, delta)
+    stored = spark.read.parquet(d)
+    assert stored.count() == n_total
+    assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
+    m2 = formats._read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m2["version"] == 2 and m2["rows"] == n_total
+
+
+def test_upsert_crash_mid_move_exactly_once_adaptive(
+    spark, lifecycle_emb, tmp_path, monkeypatch
+):
+    """Kill PARTWAY through the staged file moves (some upsert_v2_* files
+    already inside live cell dirs), then re-run: the leftover-reclaim
+    step must make the re-run exactly-once — adaptive kind."""
+    import os as _os
+
+    import cocktailsdb_spark.sources.formats as formats
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    base = lifecycle_emb.filter(F.col("vec_id") % 3 != 0)
+    delta = lifecycle_emb.filter(F.col("vec_id") % 3 == 0)
+    d = str(tmp_path / "crash_adaptive_ix")
+    similarity.ivf_index_write_adaptive(spark, base, d, src)
+    n_total = lifecycle_emb.count()
+    real_rename = _os.rename
+    state = {"armed": True, "moves": 0}
+
+    def flaky(a, b):
+        if state["armed"] and "upsert_v2_" in str(b):
+            state["moves"] += 1
+            if state["moves"] > 1:
+                raise RuntimeError("kill mid-move")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(_os, "rename", flaky)
+    with pytest.raises(RuntimeError):
+        similarity.ivf_index_upsert_adaptive(spark, d, delta)
+    assert state["moves"] > 1, "fixture must span >1 cell for a mid-move kill"
+    state["armed"] = False
+    m = formats._read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m["version"] == 1
+    similarity.ivf_index_upsert_adaptive(spark, d, delta)
+    stored = spark.read.parquet(d)
+    assert stored.count() == n_total
+    assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
+    m2 = formats._read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m2["version"] == 2 and m2["rows"] == n_total
+
+
+def test_compact_crash_mid_swap_recovers(spark, lifecycle_emb, tmp_path):
+    """The r12-advice scenario: a compact that died between renaming a
+    live cell dir to its hidden backup and moving the staged replacement
+    in. Re-running compact must RESTORE the orphaned backup before
+    recomputing survivors (the backup holds the only copy of that cell's
+    live rows) and drop a stale backup whose replacement did land."""
+    import os
+    import shutil
+
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "crash_compact_ix")
+    similarity.ivf_index_write_adaptive(spark, lifecycle_emb, d, src)
+    similarity.ivf_index_delete(
+        spark, d, lifecycle_emb.filter(F.col("vec_id") < 5).select("vec_id")
+    )
+    cells = sorted(
+        p for p in os.listdir(d)
+        if p.startswith("cell=") and os.path.isdir(os.path.join(d, p))
+    )
+    assert len(cells) >= 2
+    # fabricate the crash: first cell renamed to its backup, replacement
+    # never landed (rows now live ONLY under the hidden backup dir)
+    orphan = cells[0].split("=", 1)[1]
+    os.rename(
+        os.path.join(d, cells[0]), os.path.join(d, f"_compact_bak_{orphan}")
+    )
+    # and a STALE backup: second cell copied to a backup while the live
+    # dir still exists (crash after the move, before the backup cleanup)
+    stale = cells[1].split("=", 1)[1]
+    shutil.copytree(
+        os.path.join(d, cells[1]), os.path.join(d, f"_compact_bak_{stale}")
+    )
+    similarity.ivf_index_compact(spark, d)
+    stored = spark.read.parquet(d)
+    ids = sorted(r.vec_id for r in stored.select("vec_id").collect())
+    assert ids == list(range(5, 60)), "survivor rows lost or duplicated"
+    assert not any(p.startswith("_compact_bak_") for p in os.listdir(d))
+    m = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m["tombstones"] == 0 and m["rows"] == 55
+
+
+def test_compact_tail_window_settles_manifest(spark, lifecycle_emb, tmp_path):
+    """The other tail window: tombstone dir already cleared but the
+    manifest bump never landed. Re-running compact must settle the
+    manifest from the live index instead of failing on the missing
+    tombstone read."""
+    from cocktailsdb_spark.sources.formats import _read_manifest, _write_manifest
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "tail_compact_ix")
+    similarity.ivf_index_write_adaptive(spark, lifecycle_emb, d, src)
+    similarity.ivf_index_delete(
+        spark, d, lifecycle_emb.filter(F.col("vec_id") < 5).select("vec_id")
+    )
+    similarity.ivf_index_compact(spark, d)
+    m = _read_manifest(d, similarity.INDEX_MANIFEST)
+    # wind the manifest back to the crashed state (data work complete,
+    # tombstone dir gone, manifest still claiming live tombstones)
+    _write_manifest(
+        d,
+        {**m, "version": m["version"] - 1, "rows": 60, "tombstones": 5},
+        similarity.INDEX_MANIFEST,
+    )
+    similarity.ivf_index_compact(spark, d)
+    m2 = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m2["tombstones"] == 0 and m2["rows"] == 55
+    assert spark.read.parquet(d).count() == 55
+
+
 def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir, monkeypatch):
     """The adaptive index probe must statically prune the candidate scan
     to the probed cells — cells ∝ N is only a win if the scan still opens

@@ -10,8 +10,10 @@ so per-cell population stays bounded).
 
 This tool measures the ADAPTIVE lifecycle at every decade the r11 tool
 measured the fixed one — build / upsert / probe with the registered query
-set, probe plan asserted to carry the DPP subquery — and, at the 2M
-decade, re-measures the FIXED 10-cell probe on the same box for the
+set, probe plan asserted to carry a STATIC partition predicate on the
+cell column (the driver-routed selection that replaced DPP in round 12:
+DPP planned a pruning subquery but never pruned at runtime) — and, at the
+2M decade, re-measures the FIXED 10-cell probe on the same box for the
 head-to-head. Results land in scaling_r12.json under "ann_adaptive".
 
     python tools/ann_adaptive_lifecycle_scale.py

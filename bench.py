@@ -322,6 +322,13 @@ BENCH_QUERIES = [
     "embedding_topk_ivf_adaptive",
     "ann_index_delete_compact",
     "ann_recall_vs_nprobe_stored",
+    # round-13: lifecycle-recall readout, adaptive-quantizer drift dial,
+    # filtered probe (metadata predicate as pure partition pruning) —
+    # recall truths are broadcast-panel scans, so the truth-bound
+    # exclusion does not apply (same call as ann_recall_vs_nprobe_stored)
+    "ann_recall_lifecycle",
+    "ann_index_drift_adaptive",
+    "ann_probe_filtered_stored",
 ]
 
 

@@ -860,7 +860,12 @@ def ivf_index_upsert(
     return cache_dir
 
 
-def ivf_centroid_drift(spark, cache_dir: str, vec_col: str = "embedding") -> DataFrame:
+def ivf_centroid_drift(
+    spark,
+    cache_dir: str,
+    vec_col: str = "embedding",
+    include_new_cells: bool = False,
+) -> DataFrame:
     """Per-cell drift dial for the rebuild decision: rounded L2 distance
     between each stored centroid and its cell's CURRENT mean vector
     (post-upserts), plus the cell population. One posexplode aggregate
@@ -870,7 +875,15 @@ def ivf_centroid_drift(spark, cache_dir: str, vec_col: str = "embedding") -> Dat
     sum / count, qround to SIM_ROUND) rather than F.avg, so each mean
     component — and therefore the drift — is reproducible by the DuckDB
     oracle on the registered ``ann_index_drift_monitor`` entry
-    (a float avg's summation order is partitioning-dependent)."""
+    (a float avg's summation order is partitioning-dependent).
+
+    ``include_new_cells`` switches the quantizer join to a LEFT join so
+    cells the FROZEN quantizer has never seen still surface (drift NULL:
+    there is no stored centroid to measure against). The adaptive index
+    needs this — its rule assignment can route an upsert batch into a
+    label × sign-bucket combination the build corpus left empty, and a
+    monitor that silently drops those cells understates exactly the
+    staleness it exists to measure (``ann_index_drift_adaptive``)."""
     from ..numeric import DEC
 
     labels, vecs, _ = _stored_centroids(cache_dir)
@@ -898,8 +911,9 @@ def ivf_centroid_drift(spark, cache_dir: str, vec_col: str = "embedding") -> Dat
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    how = "left" if include_new_cells else "inner"
     return (
-        means.join(F.broadcast(cents_df), "cell")
+        means.join(F.broadcast(cents_df), "cell", how)
         .join(counts, "cell")
         .select("cell", "n_vecs", qround(F.sqrt(d2), SIM_ROUND).alias("drift"))
     )
@@ -1316,11 +1330,28 @@ def stored_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    allowed_labels: list[int] | None = None,
 ) -> DataFrame:
     """Probe a SELF-CONTAINED at-rest IVF index: centroids come from the
     index MANIFEST (not re-derived from source data — essential once
     upserts exist, since a re-derived quantizer would silently re-cell
     the probes while the stored layout keeps the old cells).
+
+    ``allowed_labels`` is the FILTERED-search path (adaptive index only):
+    restrict the search to vectors whose label is in the list, PRE-filter
+    semantics — cells whose label fails the predicate are excluded BEFORE
+    the n_probe ranking, so every probed cell is filter-eligible (probing
+    nearest-overall cells and post-filtering would waste probes on cells
+    that contribute zero candidates — the recall trap filtered-ANN
+    literature warns about). Because the composite cell id ENCODES the
+    label (cell >> n_planes == label, :func:`adaptive_cell`), the row
+    predicate becomes pure cell arithmetic: no label column is read, and
+    on the routed path the metadata filter degrades into the same static
+    partition predicate the probe already pushes — filtered search at
+    exactly the cost of fewer partitions scanned. This is the composition
+    of ``cosine_topk_filtered``'s exact pre-filter reference with the
+    at-rest layout.
+
     Tombstone-aware: when the manifest records live tombstones
     (:func:`ivf_index_delete`), the tombstoned ids are anti-joined out —
     a broadcast of the request-sized delete set — so deleted vectors
@@ -1391,9 +1422,18 @@ def stored_index_probe(
         ),
         SIM_ROUND,
     )
+    cent_tab = _centroid_table(spark, path)
+    if allowed_labels is not None:
+        planes = _stored_planes(path)  # raises on the fixed kind: the
+        # label→cell arithmetic below is the adaptive rule's inverse
+        cent_tab = cent_tab.filter(
+            F.shiftright(F.col("cell").cast("int"), len(planes)).isin(
+                [int(x) for x in allowed_labels]
+            )
+        )
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes_plan = (
-        q.crossJoin(F.broadcast(_centroid_table(spark, path)))
+        q.crossJoin(F.broadcast(cent_tab))
         .select("query_id", "_qvec", "_qnorm", "cell", d2.alias("d2"))
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)

@@ -1514,22 +1514,16 @@ def _ensure_adaptive_upsert_index(spark: SparkSession, sf_dir: str):
     return d_up, base, delta, src
 
 
-def _q_ann_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 index lifecycle (round 12) — TOMBSTONED DELETE + PER-CELL
-    COMPACTION, the takedown path a 100 TB training corpus hits first
-    (right-to-be-forgotten): the 1/20 hold-out is deleted from the
-    full-corpus adaptive index (tombstones under ``_tombstones/``, no
-    data rewrite), then compaction rewrites ONLY the affected cell
-    partitions (similarity.ivf_index_delete / ivf_index_compact —
-    bm25_compacted_stored's shape on the vector side). Output pins the
-    invariant delete+compact ≡ rebuild-on-survivors under the frozen
-    quantizer: per query, the compacted probe, the rebuilt probe, and
-    their intersection must all be exactly k rows — so the oracle is the
-    (k, k, k) constant, and any layout divergence (a tombstone surviving
-    compaction, a survivor lost with its cell, a re-celled delta) breaks
-    the hash. Versions: v1 build, v2 delete, v3 compact; a manifest
-    below v3 alongside data files is a half-applied lifecycle — wiped
-    and rebuilt, never resumed."""
+def _ensure_delete_compact_index(spark: SparkSession, sf_dir: str):
+    """Build (once per fixture mtime) the deleted-then-compacted adaptive
+    index shared by ann_index_delete_compact and ann_recall_lifecycle:
+    full-corpus build (planes/centroids gated on the FULL count — those
+    stay frozen through the takedown), 1/20 hold-out deleted as full rows
+    (scan-free victim mapping), then per-cell compaction. Returns
+    (index_dir, survivors_df, doomed_df, src). Versions: v1 build,
+    v2 delete, v3 compact; below v3 the lifecycle is half-applied —
+    wiped and rebuilt (delete/compact compose three phases; the staged
+    upsert protocol's exactly-once re-run only covers single appends)."""
     import shutil
 
     from .operators.similarity import INDEX_MANIFEST
@@ -1552,6 +1546,29 @@ def _q_ann_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a narrow map over the delta — zero index scan
         similarity.ivf_index_delete(spark, d_del, doomed)
         similarity.ivf_index_compact(spark, d_del)
+    return d_del, survivors, doomed, src
+
+
+def _q_ann_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index lifecycle (round 12) — TOMBSTONED DELETE + PER-CELL
+    COMPACTION, the takedown path a 100 TB training corpus hits first
+    (right-to-be-forgotten): the 1/20 hold-out is deleted from the
+    full-corpus adaptive index (tombstones under ``_tombstones/``, no
+    data rewrite), then compaction rewrites ONLY the affected cell
+    partitions (similarity.ivf_index_delete / ivf_index_compact —
+    bm25_compacted_stored's shape on the vector side). Output pins the
+    invariant delete+compact ≡ rebuild-on-survivors under the frozen
+    quantizer: per query, the compacted probe, the rebuilt probe, and
+    their intersection must all be exactly k rows — so the oracle is the
+    (k, k, k) constant, and any layout divergence (a tombstone surviving
+    compaction, a survivor lost with its cell, a re-celled delta) breaks
+    the hash. Versions: v1 build, v2 delete, v3 compact; a manifest
+    below v3 alongside data files is a half-applied lifecycle — wiped
+    and rebuilt, never resumed."""
+    from .plans.layout import _cache_path
+
+    e = load(spark, sf_dir, "embeddings")
+    d_del, survivors, _doomed, src = _ensure_delete_compact_index(spark, sf_dir)
     d_rb = _cache_path("embeddings_adaptive_del_rb", sf_dir)
     similarity.ivf_index_write_adaptive(
         spark,
@@ -1672,6 +1689,257 @@ _SQL_RECALL_NPROBE = f"""WITH {_SQL_EMB_BASE},
         FROM nps LEFT JOIN hits ON nps.np = hits.np"""
 
 register("ann_recall_vs_nprobe_stored", _q_ann_recall_vs_nprobe, _SQL_RECALL_NPROBE)
+
+
+def _q_ann_recall_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 evaluation (round 13) — recall@k BEFORE vs AFTER the takedown
+    lifecycle, the one unmeasured edge of the round-12 component:
+    ann_recall_vs_nprobe_stored pins recall on a pristine index, and
+    ann_index_delete_compact pins delete+compact ≡ rebuild, but nothing
+    pinned what the lifecycle does to RECALL — dropped cells and the
+    shrunken candidate set could silently push result sets below k.
+    Before: probe the pristine full-corpus adaptive index against the
+    full-corpus brute-force truth. After: probe the deleted-then-
+    compacted index (same frozen planes/centroids) against the truth
+    over SURVIVORS — the honest post-takedown ground truth, since a
+    deleted vector is no longer a correct answer for anyone. Recall at
+    each n_probe in {1,2,4}; either direction of movement is the
+    decision-relevant readout (a drop says compaction costs quality, a
+    rise says the deleted rows were crowding out survivors)."""
+    from .plans.layout import _cache_path
+
+    e = load(spark, sf_dir, "embeddings")
+    d_pre = similarity.ivf_index_write_adaptive(
+        spark,
+        e,
+        _cache_path("embeddings_adaptive_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    d_del, _survivors, _doomed, _src = _ensure_delete_compact_index(spark, sf_dir)
+    exact_pre = similarity.cosine_topk(e, QUERY_IDS, k=TOPK).select(
+        "query_id", "vec_id"
+    )
+    exact_post = similarity.cosine_topk(
+        e, QUERY_IDS, k=TOPK, candidate_filter=F.col("vec_id") % 20 != 19
+    ).select("query_id", "vec_id")
+    denom = float(len(QUERY_IDS) * TOPK)
+    parts = []
+    for phase, d_ix, exact in (
+        ("before", d_pre, exact_pre),
+        ("after", d_del, exact_post),
+    ):
+        for np_ in RECALL_N_PROBES:
+            pr = similarity.stored_index_probe(
+                spark, d_ix, QUERY_IDS, k=TOPK, n_probe=np_, queries=e
+            )
+            parts.append(
+                pr.join(exact, ["query_id", "vec_id"])
+                .agg(F.count("*").alias("n_hits"))
+                .select(
+                    F.lit(phase).alias("phase"),
+                    F.lit(np_).alias("n_probe"),
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    qround(F.col("n_hits").cast("double") / F.lit(denom), 6).alias(
+                        "recall"
+                    ),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_SQL_RECALL_LIFECYCLE = f"""WITH {_SQL_EMB_BASE}, {_SQL_ADAPTIVE_ASG},
+        cex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg),
+        cd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY cell, pos),
+        cv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cv.cell, {_SQL_QD2} AS qd2
+               FROM q CROSS JOIN cv),
+        qr AS (SELECT query_id, qv, qn, cell, row_number() OVER (
+                 PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd),
+        nps AS (SELECT unnest({RECALL_N_PROBES}) AS np),
+        probes AS (SELECT nps.np, qr.query_id, qr.qv, qr.qn, qr.cell
+                   FROM qr CROSS JOIN nps WHERE qr.rn <= nps.np),
+        pairs_b AS (
+          SELECT p.np, p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        ar_b AS (SELECT *, row_number() OVER (
+                   PARTITION BY np, query_id ORDER BY sim DESC, vec_id ASC) AS rk
+                 FROM pairs_b),
+        approx_b AS (SELECT np, query_id, vec_id FROM ar_b WHERE rk <= {TOPK}),
+        pairs_a AS (
+          SELECT p.np, p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id AND a.vec_id % 20 <> 19),
+        ar_a AS (SELECT *, row_number() OVER (
+                   PARTITION BY np, query_id ORDER BY sim DESC, vec_id ASC) AS rk
+                 FROM pairs_a),
+        approx_a AS (SELECT np, query_id, vec_id FROM ar_a WHERE rk <= {TOPK}),
+        exact_b AS (SELECT query_id, vec_id FROM ({COSINE_TOPK_SQL})),
+        pairs_e AS (
+          SELECT q.query_id, c.vec_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id AND c.vec_id % 20 <> 19),
+        er AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM pairs_e),
+        exact_a AS (SELECT query_id, vec_id FROM er WHERE rk <= {TOPK}),
+        hits_b AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+                   FROM approx_b a JOIN exact_b e USING (query_id, vec_id)
+                   GROUP BY np),
+        hits_a AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+                   FROM approx_a a JOIN exact_a e USING (query_id, vec_id)
+                   GROUP BY np)
+        SELECT 'before' AS phase, CAST(nps.np AS INT) AS n_probe,
+               COALESCE(hits_b.n_hits, 0) AS n_hits,
+               {sql_qround("CAST(COALESCE(hits_b.n_hits, 0) AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6)} AS recall
+        FROM nps LEFT JOIN hits_b ON nps.np = hits_b.np
+        UNION ALL
+        SELECT 'after' AS phase, CAST(nps.np AS INT) AS n_probe,
+               COALESCE(hits_a.n_hits, 0) AS n_hits,
+               {sql_qround("CAST(COALESCE(hits_a.n_hits, 0) AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6)} AS recall
+        FROM nps LEFT JOIN hits_a ON nps.np = hits_a.np"""
+
+register("ann_recall_lifecycle", _q_ann_recall_lifecycle, _SQL_RECALL_LIFECYCLE)
+
+
+def _q_ann_drift_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index maintenance (round 13) — the drift monitor EXTENDED to
+    the adaptive composite quantizer (ann_index_drift_monitor covers the
+    fixed kind): after an upsert batch lands against the FROZEN rule
+    planes and frozen composite-cell centroid means, this reports each
+    live cell's population (the skew face: rule cells are frozen, so a
+    drifting corpus shows up first as per-cell population imbalance) and
+    the L2 displacement between the frozen centroid and the cell's
+    current mean. Cells the build corpus never populated — a combination
+    the upsert batch hit first — surface with drift NULL (there is no
+    frozen centroid to compare against; their appearance is itself the
+    staleness signal). Oracle recomputes the rule assignment with planes
+    gated on the BASE count, frozen means over base rows, current means
+    over all rows — exact because assignment is rule-based and every
+    mean is the decimal-exact qround'd shape."""
+    d_up, _base, _delta, _src = _ensure_adaptive_upsert_index(spark, sf_dir)
+    d = similarity.ivf_centroid_drift(spark, d_up, include_new_cells=True)
+    return d.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "drift",
+    )
+
+
+_SQL_DRIFT_ADAPTIVE = f"""
+    WITH allv AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+        anp AS (SELECT {_SQL_ANN_NP} AS np
+                FROM (SELECT count(*) AS n FROM allv WHERE vec_id % 20 <> 19)),
+        asg AS (SELECT a.vec_id, a.v,
+                       {_sql_adaptive_cell("a.v", "a.label", "anp.np")} AS cell
+                FROM allv a CROSS JOIN anp),
+        fex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg WHERE vec_id % 20 <> 19),
+        fd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM fex GROUP BY cell, pos),
+        fv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM fd GROUP BY cell),
+        mex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg),
+        md AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS m
+               FROM mex GROUP BY cell, pos),
+        mv AS (SELECT cell, list(m ORDER BY pos) AS mean_vec
+               FROM md GROUP BY cell),
+        cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+                FROM asg GROUP BY cell)
+    SELECT CAST(mv.cell AS INT) AS cell, cnt.n_vecs,
+           {sql_qround("sqrt(list_sum([(mv.mean_vec[i] - fv.cvec[i]) * (mv.mean_vec[i] - fv.cvec[i]) for i in range(1, len(mv.mean_vec) + 1)]))", 6)} AS drift
+    FROM mv LEFT JOIN fv ON mv.cell = fv.cell
+    JOIN cnt ON cnt.cell = mv.cell"""
+
+register("ann_index_drift_adaptive", _q_ann_drift_adaptive, _SQL_DRIFT_ADAPTIVE)
+
+
+FILTER_LABELS = [0, 3, 7]
+
+
+def _q_ann_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 13) — FILTERED search on the stored adaptive index:
+    metadata predicate (label IN {0,3,7}) composed with the routed
+    probe. Because the composite cell id encodes the label
+    (cell >> n_planes == label), the predicate is applied to the
+    QUANTIZER before n_probe ranking — every probed cell is
+    filter-eligible (pre-filter semantics, the recall-safe order) — and
+    on the routed path it degrades into the same static partition
+    predicate the probe already pushes: filtered ANN at the cost of
+    FEWER partitions scanned, no label column read. The exact-reference
+    twin is embedding_topk_filtered (brute force over the label-0
+    slice); the oracle here recomputes the rule quantizer with the
+    label restriction in SQL."""
+    e = load(spark, sf_dir, "embeddings")
+    from .plans.layout import _cache_path
+
+    path = similarity.ivf_index_write_adaptive(
+        spark,
+        e,
+        _cache_path("embeddings_adaptive_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    return similarity.stored_index_probe(
+        spark,
+        path,
+        QUERY_IDS,
+        k=TOPK,
+        n_probe=N_PROBE,
+        queries=e,
+        allowed_labels=FILTER_LABELS,
+    )
+
+
+_SQL_PROBE_FILTERED = f"""WITH {_SQL_EMB_BASE}, {_SQL_ADAPTIVE_ASG},
+        cex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg),
+        cd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY cell, pos),
+        cv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY cell),
+        cvf AS (SELECT cv.cell, cv.cvec FROM cv CROSS JOIN anp
+                WHERE (cv.cell // (1 << anp.np)) IN ({", ".join(map(str, FILTER_LABELS))})),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cvf.cell,
+                      {sql_qround("list_sum([(q.qv[i] - cvf.cvec[i]) * (q.qv[i] - cvf.cvec[i]) for i in range(1, len(q.qv) + 1)])", 6)} AS qd2
+               FROM q CROSS JOIN cvf),
+        probes AS (SELECT query_id, qv, qn, cell FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd)
+                   WHERE rn <= {N_PROBE}),
+        pairs AS (
+          SELECT p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+register("ann_probe_filtered_stored", _q_ann_probe_filtered, _SQL_PROBE_FILTERED)
 
 
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

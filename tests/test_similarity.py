@@ -697,6 +697,92 @@ def test_compact_tail_window_settles_manifest(spark, lifecycle_emb, tmp_path):
     assert spark.read.parquet(d).count() == 55
 
 
+def test_filtered_probe_restricts_to_allowed_labels(spark, lifecycle_emb, tmp_path):
+    """allowed_labels is PRE-filter semantics: only filter-eligible cells
+    are ranked/probed, so every result row's label is allowed. The fixed
+    kind (no rule planes) must refuse — the label→cell arithmetic is the
+    adaptive rule's inverse."""
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "filt_ix")
+    similarity.ivf_index_write_adaptive(
+        spark, lifecycle_emb, d, src, planes=make_planes(2)
+    )
+    res = similarity.stored_index_probe(
+        spark, d, [0, 1], k=5, n_probe=4, queries=lifecycle_emb,
+        allowed_labels=[1],
+    )
+    joined = res.join(lifecycle_emb.select("vec_id", "label"), "vec_id")
+    labels = {r.label for r in joined.select("label").collect()}
+    assert res.count() > 0 and labels == {1}
+    d2 = str(tmp_path / "filt_fixed_ix")
+    similarity.ivf_index_write(spark, lifecycle_emb, d2, src)
+    with pytest.raises(ValueError):
+        similarity.stored_index_probe(
+            spark, d2, [0], k=3, queries=lifecycle_emb, allowed_labels=[1]
+        )
+
+
+def test_filtered_probe_routes_only_allowed_cells(
+    spark, lifecycle_emb, tmp_path, monkeypatch
+):
+    """On the routed path the metadata predicate must degrade into the
+    static partition predicate itself: the PartitionFilters IN-list may
+    contain ONLY cells whose label passes the filter — filtered search
+    as pure partition pruning, no label column read."""
+    import re
+
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "filt_routed_ix")
+    similarity.ivf_index_write_adaptive(
+        spark, lifecycle_emb, d, src, planes=make_planes(2)
+    )
+    monkeypatch.setattr(similarity, "PROBE_ROUTE_MIN_CELLS", 1)
+    res = similarity.stored_index_probe(
+        spark, d, [0, 1], k=3, n_probe=4, queries=lifecycle_emb,
+        allowed_labels=[1],
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # Catalyst folds a 1-element IN-list to an equality predicate
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+(?: IN \(([0-9,\s]+)\)| = (\d+))",
+        plan,
+    )
+    assert m, plan[:2000]
+    cells = (
+        {int(x) for x in m.group(1).split(",")}
+        if m.group(1)
+        else {int(m.group(2))}
+    )
+    assert cells and all(c >> 2 == 1 for c in cells), cells
+
+
+def test_drift_surfaces_new_cells(spark, lifecycle_emb, tmp_path):
+    """include_new_cells: an upsert batch that lands in a cell the build
+    corpus never populated must SURFACE in the drift monitor (drift NULL
+    — no frozen centroid to measure against), not silently drop out of
+    the inner quantizer join."""
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "newcell_ix")
+    base = lifecycle_emb.filter(F.col("label") != 2)
+    delta = lifecycle_emb.filter(F.col("label") == 2)
+    similarity.ivf_index_write_adaptive(spark, base, d, src)
+    similarity.ivf_index_upsert_adaptive(spark, d, delta)
+    inner_n = similarity.ivf_centroid_drift(spark, d).count()
+    left = similarity.ivf_centroid_drift(spark, d, include_new_cells=True).collect()
+    new_rows = [r for r in left if r.drift is None]
+    assert new_rows, "delta landed in an unseen cell but the monitor dropped it"
+    assert inner_n + len(new_rows) == len(left)
+    live = {
+        r.cell
+        for r in spark.read.parquet(d).select("cell").distinct().collect()
+    }
+    assert {r.cell for r in left} == live
+
+
 def test_adaptive_probe_prunes_partitions_dynamically(spark, sf_dir, monkeypatch):
     """The adaptive index probe must statically prune the candidate scan
     to the probed cells — cells ∝ N is only a win if the scan still opens

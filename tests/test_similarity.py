@@ -699,9 +699,9 @@ def test_compact_tail_window_settles_manifest(spark, lifecycle_emb, tmp_path):
 
 def test_filtered_probe_restricts_to_allowed_labels(spark, lifecycle_emb, tmp_path):
     """allowed_labels is PRE-filter semantics: only filter-eligible cells
-    are ranked/probed, so every result row's label is allowed. The fixed
-    kind (no rule planes) must refuse — the label→cell arithmetic is the
-    adaptive rule's inverse."""
+    are ranked/probed, so every result row's label is allowed — on the
+    rule kinds via cell arithmetic, and (since r14) on the fixed kind
+    via the manifest label histogram plus row-level post-verify."""
     from cocktailsdb_spark.constants import make_planes
 
     src = _write_src(tmp_path, lifecycle_emb)
@@ -718,10 +718,12 @@ def test_filtered_probe_restricts_to_allowed_labels(spark, lifecycle_emb, tmp_pa
     assert res.count() > 0 and labels == {1}
     d2 = str(tmp_path / "filt_fixed_ix")
     similarity.ivf_index_write(spark, lifecycle_emb, d2, src)
-    with pytest.raises(ValueError):
-        similarity.stored_index_probe(
-            spark, d2, [0], k=3, queries=lifecycle_emb, allowed_labels=[1]
-        )
+    res2 = similarity.stored_index_probe(
+        spark, d2, [0], k=3, queries=lifecycle_emb, allowed_labels=[1]
+    )
+    joined2 = res2.join(lifecycle_emb.select("vec_id", "label"), "vec_id")
+    labels2 = {r.label for r in joined2.select("label").collect()}
+    assert res2.count() > 0 and labels2 == {1}
 
 
 def test_filtered_probe_routes_only_allowed_cells(
@@ -896,3 +898,421 @@ def test_delete_rule_mapped_equals_scan_mapped(spark, lifecycle_emb, tmp_path):
     similarity.ivf_index_compact(spark, d)
     m = _read_manifest(d, similarity.INDEX_MANIFEST)
     assert m["rows"] == 45 and spark.read.parquet(d).count() == 45
+
+
+# --- round 14: balanced kind, auto n_probe, fixed-kind filtered search -----
+
+
+@pytest.fixture()
+def skewed_emb(spark):
+    """300 deterministic EMB_DIM vectors over 3 tight clusters: each
+    label's projections concentrate far on one side of 0, so the
+    sign-at-zero adaptive rule piles the whole label into one or two
+    sign buckets — the skew shape scaling_r13.json measured at 2M
+    vectors. Full-width vectors, because the engine planes are EMB_DIM
+    wide (shorter vectors degenerate every projection to NULL)."""
+    import random
+
+    from cocktailsdb_spark.constants import EMB_DIM
+
+    rng = random.Random(14)
+    rows = []
+    for i in range(300):
+        label = i % 3
+        center = {0: 1.0, 1: -1.0, 2: 0.5}[label]
+        rows.append(
+            (i, [center + rng.uniform(-0.1, 0.1) for _ in range(EMB_DIM)], label)
+        )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_balanced_cells_reduce_skew(spark, skewed_emb, tmp_path):
+    """The balanced kind's conditional-median trees must spread each
+    label across its 2^p cells where the sign rule concentrates it:
+    strictly lower max/mean population skew, and per-label cell sizes
+    within the ±1-per-level band the median split guarantees."""
+    from collections import Counter
+
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, skewed_emb)
+    planes = make_planes(3)
+    d_a = str(tmp_path / "adaptive_ix")
+    d_b = str(tmp_path / "balanced_ix")
+    similarity.ivf_index_write_adaptive(spark, skewed_emb, d_a, src, planes=planes)
+    similarity.ivf_index_write_balanced(spark, skewed_emb, d_b, src, planes=planes)
+
+    n_cells_total = 3 * (1 << 3)  # labels × 2^p possible cells
+
+    def skew(path):
+        # hottest cell vs the IDEAL uniform occupancy over every possible
+        # cell (max/mean over populated cells alone reads 1.0 for a label
+        # fully concentrated in one bucket — the very case being fixed)
+        pops = Counter(r.cell for r in spark.read.parquet(path).select("cell").collect())
+        return max(pops.values()) * n_cells_total / sum(pops.values()), pops
+
+    sk_a, _ = skew(d_a)
+    sk_b, pops_b = skew(d_b)
+    assert sk_b < sk_a, (sk_a, sk_b)
+    # every label split over all 8 cells, sizes 100/8 = 12.5 → 12±2
+    for lab in range(3):
+        sizes = [pops_b.get(lab * 8 + b, 0) for b in range(8)]
+        assert max(sizes) - min(sizes) <= 3, (lab, sizes)
+    assert sk_b < 1.25, sk_b
+
+
+def test_balanced_probe_matches_adaptive_exactness_contract(
+    spark, skewed_emb, tmp_path
+):
+    """Same probe contract as the other kinds: probing every cell of the
+    balanced index reproduces the exact brute-force top-k."""
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, skewed_emb)
+    d_b = str(tmp_path / "balanced_probe_ix")
+    similarity.ivf_index_write_balanced(
+        spark, skewed_emb, d_b, src, planes=make_planes(3)
+    )
+    got = sorted(
+        map(
+            tuple,
+            similarity.stored_index_probe(
+                spark, d_b, [0, 1, 2], k=3, n_probe=24, queries=skewed_emb
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, similarity.cosine_topk(skewed_emb, [0, 1, 2], k=3).collect())
+    )
+    assert got == want
+
+
+def test_balanced_upsert_layout_identical_to_rebuild(spark, skewed_emb, tmp_path):
+    """Frozen-tree assignment keeps upsert ≡ rebuild a LAYOUT identity
+    on the balanced kind (the property rule-based assignment exists
+    for), including the staged exactly-once append."""
+    from cocktailsdb_spark.constants import make_planes
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    src = _write_src(tmp_path, skewed_emb)
+    base = skewed_emb.filter(F.col("vec_id") % 5 != 4)
+    delta = skewed_emb.filter(F.col("vec_id") % 5 == 4)
+    planes = make_planes(3)
+    d_up = str(tmp_path / "bal_up_ix")
+    similarity.ivf_index_write_balanced(spark, base, d_up, src, planes=planes)
+    similarity.ivf_index_upsert_adaptive(spark, d_up, delta)
+    m = _read_manifest(d_up, similarity.INDEX_MANIFEST)
+    bt = m["btree"]
+    d_rb = str(tmp_path / "bal_rb_ix")
+    similarity.ivf_index_write_balanced(
+        spark,
+        skewed_emb,
+        d_rb,
+        src,
+        planes=planes,
+        tree=list(zip(bt["labels"], bt["trees"])),
+    )
+    up = {(r.vec_id, r.cell) for r in spark.read.parquet(d_up).collect()}
+    rb = {(r.vec_id, r.cell) for r in spark.read.parquet(d_rb).collect()}
+    assert up == rb and len(up) == 300
+    assert m["rows"] == 300 and m["version"] == 2
+
+
+def test_balanced_unseen_label_falls_back_to_sign_rule(spark, skewed_emb, tmp_path):
+    """An upserted label the build corpus never saw has no threshold
+    tree; every bit must fall back to the 0.0 threshold — exactly the
+    plain adaptive rule — deterministically on both the upsert and any
+    later rule-mapped delete."""
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, skewed_emb)
+    planes = make_planes(3)
+    d = str(tmp_path / "bal_unseen_ix")
+    similarity.ivf_index_write_balanced(spark, skewed_emb, d, src, planes=planes)
+    newbie = spark.createDataFrame(
+        [(1000, [0.4] * 64, 7), (1001, [-0.4] * 64, 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    similarity.ivf_index_upsert_adaptive(spark, d, newbie)
+    got = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(d)
+        .filter(F.col("vec_id") >= 1000)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    want = {
+        r.vec_id: r.cell
+        for r in newbie.withColumn(
+            "cell",
+            similarity.adaptive_cell(
+                similarity._as_double(F.col("embedding")), F.col("label"), planes
+            ),
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == want and len(got) == 2
+
+
+def test_balanced_delete_compact_lifecycle(spark, skewed_emb, tmp_path):
+    """Rule-mapped (zero-scan) delete works on the balanced kind via the
+    frozen trees; compaction reclaims and settles rows."""
+    from cocktailsdb_spark.constants import make_planes
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    src = _write_src(tmp_path, skewed_emb)
+    d = str(tmp_path / "bal_del_ix")
+    similarity.ivf_index_write_balanced(
+        spark, skewed_emb, d, src, planes=make_planes(3)
+    )
+    doomed = skewed_emb.filter(F.col("vec_id") < 30)
+    similarity.ivf_index_delete(spark, d, doomed)
+    m = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m["tombstones"] == 30
+    probe = similarity.stored_index_probe(
+        spark, d, [40, 41], k=3, n_probe=24, queries=skewed_emb
+    )
+    assert not any(r.vec_id < 30 for r in probe.collect())
+    similarity.ivf_index_compact(spark, d)
+    m2 = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m2["tombstones"] == 0 and m2["rows"] == 270
+    assert spark.read.parquet(d).count() == 270
+
+
+def test_filtered_auto_n_probe_rule():
+    """max(8, ⌈2n/3⌉), integer-exact — the r13 dial's operating point."""
+    assert similarity.filtered_auto_n_probe(0) == 8
+    assert similarity.filtered_auto_n_probe(3) == 8
+    assert similarity.filtered_auto_n_probe(12) == 8
+    assert similarity.filtered_auto_n_probe(13) == 9
+    assert similarity.filtered_auto_n_probe(48) == 32
+    assert similarity.filtered_auto_n_probe(363) == 242
+    vals = [similarity.filtered_auto_n_probe(n) for n in range(200)]
+    assert vals == sorted(vals)
+
+
+def test_probe_default_n_probe_unfiltered(spark, skewed_emb, tmp_path):
+    """n_probe=None without a filter resolves to DEFAULT_N_PROBE — the
+    pre-r14 behavior, now an explicit default."""
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, skewed_emb)
+    d = str(tmp_path / "np_default_ix")
+    similarity.ivf_index_write_balanced(
+        spark, skewed_emb, d, src, planes=make_planes(3)
+    )
+    auto = sorted(
+        map(
+            tuple,
+            similarity.stored_index_probe(
+                spark, d, [0, 1], k=3, queries=skewed_emb
+            ).collect(),
+        )
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            similarity.stored_index_probe(
+                spark,
+                d,
+                [0, 1],
+                k=3,
+                n_probe=similarity.DEFAULT_N_PROBE,
+                queries=skewed_emb,
+            ).collect(),
+        )
+    )
+    assert auto == explicit
+
+
+def test_fixed_filtered_probe_matches_filtered_brute_force(
+    spark, lifecycle_emb, tmp_path
+):
+    """Fixed-kind filtered search: with the auto width covering every
+    eligible cell, the histogram-routed + post-verified probe must
+    reproduce the exact filtered brute force (every allowed-label row
+    lives in an eligible cell by definition)."""
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "fixedf_ix")
+    similarity.ivf_index_write(spark, lifecycle_emb, d, src)
+    got = sorted(
+        map(
+            tuple,
+            similarity.stored_index_probe(
+                spark,
+                d,
+                [0, 1],
+                k=3,
+                n_probe=None,
+                queries=lifecycle_emb,
+                allowed_labels=[0, 2],
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk(
+                lifecycle_emb,
+                [0, 1],
+                k=3,
+                candidate_filter=F.col("label").isin([0, 2]),
+            ).collect(),
+        )
+    )
+    assert got == want
+    labels = {
+        r.label
+        for r in lifecycle_emb.filter(
+            F.col("vec_id").isin([x[1] for x in got])
+        ).collect()
+    }
+    assert labels <= {0, 2}
+
+
+def test_fixed_filtered_requires_label_hist(spark, lifecycle_emb, tmp_path):
+    """A fixed index written before the histogram existed cannot answer
+    filtered probes silently wrong — it must raise with guidance."""
+    import json
+    import os
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "fixed_nohist_ix")
+    similarity.ivf_index_write(spark, lifecycle_emb, d, src)
+    mpath = os.path.join(d, similarity.INDEX_MANIFEST)
+    m = json.load(open(mpath))
+    m.pop("label_hist")
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="label_hist"):
+        similarity.stored_index_probe(
+            spark, d, [0], k=3, queries=lifecycle_emb, allowed_labels=[0]
+        )
+
+
+def test_compact_settles_rows_from_live_index(spark, lifecycle_emb, tmp_path):
+    """Advice r13 regression: a compact that completed every cell swap
+    but crashed partway through clearing the tombstone dir leaves (a) a
+    PARTIAL tombstone set whose ids are already gone and (b) a stale
+    manifest row count. The re-run must settle rows from the LIVE index
+    (n_removed computes to ~0 here), never freeze the stale count."""
+    import json
+    import os
+    import shutil
+
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "settle_ix")
+    similarity.ivf_index_write_adaptive(spark, lifecycle_emb, d, src)
+    victims = lifecycle_emb.filter(F.col("vec_id") < 5)
+    similarity.ivf_index_delete(spark, d, victims)
+    similarity.ivf_index_compact(spark, d)
+    assert _read_manifest(d, similarity.INDEX_MANIFEST)["rows"] == 55
+    # simulate the crashed predecessor: data already compacted, but the
+    # manifest still shows the pre-compact state and 2 of the 5 victims
+    # linger in a partial tombstone dir
+    victims.limit(2).select(
+        "vec_id", F.lit(0).cast("int").alias("cell")
+    ).write.mode("overwrite").parquet(os.path.join(d, similarity.TOMBSTONE_DIR))
+    mpath = os.path.join(d, similarity.INDEX_MANIFEST)
+    m = json.load(open(mpath))
+    m.update(rows=60, tombstones=2)
+    json.dump(m, open(mpath, "w"))
+    similarity.ivf_index_compact(spark, d)
+    m2 = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m2["rows"] == 55 and m2["tombstones"] == 0
+    # ... and the fully-gutted dir (only _SUCCESS left) settles too
+    tomb = os.path.join(d, similarity.TOMBSTONE_DIR)
+    os.makedirs(tomb, exist_ok=True)
+    open(os.path.join(tomb, "_SUCCESS"), "w").close()
+    m = json.load(open(mpath))
+    m.update(rows=60, tombstones=2)
+    json.dump(m, open(mpath, "w"))
+    similarity.ivf_index_compact(spark, d)
+    m3 = _read_manifest(d, similarity.INDEX_MANIFEST)
+    assert m3["rows"] == 55 and m3["tombstones"] == 0
+    assert not os.path.isdir(tomb)
+
+
+def test_legacy_unmarked_cache_is_wiped_not_resumed(spark, tmp_path, monkeypatch):
+    """Advice r13 migration guard: a version<2 cache whose manifest lacks
+    the ``protocol: staged`` marker may carry the old raw-append
+    protocol's unversioned delta debris — the registry ensure-helpers
+    must wipe and rebuild it, not resume (resume would double-apply)."""
+    import json
+    import os
+
+    import cocktailsdb_spark.registry  # noqa: F401 — break the circular import
+    from cocktailsdb_spark import registry_ops
+    from cocktailsdb_spark.plans import layout
+    from cocktailsdb_spark.sources.formats import _read_manifest
+
+    cache_root = tmp_path / "caches"
+    cache_root.mkdir()
+    monkeypatch.setattr(
+        layout, "_cache_path", lambda name, sf_dir: str(cache_root / name)
+    )
+    d_up, base, delta, src = registry_ops._ensure_upsert_index(
+        spark, "/root/testdata/sf0.001"
+    )
+    n_total = base.count() + delta.count()
+    m = _read_manifest(d_up, similarity.INDEX_MANIFEST)
+    assert m["version"] == 2 and m.get("protocol") == "staged"
+    # forge a legacy half-applied cache: v1, no marker, stray unversioned
+    # delta file inside a cell dir
+    mpath = os.path.join(d_up, similarity.INDEX_MANIFEST)
+    mj = json.load(open(mpath))
+    mj["version"] = 1
+    mj.pop("protocol")
+    json.dump(mj, open(mpath, "w"))
+    cell_dir = next(
+        os.path.join(d_up, p) for p in os.listdir(d_up) if p.startswith("cell=")
+    )
+    stray = os.path.join(cell_dir, "part-legacy-stray.parquet")
+    open(stray, "wb").close()
+    d_up2, _, _, _ = registry_ops._ensure_upsert_index(spark, "/root/testdata/sf0.001")
+    assert d_up2 == d_up
+    assert not os.path.exists(stray), "legacy cache resumed instead of wiped"
+    m2 = _read_manifest(d_up, similarity.INDEX_MANIFEST)
+    assert m2["version"] == 2 and m2.get("protocol") == "staged"
+    assert spark.read.parquet(d_up).count() == n_total
+
+
+def test_drift_rebuild_loop_recovers_recall(spark, skewed_emb, tmp_path):
+    """The monitor→action loop at library level: a new-label shifted
+    batch upserts into cells the frozen quantizer cannot rank (NULL
+    drift in the monitor), pre-rebuild recall for drifted queries is 0
+    by construction, and the rebuild recovers it."""
+    from cocktailsdb_spark.constants import make_planes
+
+    src = _write_src(tmp_path, skewed_emb)
+    planes = make_planes(2)
+    d = str(tmp_path / "driftrb_ix")
+    similarity.ivf_index_write_adaptive(spark, skewed_emb, d, src, planes=planes)
+    delta = skewed_emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") + 2.0).cast("float")
+        ).alias("embedding"),
+        (F.col("label") + 100).alias("label"),
+    )
+    similarity.ivf_index_upsert_adaptive(spark, d, delta)
+    mon = similarity.ivf_centroid_drift(spark, d, include_new_cells=True)
+    new_cells = mon.filter(F.col("drift").isNull())
+    assert new_cells.count() > 0
+    full = skewed_emb.unionByName(delta)
+    q_ids = [10_000, 10_005, 10_010]
+    truth = similarity.cosine_topk(full, q_ids, k=3).select("query_id", "vec_id")
+    pre = similarity.stored_index_probe(spark, d, q_ids, k=3, n_probe=2, queries=full)
+    pre_hits = pre.join(truth, ["query_id", "vec_id"]).count()
+    assert pre_hits == 0
+    d_rb = str(tmp_path / "driftrb_post_ix")
+    similarity.ivf_index_write_adaptive(spark, full, d_rb, src, planes=planes)
+    post = similarity.stored_index_probe(
+        spark, d_rb, q_ids, k=3, n_probe=2, queries=full
+    )
+    post_hits = post.join(truth, ["query_id", "vec_id"]).count()
+    assert post_hits > pre_hits

@@ -1,4 +1,16 @@
-"""At-rest ANN index storage/cost readout across four decades (round 13).
+"""At-rest ANN index storage/cost readout across four decades (r13, r14).
+
+Round 14 extends the readout to measure BOTH rule kinds side by side —
+the sign-at-zero ADAPTIVE assignment and the conditional-median BALANCED
+trees (similarity.ivf_index_write_balanced) — because the r13 numbers
+made per-cell population skew the one structural axis trending the wrong
+way with scale (max/mean 1.09 → 9.32 across the four decades): the hot
+cell was on course to become the probe straggler at the next decade. The
+balanced kind's whole reason to exist is this table; each decade row now
+carries the skew dial for both kinds plus a warmed probe timing, so the
+"materially below 9.32 at 2M, probe still flat" claim is a number, not
+an adjective. Results land in scaling_r14.json under
+"ann_index_cost_kinds".
 
 The capacity-planning face of scaling_r12.json: the r12 tool pinned the
 TIME axis of the adaptive-cell index (build/upsert/probe/delete/compact
@@ -19,8 +31,6 @@ Questions it answers with numbers instead of hand-waving:
 - population skew: max/mean cell population under the frozen rule — the
   dial that says whether probe cost stays bounded per cell (the point of
   cells ∝ N) or one hot cell quietly becomes a scan.
-
-Results land in scaling_r13.json under "ann_index_cost".
 
     python tools/ann_index_cost_readout.py
 """
@@ -54,7 +64,7 @@ def du_bytes(path: str) -> int:
     return total
 
 
-def measure_decade(spark, tag: str, sf_dir: str) -> dict:
+def measure_decade(spark, tag: str, sf_dir: str, kind: str = "adaptive") -> dict:
     from pyspark.sql import functions as F
 
     from cocktailsdb_spark.operators import similarity
@@ -73,10 +83,15 @@ def measure_decade(spark, tag: str, sf_dir: str) -> dict:
         du_bytes(raw_path) if os.path.isdir(raw_path) else os.path.getsize(raw_path)
     )
 
-    ix = os.path.join(IX_ROOT, tag)
+    ix = os.path.join(IX_ROOT, f"{tag}_{kind}")
     shutil.rmtree(ix, ignore_errors=True)
+    build = (
+        similarity.ivf_index_write_adaptive
+        if kind == "adaptive"
+        else similarity.ivf_index_write_balanced
+    )
     t0 = time.perf_counter()
-    similarity.ivf_index_write_adaptive(spark, e, ix, src)
+    build(spark, e, ix, src)
     t_build = round(time.perf_counter() - t0, 3)
 
     m = _read_manifest(ix, similarity.INDEX_MANIFEST)
@@ -97,15 +112,10 @@ def measure_decade(spark, tag: str, sf_dir: str) -> dict:
         if f.startswith("_MANIFEST")
     )
 
+    # population dial straight off the stored layout (identical to
+    # recomputing the rule — upsert ≡ rebuild is a layout identity)
     pops = (
-        e.withColumn(
-            "cell",
-            similarity.adaptive_cell(
-                similarity._as_double(F.col("embedding")),
-                F.col("label"),
-                m["planes"],
-            ),
-        )
+        spark.read.parquet(ix)
         .groupBy("cell")
         .count()
         .agg(
@@ -133,7 +143,24 @@ def measure_decade(spark, tag: str, sf_dir: str) -> dict:
         "cell_pop_p99": round(float(pops["p99"]), 1),
         "cell_skew_max_over_mean": round(float(pops["mx"]) / float(pops["mean"]), 2),
         "build_sec": t_build,
+        "probe_warmed_sec": _probe_time(spark, ix, e),
     }
+
+
+def _probe_time(spark, ix: str, e) -> float:
+    """Warmed wall time of the standard 5-query k=3 n_probe=2 probe
+    (first rep absorbs JVM/codegen warmup and is discarded — the
+    measurement-trap convention every decade tool here follows)."""
+    from cocktailsdb_spark.operators import similarity
+
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        similarity.stored_index_probe(
+            spark, ix, [0, 1, 2, 3, 4], k=3, n_probe=2, queries=e
+        ).collect()
+        reps.append(time.perf_counter() - t0)
+    return round(reps[-1], 3)
 
 
 def main() -> None:
@@ -146,12 +173,14 @@ def main() -> None:
             print(f"skip {tag}: {sf_dir} missing (rebuild via tools/make_sf1.py "
                   f"/ ann_lifecycle_4th_decade.build_corpus)", file=sys.stderr)
             continue
-        out[tag] = measure_decade(spark, tag, sf_dir)
-        print(tag, json.dumps(out[tag]))
+        out[tag] = {}
+        for kind in ("adaptive", "balanced"):
+            out[tag][kind] = measure_decade(spark, tag, sf_dir, kind)
+            print(tag, kind, json.dumps(out[tag][kind]))
 
-    dst = ROOT / "scaling_r13.json"
+    dst = ROOT / "scaling_r14.json"
     existing = json.loads(dst.read_text()) if dst.exists() else {}
-    existing["ann_index_cost"] = out
+    existing["ann_index_cost_kinds"] = out
     dst.write_text(json.dumps(existing, indent=2) + "\n")
     print(f"wrote {dst}")
 

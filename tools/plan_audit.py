@@ -203,6 +203,11 @@ AUDIT = [
     "ann_index_drift_adaptive",
     "ann_probe_filtered_stored",
     "ann_filtered_recall_at_k",
+    # round-14 additions: balanced kind, fixed-kind filtered (hist-routed),
+    # drift→rebuild decision loop
+    "embedding_topk_ivf_balanced",
+    "ann_probe_filtered_fixed",
+    "ann_drift_rebuild_loop",
 ]
 
 

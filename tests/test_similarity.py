@@ -1316,3 +1316,48 @@ def test_drift_rebuild_loop_recovers_recall(spark, skewed_emb, tmp_path):
     )
     post_hits = post.join(truth, ["query_id", "vec_id"]).count()
     assert post_hits > pre_hits
+
+
+def test_fixed_filtered_probe_routes_only_eligible_cells(
+    spark, lifecycle_emb, tmp_path, monkeypatch
+):
+    """Routed-path twin of test_filtered_probe_routes_only_allowed_cells
+    for the FIXED kind: the histogram-derived eligibility must degrade
+    into the static partition predicate — the PartitionFilters IN-list
+    carries ONLY cells with filter-eligible mass — while the row-level
+    label post-verify still runs (fixed cells are mixed-label). Results
+    must be identical to the unrouted path."""
+    import json
+    import os
+    import re
+
+    src = _write_src(tmp_path, lifecycle_emb)
+    d = str(tmp_path / "fixedf_routed_ix")
+    similarity.ivf_index_write(spark, lifecycle_emb, d, src)
+    hist = json.load(open(os.path.join(d, similarity.INDEX_MANIFEST)))["label_hist"]
+    eligible = {cell for cell, lab, cnt in hist if lab in {0, 2} and cnt > 0}
+    unrouted = sorted(
+        map(
+            tuple,
+            similarity.stored_index_probe(
+                spark, d, [0, 1], k=3, queries=lifecycle_emb, allowed_labels=[0, 2]
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(similarity, "PROBE_ROUTE_MIN_CELLS", 1)
+    res = similarity.stored_index_probe(
+        spark, d, [0, 1], k=3, queries=lifecycle_emb, allowed_labels=[0, 2]
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+(?: IN \(([0-9,\s]+)\)| = (\d+))",
+        plan,
+    )
+    assert m, plan[:2000]
+    cells = (
+        {int(x) for x in m.group(1).split(",")}
+        if m.group(1)
+        else {int(m.group(2))}
+    )
+    assert cells and cells <= eligible, (cells, eligible)
+    assert sorted(map(tuple, res.collect())) == unrouted

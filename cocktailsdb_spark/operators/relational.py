@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..numeric import DEC, dsum, qround
+from ..tables import spread
 
 
 def years_active(orders: DataFrame, year_a: int, year_b: int, mode: str) -> DataFrame:
@@ -3077,6 +3078,11 @@ def ipw_treatment_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     engine-insensitive.
     """
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # spread(): broadcast join + stratum partial aggregate otherwise fuse
+    # into ONE stage on the single-row-group scan's one task
+    lineitem = spread(
+        lineitem.select("l_partkey", "l_extendedprice", "l_discount")
+    )
     j = lineitem.join(
         F.broadcast(
             part.select(
@@ -3142,6 +3148,38 @@ def ipw_treatment_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 TS_BASE_DATE = "1995-01-01"
 
 
+def _signed_mag_bucket(v: Column) -> Column:
+    """Monotone (non-decreasing) integer bucket of an arbitrary finite
+    double — the partition key that lets a global order statistic run as
+    per-bucket windows (the mann_whitney bucketed-prefix machinery) when
+    the value has no natural fixed-width domain (e.g. slopes spanning
+    sign and many decades). 3-significant-digit magnitude buckets:
+
+        m = floor(log10(|v|)), digits = floor(|v| / 10^(m-2)) ∈ [100, 999]
+        key = sign(v) · (m·1000 + digits + 10⁶),  0 → 0
+
+    Monotone across decade boundaries even under log10 float slop (a
+    misassigned m at the boundary yields digits ~1000 ≤ the next
+    decade's base +100, so order is preserved); the +10⁶ offset keeps
+    every positive key above every negative one for any m ≥ −308.
+    Equal values share a bucket by construction, so within-bucket
+    ordering by (value, tiebreak) reproduces the global rank exactly.
+    """
+    # clamp |v| away from 0 BEFORE the log/pow math: codegen may hoist the
+    # shared subexpression out of the CaseWhen, so with v = 0 (or a
+    # denormal) pow(10, m−2) underflows to 0 and ANSI raises
+    # DIVIDE_BY_ZERO even though the 0-branch never uses it. Everything
+    # below 1e−300 shares the lowest magnitude bucket — a floor under a
+    # monotone map stays monotone.
+    av = F.greatest(F.abs(v), F.lit(1e-300))
+    m = F.floor(F.log10(av))
+    digits = F.floor(av / F.pow(F.lit(10.0), m - F.lit(2.0)))
+    mag = m.cast("long") * F.lit(1000) + digits.cast("long") + F.lit(1000000)
+    return (
+        F.when(v > 0, mag).when(v < 0, -mag).otherwise(F.lit(0))
+    ).cast("long")
+
+
 def theil_sen_trend(orders: DataFrame) -> DataFrame:
     """Theil–Sen robust trend of daily revenue (Theil 1950 / Sen 1968,
     public): slope = MEDIAN of all pairwise day-to-day slopes, intercept
@@ -3162,19 +3200,62 @@ def theil_sen_trend(orders: DataFrame) -> DataFrame:
     d = daily.select(
         F.datediff(F.col("day"), F.lit(TS_BASE_DATE).cast("date")).alias("x"), "y"
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
-        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")).cast("double")).alias(
-            "slope"
-        ),
-        F.col("a.x").alias("xa"),
-        F.col("b.x").alias("xb"),
+    # fan the calendar-sized left side across the cluster: AQE coalesces
+    # the tiny daily aggregate to ONE partition, so the O(days²) pair
+    # explode below otherwise runs as a single task (the explode's input
+    # is small, its output is not — guide §2.5)
+    nparts = orders.sparkSession.sparkContext.defaultParallelism
+    # per-side column RENAMES (not alias-qualified access): with the
+    # repartition inserted on one side and `d` referenced again downstream,
+    # Spark's self-join attribute dedup can mis-resolve `a.x`/`b.x` to one
+    # side (observed as slope dividing by xb−xa = 0 under ANSI)
+    a = d.repartition(nparts).select(
+        F.col("x").alias("xa"), F.col("y").alias("ya")
     )
-    np_ = pairs.agg(F.count("*").alias("np"))
-    wmed = Window.orderBy("slope", "xa", "xb")
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        (
+            (F.col("yb") - F.col("ya"))
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope"),
+        "xa",
+        "xb",
+    )
+    # median via the bucketed two-pass prefix rank (mann_whitney/conformal
+    # machinery): the former Window.orderBy over the pair frame funneled
+    # all O(days²) rows into ONE task (guide §2.5). _signed_mag_bucket is
+    # monotone in slope, so (bucket, slope, xa, xb) ranks are the GLOBAL
+    # (slope, xa, xb) ranks — same ⌈np/2⌉ row, bit-identical output. The
+    # bucket census also yields np, so the count costs no extra pass.
+    # localCheckpoint: (a) the census and the ranked pass otherwise each
+    # re-run the O(days²) explode; (b) without the barrier the ranked
+    # pass's bucket equi-join infers isnotnull(bucket) and pushes it into
+    # the pair join's condition, where ANSI evaluates the slope division
+    # before xa < xb — DIVIDE_BY_ZERO on the xa == xb pairs. The frame is
+    # calendar-bounded (≤ ~6.7M rows/decade), so the materialization is
+    # small at any corpus size.
+    pb = pairs.withColumn(
+        "bucket", _signed_mag_bucket(F.col("slope"))
+    ).localCheckpoint()
+    # offsets via ONE window over the bucket census, NOT the usual
+    # prev-bucket triangle join: _signed_mag_bucket yields ~10⁴ distinct
+    # buckets (vs the ~60 of the fixed-width machinery), so the triangle
+    # join is quadratic in bucket count — measured 74M joined rows at
+    # sf0.1. The census is magnitude-bounded (≤ ~1M rows at ANY corpus
+    # size), so a single-task cumulative window over it is constant cost.
+    buckets = (
+        pb.groupBy("bucket").agg(F.count("*").alias("bt")).localCheckpoint()
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = buckets.select(
+        "bucket", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+    )
+    np_ = buckets.agg(F.sum("bt").alias("np"))
+    w_in = Window.partitionBy("bucket").orderBy("slope", "xa", "xb")
     med_slope = (
-        pairs.crossJoin(F.broadcast(np_))
-        .withColumn("rk", F.row_number().over(wmed))
+        pb.join(F.broadcast(offs), "bucket")
+        .crossJoin(F.broadcast(np_))
+        .withColumn("rk", F.col("off") + F.row_number().over(w_in))
         .filter(F.col("rk") == F.ceil(F.col("np").cast("double") / 2.0))
         .select(F.col("slope").alias("m"), F.col("np").alias("n_pairs"))
     )
@@ -3288,7 +3369,9 @@ def huber_location(
     test (a data-dependent stop would fork plans between engines).
     """
     y = F.col("o_totalprice")
-    base = orders.select(F.col("o_orderpriority").alias("grp"), y.alias("y"))
+    # spread(): every IRLS pass re-aggregates from the scan — on the
+    # single-row-group file each pass's map phase is otherwise ONE task
+    base = spread(orders.select(F.col("o_orderpriority").alias("grp"), y.alias("y")))
     centers = base.groupBy("grp").agg(
         (dsum(F.col("y")) / F.count("*").cast("double")).alias("m"),
         F.count("*").cast("long").alias("n"),
@@ -3446,7 +3529,10 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     d = daily.select(
         F.datediff(F.col("day"), F.lit(TS_BASE_DATE).cast("date")).alias("x"), "y"
     )
-    a, b = d.alias("a"), d.alias("b")
+    # fan the pair explode (theil_sen_trend's rationale — the O(days²)
+    # join otherwise runs as one task over the AQE-coalesced daily frame)
+    nparts = orders.sparkSession.sparkContext.defaultParallelism
+    a, b = d.repartition(nparts).alias("a"), d.alias("b")
     s_agg = (
         a.join(b, F.col("a.x") < F.col("b.x"))
         .agg(
@@ -3817,7 +3903,11 @@ def ridge_regression_price(lineitem: DataFrame) -> DataFrame:
     y = F.col("l_extendedprice").cast("double")
     x1 = F.col("l_quantity").cast("double")
     x2 = F.col("l_discount").cast("double")
-    m = lineitem.agg(
+    # spread(): the 10-decimal-sum partial aggregate otherwise runs on the
+    # scan's task count — ONE task for a single-row-group file (r14
+    # measurement; guide §2.5 input-skew remedy). Decimal sums are
+    # order-insensitive, so the fan-out cannot change the result.
+    m = spread(lineitem.select("l_quantity", "l_discount", "l_extendedprice")).agg(
         F.count("*").cast("double").alias("n"),
         _dsum38(x1).alias("s1"),
         _dsum38(x2).alias("s2"),
@@ -3909,7 +3999,9 @@ def bh_fdr_brand_price(
     rejected (0/1 int).
     """
     y = F.col("l_extendedprice").cast("double")
-    j = lineitem.select("l_partkey", y.alias("y")).join(
+    # spread(): join + per-brand partial moment aggregate otherwise fuse
+    # into ONE stage on the single-row-group scan's one task
+    j = spread(lineitem.select("l_partkey", y.alias("y"))).join(
         part.select("p_partkey", "p_brand"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
@@ -4194,18 +4286,31 @@ def conformal_interval_price(lineitem: DataFrame) -> DataFrame:
     x2 = F.col("l_discount").cast("double")
     key = F.concat_ws(
         ":",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
+        F.col("okey").cast("string"),
+        F.col("lno").cast("string"),
     )
     lane = md5_prefix_value(key, 8).cast("double") / F.lit(4294967296.0)
-    base = lineitem.select(
-        y.alias("y"),
-        x1.alias("x1"),
-        x2.alias("x2"),
-        (lane < F.lit(0.5)).alias("is_train"),
-        F.col("l_orderkey").alias("okey"),
-        F.col("l_linenumber").alias("lno"),
-    ).localCheckpoint()
+    # spread() BEFORE the md5 lane map and the checkpoint: the
+    # materialization inherits the input partitioning, so without it the
+    # lane hashing AND every downstream stage (train-half moment
+    # aggregate, calibration residual map) run on the single-row-group
+    # scan's ONE task. The lane is computed AFTER the fan-out — putting
+    # it in the pre-shuffle projection would serialize the hashing again.
+    base = (
+        spread(
+            lineitem.select(
+                y.alias("y"),
+                x1.alias("x1"),
+                x2.alias("x2"),
+                F.col("l_orderkey").alias("okey"),
+                F.col("l_linenumber").alias("lno"),
+            )
+        )
+        .select(
+            "y", "x1", "x2", (lane < F.lit(0.5)).alias("is_train"), "okey", "lno"
+        )
+        .localCheckpoint()
+    )
     tr = F.col("is_train")
     m = base.agg(
         F.count(F.when(tr, 1)).cast("double").alias("n"),
@@ -4326,7 +4431,9 @@ def vif_features(lineitem: DataFrame) -> DataFrame:
     x1 = F.col("l_quantity").cast("double")
     x2 = F.col("l_discount").cast("double")
     x3 = F.col("l_tax").cast("double")
-    m = lineitem.agg(
+    # spread(): single-row-group scan → 1-task moment aggregate otherwise
+    # (see ridge_regression_price)
+    m = spread(lineitem.select("l_quantity", "l_discount", "l_tax")).agg(
         F.count("*").cast("double").alias("n"),
         _dsum38(x1).alias("s1"),
         _dsum38(x2).alias("s2"),
@@ -4433,12 +4540,16 @@ def regression_influence_topk(
     y = F.col("l_extendedprice").cast("double")
     x1 = F.col("l_quantity").cast("double")
     x2 = F.col("l_discount").cast("double")
-    base = lineitem.select(
-        F.col("l_orderkey").alias("okey"),
-        F.col("l_linenumber").alias("lno"),
-        y.alias("y"),
-        x1.alias("x1"),
-        x2.alias("x2"),
+    # spread(): the moment aggregate AND the per-row leverage/Cook's-D
+    # arithmetic otherwise run on the single-row-group scan's ONE task
+    base = spread(
+        lineitem.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lno"),
+            y.alias("y"),
+            x1.alias("x1"),
+            x2.alias("x2"),
+        )
     )
     m = base.agg(
         F.count("*").cast("double").alias("n"),
@@ -4530,7 +4641,9 @@ def levene_brown_forsythe(orders: DataFrame) -> DataFrame:
     median table. Two data passes total at any corpus size.
     """
     x = F.col("o_totalprice").cast("double")
-    base = orders.select(F.col("o_orderpriority").alias("grp"), x.alias("v"))
+    # spread(): the map phases below otherwise run on the single-row-group
+    # scan's ONE task (see ridge_regression_price)
+    base = spread(orders.select(F.col("o_orderpriority").alias("grp"), x.alias("v")))
     vals = (
         base.groupBy("grp", "v")
         .agg(F.count("*").alias("cnt"))
@@ -4733,7 +4846,10 @@ def breusch_pagan_price(lineitem: DataFrame) -> DataFrame:
     y = F.col("l_extendedprice").cast("double")
     x1 = F.col("l_quantity").cast("double")
     x2 = F.col("l_discount").cast("double")
-    base = lineitem.select(y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+    # spread(): both moment aggregates below otherwise run their partial
+    # phase on the single-row-group scan's ONE task (see
+    # ridge_regression_price)
+    base = spread(lineitem.select(y.alias("y"), x1.alias("x1"), x2.alias("x2")))
     m = base.agg(
         F.count("*").cast("double").alias("n"),
         _dsum38(F.col("x1")).alias("s1"),
@@ -5156,9 +5272,18 @@ def price_elasticity_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame
     )
     x = qround(F.log(up), ELASTICITY_LN_SCALE)
     y = qround(F.log(F.col("l_quantity").cast("double")), ELASTICITY_LN_SCALE)
-    j = lineitem.select("l_partkey", x.alias("x"), y.alias("y")).join(
-        part.select("p_partkey", "p_brand"),
-        F.col("l_partkey") == F.col("p_partkey"),
+    # spread(): with the part side broadcast, scan → ln-lane map → join →
+    # per-brand partial aggregate is ONE fused stage — on the
+    # single-row-group scan's ONE task without the fan-out. The ln lanes
+    # are computed AFTER the fan-out (post-shuffle projection), so the
+    # libm work parallelizes too.
+    j = (
+        spread(lineitem.select("l_partkey", "l_extendedprice", "l_quantity"))
+        .select("l_partkey", x.alias("x"), y.alias("y"))
+        .join(
+            part.select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
     )
     g = j.groupBy(F.col("p_brand").alias("brand")).agg(
         F.count("*").cast("double").alias("n"),
@@ -5728,11 +5853,15 @@ def oaxaca_price_gap(lineitem: DataFrame) -> DataFrame:
     gap = endowment + coefficient to the last bit.
     """
     yr = F.year("l_shipdate")
-    base = lineitem.filter(yr.isin(1996, 1997)).select(
-        (yr == 1996).alias("is_a"),
-        F.col("l_extendedprice").cast("double").alias("y"),
-        F.col("l_quantity").cast("double").alias("x1"),
-        F.col("l_discount").cast("double").alias("x2"),
+    # spread(): the 18-conditional-decimal-sum aggregate otherwise runs
+    # its partial phase on the single-row-group scan's ONE task
+    base = spread(
+        lineitem.filter(yr.isin(1996, 1997)).select(
+            (yr == 1996).alias("is_a"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+            F.col("l_quantity").cast("double").alias("x1"),
+            F.col("l_discount").cast("double").alias("x2"),
+        )
     )
 
     def side(tag: str):
@@ -6287,6 +6416,9 @@ def cmh_discount_returns(lineitem: DataFrame) -> DataFrame:
     """
     exp = F.col("l_discount") > F.lit(CMH_DISCOUNT_CUT)
     out = F.col("l_returnflag") == F.lit("R")
+    # NOT spread: A/B-measured in r14 — the 4-count partial aggregate is
+    # cheap enough that the fan-out shuffle costs more than it saves
+    # (0.46s → 1.25s with spread)
     s = (
         lineitem.groupBy(F.year("l_shipdate").alias("stratum"))
         .agg(

@@ -53,7 +53,12 @@ def bm25_rank(
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
     """
     qt = F.array(*[F.lit(t) for t in query_terms])
-    stats = docs.select(F.size(tokens()).alias("dl")).agg(
+    # one spread projection feeds BOTH passes: identical subtrees make
+    # ReuseExchange share the scan+fan-out shuffle, and the corpus-wide
+    # tokenize of the stats pass no longer runs on the single-row-group
+    # scan's ONE task (r14; guide §2.4/§2.5)
+    sp = spread(docs.select("doc_id", "text"))
+    stats = sp.select(F.size(tokens()).alias("dl")).agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
@@ -67,8 +72,9 @@ def bm25_rank(
     # materialization each consumer re-explodes the whole corpus (the plan
     # showed the token-explode subtree twice)
     tf = (
-        spread(docs)
-        .select("doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term"))
+        sp.select(
+            "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
+        )
         .filter(F.array_contains(qt, F.col("term")))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
@@ -124,7 +130,9 @@ def _term_bucket_py(term: str) -> int:
 
 
 def _write_postings_segment(docs: DataFrame, seg_dir: str) -> None:
-    tok = docs.select(
+    # spread(): the corpus-wide explode + (doc, term) partial aggregate
+    # otherwise run on the single-row-group scan's ONE task (r14)
+    tok = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
     )
     tf = (
@@ -476,7 +484,9 @@ def snippet_extract(
     the query's terms pre-shuffle, min-aggregated); the window slice is
     a narrow per-row array op after one doc_id equi-join — no second
     explode, no window function."""
-    tok = docs.select(
+    # spread(): the corpus-wide posexplode (pre-filter) otherwise runs on
+    # the single-row-group scan's ONE task (r14)
+    tok = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(tokens()).alias("pos0", "term")
     ).filter(F.col("term").isin(list(query_terms)))
     hits = tok.groupBy("doc_id").agg(
@@ -517,7 +527,9 @@ def terms_near(
     filtered to the two terms before the shuffle; the per-doc join is a
     cross of the two terms' posting lists for that doc (tf_a × tf_b
     pairs), the standard positional-intersection cost."""
-    tok = docs.select(
+    # spread(): the corpus-wide posexplode (pre-filter) otherwise runs on
+    # the single-row-group scan's ONE task (r14)
+    tok = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(tokens()).alias("pos", "term")
     )
     a = tok.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))
@@ -562,13 +574,17 @@ def bool_search(
     the rank window sees only k rows."""
     scoring_terms = tuple(dict.fromkeys(must + should))
     all_terms = tuple(dict.fromkeys(scoring_terms + must_not))
-    stats = docs.select(F.size(tokens()).alias("dl")).agg(
+    # shared spread projection — bm25_rank's rationale (one scan+fan-out
+    # via ReuseExchange; stats tokenize no longer single-task)
+    sp = spread(docs.select("doc_id", "text"))
+    stats = sp.select(F.size(tokens()).alias("dl")).agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
     tf = (
-        spread(docs)
-        .select("doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term"))
+        sp.select(
+            "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
+        )
         .filter(F.col("term").isin(list(all_terms)))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
@@ -629,14 +645,18 @@ def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> D
     tok = spread(docs).select(
         "doc_id", F.posexplode(tokens()).alias("pos0", "term")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-    counts = tok.groupBy("term").agg(
+    # both consumers hang off the SAME ranked frame: the counts aggregate
+    # is rn-independent, so computing it post-window lets ReuseExchange
+    # share the one term-keyed shuffle of the full token stream — the
+    # former shape exploded and shuffled the corpus twice (guide §2.4)
+    rn = Window.partitionBy("term").orderBy("doc_id", "pos")
+    ranked = tok.withColumn("rn", F.row_number().over(rn))
+    counts = ranked.groupBy("term").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_postings"),
     )
-    rn = Window.partitionBy("term").orderBy("doc_id", "pos")
     capped = (
-        tok.withColumn("rn", F.row_number().over(rn))
-        .filter(F.col("rn") <= max_postings)
+        ranked.filter(F.col("rn") <= max_postings)
         .groupBy("term")
         .agg(
             F.concat_ws(

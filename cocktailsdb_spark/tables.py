@@ -101,13 +101,19 @@ def spread(df: DataFrame) -> DataFrame:
     inputs (what any real table at scale looks like) keep the pure
     count guard and stay shuffle-free."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    # Cheap check first: inputFiles() only walks the analyzed plan to the
+    # file index (already cached per session), while df.rdd materializes
+    # the RDD lineage through py4j — measured at 0.2-0.4s of driver time
+    # per call in round 14. A single-file scan is repartitioned
+    # unconditionally anyway (see above), so the common case never pays
+    # the RDD round-trip.
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — in-memory/foreign frames: no files
         files = None
     if files is not None and len(files) == 1:
+        return df.repartition(target)
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..numeric import qround
+from ..tables import spread
 
 GEO_LON_MULT = 9973
 GEO_LAT_MULT = 7919
@@ -190,11 +191,16 @@ def knn_join(
         _cell(F.col("x_cd"), pitch).alias("cell_x"),
         _cell(F.col("y_cd"), pitch).alias("cell_y"),
     )
-    probe_pts = points
     if probe_ids is not None:
         # recall-curve probes: a fixed query panel — tiny, so the grid
-        # join naturally broadcasts the probe side
+        # join naturally broadcasts the probe side (no fan-out needed)
         probe_pts = points.filter(F.col("point_id").isin(list(probe_ids)))
+    else:
+        # spread(): with the home side broadcast, probe explode → join →
+        # candidate emission fuse into ONE stage — measured as a single
+        # 6.9 s task producing the 3M candidate rows on the
+        # single-row-group scan (r14; guide §2.5)
+        probe_pts = spread(points)
     probe = _probe_side(probe_pts, pitch).select(
         F.col("point_id").alias("point_id"),
         F.col("x_cd").alias("xa"),

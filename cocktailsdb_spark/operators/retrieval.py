@@ -484,9 +484,7 @@ def snippet_extract(
     the query's terms pre-shuffle, min-aggregated); the window slice is
     a narrow per-row array op after one doc_id equi-join — no second
     explode, no window function."""
-    # spread(): the corpus-wide posexplode (pre-filter) otherwise runs on
-    # the single-row-group scan's ONE task (r14)
-    tok = spread(docs.select("doc_id", "text")).select(
+    tok = docs.select(
         "doc_id", F.posexplode(tokens()).alias("pos0", "term")
     ).filter(F.col("term").isin(list(query_terms)))
     hits = tok.groupBy("doc_id").agg(
@@ -527,9 +525,7 @@ def terms_near(
     filtered to the two terms before the shuffle; the per-doc join is a
     cross of the two terms' posting lists for that doc (tf_a × tf_b
     pairs), the standard positional-intersection cost."""
-    # spread(): the corpus-wide posexplode (pre-filter) otherwise runs on
-    # the single-row-group scan's ONE task (r14)
-    tok = spread(docs.select("doc_id", "text")).select(
+    tok = docs.select(
         "doc_id", F.posexplode(tokens()).alias("pos", "term")
     )
     a = tok.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))

@@ -922,3 +922,59 @@ def test_huber_location_downweights_outlier(spark):
     )
     c = relational.huber_location(clean).collect()[0]
     assert c.huber_location == c.plain_mean and c.n_downweighted == 0
+
+
+def test_signed_mag_bucket_monotone(spark):
+    """r14 optimization invariant: the bucketed median's partition key
+    must be monotone non-decreasing in the value — including sign
+    changes, exact zero, decade boundaries, ties, and sub-1e-300 clamps
+    — or the per-bucket prefix ranks stop being the global ranks."""
+    vals = [
+        float("-1e12"), -99999.5, -10000.0, -9999.9, -1000.0, -100.0,
+        -99.9, -10.0, -9.99, -1.0, -0.5, -1e-3, -1e-9, -1e-301, -5e-324,
+        0.0, 5e-324, 1e-301, 1e-9, 1e-3, 0.5, 1.0, 1.0, 9.99, 10.0,
+        99.9, 100.0, 1000.0, 9999.9, 10000.0, 99999.5, float("1e12"),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = (
+        df.select("v", relational._signed_mag_bucket(F.col("v")).alias("b"))
+        .orderBy("v")
+        .collect()
+    )
+    buckets = [r.b for r in out]
+    assert buckets == sorted(buckets), buckets
+    # equal values must share a bucket (tie contract)
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r.v, set()).add(r.b)
+    assert all(len(s) == 1 for s in by_val.values())
+
+
+def test_theil_sen_bucketed_rank_matches_global_sort(spark):
+    """The bucketed two-pass median must pick the SAME pair as a global
+    (slope, xa, xb) sort — exercised on data with negative, zero and
+    tied slopes (flat + falling + rising days)."""
+    import datetime as dt
+
+    ys = [10.0, 10.0, 7.0, 4.0, 8.0, 8.0, 2.0, 12.0]
+    orders = spark.createDataFrame(
+        [
+            (i, dt.date(1995, 1, 1) + dt.timedelta(days=i), y)
+            for i, y in enumerate(ys)
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    out = relational.theil_sen_trend(orders).collect()[0]
+    n = len(ys)
+    assert out.n_days == n and out.n_pairs == n * (n - 1) // 2
+    # reference: median by plain python global sort with the same
+    # (slope, xa, xb) order and ceil(np/2) type-1 rank
+    pairs = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            pairs.append(((ys[b] - ys[a]) / float(b - a), a, b))
+    pairs.sort()
+    m = pairs[(len(pairs) + 1) // 2 - 1][0]
+    assert out.slope_per_day == round(m, 6)
+    resid = sorted((y - m * x, x) for x, y in enumerate(ys))
+    assert out.intercept == round(resid[(n + 1) // 2 - 1][0], 4)

@@ -1910,24 +1910,50 @@ def segment_percentiles(
     ).select("c_mktsegment", F.col("o_totalprice").alias("v"))
     # row_number ties at equal v are broken arbitrarily, but the PICKED
     # value at any position inside a tie run is that run's v — the output
-    # never exposes which row won, so the result is deterministic
+    # never exposes which row won, so the result is deterministic.
+    # Explicit group-keyed repartition: the few-MB shuffle otherwise gets
+    # AQE-coalesced to ONE post-shuffle partition, serializing every
+    # per-segment sort in a single task (r14 measured 3.1 s exec, all
+    # 1-task stages); hash on the window key satisfies the window's
+    # required distribution so no second exchange is added, and group
+    # cardinality (~5 segments) caps effective parallelism either way.
+    target_p = orders.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("c_mktsegment").orderBy("v")
-    ranked = j.select(
+    ranked = j.repartition(target_p, "c_mktsegment").select(
         "c_mktsegment",
         "v",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("c_mktsegment")).alias("n"),
     )
-    picks = None
-    for q in pcts:
-        target = F.ceil(F.lit(q) * F.col("n").cast("double"))
-        p = ranked.filter(F.col("rn") == target).select(
+    # ONE window pass: the previous per-q unionByName re-executed the
+    # sort+window per branch (ReuseExchange shares only the shuffle).
+    # Keep rows whose rank is ANY target ceil(q·n), then explode the
+    # (q, target) panel on that tiny hit set — two q's landing on the
+    # same rank emit two rows, exactly as the union form did.
+    targets = [F.ceil(F.lit(q) * F.col("n").cast("double")) for q in pcts]
+    hit_any = targets[0] == F.col("rn")
+    for t in targets[1:]:
+        hit_any = hit_any | (t == F.col("rn"))
+    qpanel = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("pct"),
+                F.ceil(F.lit(q) * F.col("n").cast("double")).alias("t"),
+            )
+            for q in pcts
+        ]
+    )
+    picks = (
+        ranked.filter(hit_any)
+        .select("c_mktsegment", "v", "rn", "n", F.explode(qpanel).alias("qt"))
+        .filter(F.col("qt.t") == F.col("rn"))
+        .select(
             "c_mktsegment",
-            F.lit(q).alias("pct"),
+            F.col("qt.pct").alias("pct"),
             F.col("v").alias("value"),
             F.col("n").cast("long").alias("n_orders"),
         )
-        picks = p if picks is None else picks.unionByName(p)
+    )
     return picks.orderBy("c_mktsegment", "pct")
 
 
@@ -2828,7 +2854,12 @@ def weighted_percentiles_by_brand(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_tot = Window.partitionBy("p_brand")
-    cum = j.select(
+    # Explicit group-keyed repartition: AQE otherwise coalesces the
+    # ~25-brand shuffle to 6 post-shuffle partitions (r14 measured), and
+    # the hash partitioning satisfies the window's distribution so no
+    # extra exchange appears. Group cardinality caps parallelism by spec.
+    target_p = lineitem.sparkSession.sparkContext.defaultParallelism
+    cum = j.repartition(target_p, "p_brand").select(
         "p_brand",
         "v",
         F.sum(F.col("wt").cast(DEC)).over(w_cum).cast("double").alias("cw"),
@@ -2841,15 +2872,26 @@ def weighted_percentiles_by_brand(
         for q in pcts
     ]
     agg = cum.groupBy("p_brand").agg(F.max("tw").alias("total_weight"), *picks)
-    out_rows = None
-    for q in pcts:
-        r = agg.select(
-            "p_brand",
-            F.lit(q).alias("pct"),
-            F.col(f"p{int(q * 100)}").alias("value"),
-            qround(F.col("total_weight"), 4).alias("total_weight"),
-        )
-        out_rows = r if out_rows is None else out_rows.unionByName(r)
+    # melt the 25-row wide agg with ONE explode instead of a per-q
+    # unionByName: each union branch re-executed the full sort + window
+    # + aggregate over the fact table (ReuseExchange shares only the
+    # shuffle files), so the heavy cumulative window ran |pcts| times
+    qpanel = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("pct"), F.col(f"p{int(q * 100)}").alias("value")
+            )
+            for q in pcts
+        ]
+    )
+    out_rows = agg.select(
+        "p_brand", F.explode(qpanel).alias("s"), "total_weight"
+    ).select(
+        "p_brand",
+        F.col("s.pct").alias("pct"),
+        F.col("s.value").alias("value"),
+        qround(F.col("total_weight"), 4).alias("total_weight"),
+    )
     return out_rows.orderBy("p_brand", "pct")
 
 

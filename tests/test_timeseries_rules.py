@@ -119,16 +119,20 @@ def test_segment_percentiles_disc_semantics(spark):
     customer = spark.createDataFrame(
         [(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string"
     )
-    out = {
-        (r.c_mktsegment, r.pct): r.value
-        for r in rel.segment_percentiles(orders, customer).collect()
-    }
+    collected = rel.segment_percentiles(orders, customer).collect()
+    out = {(r.c_mktsegment, r.pct): r.value for r in collected}
     # segment A: values 10,20,30,40 -> ceil(q*4)-th smallest
     assert out[("A", 0.25)] == 10.0   # ceil(1.0) = 1st
     assert out[("A", 0.5)] == 20.0
     assert out[("A", 0.75)] == 30.0
     assert out[("A", 0.9)] == 40.0    # ceil(3.6) = 4th
     assert out[("B", 0.5)] == 5.0
+    # coinciding-target contract (r14 one-pass rewrite): segment B has
+    # n=1 so EVERY q's target rank is 1 — one output row per q must
+    # still be emitted, exactly as the per-q union form did
+    b_pcts = sorted(r.pct for r in collected if r.c_mktsegment == "B")
+    assert b_pcts == sorted(rel.SEGMENT_PCTS)
+    assert len(collected) == 2 * len(rel.SEGMENT_PCTS)
 
 
 def test_weekday_adjusted_anomalies_flags_only_true_outlier(spark):

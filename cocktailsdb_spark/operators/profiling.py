@@ -741,10 +741,8 @@ def table_checksum(lineitem: DataFrame) -> DataFrame:
     strings for money (both engines print "123.45") — never bare double
     formatting, which engines disagree on. The 48-bit hash is summed as
     two 24-bit BIGINT lanes so a signed-64 sum holds ~5·10^11 rows
-    (2^63/2^24); beyond that move the lanes to DECIMAL(38,0). ONE scan
-    and one 1-row aggregate; the only data-sized shuffle is spread()'s
-    fan-out of the serialized rows, added solely when the scan is
-    under-partitioned (a no-op on any real multi-file table)."""
+    (2^63/2^24); beyond that move the lanes to DECIMAL(38,0). ONE scan, one 1-row
+    aggregate, zero shuffles of data."""
     from .text import md5_prefix_value
 
     row_str = F.concat_ws(
@@ -759,19 +757,12 @@ def table_checksum(lineitem: DataFrame) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
         F.col("l_quantity").cast("decimal(18,2)").cast("string"),
     )
-    # spread() the projected scan: the per-row md5 lanes are the heavy
-    # map phase and a single-row-group file executes as ONE task (r14
-    # batch-1 pattern); the aggregate stays map-side-combined either way
-    from ..tables import spread
-
-    return spread(
-        lineitem.select(
-            row_str.alias("_row_str")
-        )
-    ).agg(
+    lane1 = md5_prefix_value(row_str, 6)
+    lane2 = md5_prefix_value(row_str, 6, offset=6)
+    return lineitem.agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(md5_prefix_value(F.col("_row_str"), 6)).cast("long").alias("checksum_lane1"),
-        F.sum(md5_prefix_value(F.col("_row_str"), 6, offset=6)).cast("long").alias("checksum_lane2"),
+        F.sum(lane1).cast("long").alias("checksum_lane1"),
+        F.sum(lane2).cast("long").alias("checksum_lane2"),
     )
 
 

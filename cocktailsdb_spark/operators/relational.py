@@ -5249,8 +5249,13 @@ def abc_xyz_parts(lineitem: DataFrame) -> DataFrame:
             )
         )
     )
+    # total revenue from the CHECKPOINTED part frame: aggregating `parts`
+    # here re-executed the full (part, month) + part two-level aggregate
+    # from the scan a second time (r14 measured); `scored` carries the
+    # identical per-part rev doubles and the DEC38 sum is
+    # order-insensitive, so the value is bit-identical
     tot = F.broadcast(
-        parts.agg(F.sum(F.col("rev").cast(DEC38)).cast("double").alias("tr"))
+        scored.agg(F.sum(F.col("rev").cast(DEC38)).cast("double").alias("tr"))
     )
     w_in = (
         Window.partitionBy("bucket")

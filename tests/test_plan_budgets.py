@@ -36,7 +36,10 @@ BUDGETS = {
     "semantic_dedup_scaled": 2,  # same shape on (cell, bucket) — bucket is narrow
     "embedding_topk_sq": 2,  # coarse + rerank windows (both on query_id)
     "embedding_topk_pq": 2,  # same two-pass shape over the m-byte codes
-    "bm25_rank_query": 3,  # df agg + stats scalar + score agg (tf checkpointed)
+    # df agg + stats scalar + score agg (tf checkpointed) + the r14
+    # spread() round-robin fan-out of the single-row-group corpus scan
+    # feeding both tokenize passes (OPTIMIZATION_r14.md batch 2)
+    "bm25_rank_query": 4,
     "gapfill_daily_revenue": 2,  # daily agg + LOCF window (spine joins broadcast)
     "skyline_parts": 1,  # distinct-point agg; both skyline passes are narrow
     # round-8 scale-path additions

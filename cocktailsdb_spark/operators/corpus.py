@@ -1559,8 +1559,10 @@ def bigram_cross_entropy(docs: DataFrame) -> DataFrame:
     from the corpus-wide model — the wrong-language/gibberish signal).
 
     Bigrams come straight off the token ARRAY (zip with its own tail —
-    no positional window, no second explode); the bigram-count join is
-    the one fact-sized shuffle, unigram counts and V broadcast. The
+    no positional window, no second explode); the one fact-sized shuffle
+    is the map-side-combined (lang, w1, w2) count aggregate — the score
+    join then runs over the reduced count frames, with unigram counts
+    and V broadcast. The
     per-occurrence ln is quantized to 1e-6 and summed in integer space
     (unigram_logprob_score's engine-exactness convention), so the means
     are bit-identical across engines.
@@ -1575,21 +1577,42 @@ def bigram_cross_entropy(docs: DataFrame) -> DataFrame:
     big = spread(docs).select(
         "lang", F.explode(pairs).alias("p")
     ).select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    uni = spread(docs).select(F.explode(toks).alias("t")).groupBy("t").agg(
-        F.count("*").alias("c1")
+    # ONE pairs-explode pass: every occurrence of a (lang, w1, w2) bigram
+    # carries the same quantized −ln p (p depends only on c12, c1, V), so
+    # the per-occurrence integer sum Σq equals Σ n·q over the distinct
+    # (lang, w1, w2) counts exactly (longs). Aggregating FIRST and joining
+    # the reduced frames replaces the old shape — pairs explode executed
+    # three times (bcnt, the score join's probe side, and again per
+    # consumer) with the raw occurrence stream shuffled through the join —
+    # with one map-side-combined count aggregate + reduced-size joins
+    # (guide §2.3 aggregate before you shuffle; r14, see
+    # OPTIMIZATION_r14.md). The unigram frame is likewise materialized
+    # once (vocab-sized) for its two consumers (c1 join + V scalar).
+    bigc = (
+        big.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    uni = (
+        spread(docs).select(F.explode(toks).alias("t")).groupBy("t").agg(
+            F.count("*").alias("c1")
+        )
+        .localCheckpoint()
     )
     vocab = uni.agg(F.count("*").alias("v"))
-    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bcnt = bigc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     p = (F.col("c12") + 1).cast("double") / (
         F.col("c1") + F.col("v")
     ).cast("double")
     q = F.floor(-F.log(p) * 1e6 + F.lit(0.5)).cast("long")
     return (
-        big.join(bcnt, ["w1", "w2"])
+        bigc.join(bcnt, ["w1", "w2"])
         .join(F.broadcast(uni.withColumnRenamed("t", "w1")), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("lang")
-        .agg(F.sum(q).alias("qs"), F.count("*").alias("n_bigrams"))
+        .agg(
+            F.sum(q * F.col("n")).alias("qs"),
+            F.sum("n").alias("n_bigrams"),
+        )
         .select(
             "lang",
             F.col("n_bigrams").cast("long").alias("n_bigrams"),

@@ -150,10 +150,19 @@ def naive_bayes_langid(docs: DataFrame) -> DataFrame:
     and the scoring join, both map-side-combinable. No per-row Python.
     """
     toks = spread(docs).select("doc_id", "lang", F.explode(tokens()).alias("term"))
-    vocab = toks.select("term").distinct()
+    # ONE tokenize+explode pass feeds the whole model build: vocab and
+    # per-lang totals are exact integer derivations of the (lang, term)
+    # count frame (distinct terms / Σc per lang), so materializing that
+    # model-sized frame once (localCheckpoint — ≈|V|·L rows) replaces the
+    # three separate corpus explodes the old vocab/counts/totals subtrees
+    # executed (r14: guide §2.4 share computed frames; exec 2.4→ see
+    # OPTIMIZATION_r14.md). The scoring pass below keeps its own explode
+    # (different key — per-doc), so the corpus tokenizes twice, not four
+    # times.
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("c")).localCheckpoint()
+    vocab = counts.select("term").distinct()
     langs = docs.select("lang").distinct()
-    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
-    totals = toks.groupBy("lang").agg(F.count("*").alias("t_l"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("t_l"))
     vsize = vocab.agg(F.count("*").alias("v"))
     # dense smoothed model: every (lang, term) cell, c=0 where unseen
     model = (

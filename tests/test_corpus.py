@@ -768,3 +768,21 @@ def test_negative_sampling_pairs_structure(spark):
     # determinism: same input -> identical negative draws
     again = corpus.negative_sampling_pairs(docs, panel=(1,)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bigram_cross_entropy_aggregates_before_join(spark):
+    """r14: the score join runs over the materialized (lang, w1, w2)
+    count frame and the materialized unigram counts — no pairs/token
+    explode may appear in the final plan (the old shape re-executed the
+    pairs explode three times and shuffled raw occurrences through the
+    join)."""
+    from cocktailsdb_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", 7)],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    from tools.plan_audit import fmt_plan
+
+    plan = fmt_plan(corpus.bigram_cross_entropy(docs))
+    assert plan.lower().count("explode") == 0, plan

@@ -49,3 +49,18 @@ def test_unseen_cross_class_terms_are_smoothed_not_fatal(spark):
     ]
     out = {(r.lang, r.predicted): r.n_docs for r in T.naive_bayes_langid(_docs(spark, rows)).collect()}
     assert out.get(("en", "en"), 0) == 3
+
+
+def test_single_corpus_tokenize_in_final_plan(spark):
+    """r14: the model build (vocab / counts / totals) derives from ONE
+    materialized (lang, term) count frame, so the only explode left in
+    the final plan is the scoring pass — a regression re-attaching the
+    model subtrees to the corpus scan re-adds explodes here."""
+    rows = [
+        (1, "der hund lief", "de"),
+        (2, "the dog ran", "en"),
+    ]
+    from tools.plan_audit import fmt_plan
+
+    plan = fmt_plan(T.naive_bayes_langid(_docs(spark, rows)))
+    assert plan.lower().count("explode") <= 1, plan

@@ -1959,13 +1959,16 @@ def adaboost_two_stumps(docs: DataFrame, label_lang: str = STUMP_LABEL_LANG) -> 
     rounds' splits/errors/α's and the round-1 vs ensemble train
     accuracy.
     """
-    # spread() before the checkpoint (single-row-group scan → ONE task
-    # otherwise), and tokenize ONCE per row instead of three times — the
-    # same token array feeds f1 and f3 (identical values, ~3× less regex
-    # work per row; guide §1.2 per-task-work step)
+    # tokenize ONCE per row instead of three times — the same token
+    # array feeds f1 and f3 (identical values, ~3× less regex work per
+    # row; guide §1.2 per-task-work step). NO spread() here: the r14
+    # final-bench A/B (quiet box, interleaved variants ×3 reps) read
+    # ~2.7 s with the fan-out vs ~2.1 s without — the round-robin
+    # shuffle of the token arrays into the checkpoint costs more than
+    # the three light histogram passes save.
     tk = F.col("tk")
     base = (
-        spread(docs.select("lang", "n_chars", tokens().alias("tk")))
+        docs.select("lang", "n_chars", tokens().alias("tk"))
         .select(
             (F.col("lang") == label_lang).cast("int").alias("y"),
             qround(F.size(tk) / F.lit(100.0), STUMP_GRID).alias("f1"),

@@ -174,3 +174,26 @@ def test_lpa_two_cliques_two_communities(spark):
     out = graph.label_propagation_communities(edges).collect()
     sizes = sorted((r.community, r.n_members) for r in out)
     assert sizes == [("a", 3), ("x", 3)]
+
+
+def test_lpa_fused_vote_sums_and_self_vote_tiebreak(spark):
+    """r14 fused-superstep pins: (a) neighbor weights to the SAME label
+    accumulate across union branches exactly as the old two-level
+    aggregate (u's two w=1 edges to nodes labeled 'a' must beat u's
+    self-vote of 1), and (b) an all-tied vote still breaks to the
+    smallest label."""
+    from cocktailsdb_spark.operators import graph
+
+    # Equal-weight triangle a-b-u: round 1 every node sees three tied
+    # votes (two neighbor labels + self) and must break to the minimum
+    # label 'a'; round 2 then delivers label 'a' to each node over TWO
+    # union branches (both neighbor edges) whose weights must SUM to 2
+    # and beat the self-vote — exactly the accumulation the fused
+    # aggregate performs in one pass.
+    und = []
+    for u, v in (("a", "b"), ("a", "u"), ("b", "u")):
+        und += [(u, v, 1), (v, u, 1)]
+    edges = spark.createDataFrame(und, "src string, dst string, w long")
+    out = {r.community: r.n_members for r in
+           graph.label_propagation_communities(edges).collect()}
+    assert out == {"a": 3}

@@ -184,9 +184,17 @@ def recommendation_hitrate(
     train_l = lineitem.join(
         train_keys.select("o_orderkey"), lineitem.l_orderkey == F.col("o_orderkey")
     ).drop("o_orderkey")
-    recs = user_item_recommendations(
-        train_l, train_o, min_support=min_support, k=k
-    ).select("custkey", F.col("item").alias("rec"))
+    recs = (
+        user_item_recommendations(train_l, train_o, min_support=min_support, k=k)
+        .select("custkey", F.col("item").alias("rec"))
+        # users×k rows — materialize ONCE: three downstream branches
+        # (eval_users, the recs_eval aggregate, the hits join) otherwise
+        # each re-execute the entire recommendation pipeline including
+        # the basket self-join (r15 isolated A/B, plan+exec: 6.3s → 4.1s;
+        # a lazy persist-instead-of-checkpoint variant measured WORSE,
+        # 6.9s — the three within-job reads of the cache serialize)
+        .localCheckpoint()
+    )
     owned_train = (
         train_l.select("l_orderkey", "l_partkey")
         .join(train_keys, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -202,6 +210,10 @@ def recommendation_hitrate(
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
         .dropDuplicates(["custkey", "item"])
         .join(owned_train, ["custkey", "item"], "left_anti")
+        # (custkey, item)-distinct test slice — consumed by two branches
+        # (eval_users, hits); without the pin each re-runs the owned_train
+        # build (train join + dedup) from the scans
+        .localCheckpoint()
     )
     eval_users = (
         recs.select("custkey")

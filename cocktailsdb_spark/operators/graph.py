@@ -27,9 +27,88 @@ node-sized zero rows every round.
 from __future__ import annotations
 
 import math
+from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Lex-order-isomorphic integer packing for digit-string node ids (r15).
+#
+# The graph entries build node ids as '<tag>' || digits(key) (e.g.
+# 'c4217', 's88') and every superstep shuffles, joins and aggregates the
+# EDGE-sized frame by that id; LPA additionally breaks vote ties toward
+# the lexicographically smallest label every round. 8-byte longs hash and
+# compare far cheaper than UTF8 strings (guide §2.3 narrower types / §3
+# narrow join keys), but a naive numeric encoding is not order-isomorphic
+# to the string order ('c10' < 'c2' lexicographically), so it would change
+# tie-breaks. lexpack() IS order-isomorphic, with a proof in the
+# docstring, so min-label tie-breaks and (score, node) top-k cuts
+# computed on the packed long are EXACTLY the ones the strings produce;
+# the string is re-derived by pure arithmetic (lexunpack) for output
+# rows only. No dictionary, no extra shuffle, no extra job — a per-row
+# map at edge-build time (a round-14-style dictionary A/B'd ~3.6s of
+# build/remap overhead at sf0.1, more than the supersteps saved).
+# --------------------------------------------------------------------------
+
+# supports keys up to 10^13-1 (13 digits): padded*16+len < 2^57, side bit
+# at 2^60 — no overflow in a signed long
+LEXPACK_MAX_DIGITS = 13
+_POW10 = [10**i for i in range(LEXPACK_MAX_DIGITS + 1)]
+
+
+def lexpack(side: int, key: Column) -> Column:
+    """Pack a non-negative integer ``key`` (< 10^13) and a 0/1 ``side``
+    flag into a LONG whose numeric order equals the lexicographic order
+    of the strings  tag_side || digits(key)  (tag_0 < tag_1).
+
+    Why it is order-isomorphic (within one side): let a, b be the digit
+    strings of x, y (no leading zeros) and A = x·10^(L−|a|),
+    B = y·10^(L−|b|) their zero-right-padded L-digit values. Comparing
+    equal-length digit strings lexicographically IS comparing their
+    numeric values, and right-padding with zeros only changes the lex
+    comparison when the padded values TIE — which happens exactly when
+    the shorter string is a prefix of the longer and the remainder is
+    all zeros ('2' vs '20'); lexicographically the shorter one sorts
+    first, so (A, |a|) < (B, |b|) as a pair iff a < b. The pair packs
+    into (A·16 + |a|) since |a| ≤ 15. Sides are disjoint high bits, so
+    all side-0 nodes sort before all side-1 nodes, matching tag_0 <
+    tag_1 string prefixes.
+    """
+    s = key.cast("long")
+    ln = F.length(s.cast("string")).cast("long")
+    # exact integer 10^(L-len): element_at is 1-based, so index
+    # (L - len + 1) selects _POW10[L - len]
+    pad = F.element_at(
+        F.array(*[F.lit(p) for p in _POW10]),
+        (F.lit(LEXPACK_MAX_DIGITS + 1) - ln).cast("int"),
+    )
+    return (F.lit(side).cast("long") * F.lit(1 << 60)) + s * pad * 16 + ln
+
+
+def lexunpack(packed: Column, tag0: str, tag1: str) -> Column:
+    """Inverse of :func:`lexpack`: re-derive the original string node id
+    tag || digits(key) from the packed long — pure integer arithmetic
+    plus one final cast, applied to output-sized frames only."""
+    # powers of two via shifts/masks (long `/` is DOUBLE division in
+    # Spark — inexact above 2^53, and packed can exceed it); the final
+    # power-of-ten division IS the double path but exact: padded =
+    # key·pad ≤ 10^14 < 2^53 and the true quotient is an integer, so the
+    # correctly-rounded result is that integer
+    side = F.shiftright(packed, 60)
+    rem = packed.bitwiseAND(F.lit((1 << 60) - 1))
+    ln = rem % 16
+    padded = F.shiftright(rem, 4)
+    pad = F.element_at(
+        F.array(*[F.lit(p) for p in _POW10]),
+        (F.lit(LEXPACK_MAX_DIGITS + 1) - ln).cast("int"),
+    )
+    key = (padded / pad).cast("long")
+    return F.concat(
+        F.when(side == 0, F.lit(tag0)).otherwise(F.lit(tag1)),
+        key.cast("string"),
+    )
+
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
@@ -90,6 +169,7 @@ def pagerank(
     checkpoint_every: int = PR_CHECKPOINT_EVERY,
     assume_distinct: bool = False,
     symmetrized: bool = False,
+    decode: Optional[Callable[[Column], Column]] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (``src``,
     ``dst``). The node set is src ∪ dst, so sink nodes (in-edges only)
@@ -156,6 +236,13 @@ def pagerank(
     full = nodes.join(ranks.hint("shuffle_hash"), "node", "left").select(
         "node", F.coalesce(F.col("r"), F.lit(q_const)).alias("r")
     )
+    if decode is not None:
+        # callers that iterate on packed integer node ids (lexpack) map
+        # back to the string id HERE, on the node-sized frame BEFORE the
+        # top-k cut, so the (r desc, node asc) ordering — including rank
+        # ties at the cut — is computed on exactly the strings the
+        # all-string pipeline would have ordered
+        full = full.select(decode(F.col("node")).alias("node"), "r")
     out = (
         full.orderBy(F.desc("r"), F.asc("node"))
         .limit(top_k)
@@ -422,7 +509,10 @@ LPA_TOP_K = 20
 
 
 def label_propagation_communities(
-    edges: DataFrame, iters: int = LPA_ITERS, top_k: int = LPA_TOP_K
+    edges: DataFrame,
+    iters: int = LPA_ITERS,
+    top_k: int = LPA_TOP_K,
+    decode: Optional[Callable[[Column], Column]] = None,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007, public) for
     community detection: every node starts as its own label; each round
@@ -450,6 +540,7 @@ def label_propagation_communities(
     edges_p = edges.repartition(nparts, "dst").persist()
     nodes = edges_p.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
+    round_frames: list[DataFrame] = []
     for _ in range(iters):
         # ONE fused (node, label) weight aggregate per superstep over
         # neighbor votes ∪ self-votes (integer sums are associative, so
@@ -482,23 +573,41 @@ def label_propagation_communities(
             votes.withColumn("rn", F.row_number().over(pick))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint()  # truncate the per-round lineage (pagerank's
-            # checkpoint convention — 3 rounds of join lineage otherwise
-            # recompute per downstream action)
+            # cache the round's labels LAZILY: the next round reads this
+            # frame twice (neighbor join + self-votes), so uncached the
+            # lineage doubles per round (r15 A/B: ~11-17s uncached). A
+            # lazy persist beats the old eager localCheckpoint-per-round
+            # (r15 rotated A/B at sf0.1: ~5.7s vs ~6.7s mean) because it
+            # removes one driver barrier + eager job per superstep — the
+            # round materializes inside the NEXT round's job instead
+            # (VERDICT r14 item 3). Results verified identical.
+            .persist()
         )
+        round_frames.append(labels)
     census = labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("n_members")
     )
+    top = census.orderBy(F.desc("n_members"), F.asc("community")).limit(top_k)
+    if decode is not None:
+        # callers that iterate on packed integer node ids (lexpack) map
+        # the winning labels back to string ids here. The top_k cut above
+        # and every superstep's min-label tie-break already ordered by
+        # the packed long, which is order-ISOMORPHIC to the string order
+        # (lexpack docstring) — so cut, ties and ranks are exactly the
+        # all-string pipeline's
+        top = top.select(
+            decode(F.col("community")).alias("community"), "n_members"
+        )
     pick = Window.orderBy(F.desc("n_members"), F.asc("community"))
     out = (
-        census.orderBy(F.desc("n_members"), F.asc("community"))
-        .limit(top_k)
-        .withColumn("rank", F.row_number().over(pick).cast("int"))
+        top.withColumn("rank", F.row_number().over(pick).cast("int"))
         # pin the top_k rows so the edge cache can be released before the
         # caller consumes the frame (pagerank's convention)
         .localCheckpoint()
     )
     edges_p.unpersist()
+    for fr in round_frames:
+        fr.unpersist()
     return out
 
 

@@ -4555,18 +4555,25 @@ def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     supersteps, self-vote damping, min-label ties."""
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # node ids carried as lexpack'd LONGS (order-isomorphic to the
+    # 'c…'/'s…' strings — graph.py docstring/proof): grouping by the
+    # packed key is grouping by the string (bijection), every superstep's
+    # min-label tie-break orders identically, and the winning labels are
+    # re-derived as strings on the top_k census rows only (r15)
     pairs = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            _graph9.lexpack(0, F.col("o_custkey")).alias("c"),
+            _graph9.lexpack(1, F.col("l_suppkey")).alias("s"),
         )
         .agg(F.count("*").alias("w"))
     )
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
-    return _graph9.label_propagation_communities(edges)
+    return _graph9.label_propagation_communities(
+        edges, decode=lambda c: _graph9.lexunpack(c, "c", "s")
+    )
 
 
 def _lpa_sql() -> str:

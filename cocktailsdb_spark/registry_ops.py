@@ -4464,12 +4464,18 @@ from .operators import graph as _graph  # noqa: E402
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer↔supplier bipartite graph from lineitem⋈orders, symmetrized
-    (every node appears as a src → no dangling mass)."""
+    (every node appears as a src → no dangling mass). Node ids are the
+    'c<custkey>'/'s<suppkey>' strings of the oracle twin, but carried
+    through the edge build and all five supersteps as lexpack'd LONGS
+    (order-isomorphic — graph.py docstring/proof) and re-derived on the
+    node-sized frame before the final (r desc, node) top-k, so every
+    shuffle/join/aggregate hashes 8-byte keys instead of UTF8 strings
+    while the output — ties included — is bit-identical (r15)."""
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = l.join(o, l.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        _graph.lexpack(0, F.col("o_custkey")).alias("c"),
+        _graph.lexpack(1, F.col("l_suppkey")).alias("s"),
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -4477,7 +4483,11 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no pre-dedup: pagerank folds the (src,dst) dedup into its one
     # src-repartition exchange at zero extra shuffle cost; the graph is
     # symmetrized, so the node universe is the src side alone
-    return _graph.pagerank(edges, symmetrized=True)
+    return _graph.pagerank(
+        edges,
+        symmetrized=True,
+        decode=lambda c: _graph.lexunpack(c, "c", "s"),
+    )
 
 
 def _pagerank_sql() -> str:

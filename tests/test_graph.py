@@ -197,3 +197,80 @@ def test_lpa_fused_vote_sums_and_self_vote_tiebreak(spark):
     out = {r.community: r.n_members for r in
            graph.label_propagation_communities(edges).collect()}
     assert out == {"a": 3}
+
+
+def test_lexpack_is_lex_order_isomorphic_and_invertible(spark):
+    """r15 pin: lexpack's numeric order must equal the lexicographic
+    order of the 'c…'/'s…' strings — including the adversarial
+    digit-string cases where numeric key order DIFFERS from lex order
+    ('c10' < 'c2', '2' prefix of '20'/'205') — and lexunpack must invert
+    it exactly. The graph iteratives' per-superstep min-label tie-breaks
+    and top-k cuts ride on this property."""
+    from pyspark.sql import functions as F
+
+    keys = [0, 1, 2, 9, 10, 11, 19, 20, 21, 99, 100, 200, 205, 2050,
+            123456789, 10**13 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    a = df.select(
+        F.concat(F.lit("c"), F.col("key").cast("string")).alias("sid"),
+        G.lexpack(0, F.col("key")).alias("packed"),
+    )
+    b = df.select(
+        F.concat(F.lit("s"), F.col("key").cast("string")).alias("sid"),
+        G.lexpack(1, F.col("key")).alias("packed"),
+    )
+    rows = a.unionByName(b).withColumn(
+        "rt", G.lexunpack(F.col("packed"), "c", "s")
+    ).collect()
+    assert all(r.rt == r.sid for r in rows)
+    by_str = [r.sid for r in sorted(rows, key=lambda r: r.sid)]
+    by_pack = [r.sid for r in sorted(rows, key=lambda r: r.packed)]
+    assert by_str == by_pack
+    # the adversarial pair really is adversarial: numeric order differs
+    assert by_str.index("c10") < by_str.index("c2")
+
+
+def test_lpa_packed_keys_match_string_pipeline_on_lex_ties(spark):
+    """r15 pin: running LPA on lexpack'd longs + decode must produce the
+    SAME communities as the all-string pipeline on a graph engineered so
+    a min-label tie-break falls between keys whose numeric order and
+    lex order disagree (2 vs 10: lex min is '10'). Guards the
+    order-isomorphism argument end-to-end."""
+    from pyspark.sql import functions as F
+
+    # triangle between c2, c10, s3 with equal weights: round-1 votes tie
+    # everywhere, so every node takes the lex-smallest label — 'c10'
+    # (numeric order would wrongly pick c2)
+    tris = [(0, 2, 1, 10), (0, 2, 1, 3), (0, 10, 1, 3)]
+    rows = []
+    for sa, ka, sb, kb in tris:
+        rows += [(sa, ka, sb, kb, 1), (sb, kb, sa, ka, 1)]
+    raw = spark.createDataFrame(
+        rows, "sa int, ka long, sb int, kb long, w long"
+    )
+    tag = lambda s, k: F.concat(
+        F.when(F.col(s) == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.col(k).cast("string"),
+    )
+    str_edges = raw.select(
+        tag("sa", "ka").alias("src"), tag("sb", "kb").alias("dst"), "w"
+    )
+    side = lambda s, k: F.when(
+        F.col(s) == 0, G.lexpack(0, F.col(k))
+    ).otherwise(G.lexpack(1, F.col(k)))
+    packed_edges = raw.select(
+        side("sa", "ka").alias("src"), side("sb", "kb").alias("dst"), "w"
+    )
+    want = sorted(
+        map(tuple, G.label_propagation_communities(str_edges).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            G.label_propagation_communities(
+                packed_edges, decode=lambda c: G.lexunpack(c, "c", "s")
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert want[0][0] == "c10"  # the lex-min label won, not the numeric min
